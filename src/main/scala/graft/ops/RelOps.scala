@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Core relational vocabulary of the reference engine, re-expressed as
+  * Spark Column/DataFrame plans (SURVEY.md §2.2, §2.4, §2.6, §2.7).
+  *
+  * Every operator here compiles to a declarative Catalyst plan — no UDFs,
+  * no driver-side loops — so predicate pushdown, column pruning, partial
+  * aggregation and AQE apply unchanged at any scale.
+  *
+  * Reference citations are `file:line` into /root/reference/.
+  */
+object RelOps {
+
+  /** Per-column ordering spec — reference `order(col; rev=…)`
+    * (reference src/dataframe.jl:1556-1562). NA placement follows the
+    * reference: nulls first ascending, last descending
+    * (reference src/dataframe.jl:1856, SURVEY §4.2.3).
+    */
+  final case class Ordering(col: String, desc: Boolean = false) {
+    def toColumn: Column =
+      if (desc) F.col(col).desc_nulls_last else F.col(col).asc_nulls_first
+  }
+
+  implicit class DataFrameOps(val df: DataFrame) extends AnyVal {
+
+    // ---- §2.2 projection / filter -------------------------------------
+
+    /** `df[Expr, cols]` expression predicate (reference
+      * src/dataframe.jl:401-406): SQL-syntax predicate string, parsed by
+      * Catalyst so it reaches the Parquet scan as a pushed filter.
+      */
+    def filterExpr(predicate: String): DataFrame = df.filter(F.expr(predicate))
+
+    /** `with`/`within`: add or replace computed columns (reference
+      * src/dataframe.jl:1295-1330). Each pair is name -> SQL expression.
+      */
+    def within(assignments: (String, String)*): DataFrame =
+      assignments.foldLeft(df) { case (d, (name, ex)) =>
+        d.withColumn(name, F.expr(ex))
+      }
+
+    /** `based_on`: new frame holding only the assigned columns (reference
+      * src/dataframe.jl:1332-1370).
+      */
+    def basedOn(assignments: (String, String)*): DataFrame =
+      df.select(assignments.map { case (n, ex) => F.expr(ex).as(n) }: _*)
+
+    /** `complete_cases!`: drop rows containing any NA (reference
+      * src/dataframe.jl:1412-1421).
+      */
+    def completeCases(): DataFrame = df.na.drop("any")
+
+    /** Boolean mask of complete rows, as a column (reference
+      * src/dataframe.jl:1412-1419).
+      */
+    def completeCasesCol: Column =
+      df.columns.map(c => F.col(c).isNotNull).reduce(_ && _)
+
+    /** `without` / `delete!`: drop columns (reference
+      * src/dataframe.jl:965-997). */
+    def without(cols: String*): DataFrame = df.drop(cols: _*)
+
+    // ---- §2.6 sort / limit --------------------------------------------
+
+    /** Multi-column sort with per-column direction and reference NA
+      * placement (reference src/dataframe.jl:1540-1852). Stability: Spark
+      * sorts are not guaranteed stable; callers needing the reference's
+      * stable sort append a deterministic tiebreaker ordering.
+      */
+    def sortBy(orderings: Ordering*): DataFrame =
+      df.orderBy(orderings.map(_.toColumn): _*)
+
+    /** top-k = sort + head (reference src/dataframe.jl:834-837); Catalyst
+      * rewrites orderBy+limit into TakeOrderedAndProject — no full sort,
+      * one partial top-k per partition then a driver merge, which is the
+      * right physical shape at any scale.
+      */
+    def topK(k: Int, orderings: Ordering*): DataFrame =
+      sortBy(orderings: _*).limit(k)
+
+    // ---- §2.7 set ops / concat ----------------------------------------
+
+    /** `vcat`/`rbind`: row-bind with union-of-columns-by-name, missing
+      * columns NA-filled, numeric types promoted (reference
+      * src/dataframe.jl:1098-1131; promotion :1045-1076). Spark's
+      * unionByName(allowMissingColumns) plus Catalyst TypeCoercion covers
+      * the promotion lattice.
+      */
+    def vcat(others: DataFrame*): DataFrame =
+      others.foldLeft(df)(_.unionByName(_, allowMissingColumns = true))
+
+    /** `hcat`/`cbind`: positional column-bind (reference
+      * src/dataframe.jl:1006-1021). Row position is not a first-class
+      * Spark concept, so the zip is realized as a join on an explicit
+      * row id derived from a caller-supplied deterministic ordering.
+      */
+    def hcat(other: DataFrame, orderLeft: Seq[String],
+             orderRight: Seq[String]): DataFrame = {
+      def withRid(d: DataFrame, order: Seq[String]) =
+        d.withColumn("__rid",
+          F.row_number().over(
+            Window.orderBy(order.map(F.col): _*)).cast(LongType))
+      val l = withRid(df, orderLeft)
+      // collision-safe names, reference `make_unique` (src/utils.jl:42-68)
+      val taken = df.columns.toSet
+      val r0 = withRid(other, orderRight)
+      val r = other.columns.foldLeft(r0) { (d, c) =>
+        if (taken.contains(c)) d.withColumnRenamed(c, makeUnique(c, taken))
+        else d
+      }
+      l.join(r, Seq("__rid")).drop("__rid")
+    }
+
+    /** `duplicated`+`drop_duplicates!` keeping the FIRST occurrence in a
+      * caller-given deterministic order (reference src/dataframe.jl:
+      * 1452-1483 keeps first in row order). Implemented as a min-order-key
+      * aggregation (shuffle on the dup key only; no global sort).
+      */
+    def dedupFirst(keyCols: Seq[String], orderCol: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(F.col): _*)
+        .orderBy(F.col(orderCol).asc)
+      df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") === 1).drop("__rn")
+    }
+
+    // ---- §2.4 aggregation helpers -------------------------------------
+
+    /** `by(df, cols, expr)`: groupBy + named aggregate expressions
+      * (reference src/grouping.jl:248-262). Expressions are SQL strings →
+      * Catalyst partial/final HashAggregate with map-side combine.
+      */
+    def by(keys: Seq[String], aggs: (String, String)*): DataFrame = {
+      val exprs = aggs.map { case (n, ex) => F.expr(ex).as(n) }
+      df.groupBy(keys.map(F.col): _*).agg(exprs.head, exprs.tail: _*)
+    }
+
+    /** `colwise(fns, df)`: apply aggregate fn names to every given column,
+      * results named `col_fn` (reference src/grouping.jl:202-245).
+      */
+    def colwise(fns: Seq[String], cols: Seq[String],
+                keys: Seq[String] = Nil): DataFrame = {
+      val aggs = for { c <- cols; f <- fns }
+        yield F.expr(s"$f($c)").as(s"${c}_$f")
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** reference `make_unique` (src/utils.jl:42-68): suffix `_k` until the
+    * name is free. */
+  def makeUnique(name: String, taken: Set[String]): String = {
+    var i = 1
+    var cand = s"${name}_$i"
+    while (taken.contains(cand)) { i += 1; cand = s"${name}_$i" }
+    cand
+  }
+}
