@@ -12,10 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries = Seq(
-    _root_.graft.queries.CoreQueries.queries
+    _root_.graft.queries.CoreQueries.queries,
+    _root_.graft.queries.RelQueries.queries,
+    _root_.graft.queries.StatQueries.queries
   )
   private def oracleRegistries = Seq(
-    _root_.graft.queries.CoreQueries.oracleSql
+    _root_.graft.queries.CoreQueries.oracleSql,
+    _root_.graft.queries.RelQueries.oracleSql,
+    _root_.graft.queries.StatQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

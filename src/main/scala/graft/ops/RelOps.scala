@@ -120,9 +120,9 @@ object RelOps {
       * 1452-1483 keeps first in row order). Implemented as a min-order-key
       * aggregation (shuffle on the dup key only; no global sort).
       */
-    def dedupFirst(keyCols: Seq[String], orderCol: String): DataFrame = {
+    def dedupFirst(keyCols: Seq[String], orderCols: String*): DataFrame = {
       val w = Window.partitionBy(keyCols.map(F.col): _*)
-        .orderBy(F.col(orderCol).asc)
+        .orderBy(orderCols.map(F.col(_).asc): _*)
       df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") === 1).drop("__rn")
     }

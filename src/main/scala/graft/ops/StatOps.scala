@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Statistical summaries — SURVEY.md §2.4: describe, cor/cov, quantiles.
+  *
+  * `describe` computes ALL per-column stats in ONE aggregate pass (one
+  * scan + one reduce — at 100 TB the naive one-job-per-column layout is
+  * a non-starter), then unpivots driver-side (the aggregate result is a
+  * single row).
+  */
+object StatOps {
+
+  implicit class StatDF(val df: DataFrame) extends AnyVal {
+
+    /** reference describe (src/dataframe.jl:867-906): per numeric column
+      * Min/1Q/Median/Mean/3Q/Max plus count and NA count. Quantiles are
+      * EXACT (`percentile`, linear interpolation) matching DuckDB's
+      * quantile_cont; swap to approx_percentile at the 100 TB tier where
+      * a bounded-error sketch is the right trade.
+      */
+    def describeCols(cols: Seq[String], digits: Int = 6): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(
+          F.expr(s"round(min($c), $digits)").as(s"${c}__min"),
+          F.expr(s"round(percentile($c, 0.25), $digits)").as(s"${c}__q25"),
+          F.expr(s"round(percentile($c, 0.5), $digits)").as(s"${c}__median"),
+          F.expr(s"round(avg($c), $digits)").as(s"${c}__mean"),
+          F.expr(s"round(percentile($c, 0.75), $digits)").as(s"${c}__q75"),
+          F.expr(s"round(max($c), $digits)").as(s"${c}__max"),
+          F.expr(s"count($c)").cast("long").as(s"${c}__n"),
+          F.expr(s"count_if($c is null)").cast("long").as(s"${c}__n_missing"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      // single-row unpivot: stack() over the flat aggregate row
+      val stats = Seq("min", "q25", "median", "mean", "q75", "max")
+      val branches = cols.map { c =>
+        s"'$c', ${stats.map(s => s"${c}__$s").mkString(", ")}, " +
+          s"cast(${c}__n as double), cast(${c}__n_missing as double)"
+      }.mkString(", ")
+      val hdr = (stats ++ Seq("n", "n_missing")).mkString(", ")
+      one.select(F.expr(
+        s"stack(${cols.size}, $branches) as (col_name, $hdr)"))
+    }
+
+    /** Pairwise sample correlation matrix in long form (reference cor,
+      * src/dataframe.jl:1514-1521) — all pairs in one aggregate pass.
+      */
+    def corMatrix(cols: Seq[String], digits: Int = 6): DataFrame = {
+      val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+      val aggs = pairs.map { case (a, b) =>
+        F.expr(s"round(corr($a, $b), $digits)").as(s"${a}__$b") }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val branches = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+      one.select(F.expr(
+        s"stack(${pairs.size}, $branches) as (col1, col2, corr)"))
+    }
+
+    /** Pairwise sample covariance, long form (reference cov). */
+    def covMatrix(cols: Seq[String], digits: Int = 6): DataFrame = {
+      val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+      val aggs = pairs.map { case (a, b) =>
+        F.expr(s"round(covar_samp($a, $b), $digits)").as(s"${a}__$b") }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val branches = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+      one.select(F.expr(
+        s"stack(${pairs.size}, $branches) as (col1, col2, cov)"))
+    }
+  }
+}

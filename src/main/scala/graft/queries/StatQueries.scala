@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
+import graft.functions.Funcs
+import graft.ops.RelOps._
+import graft.ops.ReshapeOps._
+import graft.ops.StatOps._
+
+/** Wave-2b: reshape (stack/unstack/pivot/xtab), describe, cor/cov,
+  * quantiles, colwise, cut/paste, Kleene any/all, NA ops, scalar
+  * math/string/json/date functions — SURVEY.md §2.4, §2.8, §2.9.
+  */
+object StatQueries {
+
+  private val orderStatuses = Seq("F", "O", "P")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // stack/melt wide→long (reference src/reshape.jl:16-27).
+    "q17_stack" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .stackCols(Seq("l_quantity", "l_extendedprice", "l_discount"),
+                   Seq("l_orderkey", "l_linenumber"))
+    },
+
+    // pivot_table long→wide with aggregate (reference src/reshape.jl:78-103).
+    "q18_pivot_table" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .pivotTable(Seq("o_orderpriority"), "o_orderstatus", orderStatuses,
+          "round(sum(o_totalprice), 2)")
+    },
+
+    // unstack with last-write-wins under explicit order (reference
+    // src/reshape.jl:35-63).
+    "q19_unstack" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .unstack(Seq("l_orderkey"), "l_returnflag", "l_quantity",
+          Seq("A", "N", "R"), Seq("l_linenumber", "l_quantity"))
+    },
+
+    // cross-tabulation, absent combos = 0 (reference xtab exports
+    // src/DataFrames.jl:162-163).
+    "q20_xtab" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .join(T.load(s, dir, "customer"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .xtab("c_mktsegment", "o_orderstatus", orderStatuses)
+    },
+
+    // describe: one-pass multi-column summary (reference
+    // src/dataframe.jl:867-906).
+    "q21_describe" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .describeCols(Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // colwise aggregate fan-out, `col_fn` naming (reference
+    // src/grouping.jl:202-245).
+    "q22_colwise" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .colwise(Seq("min", "max"), Seq("l_quantity", "l_extendedprice"),
+                 keys = Seq("l_returnflag"))
+    },
+
+    // correlation matrix, long form (reference cor src/dataframe.jl:1514).
+    "q23_cor" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .corMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // grouped exact quantiles (reference colmedians + distributed
+    // quantile, src/dataframe_blocks.jl:263-356).
+    "q24_quantiles" -> { (s, dir) =>
+      T.load(s, dir, "orders").by(Seq("o_orderstatus"),
+        "q25" -> "round(percentile(o_totalprice, 0.25), 4)",
+        "q50" -> "round(percentile(o_totalprice, 0.5), 4)",
+        "q75" -> "round(percentile(o_totalprice, 0.75), 4)")
+    },
+
+    // cut: numeric binning to interval labels (reference cut,
+    // test/extras.jl:17-33).
+    "q25_cut" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .withColumn("bin", Funcs.cut(F.col("o_totalprice"),
+          Seq(0, 100000, 200000, 300000, 500000)))
+        .by(Seq("bin"), "n" -> "count(*)")
+    },
+
+    // paste_columns key synthesis (reference src/extras.jl:32-44).
+    "q26_paste" -> { (s, dir) =>
+      T.load(s, dir, "customer")
+        .withColumn("key",
+          Funcs.pasteColumns("_", F.col("c_mktsegment"), F.col("c_nationkey")))
+        .by(Seq("key"), "n" -> "count(*)")
+    },
+
+    // Kleene any/all as grouped bool aggregates (reference
+    // src/operators.jl:251-277).
+    "q27_anyall" -> { (s, dir) =>
+      T.load(s, dir, "orders").by(Seq("o_orderpriority"),
+        "any_big" -> "bool_or(o_totalprice > 450000)",
+        "all_pos" -> "bool_and(o_totalprice > 0)")
+    },
+
+    // isna / complete_cases / na.fill (reference src/dataframe.jl:
+    // 1412-1421, 1485-1511): nulls produced by a left join.
+    "q28_na_ops" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+      val li = T.load(s, dir, "lineitem")
+        .by(Seq("l_orderkey"), "n_items" -> "count(*)")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+        .basedOn(
+          "o_orderkey" -> "o_orderkey",
+          "is_missing" -> "n_items IS NULL",
+          "n_filled" -> "coalesce(n_items, -1)")
+    },
+
+    // Elementary math functions, column-lifted (reference
+    // src/operators.jl:7-12; NOTE DuckDB ln vs Spark log naming).
+    "q33_math_funcs" -> { (s, dir) =>
+      T.load(s, dir, "lineitem").basedOn(
+        "l_orderkey" -> "l_orderkey", "l_linenumber" -> "l_linenumber",
+        "sqrt_qty" -> "round(sqrt(l_quantity), 6)",
+        "ln_price" -> "round(ln(l_extendedprice), 6)",
+        "log10_price" -> "round(log10(l_extendedprice), 6)",
+        "exp_disc" -> "round(exp(l_discount), 6)",
+        "abs_c" -> "round(abs(l_quantity - 25.0), 6)",
+        "floor_q" -> "floor(l_quantity)",
+        "ceil_q" -> "ceiling(l_quantity)",
+        "pow_d" -> "round(power(1.0 + l_tax, 2), 6)",
+        "sin_q" -> "round(sin(l_quantity), 6)")
+    },
+
+    // String function suite (reference has only paste; Spark string ops
+    // are the §2.9 superset).
+    "q34_string_funcs" -> { (s, dir) =>
+      T.load(s, dir, "part").basedOn(
+        "p_partkey" -> "p_partkey",
+        "up" -> "upper(p_name)",
+        "lo" -> "lower(p_brand)",
+        "len" -> "length(p_name)",
+        "pre" -> "substr(p_type, 1, 5)",
+        "combo" -> "concat(p_brand, ':', p_type)",
+        "has_std" -> "p_type LIKE '%ECO%'")
+    },
+
+    // JSON extraction from the events props column.
+    "q35_json" -> { (s, dir) =>
+      T.load(s, dir, "events").basedOn(
+        "event_id" -> "event_id",
+        "k" -> "cast(get_json_object(props, '$.k') as bigint)")
+    },
+
+    // Date/time parts over timestamps (reference has none — SURVEY
+    // §2.9 "date functions: none"; Spark superset).
+    "q36_dates" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .within("o_year" -> "year(o_orderdate)",
+                "o_month" -> "month(o_orderdate)")
+        .by(Seq("o_year", "o_month"),
+          "n_orders" -> "count(*)",
+          "total" -> "round(sum(o_totalprice), 2)")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_stack" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem""",
+    "q18_pivot_table" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 2) AS F,
+         round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 2) AS O,
+         round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 2) AS P
+         FROM orders GROUP BY o_orderpriority""",
+    "q19_unstack" ->
+      """WITH chosen AS (
+           SELECT l_orderkey, l_returnflag, l_quantity AS v,
+             row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+               ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+           FROM lineitem)
+         SELECT l_orderkey,
+           max(CASE WHEN l_returnflag='A' THEN v END) AS A,
+           max(CASE WHEN l_returnflag='N' THEN v END) AS N,
+           max(CASE WHEN l_returnflag='R' THEN v END) AS R
+         FROM chosen WHERE rn = 1 GROUP BY l_orderkey""",
+    "q20_xtab" ->
+      """SELECT c_mktsegment,
+         count(CASE WHEN o_orderstatus='F' THEN 1 END) AS F,
+         count(CASE WHEN o_orderstatus='O' THEN 1 END) AS O,
+         count(CASE WHEN o_orderstatus='P' THEN 1 END) AS P
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q21_describe" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS col_name, round(min($c), 6) AS min,
+            round(quantile_cont($c, 0.25), 6) AS q25,
+            round(quantile_cont($c, 0.5), 6) AS median,
+            round(avg($c), 6) AS mean,
+            round(quantile_cont($c, 0.75), 6) AS q75,
+            round(max($c), 6) AS max,
+            CAST(count($c) AS DOUBLE) AS n,
+            CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE)
+              AS n_missing
+            FROM lineitem"""
+      }.mkString(" UNION ALL "),
+    "q22_colwise" ->
+      """SELECT l_returnflag,
+         min(l_quantity) AS l_quantity_min,
+         max(l_quantity) AS l_quantity_max,
+         min(l_extendedprice) AS l_extendedprice_min,
+         max(l_extendedprice) AS l_extendedprice_max
+         FROM lineitem GROUP BY l_returnflag""",
+    "q23_cor" ->
+      """SELECT 'l_extendedprice' AS col1, 'l_quantity' AS col2,
+                round(corr(l_extendedprice, l_quantity), 6) AS corr
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_extendedprice',
+                round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_quantity',
+                round(corr(l_discount, l_quantity), 6) FROM lineitem""",
+    "q24_quantiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS q75
+         FROM orders GROUP BY o_orderstatus""",
+    "q25_cut" ->
+      """SELECT CASE
+           WHEN o_totalprice > 300000 AND o_totalprice <= 500000
+             THEN '(300000,500000]'
+           WHEN o_totalprice > 200000 AND o_totalprice <= 300000
+             THEN '(200000,300000]'
+           WHEN o_totalprice > 100000 AND o_totalprice <= 200000
+             THEN '(100000,200000]'
+           WHEN o_totalprice > 0 AND o_totalprice <= 100000
+             THEN '(0,100000]'
+         END AS bin, count(*) AS n
+         FROM orders GROUP BY 1""",
+    "q26_paste" ->
+      """SELECT c_mktsegment || '_' || c_nationkey AS key, count(*) AS n
+         FROM customer GROUP BY 1""",
+    "q27_anyall" ->
+      """SELECT o_orderpriority,
+         bool_or(o_totalprice > 450000) AS any_big,
+         bool_and(o_totalprice > 0) AS all_pos
+         FROM orders GROUP BY o_orderpriority""",
+    "q28_na_ops" ->
+      """SELECT o_orderkey, n_items IS NULL AS is_missing,
+                coalesce(n_items, -1) AS n_filled
+         FROM orders LEFT JOIN (
+           SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+         ) li ON o_orderkey = l_orderkey""",
+    "q33_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sqrt(l_quantity), 6) AS sqrt_qty,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         round(log10(l_extendedprice), 6) AS log10_price,
+         round(exp(l_discount), 6) AS exp_disc,
+         round(abs(l_quantity - 25.0), 6) AS abs_c,
+         floor(l_quantity) AS floor_q,
+         ceiling(l_quantity) AS ceil_q,
+         round(pow(1.0 + l_tax, 2), 6) AS pow_d,
+         round(sin(l_quantity), 6) AS sin_q
+         FROM lineitem""",
+    "q34_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+         length(p_name) AS len, substr(p_type, 1, 5) AS pre,
+         p_brand || ':' || p_type AS combo,
+         p_type LIKE '%ECO%' AS has_std
+         FROM part""",
+    "q35_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
+    "q36_dates" ->
+      """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1, 2"""
+  )
+}

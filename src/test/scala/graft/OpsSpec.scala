@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.ops.RelOps._
+import graft.ops.ReshapeOps._
+import graft.ops.SeqOps._
+import graft.ops.StatOps._
+
+/** Wave-2 operator suites: reshape round-trips, window algebra, stats —
+  * reference-style equivalence assertions (SURVEY.md §5.1).
+  */
+class OpsSpec extends SparkSpec {
+
+  test("stack emits rows x measures and melt complements id vars") {
+    val li = T.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val st = li.stackCols(Seq("l_quantity", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"))
+    assert(st.count() == li.count() * 2)
+    assert(st.columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "variable", "value"))
+    val me = li.melt(Seq("l_orderkey", "l_linenumber"))
+    assert(me.count() == st.count())
+  }
+
+  test("pivot_table agrees with manual conditional aggregation") {
+    val o = T.load(spark, sf, "orders")
+    val p = o.pivotTable(Seq("o_orderpriority"), "o_orderstatus",
+      Seq("F", "O"), "count(o_orderkey)")
+    val manual = o.groupBy("o_orderpriority").agg(
+      F.count(F.when(F.col("o_orderstatus") === "F", 1)).as("F"),
+      F.count(F.when(F.col("o_orderstatus") === "O", 1)).as("O"))
+    assert(p.exceptAll(manual).isEmpty && manual.exceptAll(p).isEmpty)
+  }
+
+  test("xtab cells are zero-filled and sum to the row count") {
+    val o = T.load(spark, sf, "orders")
+    val x = o.xtab("o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
+    val total = x.select((F.col("F") + F.col("O") + F.col("P")).as("s"))
+      .agg(F.sum("s")).first().getLong(0)
+    assert(total == o.count())
+    assert(x.filter(F.col("F").isNull || F.col("O").isNull).count() == 0)
+  }
+
+  test("cumsum running total ends at the group sum") {
+    val o = T.load(spark, sf, "orders")
+    val cum = o.cumsum("o_totalprice", "rt", Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"))
+    val lastPerGroup = cum.groupBy("o_custkey").agg(F.max("rt").as("rt"))
+    val direct = o.groupBy("o_custkey")
+      .agg(F.sum("o_totalprice").as("expected"))
+    val joined = lastPerGroup.join(direct, "o_custkey")
+      .filter(F.abs(F.col("rt") - F.col("expected")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("diff reconstructs the series when cumulated back") {
+    val e = T.load(spark, sf, "events")
+      .diff("value", "dv", Seq("user_id"), Seq("ts", "event_id"))
+    // first row per user has null diff; later rows: value = prev + dv
+    val bad = e.withColumn("prev",
+      F.lag("value", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")))
+      .filter(F.col("dv").isNotNull &&
+        F.abs(F.col("prev") + F.col("dv") - F.col("value")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("cumprod matches exp-sum-log within tolerance") {
+    val o = T.load(spark, sf, "orders").limit(100)
+      .within("x" -> "1.0 + o_totalprice / 1000000.0")
+    val cp = o.cumprod("x", "p", Nil, Seq("o_orderkey"))
+    // last value equals the direct product of all x
+    val last = cp.orderBy(F.col("o_orderkey").desc).limit(1)
+      .select("p").first().getDouble(0)
+    val direct = o.select(F.exp(F.sum(F.log("x")))).first().getDouble(0)
+    assert(math.abs(last - direct) / direct < 1e-9)
+  }
+
+  test("describeCols returns one row per column with exact count") {
+    val li = T.load(spark, sf, "lineitem")
+    val d = li.describeCols(Seq("l_quantity", "l_discount")).collect()
+    assert(d.length == 2)
+    val n = li.count().toDouble
+    d.foreach { r => assert(r.getAs[Double]("n") == n) }
+  }
+
+  test("corMatrix is bounded in [-1,1] and symmetric pairs unique") {
+    val c = T.load(spark, sf, "lineitem")
+      .corMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .collect()
+    assert(c.length == 3)
+    c.foreach { r =>
+      val v = r.getAs[Double]("corr")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("kleene any/all via bool_or/bool_and handle nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(true)), (1, None), (2, Some(false)), (2, None), (3, None)
+    ).toDF("k", "b")
+    val r = df.groupBy("k").agg(
+      F.expr("bool_or(b)").as("any"), F.expr("bool_and(b)").as("all"))
+      .orderBy("k").collect()
+    // Spark agg semantics skip nulls (reference Kleene semantics differ
+    // only for the all-null group, documented delta)
+    assert(r(0).getAs[Boolean]("any") == true)
+    assert(r(1).getAs[Boolean]("any") == false)
+  }
+}
