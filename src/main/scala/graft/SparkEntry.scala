@@ -14,12 +14,14 @@ object SparkEntry {
   private def registries = Seq(
     _root_.graft.queries.CoreQueries.queries,
     _root_.graft.queries.RelQueries.queries,
-    _root_.graft.queries.StatQueries.queries
+    _root_.graft.queries.StatQueries.queries,
+    _root_.graft.queries.PipelineQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
     _root_.graft.queries.RelQueries.oracleSql,
-    _root_.graft.queries.StatQueries.oracleSql
+    _root_.graft.queries.StatQueries.oracleSql,
+    _root_.graft.queries.PipelineQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

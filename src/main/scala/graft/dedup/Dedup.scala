@@ -1,0 +1,168 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard. All are
+  * shuffle-on-compact-keys plans (doc ids + 64-bit hashes), never on
+  * document text — the property that keeps them viable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative = min(idCol) per exact key
+    * (one hash shuffle on the key; with a text key, pre-hash to
+    * xxhash64 so the shuffle carries 8-byte keys — collisions are
+    * 2^-64-rare and only merge *identical-hash* groups).
+    */
+  def exactDups(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(F.col(keyCol))
+    df.withColumn("keep_id", F.min(F.col(idCol)).over(w))
+      .withColumn("is_dup", F.col(idCol) =!= F.col("keep_id"))
+  }
+
+  // ---- MinHash + banded LSH ------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Independent hash family h_i = xxhash64(h XOR c_i): xor+rehash of
+    * the base 64-bit shingle hash. Overflow-free (ANSI-mode safe, unlike
+    * the classic affine (a*h+b) family) and each c_i is a fixed
+    * golden-ratio multiple, so the family is deterministic. */
+  private def permExpr(i: Int): String = {
+    val c = i * 0x9E3779B97F4A7C15L // wraps at compile time: constant
+    s"xxhash64(h ^ ${c}L)"
+  }
+
+  /** MinHash signatures from a distinct-shingle array column:
+    * explode → xxhash64 → one groupBy(doc) computing all 64 mins
+    * (partial aggregation map-side; shuffle rows are (id, 64×8B)).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String,
+                        shCol: String): DataFrame = {
+    val ex = df.select(F.col(idCol), F.explode(F.col(shCol)).as("sh"))
+      .withColumn("h", F.xxhash64(F.col("sh")))
+    val mins = (0 until NumHashes).map(i =>
+      F.min(F.expr(permExpr(i))).as(s"mh_$i"))
+    ex.groupBy(F.col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs: hash each band of the signature,
+    * group docs by (band, bandHash), emit intra-bucket pairs (id1<id2).
+    * Bucket lists are bounded in practice; enormous buckets mean
+    * near-identical boilerplate docs — exactly what dedup must find.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => s"mh_${b * RowsPerBand + r}").mkString(", ")
+      s"struct($b as band, xxhash64($cols) as bh)"
+    }.mkString(", ")
+    sigs
+      .select(F.col(idCol),
+        F.explode(F.expr(s"array($bandStructs)")).as("band"))
+      .groupBy(F.col("band.band"), F.col("band.bh"))
+      .agg(F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
+      .filter(F.size(F.col("ids")) > 1)
+      .select(F.explode(F.expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x as id1, y as id2))))""")).as("p"))
+      .select(F.col("p.id1"), F.col("p.id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard on candidate pairs: join the shingle sets back and
+    * compute |∩|/|∪| — candidates only, so the expensive set math runs
+    * on O(duplicates), not O(n²). */
+  def verifiedJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
+                      shCol: String): DataFrame = {
+    val a = docs.select(F.col(idCol).as("id1"), F.col(shCol).as("sh1"))
+    val b = docs.select(F.col(idCol).as("id2"), F.col(shCol).as("sh2"))
+    cands.join(a, "id1").join(b, "id2")
+      .withColumn("jac",
+        F.expr("""size(array_intersect(sh1, sh2)) /
+                  cast(size(array_union(sh1, sh2)) as double)"""))
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("jac"), 3).as("jac"))
+  }
+
+  /** MinHash near-dup pipeline: signatures → LSH buckets → exact verify
+    * → threshold. Detection probability for J≥0.8 with 16 bands × 4
+    * rows is 1-(1-0.8^4)^16 ≈ 0.9998; exact-verify removes all false
+    * positives, so output = true pairs modulo that tiny miss rate.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, shCol: String,
+                      threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, shCol)
+    val cands = lshCandidates(sigs, idCol)
+    verifiedJaccard(cands, docs, idCol, shCol)
+      .filter(F.col("jac") >= threshold)
+  }
+
+  // ---- Exact n-gram Jaccard via inverted index ------------------------
+
+  /** All pairs with Jaccard >= threshold, computed EXACTLY via an
+    * inverted shingle index: explode → self-join on shingle → count
+    * common per pair → |∪| = |A|+|B|-common. The join key is an 8-byte
+    * shingle hash. Scale note: ultra-common shingles create join skew;
+    * production path adds a df-cap prefilter (trades exactness below
+    * the threshold) or AQE skew-join handles it — left exact here.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, shCol: String,
+                   threshold: Double,
+                   blockCols: Seq[String] = Nil): DataFrame = {
+    val base = docs
+      .select(F.col(idCol) +: F.col(shCol) +: blockCols.map(F.col): _*)
+      .withColumn("sz", F.size(F.col(shCol)))
+    val ex = base.select(
+      (F.col(idCol) +: F.col("sz") +: blockCols.map(F.col)) :+
+        F.explode(F.col(shCol)).as("shv"): _*)
+      .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
+    val joinCond = (Seq("shh") ++ blockCols).map(c =>
+      F.col(s"a.$c") === F.col(s"b.$c")).reduce(_ && _) &&
+      F.col(s"a.$idCol") < F.col(s"b.$idCol")
+    ex.as("a").join(ex.as("b"), joinCond)
+      .groupBy(F.col(s"a.$idCol").as("id1"), F.col(s"b.$idCol").as("id2"),
+        F.col("a.sz").as("sz1"), F.col("b.sz").as("sz2"))
+      .agg(F.count(F.lit(1)).as("common"))
+      .withColumn("jac", F.round(
+        F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common")), 3))
+      .filter(F.col("jac") >= threshold)
+      .select("id1", "id2", "jac")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over token xxhash64s: per bit, sum ±1 across tokens;
+    * signature bit = sign. One explode + one groupBy; near-dup test is
+    * `bit_count(s1 ^ s2) <= d` on 8-byte keys. */
+  def simhash64(docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val ex = docs.select(F.col(idCol), F.explode(F.col(tokCol)).as("t"))
+      .withColumn("h", F.xxhash64(F.col("t")))
+    val bitSums = (0 until 64).map(j =>
+      F.sum(F.expr(s"CASE WHEN (h >> $j) & 1L = 1L THEN 1 ELSE -1 END"))
+        .as(s"b_$j"))
+    val agg = ex.groupBy(F.col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val assemble = (0 until 64).map(j =>
+      s"IF(b_$j > 0, ${1L << j}L, 0L)").mkString(" | ")
+    agg.select(F.col(idCol), F.expr(assemble).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a blocking column: hamming distance
+    * <= maxDist. Blocking keeps the pair space linear-ish; the unblocked
+    * scale path buckets by signature bytes (4 tables of 16 bits). */
+  def simhashNearDups(sigs: DataFrame, idCol: String, blockCol: String,
+                      maxDist: Int): DataFrame = {
+    val a = sigs.select(F.col(idCol).as("id1"),
+      F.col("simhash").as("s1"), F.col(blockCol))
+    val b = sigs.select(F.col(idCol).as("id2"),
+      F.col("simhash").as("s2"), F.col(blockCol))
+    a.join(b, Seq(blockCol))
+      .filter(F.col("id1") < F.col("id2"))
+      .withColumn("dist", F.expr("bit_count(s1 ^ s2)"))
+      .filter(F.col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+}

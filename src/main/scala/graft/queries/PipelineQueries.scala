@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.ops.RelOps._
+import graft.similarity.Knn
+import graft.text.TextOps
+
+/** Wave-3: training-data pipeline operators over `documents` and
+  * `embeddings` — dedup (exact / MinHash-LSH / SimHash / exact n-gram
+  * Jaccard / embedding near-dup), similarity search (brute-force +
+  * IVF), text analysis (lang-id, quality, token stats, fingerprint),
+  * multimodal binary plumbing.
+  *
+  * Oracles replicate tokenization/shingling/scoring in DuckDB list SQL;
+  * approximate/stub operators (SimHash sigs, IVF ANN, stub decode) are
+  * deliberate rows-only checks.
+  */
+object PipelineQueries {
+
+  // ---- shared DuckDB fragments ---------------------------------------
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  private val duckShingles3 =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
+
+  private def duckJaccardPairs(threshold: Double, sameLang: Boolean) = {
+    val langCond = if (sameLang) "AND a.lang = b.lang" else ""
+    s"""WITH toks AS (
+          SELECT doc_id, lang, $duckToks AS t FROM documents),
+        sh AS (
+          SELECT doc_id, lang, $duckShingles3 AS s FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(len(list_intersect(a.s, b.s)) /
+              CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                   AS DOUBLE), 3) AS jac
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id $langCond)
+        SELECT id1, id2, jac FROM pairs WHERE jac >= $threshold"""
+  }
+
+  private def duckMarkerScore(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(t, x -> list_contains([$arr], x)))"
+  }
+
+  private def duckLangIdCase: String = {
+    val scores = TextOps.markers.map { case (l, ws) =>
+      l -> duckMarkerScore(ws) }
+    val cases = scores.map { case (l, sc) =>
+      val geAll = scores.filter(_._1 != l)
+        .map { case (_, o) => s"($sc) >= ($o)" }.mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  // ---- queries --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: canonical representative per identical text.
+    "q40_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDups(T.load(s, dir, "documents"), "text", "doc_id")
+        .basedOn("doc_id" -> "doc_id", "keep_id" -> "keep_id",
+          "is_dup" -> "is_dup")
+    },
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.8.
+    // Oracle is the EXACT all-pairs computation; LSH recall at J>=0.8
+    // is 1-(1-0.8^4)^16 ≈ 0.9998 so the sets agree on this corpus
+    // (whose near-dup pairs all sit at J >= 0.95).
+    "q41_minhash_neardup" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+      Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+    },
+
+    // SimHash signatures (rows-only: signature bits depend on Spark's
+    // xxhash64, not expressible in the oracle).
+    "q42_simhash" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens("text"))
+      Dedup.simhash64(docs, "doc_id", "toks")
+    },
+
+    // Exact n-gram Jaccard >= 0.5 via inverted shingle index, blocked
+    // by lang.
+    "q43_ngram_jaccard" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+      Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, blockCols = Seq("lang"))
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "q44_embed_neardup" -> { (s, dir) =>
+      Knn.embeddingNearDups(T.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", 0.4)
+    },
+
+    // Brute-force exact cosine top-10 for query vectors vec_id < 5.
+    "q45_knn_brute" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      Knn.bruteForceKnn(emb, emb.filterExpr("vec_id < 5"),
+        "vec_id", "embedding", 10)
+    },
+
+    // IVF ANN via per-label centroids, nprobe=3 (rows-only: approximate
+    // routing is the point; exactness is q45's job).
+    "q46_knn_ivf" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      Knn.ivfKnn(emb, emb.filterExpr("vec_id < 5"),
+        "vec_id", "embedding", "label", 10, 3)
+    },
+
+    // Multimodal: binary payload + metadata projection.
+    "q47_media_bytes" -> { (s, dir) =>
+      Multimodal.asMedia(T.load(s, dir, "documents"))
+        .basedOn("doc_id" -> "doc_id", "mime" -> "mime",
+          "n_bytes" -> "n_bytes")
+    },
+
+    // Multimodal: stub decode through the typed Dataset boundary
+    // (rows-only: features come from the stub kernel).
+    "q48_decode_stub" -> { (s, dir) =>
+      Multimodal.extractFeatures(s, T.load(s, dir, "documents"))
+    },
+
+    // Language ID by deterministic marker scoring (see TextOps.markers
+    // note: scoring function, not a classifier, on this synthetic corpus).
+    "q50_langid" -> { (s, dir) =>
+      T.load(s, dir, "documents")
+        .withColumn("t", TextOps.tokens("text"))
+        .withColumn("predicted", F.expr(TextOps.langIdExpr("t")))
+        .by(Seq("lang", "predicted"), "n" -> "count(*)")
+    },
+
+    // Quality scoring components per document.
+    "q51_quality" -> { (s, dir) =>
+      val exprs = TextOps.qualityExprs("text", "t")
+      T.load(s, dir, "documents")
+        .withColumn("t", TextOps.tokens("text"))
+        .basedOn(("doc_id" -> "doc_id") +: exprs: _*)
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "q52_token_stats" -> { (s, dir) =>
+      T.load(s, dir, "documents").basedOn(
+        "doc_id" -> "doc_id",
+        "n_ws" -> "size(split(trim(text), ' +'))",
+        "n_bpe" -> TextOps.bpeCountExpr("text"))
+    },
+
+    // Portable content fingerprint (letter histogram checksum); the
+    // scale-path fingerprint xxhash64(text) rides along rows-only-style
+    // but is cross-checked by the dedup queries.
+    "q53_fingerprint" -> { (s, dir) =>
+      T.load(s, dir, "documents").basedOn(
+        "doc_id" -> "doc_id",
+        "fp" -> s"cast(${TextOps.charChecksumExpr("text")} as bigint)")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS keep_id,
+           doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+         FROM documents""",
+    "q41_minhash_neardup" -> duckJaccardPairs(0.8, sameLang = false),
+    "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
+    "q44_embed_neardup" ->
+      """SELECT id1, id2, sim FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id) t
+         WHERE sim >= 0.4""",
+    "q45_knn_brute" ->
+      """WITH sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims QUALIFY rank <= 10""",
+    "q47_media_bytes" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents""",
+    "q50_langid" ->
+      s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)
+          SELECT lang, $duckLangIdCase AS predicted, count(*) AS n
+          FROM toks GROUP BY 1, 2""",
+    "q51_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents)
+          SELECT doc_id,
+            length(text) AS n_chars_q,
+            len(t) AS n_tokens,
+            round(list_sum(list_transform(t, x -> length(x)))
+                  / CAST(len(t) AS DOUBLE), 6) AS avg_token_len,
+            round(${duckMarkerScore(TextOps.markers.toMap.apply("en"))}
+                  / CAST(len(t) AS DOUBLE), 6) AS stopword_ratio,
+            round((length(text) - length(replace(text, ' ', '')))
+                  / CAST(length(text) AS DOUBLE), 6) AS space_ratio
+          FROM toks""",
+    "q52_token_stats" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), ' +')) AS n_ws,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe
+         FROM documents""",
+    "q53_fingerprint" ->
+      s"""SELECT doc_id,
+          CAST(${TextOps.charChecksumExpr("text")} AS BIGINT) AS fp
+          FROM documents"""
+  )
+}

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force exact top-k is the correctness baseline: broadcast the
+  * (small) query set against the corpus — one scan, no shuffle of the
+  * corpus, per-partition partial ranking. The IVF variant is the scale
+  * path: restrict the scan to the `nprobe` nearest coarse cells.
+  */
+object Knn {
+
+  /** Cosine similarity between two array columns, computed in double.
+    * zip_with + aggregate are codegen'd higher-order functions — no UDF.
+    */
+  def cosineExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+                  cast(0.0 as double), (acc, v) -> acc + v)
+        / (sqrt(aggregate($a, cast(0.0 as double),
+                 (acc, v) -> acc + cast(v as double) * cast(v as double)))
+         * sqrt(aggregate($b, cast(0.0 as double),
+                 (acc, v) -> acc + cast(v as double) * cast(v as double))))"""
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, sim, rank) with deterministic
+    * (sim desc, id asc) ranking.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("qvec"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    c.join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(F.expr(cosineExpr("qvec", "cvec")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Per-label centroids (IVF coarse quantizer learned from the data):
+    * posexplode embeddings → avg per (label, dim) → reassemble ordered.
+    */
+  def centroids(corpus: DataFrame, labelCol: String,
+                vecCol: String): DataFrame =
+    corpus
+      .select(F.col(labelCol), F.posexplode(F.col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(labelCol, "pos")
+      .agg(F.avg(F.expr("cast(v as double)")).as("cv"))
+      .groupBy(labelCol)
+      .agg(F.expr(
+        "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+        .as("centroid"))
+
+  /** IVF-style ANN: route each query to its `nprobe` nearest centroids,
+    * then exact-rank only the vectors in those cells. At scale the
+    * corpus is hash-partitioned (or bucketed) by cell id, so a probe
+    * touches `nprobe/ncells` of the data instead of all of it.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, labelCol: String, k: Int,
+             nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, labelCol, vecCol)
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("qvec"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(F.col("csim").desc, F.col(labelCol).asc)
+    val probes = q.crossJoin(F.broadcast(cents))
+      .withColumn("csim", F.expr(cosineExpr("qvec", "centroid")))
+      .withColumn("crank", F.row_number().over(probeW))
+      .filter(F.col("crank") <= nprobe)
+      .select(F.col("query_id"), F.col("qvec"), F.col(labelCol))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).as("cvec"), F.col(labelCol))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    c.join(F.broadcast(probes), Seq(labelCol))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(F.expr(cosineExpr("qvec", "cvec")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Pairs of near-duplicate embeddings (cosine >= threshold) within a
+    * blocking column — the embedding-space analog of Dedup. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"),
+      F.col(blockCol))
+    val b = corpus.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"),
+      F.col(blockCol))
+    a.join(b, Seq(blockCol))
+      .filter(F.col("id1") < F.col("id2"))
+      .withColumn("sim", F.round(F.expr(cosineExpr("v1", "v2")), 6))
+      .filter(F.col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+}

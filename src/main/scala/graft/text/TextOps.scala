@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, language-ID, quality scoring, token
+  * counting, fingerprinting. All pure Column expressions (codegen'd,
+  * partition-local, no shuffle) — each scales linearly with the scan.
+  */
+object TextOps {
+
+  /** Lowercase word tokens: split on non-alphanumeric runs, drop empties.
+    * Expressed identically in the DuckDB oracles
+    * (regexp_split_to_array + list_filter).
+    */
+  def tokensExpr(col: String): String =
+    s"filter(split(lower($col), '[^a-z0-9]+'), x -> x != '')"
+
+  def tokens(col: String): Column = F.expr(tokensExpr(col))
+
+  /** Distinct word n-gram shingles over a token-array column. */
+  def shinglesExpr(tokCol: String, n: Int): String =
+    s"""CASE WHEN size($tokCol) >= $n THEN
+          array_distinct(transform(sequence(0, size($tokCol) - $n),
+            i -> concat_ws(' ', slice($tokCol, i + 1, $n))))
+        ELSE cast(array() as array<string>) END"""
+
+  /** BPE-ish token count: letter runs, digit runs, individual symbols —
+    * the shape of a byte-pair-style pre-tokenizer. */
+  def bpeCountExpr(col: String): String =
+    s"size(regexp_extract_all($col, '[a-z]+|[0-9]|[^a-z0-9 ]', 0))"
+
+  /** Language marker words. NOTE: the synthetic corpus shares one
+    * vocabulary across its `lang` labels, so these act as a
+    * deterministic scoring function (verified exactly against the
+    * oracle), not a real classifier — swap lists for real data.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "los", "y", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Count of tokens present in a marker list. */
+  def markerScoreExpr(tokCol: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($tokCol, t -> array_contains(array($arr), t)))"
+  }
+
+  /** Deterministic argmax over marker scores: first language (in the
+    * fixed `markers` order) whose score is >= all others. The same CASE
+    * chain is emitted for the oracle, so ties resolve identically.
+    */
+  def langIdExpr(tokCol: String): String = {
+    val scores = markers.map { case (l, ws) =>
+      l -> markerScoreExpr(tokCol, ws) }
+    val cases = scores.map { case (l, s) =>
+      val geAll = scores.filter(_._1 != l)
+        .map { case (_, o) => s"($s) >= ($o)" }.mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  /** Portable content checksum: letter-histogram weighted by code point,
+    * plus length. Order-independent but collision-resistant enough for
+    * exact-dup detection demos, and expressible identically in ANSI SQL
+    * (the oracle uses the same replace()-count construction). The
+    * scale-path fingerprint is `xxhash64(text)` (rows-only check).
+    */
+  def charChecksumExpr(col: String): String = {
+    val terms = ('a' to 'z').map { c =>
+      s"(length($col) - length(replace($col, '$c', ''))) * ${c.toInt}"
+    }.mkString(" + ")
+    s"($terms + length($col) * 31)"
+  }
+
+  /** Quality-score components (length, token stats, stopword ratio,
+    * whitespace ratio) + a composite score in [0,1]-ish range —
+    * reference-free heuristics standard in pretraining-data filtering. */
+  def qualityExprs(textCol: String, tokCol: String): Seq[(String, String)] = Seq(
+    "n_chars_q" -> s"length($textCol)",
+    "n_tokens" -> s"size($tokCol)",
+    "avg_token_len" ->
+      s"round(aggregate($tokCol, 0L, (a, t) -> a + length(t)) / cast(size($tokCol) as double), 6)",
+    "stopword_ratio" ->
+      s"round(${markerScoreExpr(tokCol, markers.toMap.apply("en"))} / cast(size($tokCol) as double), 6)",
+    "space_ratio" ->
+      s"round((length($textCol) - length(replace($textCol, ' ', ''))) / cast(length($textCol) as double), 6)")
+}

@@ -16,9 +16,14 @@ class CoreQueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only entries must be deliberate; none so far in wave 1
+    // deliberate rows-only entries (hash-family / approximate / stub ops
+    // whose outputs are not oracle-expressible):
+    val rowsOnly = Set("q42_simhash", "q46_knn_ivf", "q48_decode_stub")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracles without query: $stale")
   }
 
   test("q1 `by` expression form agrees with direct groupBy.agg closure form") {

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.ops.RelOps._
+import graft.similarity.Knn
+import graft.text.TextOps
+
+/** Wave-3 pipeline operator suites: dedup/similarity/text/multimodal.
+  * Equivalence-style: approximate paths checked against exact paths.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = T.load(spark, sf, "documents")
+    .withColumn("toks", TextOps.tokens("text"))
+    .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+
+  private def emb = T.load(spark, sf, "embeddings")
+
+  test("minhash LSH near-dups equal exact all-pairs Jaccard at J>=0.8") {
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.8)
+    assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
+  }
+
+  test("identical texts produce identical minhash signatures and simhash") {
+    val d2 = docs.limit(5)
+    val dup = d2.vcat(d2) // every doc twice
+    val sig = Dedup.minhashSignatures(dup, "doc_id", "sh")
+    // same doc_id appears twice with identical signature → distinct = 5
+    assert(sig.distinct().count() == 5)
+    val sh = Dedup.simhash64(dup.withColumn("toks", TextOps.tokens("text")),
+      "doc_id", "toks")
+    assert(sh.distinct().count() == 5)
+  }
+
+  test("simhash hamming distance to self is 0 and nearby for near-dups") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "toks")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val pairs = Dedup.simhashNearDups(sigs, "doc_id", "lang", 64)
+    // distance range valid
+    val bad = pairs.filter(F.col("dist") < 0 || F.col("dist") > 64)
+    assert(bad.count() == 0)
+  }
+
+  test("brute-force knn returns k deterministic ranked neighbors") {
+    val knn = Knn.bruteForceKnn(emb, emb.filterExpr("vec_id < 3"),
+      "vec_id", "embedding", 5)
+    val counts = knn.groupBy("query_id").count().collect()
+    assert(counts.length == 3 && counts.forall(_.getLong(1) == 5))
+    // rank 1 has the max sim per query
+    val r1 = knn.filter(F.col("rank") === 1)
+      .select("query_id", "sim").withColumnRenamed("sim", "top")
+    val mx = knn.groupBy("query_id").agg(F.max("sim").as("mx"))
+    assert(r1.join(mx, "query_id")
+      .filter(F.col("top") =!= F.col("mx")).count() == 0)
+  }
+
+  test("IVF knn with nprobe = all cells equals brute force") {
+    val q = emb.filterExpr("vec_id < 3")
+    val brute = Knn.bruteForceKnn(emb, q, "vec_id", "embedding", 5)
+    val ivf = Knn.ivfKnn(emb, q, "vec_id", "embedding", "label", 5, 10)
+    assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+  }
+
+  test("media payload round-trips byte length; stub decode deterministic") {
+    val d = T.load(spark, sf, "documents")
+    val media = Multimodal.asMedia(d)
+    val bad = media.join(d, "doc_id")
+      .filter(F.col("n_bytes") =!= F.length(F.col("text")))
+    assert(bad.count() == 0) // ascii corpus: bytes == chars
+    val f1 = Multimodal.extractFeatures(spark, d).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(spark, d).orderBy("doc_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall { r =>
+      val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
+  }
+
+  test("exact dedup marks no dups on the all-distinct sf0.001 corpus") {
+    val d = Dedup.exactDups(T.load(spark, sf, "documents"), "text", "doc_id")
+    assert(d.filter(F.col("is_dup")).count() == 0)
+    // and injecting a duplicate finds it
+    val dd = T.load(spark, sf, "documents").limit(1)
+      .withColumn("doc_id", F.lit(999999L))
+    val withDup = T.load(spark, sf, "documents").vcat(dd)
+    val marked = Dedup.exactDups(withDup, "text", "doc_id")
+    assert(marked.filter(F.col("is_dup")).count() == 1)
+  }
+
+  test("langid scoring is deterministic and total") {
+    val out = T.load(spark, sf, "documents")
+      .withColumn("t", TextOps.tokens("text"))
+      .withColumn("p", F.expr(TextOps.langIdExpr("t")))
+    assert(out.filter(F.col("p").isNull).count() == 0)
+    val langs = TextOps.markers.map(_._1).toSet + "und"
+    assert(out.select("p").distinct().collect()
+      .forall(r => langs.contains(r.getString(0))))
+  }
+}
