@@ -20,25 +20,27 @@ object StatOps {
       * a bounded-error sketch is the right trade.
       */
     def describeCols(cols: Seq[String], digits: Int = 6): DataFrame = {
+      // ONE percentile buffer per column (array form) — three separate
+      // percentile aggs each build their own per-partition value map,
+      // tripling the dominant cost.
       val aggs = cols.flatMap { c =>
         Seq(
           F.expr(s"round(min($c), $digits)").as(s"${c}__min"),
-          F.expr(s"round(percentile($c, 0.25), $digits)").as(s"${c}__q25"),
-          F.expr(s"round(percentile($c, 0.5), $digits)").as(s"${c}__median"),
+          F.expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__qs"),
           F.expr(s"round(avg($c), $digits)").as(s"${c}__mean"),
-          F.expr(s"round(percentile($c, 0.75), $digits)").as(s"${c}__q75"),
           F.expr(s"round(max($c), $digits)").as(s"${c}__max"),
           F.expr(s"count($c)").cast("long").as(s"${c}__n"),
           F.expr(s"count_if($c is null)").cast("long").as(s"${c}__n_missing"))
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       // single-row unpivot: stack() over the flat aggregate row
-      val stats = Seq("min", "q25", "median", "mean", "q75", "max")
       val branches = cols.map { c =>
-        s"'$c', ${stats.map(s => s"${c}__$s").mkString(", ")}, " +
+        s"'$c', ${c}__min, round(${c}__qs[0], $digits), " +
+          s"round(${c}__qs[1], $digits), ${c}__mean, " +
+          s"round(${c}__qs[2], $digits), ${c}__max, " +
           s"cast(${c}__n as double), cast(${c}__n_missing as double)"
       }.mkString(", ")
-      val hdr = (stats ++ Seq("n", "n_missing")).mkString(", ")
+      val hdr = "min, q25, median, mean, q75, max, n, n_missing"
       one.select(F.expr(
         s"stack(${cols.size}, $branches) as (col_name, $hdr)"))
     }

@@ -72,10 +72,13 @@ object StatQueries {
     // grouped exact quantiles (reference colmedians + distributed
     // quantile, src/dataframe_blocks.jl:263-356).
     "q24_quantiles" -> { (s, dir) =>
-      T.load(s, dir, "orders").by(Seq("o_orderstatus"),
-        "q25" -> "round(percentile(o_totalprice, 0.25), 4)",
-        "q50" -> "round(percentile(o_totalprice, 0.5), 4)",
-        "q75" -> "round(percentile(o_totalprice, 0.75), 4)")
+      T.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+          .as("qs"))
+        .basedOn("o_orderstatus" -> "o_orderstatus",
+          "q25" -> "round(qs[0], 4)", "q50" -> "round(qs[1], 4)",
+          "q75" -> "round(qs[2], 4)")
     },
 
     // cut: numeric binning to interval labels (reference cut,

@@ -18,12 +18,21 @@ object TextOps {
 
   def tokens(col: String): Column = F.expr(tokensExpr(col))
 
-  /** Distinct word n-gram shingles over a token-array column. */
-  def shinglesExpr(tokCol: String, n: Int): String =
-    s"""CASE WHEN size($tokCol) >= $n THEN
-          array_distinct(transform(sequence(0, size($tokCol) - $n),
-            i -> concat_ws(' ', slice($tokCol, i + 1, $n))))
-        ELSE cast(array() as array<string>) END"""
+  /** Distinct word n-gram shingles over a token-array column.
+    *
+    * IMPORTANT: `tokExpr` is bound ONCE as a lambda variable (via a
+    * single-element transform) before the per-shingle lambda references
+    * it. Without this, Catalyst's projection collapse inlines the
+    * tokenizer expression into every slice() call and the regex split
+    * re-executes per shingle — O(shingles × tokenize) per document
+    * (measured 5× wall-clock on the shingling stage).
+    */
+  def shinglesExpr(tokExpr: String, n: Int): String =
+    s"""element_at(transform(array($tokExpr), t ->
+          CASE WHEN size(t) >= $n THEN
+            array_distinct(transform(sequence(0, size(t) - $n),
+              i -> concat_ws(' ', slice(t, i + 1, $n))))
+          ELSE cast(array() as array<string>) END), 1)"""
 
   /** BPE-ish token count: letter runs, digit runs, individual symbols —
     * the shape of a byte-pair-style pre-tokenizer. */
