@@ -15,13 +15,17 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.queries,
     _root_.graft.queries.RelQueries.queries,
     _root_.graft.queries.StatQueries.queries,
-    _root_.graft.queries.PipelineQueries.queries
+    _root_.graft.queries.PipelineQueries.queries,
+    _root_.graft.queries.StreamQueries.queries,
+    _root_.graft.queries.MiscQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
     _root_.graft.queries.RelQueries.oracleSql,
     _root_.graft.queries.StatQueries.oracleSql,
-    _root_.graft.queries.PipelineQueries.oracleSql
+    _root_.graft.queries.PipelineQueries.oracleSql,
+    _root_.graft.queries.StreamQueries.oracleSql,
+    _root_.graft.queries.MiscQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

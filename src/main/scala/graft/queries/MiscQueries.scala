@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
+import graft.formula.Formula
+import graft.functions.ProductAgg
+import graft.ops.RelOps._
+import graft.plans.{MathFunctions, SpecialMath}
+
+/** Wave-4c: model matrix (RFormula), special math expressions,
+  * membership predicates, set operations, string describe, product
+  * aggregate — closing the remaining SURVEY §2 inventory lines.
+  */
+object MiscQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Formula → design matrix with treatment contrasts (reference
+    // src/formula.jl:219-237). alphabetAsc level order; one-hot drops
+    // the last level (here: o_orderstatus levels F,O,P → F,O encoded).
+    "q62_model_matrix" -> { (s, dir) =>
+      Formula.modelMatrix(
+        T.load(s, dir, "orders")
+          .basedOn("o_totalprice" -> "o_totalprice",
+            "o_orderstatus" -> "o_orderstatus",
+            "y" -> "o_totalprice / 1000.0"),
+        "y ~ o_totalprice + o_orderstatus")
+        .basedOn("label" -> "round(label, 6)", "f0" -> "round(f0, 2)",
+          "f1" -> "f1", "f2" -> "f2")
+    },
+
+    // erf/erfc/digamma/lgamma custom expressions (SURVEY §2.9 gap
+    // list); oracle mirrors the same A&S/asymptotic formulas.
+    "q63_special_math" -> { (s, dir) =>
+      val li = T.load(s, dir, "lineitem")
+      li.select(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        F.round(MathFunctions.erf(F.col("l_discount") * 10 - 0.5), 6)
+          .as("erf_d"),
+        F.round(MathFunctions.erfc(F.col("l_tax") * 10), 6).as("erfc_t"),
+        F.round(MathFunctions.digamma(F.col("l_quantity")), 6)
+          .as("digamma_q"),
+        F.round(MathFunctions.lgammaC(F.col("l_quantity")), 6)
+          .as("lgamma_q"))
+    },
+
+    // findin / isin membership predicate (reference Indexer findin,
+    // src/indexing.jl:241-250).
+    "q64_findin" -> { (s, dir) =>
+      T.load(s, dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .basedOn("p_partkey" -> "p_partkey", "p_brand" -> "p_brand")
+    },
+
+    // intersect / except set ops (SURVEY §2.7: "free in Spark").
+    "q65_setops" -> { (s, dir) =>
+      val a = T.load(s, dir, "orders")
+        .filterExpr("o_totalprice > 100000").select("o_custkey")
+      val b = T.load(s, dir, "orders")
+        .filterExpr("o_orderstatus = 'F'").select("o_custkey")
+      a.intersect(b).withColumn("op", F.lit("intersect"))
+        .vcat(a.except(b).withColumn("op", F.lit("except")))
+    },
+
+    // describe for non-numeric columns: length/NA/unique (reference
+    // src/dataframe.jl:894-906 non-numeric branch).
+    "q66_describe_str" -> { (s, dir) =>
+      T.load(s, dir, "customer").by(Seq(),
+        "n" -> "count(c_mktsegment)",
+        "n_unique" -> "count(distinct c_mktsegment)",
+        "n_missing" -> "count_if(c_mktsegment is null)",
+        "avg_len" -> "round(avg(length(c_name)), 6)")
+    },
+
+    // Exact product aggregate via typed Aggregator (reference prod).
+    "q67_product" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .filterExpr("l_orderkey % 1000 = 1")
+        .groupBy("l_returnflag")
+        .agg(F.round(ProductAgg.product(
+          F.col("l_discount") + F.lit(1.0)), 6).as("prod_disc"),
+          F.count(F.lit(1)).as("n"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q62_model_matrix" ->
+      """SELECT round(o_totalprice / 1000.0, 6) AS label,
+                round(o_totalprice, 2) AS f0,
+                CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f1,
+                CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f2
+         FROM orders""",
+    "q63_special_math" ->
+      s"""SELECT l_orderkey, l_linenumber,
+          round(${SpecialMath.erfSql("(l_discount * 10 - 0.5)")}, 6)
+            AS erf_d,
+          round(1.0 - ${SpecialMath.erfSql("(l_tax * 10)")}, 6) AS erfc_t,
+          round(${SpecialMath.digammaSql("l_quantity")}, 6) AS digamma_q,
+          round(lgamma(l_quantity), 6) AS lgamma_q
+          FROM lineitem""",
+    "q64_findin" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')""",
+    "q65_setops" ->
+      """SELECT o_custkey, 'intersect' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION ALL
+         SELECT o_custkey, 'except' AS op FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    "q66_describe_str" ->
+      """SELECT count(c_mktsegment) AS n,
+                count(DISTINCT c_mktsegment) AS n_unique,
+                count(CASE WHEN c_mktsegment IS NULL THEN 1 END)
+                  AS n_missing,
+                round(avg(length(c_name)), 6) AS avg_len
+         FROM customer""",
+    "q67_product" ->
+      """SELECT l_returnflag,
+                round(product(l_discount + 1.0), 6) AS prod_disc,
+                count(*) AS n
+         FROM lineitem WHERE l_orderkey % 1000 = 1
+         GROUP BY l_returnflag"""
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.streaming.DataStream
+
+/** Wave-4 streaming queries: micro-batch ingest + running aggregates
+  * (reference DataStream parity, SURVEY §2.10) and the event-time
+  * window superset. Each run drives the stream to completion
+  * (Trigger.AvailableNow) and returns the final memory-sink table, so
+  * the driver's batch-style Verify/Bench harness can consume it; the
+  * oracle is the equivalent whole-input batch SQL.
+  */
+object StreamQueries {
+
+  private def uniq(prefix: String) = s"${prefix}_${System.nanoTime()}"
+
+  /** Streaming source over the events parquet with the nanos→micros
+    * timestamp rebuild of T.load. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a DIRECTORY; glob-filter to the events
+    // file inside the sf dir.
+    s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Running per-group aggregates in complete mode — the reference's
+    // streaming sum/mean accumulators (src/datastream.jl:87-247).
+    "q60_stream_agg" -> { (s, dir) =>
+      val name = uniq("stream_agg")
+      val agg = eventsStream(s, dir)
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).as("total"),
+             F.round(F.avg("value"), 6).as("mean"),
+             F.count(F.lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+
+    // Event-time tumbling windows (1 hour) per event_type — Spark
+    // superset (the reference has no event-time windows).
+    "q61_stream_window" -> { (s, dir) =>
+      val name = uniq("stream_win")
+      val win = DataStream.windowedAgg(
+        eventsStream(s, dir), "ts", "event_type", "1 hour", "2 hours")
+      val q = win.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q60_stream_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS total,
+                round(avg(value), 6) AS mean, count(*) AS n
+         FROM events GROUP BY event_type""",
+    "q61_stream_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                  AS window_start,
+                event_type, count(*) AS n,
+                round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming parity for the reference's DataStream
+  * (src/datastream.jl): a pull-based micro-batch iterator over a CSV/
+  * parquet source with running per-column aggregates (sum/prod/mean,
+  * src/datastream.jl:87-247).
+  *
+  * The reference has no watermarks/event-time windows (SURVEY §2.10) —
+  * micro-batch ingest + complete-mode running aggregates are exact
+  * parity; `windowedAgg` is the Spark-superset event-time path with
+  * watermarking for late data.
+  */
+object DataStream {
+
+  /** Micro-batch source: schema pinned up front like the reference's
+    * first-batch schema reuse (src/datastream.jl:67-77, filldf!
+    * src/io.jl:657-718). `maxFilesPerTrigger(1)` = one file per batch,
+    * the analog of `nrows`-sized minibatches. */
+  def openStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .format(format)
+      .load(dir)
+
+  /** Running column aggregates over the stream: sum/prod/mean per
+    * numeric column (reference streaming sum/prod/mean,
+    * src/datastream.jl:87-247). prod via exp∘Σlog (positive inputs),
+    * matching the reference's float product semantics. Complete mode =
+    * the reference's running accumulator state.
+    *
+    * Runs the stream to completion against the files currently in the
+    * dir and returns the final running values (what the reference's
+    * fold over the whole stream returns).
+    */
+  def runningAggregates(spark: SparkSession, dir: String,
+                        schema: StructType, cols: Seq[String],
+                        queryName: String): DataFrame = {
+    val src = openStream(spark, dir, schema)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        F.sum(F.col(c)).as(s"${c}_sum"),
+        F.exp(F.sum(F.log(F.col(c)))).as(s"${c}_prod"),
+        F.avg(F.col(c)).as(s"${c}_mean"),
+        F.count(F.col(c)).as(s"${c}_n"))
+    }
+    val agg = src.agg(aggs.head, aggs.tail: _*)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Event-time tumbling-window aggregate with watermark — the Spark
+    * superset the reference lacks (SURVEY §2.10: "no watermarks, no
+    * event-time windows"). Epoch-aligned windows.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(F.window(F.col(tsCol), window), F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n"),
+           F.round(F.sum("value"), 2).as("total"))
+      .select(
+        F.unix_timestamp(F.col("window.start")).as("window_start"),
+        F.col(keyCol), F.col("n"), F.col("total"))
+
+  /** Drive a streaming DataFrame to completion into a memory sink and
+    * return the result table (micro-batch pull loop, reference
+    * src/datastream.jl:62-79). */
+  def runToCompletion(stream: DataFrame, queryName: String): DataFrame = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    stream.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.sources.{ReadOptions, ReadTable}
+
+/** CSV hazard corpus — the reference organizes test/data/ by hazard
+  * dimension (SURVEY.md §5.1): separators, quoting, newlines, blank
+  * lines, comments, padding, type inference, compression, round-trip.
+  * Fixtures are generated under target/ (self-contained).
+  */
+class CsvSpec extends SparkSpec {
+
+  private val dir = {
+    val d = Paths.get("target/csv-fixtures")
+    Files.createDirectories(d)
+    d
+  }
+
+  private def fixture(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("separator inferred from extension: csv/tsv/wsv") {
+    assert(ReadTable.separatorFor("x.csv") == ',')
+    assert(ReadTable.separatorFor("x.tsv") == '\t')
+    assert(ReadTable.separatorFor("x.wsv") == ' ')
+    assert(ReadTable.separatorFor("x.csv.gz") == ',')
+    val csv = fixture("sep.csv", "a,b\n1,2\n")
+    val tsv = fixture("sep.tsv", "a\tb\n1\t2\n")
+    val wsv = fixture("sep.wsv", "a b\n1 2\n")
+    for (p <- Seq(csv, tsv, wsv)) {
+      val df = ReadTable.readtable(spark, p)
+      assert(df.columns.toSeq == Seq("a", "b") && df.count() == 1)
+    }
+  }
+
+  test("quoting: embedded separators, quotes, and newlines") {
+    val p = fixture("quote.csv",
+      "name,note\n\"x,y\",\"say \"\"hi\"\"\"\n\"multi\nline\",plain\n")
+    val df = ReadTable.readtable(spark, p,
+      ReadOptions(inferSchema = false, multiline = true)).collect()
+    assert(df.length == 2)
+    assert(df(0).getString(0) == "x,y")
+    assert(df(0).getString(1) == "say \"hi\"")
+    assert(df(1).getString(0) == "multi\nline")
+  }
+
+  test("type inference lattice: int, double, bool, string, NA") {
+    val p = fixture("types.csv",
+      "i,f,b,s,m\n1,1.5,true,abc,NA\n2,2.5,false,def,x\n3,3e2,true,ghi,y\n")
+    val df = ReadTable.readtable(spark, p)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("i") == IntegerType)
+    assert(types("f") == DoubleType)
+    assert(types("b") == BooleanType)
+    assert(types("s") == StringType)
+    assert(df.filter(df("m").isNull).count() == 1) // NA string → null
+  }
+
+  test("comments, blank-line skip, and skipstart") {
+    val p = fixture("comments.csv",
+      "# leading comment\n# another\na,b\n1,2\n\n# mid comment\n3,4\n")
+    val df = ReadTable.readtable(spark, p,
+      ReadOptions(commentMark = Some('#'), skipStart = 2))
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2) // blank line + comments dropped
+  }
+
+  test("windows and old-mac newlines") {
+    val crlf = fixture("crlf.csv", "a,b\r\n1,2\r\n3,4\r\n")
+    assert(ReadTable.readtable(spark, crlf).count() == 2)
+  }
+
+  test("padding ignored when requested") {
+    val p = fixture("pad.csv", "a,b\n  1 , 2 \n 3,4\n")
+    val df = ReadTable.readtable(spark, p)
+    assert(df.schema("a").dataType == IntegerType)
+  }
+
+  test("gzip source reads transparently") {
+    val raw = "a,b\n1,2\n3,4\n"
+    val gz = dir.resolve("z.csv.gz")
+    val os = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gz))
+    os.write(raw.getBytes); os.close()
+    assert(ReadTable.readtable(spark, gz.toString).count() == 2)
+  }
+
+  test("explicit colnames override and nrows limit") {
+    val p = fixture("names.csv", "a,b\n1,2\n3,4\n5,6\n")
+    val df = ReadTable.readtable(spark, p,
+      ReadOptions(colNames = Seq("x", "y"), nrows = Some(2)))
+    assert(df.columns.toSeq == Seq("x", "y") && df.count() == 2)
+  }
+
+  test("round-trip: write then read equals original (reference io test)") {
+    val orig = T.load(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val out = dir.resolve("roundtrip").toString
+    ReadTable.writetable(orig, out)
+    val back = ReadTable.readtable(spark, out)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("UTF-8 content survives") {
+    val p = fixture("utf8.csv", "w\nhéllo\nmötör\n日本語\n")
+    val vals = ReadTable.readtable(spark, p).collect().map(_.getString(0))
+    assert(vals.toSet == Set("héllo", "mötör", "日本語"))
+  }
+}
