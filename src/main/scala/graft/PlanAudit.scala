@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: for every registered query, count the plan
+  * features that matter at 100 TB — shuffles (Exchange), join
+  * strategies, whole-stage codegen coverage, parquet filter pushdown
+  * and column pruning. Run after bench; eyeball the RED flags.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir] [queryPrefix...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val spark = Session.local(8, 8)
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+      .map { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.executedPlan.toString()
+          val shuffles = "Exchange hashpartitioning".r
+            .findAllIn(plan).size
+          val singleParts = "Exchange SinglePartition".r
+            .findAllIn(plan).size
+          val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+          val smj = "SortMergeJoin".r.findAllIn(plan).size
+          val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+          val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
+          val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
+          f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
+            f"bhj=$bhj%2d smj=$smj%2d wscg=$codegen%2d " +
+            f"pushed=$pushed%2d wide_scan=$widecols%2d"
+        } catch {
+          case e: Throwable => f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}"
+        }
+      }
+    rows.foreach(println)
+    spark.stop()
+  }
+}

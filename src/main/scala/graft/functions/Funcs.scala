@@ -47,4 +47,10 @@ object Funcs {
 
   /** reference `isna` (src/dataframe.jl:1485-1511). */
   def isna(c: Column): Column = c.isNull
+
+  /** reference `rep(x; times)` (src/extras.jl:52-87): element
+    * replication via explode(array_repeat(...)) — lazy, no driver
+    * materialization. */
+  def repTimes(c: Column, times: Int): Column =
+    F.explode(F.array_repeat(c, times))
 }

@@ -127,6 +127,17 @@ object RelOps {
         .filter(F.col("__rn") === 1).drop("__rn")
     }
 
+    /** `flipud`: reverse row order (reference src/dataframe.jl:
+      * 1530-1537). Order is only semantic under an explicit key in
+      * Spark, so this is descending sort by the caller's order key. */
+    def flipud(orderCols: String*): DataFrame =
+      df.orderBy(orderCols.map(F.col(_).desc_nulls_last): _*)
+
+    /** `clean_colnames!`: identifier-safe column names, non-word chars →
+      * `_` (reference src/dataframe.jl:1523-1528). */
+    def cleanColnames(): DataFrame =
+      df.toDF(df.columns.map(_.replaceAll("\\W", "_")).toIndexedSeq: _*)
+
     // ---- §2.4 aggregation helpers -------------------------------------
 
     /** `by(df, cols, expr)`: groupBy + named aggregate expressions

@@ -72,6 +72,14 @@ object MiscQueries {
         "avg_len" -> "round(avg(length(c_name)), 6)")
     },
 
+    // rep: element replication (reference src/extras.jl:52-87) +
+    // flipud-style explicit reverse ordering materialized as a rank.
+    "q68_rep" -> { (s, dir) =>
+      T.load(s, dir, "region")
+        .select(F.col("r_regionkey"),
+          graft.functions.Funcs.repTimes(F.col("r_name"), 3).as("r_name"))
+    },
+
     // Exact product aggregate via typed Aggregator (reference prod).
     "q67_product" -> { (s, dir) =>
       T.load(s, dir, "lineitem")
@@ -120,6 +128,9 @@ object MiscQueries {
                   AS n_missing,
                 round(avg(length(c_name)), 6) AS avg_len
          FROM customer""",
+    "q68_rep" ->
+      """SELECT r_regionkey, r_name FROM region
+         CROSS JOIN range(3)""",
     "q67_product" ->
       """SELECT l_returnflag,
                 round(product(l_discount + 1.0), 6) AS prod_disc,

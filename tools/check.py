@@ -80,6 +80,13 @@ def main():
             continue
         gc, gr = canon(g_rows, g_cols)
         ec, er = canon(e_rows, e_cols)
+        # dtype drift warning (driver may or may not be type-strict)
+        g_t = dict(zip(g_cols, [d[1] for d in got.description]))
+        e_t = dict(zip(e_cols, [d[1] for d in exp.description]))
+        for c in set(g_t) & set(e_t):
+            if g_t[c] != e_t[c]:
+                print(f"  [dtype] {name}.{c}: spark={g_t[c]} "
+                      f"oracle={e_t[c]}")
         if gc != ec:
             print(f"SCHEMA {name}: spark={gc} oracle={ec}")
             n_fail += 1
