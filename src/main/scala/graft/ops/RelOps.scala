@@ -64,6 +64,19 @@ object RelOps {
       * src/dataframe.jl:965-997). */
     def without(cols: String*): DataFrame = df.drop(cols: _*)
 
+    /** Join with the reference's default-key inference: `on` defaults to
+      * the FIRST common column name (reference src/merge.jl:133-135).
+      * kinds: inner, left_outer, right_outer, full_outer (+ Spark's
+      * left_semi/left_anti for free).
+      */
+    def joinAuto(other: DataFrame, kind: String = "inner"): DataFrame = {
+      val common = df.columns.find(other.columns.contains).getOrElse(
+        throw new IllegalArgumentException(
+          s"no common column between ${df.columns.mkString(",")} and " +
+            other.columns.mkString(",")))
+      df.join(other, Seq(common), kind)
+    }
+
     // ---- §2.6 sort / limit --------------------------------------------
 
     /** Multi-column sort with per-column direction and reference NA

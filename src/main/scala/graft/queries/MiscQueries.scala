@@ -72,6 +72,26 @@ object MiscQueries {
         "avg_len" -> "round(avg(length(c_name)), 6)")
     },
 
+    // Median absolute deviation per group (reference mad export,
+    // src/operators.jl:52): two exact-median passes composed at plan
+    // level (scale path: approx_percentile both passes).
+    "q69_mad" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+      val med = o.groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").as("med"))
+      o.join(F.broadcast(med), Seq("o_orderstatus"))
+        .withColumn("adev", F.abs(F.col("o_totalprice") - F.col("med")))
+        .groupBy("o_orderstatus")
+        .agg(F.expr("round(percentile(adev, 0.5), 4)").as("mad"))
+    },
+
+    // Covariance matrix, long form (reference cov, src/dataframe.jl:1514).
+    "q70_cov" -> { (s, dir) =>
+      import graft.ops.StatOps._
+      T.load(s, dir, "lineitem")
+        .covMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
     // rep: element replication (reference src/extras.jl:52-87) +
     // flipud-style explicit reverse ordering materialized as a rank.
     "q68_rep" -> { (s, dir) =>
@@ -128,6 +148,28 @@ object MiscQueries {
                   AS n_missing,
                 round(avg(length(c_name)), 6) AS avg_len
          FROM customer""",
+    "q69_mad" ->
+      """WITH med AS (
+           SELECT o_orderstatus,
+                  quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderstatus,
+           round(quantile_cont(abs(o.o_totalprice - med.med), 0.5), 4)
+             AS mad
+         FROM orders o JOIN med USING (o_orderstatus)
+         GROUP BY 1""",
+    "q70_cov" ->
+      """SELECT 'l_extendedprice' AS col1, 'l_quantity' AS col2,
+                round(covar_samp(l_extendedprice, l_quantity), 6) AS cov
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_extendedprice',
+                round(covar_samp(l_discount, l_extendedprice), 6)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', 'l_quantity',
+                round(covar_samp(l_discount, l_quantity), 6)
+         FROM lineitem""",
     "q68_rep" ->
       """SELECT r_regionkey, r_name FROM region
          CROSS JOIN range(3)""",
