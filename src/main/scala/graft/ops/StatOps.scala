@@ -45,6 +45,45 @@ object StatOps {
         s"stack(${cols.size}, $branches) as (col_name, $hdr)"))
     }
 
+    /** describeCols with quantiles via the sort-based exact algorithm
+      * ([[Quantiles.exact]]) instead of `percentile`'s value-map
+      * buffers: same output, scales to high-cardinality columns. One
+      * aggregate pass for min/mean/max/counts + one parallel sort per
+      * column for the quantile ranks.
+      */
+    def describeColsExact(cols: Seq[String], digits: Int = 6): DataFrame = {
+      val spark = df.sparkSession
+      val aggs = cols.flatMap { c =>
+        Seq(
+          F.expr(s"round(min($c), $digits)").as(s"${c}__min"),
+          F.expr(s"round(avg($c), $digits)").as(s"${c}__mean"),
+          F.expr(s"round(max($c), $digits)").as(s"${c}__max"),
+          F.expr(s"count($c)").cast("long").as(s"${c}__n"),
+          F.expr(s"count_if($c is null)").cast("long").as(s"${c}__n_missing"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*).first()
+      def rnd(v: Double) =
+        BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val rows = cols.map { c =>
+        val Seq(q25, med, q75) =
+          Quantiles.exact(df, c, Seq(0.25, 0.5, 0.75))
+        org.apache.spark.sql.Row(
+          c, one.getAs[Double](s"${c}__min"), rnd(q25), rnd(med),
+          one.getAs[Double](s"${c}__mean"), rnd(q75),
+          one.getAs[Double](s"${c}__max"),
+          one.getAs[Long](s"${c}__n").toDouble,
+          one.getAs[Long](s"${c}__n_missing").toDouble)
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("col_name", StringType) +:
+          Seq("min", "q25", "median", "mean", "q75", "max", "n",
+            "n_missing").map(StructField(_, DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
     /** Pairwise sample correlation matrix in long form (reference cor,
       * src/dataframe.jl:1514-1521) — all pairs in one aggregate pass.
       */

@@ -50,6 +50,10 @@ object StatQueries {
 
     // describe: one-pass multi-column summary (reference
     // src/dataframe.jl:867-906).
+    // describeCols (percentile value-map buffers) wins below ~10^6 rows
+    // per column; describeColsExact (range-partitioned sort + rank
+    // selection) is the high-cardinality / 100 TB path — equality of
+    // the two is asserted in OpsSpec.
     "q21_describe" -> { (s, dir) =>
       T.load(s, dir, "lineitem")
         .describeCols(Seq("l_quantity", "l_extendedprice", "l_discount"))

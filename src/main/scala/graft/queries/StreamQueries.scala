@@ -60,10 +60,40 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.table(name)
+    },
+
+    // Gap-based sessionization, batch path (30-minute gap); the
+    // stateful-streaming twin (flatMapGroupsWithState) is exercised in
+    // StreamSpec.
+    "q71_sessionize" -> { (s, dir) =>
+      graft.streaming.Sessionize.sessionizeBatch(
+        graft.T.load(s, dir, "events"), 1800L)
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q71_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM flagged)
+         SELECT user_id, session_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total
+         FROM sess GROUP BY 1, 2""",
     "q60_stream_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total,
                 round(avg(value), 6) AS mean, count(*) AS n

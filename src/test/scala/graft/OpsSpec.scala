@@ -85,6 +85,22 @@ class OpsSpec extends SparkSpec {
     d.foreach { r => assert(r.getAs[Double]("n") == n) }
   }
 
+  test("sort-based exact quantiles equal percentile()") {
+    val li = T.load(spark, sf, "lineitem")
+    val viaSort = graft.ops.Quantiles.exact(li, "l_extendedprice",
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    val viaAgg = li.selectExpr(
+      "percentile(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9))")
+      .first().getSeq[Double](0)
+    viaSort.zip(viaAgg).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a != $b")
+    }
+    // describe variants agree
+    val d1 = li.describeCols(Seq("l_quantity", "l_discount"))
+    val d2 = li.describeColsExact(Seq("l_quantity", "l_discount"))
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
+  }
+
   test("corMatrix is bounded in [-1,1] and symmetric pairs unique") {
     val c = T.load(spark, sf, "lineitem")
       .corMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))

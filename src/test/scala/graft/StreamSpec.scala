@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{SessEvent, Sessionize}
+
+/** Stateful streaming sessionization vs the batch plan. */
+class StreamSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState sessions match batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def ev(u: Long, offSec: Long, v: Double) =
+      SessEvent(u, new Timestamp((base + offSec) * 1000), v)
+    // user 1: two sessions (gap 4000s > 1800); user 2: one session
+    val events = Seq(
+      ev(1, 0, 1.0), ev(1, 600, 2.0), ev(1, 1200, 3.0),
+      ev(1, 5200, 4.0), ev(1, 5800, 5.0),
+      ev(2, 100, 10.0), ev(2, 900, 20.0))
+    val stream = MemoryStream[SessEvent]
+    stream.addData(events)
+    val q = Sessionize.sessionizeStream(stream.toDS(), 1800L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_test").start()
+    q.processAllAvailable()
+    // advance watermark far past all sessions so they time out and emit
+    stream.addData(ev(99, 100000, 0.0))
+    q.processAllAvailable()
+    // one more batch so timed-out state flushes
+    stream.addData(ev(99, 100001, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_test").filter(F.col("user_id") < 10)
+      .select(F.col("user_id"), F.col("session_start"),
+        F.col("session_end"), F.col("n_events"),
+        F.round(F.col("total"), 2).as("total"))
+    val batch = Sessionize.sessionizeBatch(
+      events.toDF().withColumn("event_id",
+        F.monotonically_increasing_id()),
+      1800L)
+      .select(F.col("user_id"), F.col("session_start"),
+        F.col("session_end"), F.col("n_events"), F.col("total"))
+    assert(got.count() == 3)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+}
