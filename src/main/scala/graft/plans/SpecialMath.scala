@@ -118,7 +118,8 @@ case class LogGamma(child: Expression) extends MathUnary {
 
 object MathFunctions {
   private def c(e: Expression) = GraftColumnBridge.column(e)
-  private def e(col: Column) = GraftColumnBridge.expression(col)
+  private def e(col: Column) =
+    GraftColumnBridge.expression(col.cast("double"))
   def erf(x: Column): Column = c(Erf(e(x)))
   def erfc(x: Column): Column = c(Erfc(e(x)))
   def digamma(x: Column): Column = c(Digamma(e(x)))

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.RelOps._
+import graft.plans.SpecialMath
+
+/** Property-based tests (SURVEY §5.2 item 4): NA-propagation algebra,
+  * sort/group invariants, special-function identities — an upgrade over
+  * the reference's example-based tests.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Deterministic sampling from a Gen (no scalatest-scalacheck bridge
+    * in the offline cache): n samples with fixed seeds. */
+  private def forAll[A](g: Gen[A], n: Int = 15)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("property: group sums partition the total sum") {
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(0, 5), Gen.choose(-1e6, 1e6)))) {
+      xs: List[(Int, Double)] =>
+        whenever(xs.nonEmpty) {
+          val df = xs.toDF("k", "v")
+          val total = df.agg(F.sum("v")).first().getDouble(0)
+          val byGroup = df.groupBy("k").agg(F.sum("v").as("s"))
+            .agg(F.sum("s")).first().getDouble(0)
+          assert(math.abs(total - byGroup) <= 1e-6 * math.max(1.0,
+            math.abs(total)))
+        }
+    }
+  }
+
+  test("property: NA propagation — arithmetic with null is null") {
+    forAll(Gen.listOfN(20, Gen.option(Gen.choose(-100.0, 100.0)))) {
+      xs: List[Option[Double]] =>
+        val df = xs.toDF("v")
+        val out = df.select((F.col("v") * 2 + 1).as("y")).collect()
+        out.zip(xs).foreach { case (row, x) =>
+          assert(row.isNullAt(0) == x.isEmpty)
+          x.foreach(v => assert(row.getDouble(0) == v * 2 + 1))
+        }
+    }
+  }
+
+  test("property: aggregates skip nulls; count(*) counts them") {
+    forAll(Gen.listOfN(30, Gen.option(Gen.choose(-1e3, 1e3)))) {
+      xs: List[Option[Double]] =>
+        whenever(xs.flatten.nonEmpty) {
+          val df = xs.toDF("v")
+          val r = df.agg(F.sum("v"), F.count(F.col("v")),
+            F.count(F.lit(1))).first()
+          assert(math.abs(r.getDouble(0) - xs.flatten.sum) < 1e-6)
+          assert(r.getLong(1) == xs.flatten.size)
+          assert(r.getLong(2) == xs.size)
+        }
+    }
+  }
+
+  test("property: sortBy is a permutation and respects ordering") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 1e6)))) {
+      xs: List[(Int, Double)] =>
+        whenever(xs.nonEmpty) {
+          val df = xs.toDF("k", "v")
+          val sorted = df.sortBy(Ordering("k", desc = true), Ordering("v"))
+            .collect()
+          assert(sorted.length == xs.length)
+          val pairs = sorted.map(r => (r.getInt(0), r.getDouble(1))).toSeq
+          assert(pairs.sortBy { case (k, v) => (-k, v) } == pairs)
+        }
+    }
+  }
+
+  test("property: vcat row count and null fill") {
+    forAll(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 20))) { case (n: Int, m: Int) =>
+      val a = (1 to n).map(i => (i, s"a$i")).toDF("id", "x")
+      val b = (1 to m).map(i => i).toDF("id")
+      val u = a.vcat(b)
+      assert(u.count() == n + m)
+      assert(u.filter(F.col("x").isNull).count() == m)
+    }
+  }
+
+  test("property: erf is odd, monotone, bounded; erfc complements") {
+    forAll(Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(-5.0, 5.0))) {
+      case (x: Double, y: Double) =>
+        assert(math.abs(SpecialMath.erf(x) + SpecialMath.erf(-x)) < 1e-12)
+        assert(SpecialMath.erf(x).abs <= 1.0 + 1e-12)
+        if (x < y)
+          assert(SpecialMath.erf(x) <= SpecialMath.erf(y) + 1e-9)
+        assert(math.abs(SpecialMath.erf(x) + SpecialMath.erfc(x) - 1.0)
+          < 1e-12)
+    }
+  }
+
+  test("property: digamma recurrence psi(x+1) = psi(x) + 1/x") {
+    forAll(Gen.choose(0.5, 50.0)) { x: Double =>
+      val lhs = SpecialMath.digamma(x + 1)
+      val rhs = SpecialMath.digamma(x) + 1.0 / x
+      assert(math.abs(lhs - rhs) < 1e-8, s"x=$x lhs=$lhs rhs=$rhs")
+    }
+  }
+}
