@@ -95,6 +95,9 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, shCol: String,
                       threshold: Double): DataFrame = {
+    // NOTE: persisting the shingled projection was measured and does
+    // NOT help here — Spark's exchange reuse already avoids duplicate
+    // shingle computation across the signature build and verify join.
     val sigs = minhashSignatures(docs, idCol, shCol)
     val cands = lshCandidates(sigs, idCol)
     verifiedJaccard(cands, docs, idCol, shCol)

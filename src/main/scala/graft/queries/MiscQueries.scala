@@ -72,6 +72,19 @@ object MiscQueries {
         "avg_len" -> "round(avg(length(c_name)), 6)")
     },
 
+    // Grouping sets / rollup (SURVEY §2.4: "Spark cube/rollup are free
+    // if we want them") — subtotals + grand total in one pass.
+    "q72_rollup" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("o_totalprice"), 2).as("total"))
+        .basedOn(
+          "o_orderstatus" -> "coalesce(o_orderstatus, '<all>')",
+          "o_orderpriority" -> "coalesce(o_orderpriority, '<all>')",
+          "n" -> "n", "total" -> "total")
+    },
+
     // Median absolute deviation per group (reference mad export,
     // src/operators.jl:52): two exact-median passes composed at plan
     // level (scale path: approx_percentile both passes).
@@ -148,6 +161,12 @@ object MiscQueries {
                   AS n_missing,
                 round(avg(length(c_name)), 6) AS avg_len
          FROM customer""",
+    "q72_rollup" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+                coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+                count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "q69_mad" ->
       """WITH med AS (
            SELECT o_orderstatus,
