@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` within the same key (the time-series join
+  * Spark SQL lacks; DuckDB/kdb/pandas `merge_asof` semantics,
+  * inclusive).
+  *
+  * Built by COMPOSITION (SURVEY §7 preference (a), before any custom
+  * SparkPlan): tag-union both sides, one window per key ordered by
+  * (ts, rightFirst) carrying the last right payload forward, keep left
+  * rows. ONE shuffle on the key — the same cost as the sort-merge pass
+  * a native as-of exec would do, with Catalyst/AQE still free to
+  * optimize around it. Carried payloads ride a single struct column so
+  * the window state is one value regardless of payload width.
+  */
+object AsOfJoin {
+
+  /** @param left       left/probe table
+    * @param right      right/quote table (its `valueCols` are emitted)
+    * @param keyCols    equi-key columns (same names both sides)
+    * @param tsCol      time column (same name both sides, orderable)
+    * @param valueCols  right-side payload columns to carry (emitted
+    *                   with an `asof_` prefix, null when no prior row)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = F.struct(valueCols.map(F.col): _*)
+    val r = right.select(
+      (keyCols :+ tsCol).map(F.col) :+ payload.as("__p") :+
+        F.lit(1).as("__r"): _*)
+    val l = left
+      .withColumn("__p", F.lit(null).cast(r.schema("__p").dataType))
+      .withColumn("__r", F.lit(0))
+      .select((keyCols :+ tsCol).map(F.col) ++
+        leftCols.filterNot((keyCols :+ tsCol).contains).map(F.col) ++
+        Seq(F.col("__p"), F.col("__r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal ts → inclusive (<=)
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(F.col(tsCol).asc, F.col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__last",
+      F.last(F.col("__p"), ignoreNulls = true).over(w))
+    carried.filter(F.col("__r") === 0)
+      .select(leftCols.map(F.col) ++
+        valueCols.map(c => F.col(s"__last.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -72,6 +72,21 @@ object MiscQueries {
         "avg_len" -> "round(avg(length(c_name)), 6)")
     },
 
+    // Backward as-of join (time-series operator Spark SQL lacks),
+    // composed as union + window carry-forward; oracle = DuckDB's
+    // native ASOF JOIN.
+    "q73_asof_join" -> { (s, dir) =>
+      val e = T.load(s, dir, "events")
+      val errs = e.filterExpr("event_type = 'error'")
+        .by(Seq("user_id", "ts"), "value" -> "max(value)")
+      graft.ops.AsOfJoin.backward(
+        e.select("event_id", "user_id", "ts"), errs,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        valueCols = Seq("value"))
+        .basedOn("event_id" -> "event_id", "user_id" -> "user_id",
+          "asof_value" -> "asof_value")
+    },
+
     // Grouping sets / rollup (SURVEY §2.4: "Spark cube/rollup are free
     // if we want them") — subtotals + grand total in one pass.
     "q72_rollup" -> { (s, dir) =>
@@ -161,6 +176,12 @@ object MiscQueries {
                   AS n_missing,
                 round(avg(length(c_name)), 6) AS avg_len
          FROM customer""",
+    "q73_asof_join" ->
+      """SELECT e.event_id, e.user_id, r.value AS asof_value
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'error' GROUP BY 1, 2
+         ) r ON e.user_id = r.user_id AND e.ts >= r.ts""",
     "q72_rollup" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
                 coalesce(o_orderpriority, '<all>') AS o_orderpriority,
