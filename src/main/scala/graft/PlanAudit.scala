@@ -19,6 +19,9 @@ object PlanAudit {
       .map { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
+          // execute THIS QueryExecution so AQE finalizes (a write/count
+          // would spawn a separate one); audit runs at small sf.
+          df.collect()
           val plan = df.queryExecution.executedPlan.toString()
           val shuffles = "Exchange hashpartitioning".r
             .findAllIn(plan).size
@@ -26,7 +29,8 @@ object PlanAudit {
             .findAllIn(plan).size
           val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
           val smj = "SortMergeJoin".r.findAllIn(plan).size
-          val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+          // codegen'd operators print as "*(id) Op"; count distinct spans
+          val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
           val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
           f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +

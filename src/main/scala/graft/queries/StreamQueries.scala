@@ -35,10 +35,14 @@ object StreamQueries {
     // streaming sum/mean accumulators (src/datastream.jl:87-247).
     "q60_stream_agg" -> { (s, dir) =>
       val name = uniq("stream_agg")
+      // sum/mean/count = reference streaming aggregates
+      // (src/datastream.jl:87-247); stddev = the latent Welford
+      // variance path (src/datastream.jl:249-446, commented out there).
       val agg = eventsStream(s, dir)
         .groupBy("event_type")
         .agg(F.round(F.sum("value"), 2).as("total"),
              F.round(F.avg("value"), 6).as("mean"),
+             F.round(F.stddev_samp(F.col("value")), 6).as("sd"),
              F.count(F.lit(1)).as("n"))
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name)
@@ -96,7 +100,8 @@ object StreamQueries {
          FROM sess GROUP BY 1, 2""",
     "q60_stream_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total,
-                round(avg(value), 6) AS mean, count(*) AS n
+                round(avg(value), 6) AS mean,
+                round(stddev_samp(value), 6) AS sd, count(*) AS n
          FROM events GROUP BY event_type""",
     "q61_stream_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)

@@ -14,6 +14,7 @@ class Wave4Spec extends SparkSpec {
     val batch = T.load(spark, sf, "events").groupBy("event_type")
       .agg(F.round(F.sum("value"), 2).as("total"),
         F.round(F.avg("value"), 6).as("mean"),
+        F.round(F.stddev_samp(F.col("value")), 6).as("sd"),
         F.count(F.lit(1)).as("n"))
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
