@@ -17,7 +17,8 @@ object SparkEntry {
     _root_.graft.queries.StatQueries.queries,
     _root_.graft.queries.PipelineQueries.queries,
     _root_.graft.queries.StreamQueries.queries,
-    _root_.graft.queries.MiscQueries.queries
+    _root_.graft.queries.MiscQueries.queries,
+    _root_.graft.queries.AnalyticsQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -25,7 +26,8 @@ object SparkEntry {
     _root_.graft.queries.StatQueries.oracleSql,
     _root_.graft.queries.PipelineQueries.oracleSql,
     _root_.graft.queries.StreamQueries.oracleSql,
-    _root_.graft.queries.MiscQueries.oracleSql
+    _root_.graft.queries.MiscQueries.oracleSql,
+    _root_.graft.queries.AnalyticsQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

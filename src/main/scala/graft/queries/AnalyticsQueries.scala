@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.T
+import graft.ops.RelOps._
+
+/** Multi-operator analytics queries — TPC-H-shaped pipelines combining
+  * the §2 operators (scan → multi-join → agg → topk), range-frame
+  * windows, edit distance, deterministic sampling. These exercise
+  * operator COMPOSITION, which is where plan quality (join order,
+  * broadcast choice, partial agg placement) actually shows.
+  */
+object AnalyticsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order,
+    // top 10. Two broadcasts (customer dim after filter), one shuffle.
+    "q74_shipping_priority" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer")
+        .filterExpr("c_mktsegment = 'BUILDING'")
+      val o = T.load(s, dir, "orders")
+      val l = T.load(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(F.broadcast(c), o("o_custkey") === c("c_custkey"))
+        .by(Seq("l_orderkey"),
+          "revenue" -> "round(sum(l_extendedprice * (1 - l_discount)), 2)")
+        .topK(10, Ordering("revenue", desc = true), Ordering("l_orderkey"))
+    },
+
+    // TPC-H Q5 shape: 5-way join through the region/nation dims,
+    // revenue per nation. Dims broadcast; facts shuffle once each.
+    "q75_local_supplier" -> { (s, dir) =>
+      val r = T.load(s, dir, "region").filterExpr("r_name = 'ASIA'")
+      val n = T.load(s, dir, "nation")
+      val sup = T.load(s, dir, "supplier")
+      val l = T.load(s, dir, "lineitem")
+      val dims = n.join(F.broadcast(r),
+          n("n_regionkey") === r("r_regionkey"))
+        .join(sup, sup("s_nationkey") === n("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name"))
+      l.join(F.broadcast(dims), l("l_suppkey") === F.col("s_suppkey"))
+        .by(Seq("n_name"),
+          "revenue" -> "round(sum(l_extendedprice * (1 - l_discount)), 2)",
+          "n_items" -> "count(*)")
+    },
+
+    // Range-frame window: per-user rolling 1-hour sum over event time
+    // (RANGE frame on epoch seconds — exact on both engines).
+    "q76_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+      T.load(s, dir, "events")
+        .within("ts_sec" -> "unix_timestamp(ts)")
+        .withColumn("rolling_1h", F.round(F.sum("value").over(w), 2))
+        .basedOn("event_id" -> "event_id", "user_id" -> "user_id",
+          "rolling_1h" -> "rolling_1h")
+    },
+
+    // Edit distance (fuzzy matching for dedup pipelines): most-similar
+    // part-name pair per brand via levenshtein.
+    "q77_edit_distance" -> { (s, dir) =>
+      val p = T.load(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      val a = p.toDF("k1", "p_brand", "n1")
+      val b = p.toDF("k2", "p_brand", "n2")
+      a.join(b, Seq("p_brand"))
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
+        .filterExpr("dist <= 3")
+        .basedOn("p_brand" -> "p_brand", "k1" -> "k1", "k2" -> "k2",
+          "dist" -> "dist")
+    },
+
+    // Deterministic sampling: modulo-of-key (oracle-exact); the library
+    // hash variant (xxhash64-based, uniform regardless of key
+    // distribution) is graft.ops.Sampling.hashSample.
+    "q78_sample" -> { (s, dir) =>
+      T.load(s, dir, "documents")
+        .filterExpr("doc_id % 10 = 3")
+        .basedOn("doc_id" -> "doc_id", "lang" -> "lang")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q74_shipping_priority" ->
+      """SELECT l_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q75_local_supplier" ->
+      """SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name""",
+    "q76_range_frame" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_1h
+         FROM events""",
+    "q77_edit_distance" ->
+      """SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+                levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    "q78_sample" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3"
+  )
+}

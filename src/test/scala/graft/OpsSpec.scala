@@ -112,6 +112,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("vcat promotes int + double columns to double (reference vecbind)") {
+    import spark.implicits._
+    // reference vecbind_promote_type (src/dataframe.jl:1045-1076)
+    val ints = Seq(1, 2).toDF("v")
+    val dbls = Seq(1.5, 2.5).toDF("v")
+    val u = ints.vcat(dbls)
+    assert(u.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(u.count() == 4)
+  }
+
+  test("hashSample is deterministic, ~rate sized, and stable to repartition") {
+    val docs = T.load(spark, sf, "documents")
+    val s1 = graft.ops.Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = graft.ops.Sampling.hashSample(docs.repartition(13), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // partitioning-independent
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.1 && s1.size < n * 0.3) // ~20%
+    // nested property: a 10% sample is a subset of the 20% sample
+    val s3 = graft.ops.Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("stratified hash sampling respects per-stratum rates") {
+    val docs = T.load(spark, sf, "documents")
+    val s = graft.ops.Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.0))
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("de"))
+    assert(counts.getOrElse("en", 0L) > 0)
+    assert(counts.keySet.subsetOf(Set("en"))) // others default rate 0
+  }
+
   test("kleene any/all via bool_or/bool_and handle nulls") {
     import spark.implicits._
     val df = Seq(
