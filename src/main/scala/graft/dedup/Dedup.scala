@@ -136,6 +136,53 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  // ---- Connected components (pair graph → dup clusters) --------------
+
+  /** Connected components over an undirected pair graph — dedup ships
+    * CLUSTERS (keep one doc per component), not raw pairs. Iterative
+    * min-label propagation: each node adopts the smallest label among
+    * itself and its neighbors until fixpoint — O(diameter) rounds, each
+    * one join + one aggregate; dup-graph diameters are tiny (cliques
+    * and short chains), so this converges in 2-3 rounds. The classic
+    * large-graph refinement (large-star/small-star) drops in behind the
+    * same signature if components ever get deep.
+    *
+    * Input: pairs (id1, id2). Output: (id, component) where component =
+    * min id reachable. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
+      .union(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(F.col("a").as("id"))
+      .distinct()
+      .withColumn("comp", F.col("id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // neighbor labels: for node a, labels of its neighbors b
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(F.col("a").as("id"))
+        .agg(F.min("comp").as("ncomp"))
+      // localCheckpoint TRUNCATES the lineage: without it the iterative
+      // plan nests one join deeper per round and analysis/execution
+      // blow up exponentially (measured OOM at ~8 rounds).
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(F.col("id"),
+          F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp")))
+            .as("comp"),
+          F.col("comp").as("old"))
+        .localCheckpoint()
+      changed = updated.filter(F.col("comp") =!= F.col("old")).count()
+      labels = updated.drop("old")
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over token xxhash64s: per bit, sum ±1 across tokens;

@@ -132,6 +132,30 @@ object PipelineQueries {
       Multimodal.extractFeatures(s, T.load(s, dir, "documents"))
     },
 
+    // Pair graph → dup clusters via iterative min-label propagation
+    // (connected components); oracle = recursive-CTE reachability.
+    "q79_dedup_clusters" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      Dedup.connectedComponents(pairs.select("id1", "id2"))
+    },
+
+    // TF-IDF: top-3 highest-scoring tokens per document.
+    "q80_tfidf" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextOps.tokens("text"))
+      val scored = TextOps.tfidf(docs, "doc_id", "toks")
+        .withColumn("tfidf", F.round(F.col("tfidf"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(F.col("tfidf").desc, F.col("tok").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    },
+
     // Language ID by deterministic marker scoring (see TextOps.markers
     // note: scoring function, not a classifier, on this synthetic corpus).
     "q50_langid" -> { (s, dir) =>
@@ -198,6 +222,42 @@ object PipelineQueries {
       """SELECT doc_id, 'text/plain' AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents""",
+    "q79_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+          jp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                     AS DOUBLE), 3) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+          SELECT a AS id, least(a, min(b)) AS comp
+          FROM reach GROUP BY a""",
+    "q80_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+          tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+          dft AS (SELECT tok, count(*) AS df FROM
+                    (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY 1),
+          nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                 FROM documents),
+          scored AS (
+            SELECT doc_id, tok,
+              round(tf * ln(nn.n / dft.df), 6) AS tfidf
+            FROM tf JOIN dft USING (tok) CROSS JOIN nn)
+          SELECT doc_id, tok, tfidf, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, tok) AS rn
+            FROM scored) t
+          WHERE rn <= 3""",
     "q50_langid" ->
       s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)
           SELECT lang, $duckLangIdCase AS predicted, count(*) AS n

@@ -85,6 +85,25 @@ object TextOps {
     s"($terms + length($col) * 31)"
   }
 
+  /** TF-IDF over a tokenized corpus: explode tokens → tf per (doc,
+    * token), df per token → tfidf = tf * ln(N / df). Two shuffles
+    * (doc-token, token), both on compact keys; the idf table is tiny
+    * and broadcast into the scoring join. Standard relevance/quality
+    * machinery for pretraining-data pipelines.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            tokCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(F.col(idCol), F.explode(F.col(tokCol)).as("tok"))
+    val tf = ex.groupBy(idCol, "tok")
+      .agg(F.count(F.lit(1)).as("tf"))
+    val n = docs.select(idCol).distinct().count()
+    val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
+      .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
+    tf.join(F.broadcast(df_), "tok")
+      .withColumn("tfidf",
+        F.col("tf") * F.log(F.lit(n.toDouble) / F.col("df")))
+  }
+
   /** Quality-score components (length, token stats, stopword ratio,
     * whitespace ratio) + a composite score in [0,1]-ish range —
     * reference-free heuristics standard in pretraining-data filtering. */

@@ -88,6 +88,32 @@ class PipelineSpec extends SparkSpec {
     assert(marked.filter(F.col("is_dup")).count() == 1)
   }
 
+  test("connected components labels chains and cliques correctly") {
+    import spark.implicits._
+    // two components: chain 1-2-3 and pair 10-11; singleton edges none
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // long chain needs multiple propagation rounds
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id1", "id2")
+    val cc2 = Dedup.connectedComponents(chain).collect()
+    assert(cc2.forall(_.getLong(1) == 1L))
+  }
+
+  test("tfidf: rare tokens outscore ubiquitous ones; df=N scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("common", "rare1")),
+      (2L, Seq("common", "rare2")),
+      (3L, Seq("common"))).toDF("doc_id", "toks")
+    val scored = TextOps.tfidf(docs, "doc_id", "toks").collect()
+      .map(r => (r.getLong(1), r.getString(0)) -> r.getDouble(4)).toMap
+    assert(scored((1L, "common")) == 0.0) // ln(3/3)
+    assert(scored((1L, "rare1")) > 1.0)   // ln(3/1)
+  }
+
   test("langid scoring is deterministic and total") {
     val out = T.load(spark, sf, "documents")
       .withColumn("t", TextOps.tokens("text"))
