@@ -72,6 +72,44 @@ object AnalyticsQueries {
           "dist" -> "dist")
     },
 
+    // Null-safe join: the reference's pooled key encoding gives NA keys
+    // a real group that matches across sides (src/merge.jl:75-97 "+1
+    // shift reserves 0/NA") — Spark equi-join drops null keys, so the
+    // parity form is the <=> (null-safe equality) condition.
+    "q81_nullsafe_join" -> { (s, dir) =>
+      // derive frames with genuine null keys: orders bucketed into a
+      // nullable band (null for mid-range prices)
+      val a = T.load(s, dir, "orders").basedOn(
+        "o_orderkey" -> "o_orderkey",
+        "band" -> ("CASE WHEN o_totalprice < 100000 THEN 'lo' " +
+          "WHEN o_totalprice > 400000 THEN 'hi' END"))
+      val b = a.by(Seq("band"), "n_in_band" -> "count(*)")
+      a.as("a").join(b.as("b"), F.col("a.band") <=> F.col("b.band"))
+        .basedOn("o_orderkey" -> "o_orderkey",
+          "band" -> "a.band", "n_in_band" -> "n_in_band")
+    },
+
+    // Per-group z-score normalization (within! analog: analytic
+    // mutation over a partition, reference src/grouping.jl:162-172).
+    "q82_zscore" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+      T.load(s, dir, "events")
+        .withColumn("z", F.round(
+          (F.col("value") - F.avg("value").over(w)) /
+            F.stddev_samp(F.col("value")).over(w), 6))
+        .basedOn("event_id" -> "event_id", "event_type" -> "event_type",
+          "z" -> "z")
+    },
+
+    // Vector norms via the native NormF expression (oracle recomputes
+    // in list SQL with the same sequential summation).
+    "q83_vec_norm" -> { (s, dir) =>
+      T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"),
+          F.round(graft.plans.VectorExpressions.normF(F.col("embedding")), 6)
+            .as("l2"))
+    },
+
     // Deterministic sampling: modulo-of-key (oracle-exact); the library
     // hash variant (xxhash64-based, uniform regardless of key
     // distribution) is graft.ops.Sampling.hashSample.
@@ -118,6 +156,25 @@ object AnalyticsQueries {
            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 3""",
     "q78_sample" ->
-      "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3"
+      "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3",
+    "q81_nullsafe_join" ->
+      """WITH a AS (
+           SELECT o_orderkey,
+             CASE WHEN o_totalprice < 100000 THEN 'lo'
+                  WHEN o_totalprice > 400000 THEN 'hi' END AS band
+           FROM orders),
+         b AS (SELECT band, count(*) AS n_in_band FROM a GROUP BY band)
+         SELECT a.o_orderkey, a.band, b.n_in_band
+         FROM a JOIN b ON a.band IS NOT DISTINCT FROM b.band""",
+    "q82_zscore" ->
+      """SELECT event_id, event_type,
+           round((value - avg(value) OVER w) /
+                 stddev_samp(value) OVER w, 6) AS z
+         FROM events WINDOW w AS (PARTITION BY event_type)""",
+    "q83_vec_norm" ->
+      """SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+             x -> x * x))), 6) AS l2
+         FROM embeddings"""
   )
 }
