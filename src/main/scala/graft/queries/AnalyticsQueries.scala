@@ -61,15 +61,19 @@ object AnalyticsQueries {
     // Edit distance (fuzzy matching for dedup pipelines): most-similar
     // part-name pair per brand via levenshtein.
     "q77_edit_distance" -> { (s, dir) =>
-      val p = T.load(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-      val a = p.toDF("k1", "p_brand", "n1")
-      val b = p.toDF("k2", "p_brand", "n2")
-      a.join(b, Seq("p_brand"))
+      val p = T.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_name")
+      val a = p.toDF("k1", "p_brand", "p_type", "n1")
+      val b = p.toDF("k2", "p_brand", "p_type", "n2")
+      a.join(b, Seq("p_brand", "p_type"))
         .filter(F.col("k1") < F.col("k2"))
+        // length prefilter: levenshtein >= |len difference|, so this
+        // prunes most pairs before the O(len^2) DP runs — same results
+        .filter(F.abs(F.length(F.col("n1")) - F.length(F.col("n2"))) <= 3)
         .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
         .filterExpr("dist <= 3")
-        .basedOn("p_brand" -> "p_brand", "k1" -> "k1", "k2" -> "k2",
-          "dist" -> "dist")
+        .basedOn("p_brand" -> "p_brand", "p_type" -> "p_type",
+          "k1" -> "k1", "k2" -> "k2", "dist" -> "dist")
     },
 
     // Null-safe join: the reference's pooled key encoding gives NA keys
@@ -150,10 +154,12 @@ object AnalyticsQueries {
              AS rolling_1h
          FROM events""",
     "q77_edit_distance" ->
-      """SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+      """SELECT a.p_brand, a.p_type, a.p_partkey AS k1,
+                b.p_partkey AS k2,
                 levenshtein(a.p_name, b.p_name) AS dist
          FROM part a JOIN part b
-           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+          AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 3""",
     "q78_sample" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3",
