@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels. The SQL-expression shingler
+  * ([[graft.text.TextOps.shinglesExpr]]) goes through four
+  * CodegenFallback higher-order functions (filter/transform/slice/
+  * sequence) with per-element boxing — measured as the dominant cost of
+  * every dedup query. These kernels do tokenize+shingle in one tight
+  * pass per document.
+  *
+  * Semantics are EXACTLY the SQL form (and the DuckDB oracles):
+  * lowercase, split on non-[a-z0-9] runs, drop empties, distinct word
+  * n-grams joined by single spaces, first-occurrence order.
+  */
+object TextKernels {
+
+  def tokenize(s: UTF8String): Array[String] = {
+    val str = s.toString.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def tokens(s: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenize(s).map(t => UTF8String.fromString(t): Any))
+}
+
+/** Distinct word n-gram shingles of a lowercase-tokenized text column. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Lowercase word tokens of a text column. */
+case class WordTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.tokens($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordShingles(GraftColumnBridge.expression(text), n))
+  def wordTokens(text: Column): Column =
+    GraftColumnBridge.column(
+      WordTokens(GraftColumnBridge.expression(text)))
+}

@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.ops.RelOps._
 import graft.similarity.Knn
+import graft.plans.TextExpressions
 import graft.text.TextOps
 
 /** Wave-3: training-data pipeline operators over `documents` and
@@ -76,8 +77,8 @@ object PipelineQueries {
     // (whose near-dup pairs all sit at J >= 0.95).
     "q41_minhash_neardup" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens("text"))
-        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
     },
 
@@ -85,7 +86,7 @@ object PipelineQueries {
     // xxhash64, not expressible in the oracle).
     "q42_simhash" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       Dedup.simhash64(docs, "doc_id", "toks")
     },
 
@@ -93,8 +94,8 @@ object PipelineQueries {
     // by lang.
     "q43_ngram_jaccard" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens("text"))
-        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, blockCols = Seq("lang"))
     },
 
@@ -136,8 +137,8 @@ object PipelineQueries {
     // (connected components); oracle = recursive-CTE reachability.
     "q79_dedup_clusters" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens("text"))
-        .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
       Dedup.connectedComponents(pairs.select("id1", "id2"))
     },
@@ -145,7 +146,7 @@ object PipelineQueries {
     // TF-IDF: top-3 highest-scoring tokens per document.
     "q80_tfidf" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
-        .withColumn("toks", TextOps.tokens("text"))
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       val scored = TextOps.tfidf(docs, "doc_id", "toks")
         .withColumn("tfidf", F.round(F.col("tfidf"), 6))
       val w = org.apache.spark.sql.expressions.Window
@@ -160,7 +161,7 @@ object PipelineQueries {
     // note: scoring function, not a classifier, on this synthetic corpus).
     "q50_langid" -> { (s, dir) =>
       T.load(s, dir, "documents")
-        .withColumn("t", TextOps.tokens("text"))
+        .withColumn("t", TextExpressions.wordTokens(F.col("text")))
         .withColumn("predicted", F.expr(TextOps.langIdExpr("t")))
         .by(Seq("lang", "predicted"), "n" -> "count(*)")
     },

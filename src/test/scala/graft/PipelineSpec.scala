@@ -114,6 +114,22 @@ class PipelineSpec extends SparkSpec {
     assert(scored((1L, "rare1")) > 1.0)   // ln(3/1)
   }
 
+  test("native text kernels equal the SQL-expression forms") {
+    val d = T.load(spark, sf, "documents")
+    val viaSql = d
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("sh", F.expr(TextOps.shinglesExpr("toks", 3)))
+      .select("doc_id", "toks", "sh")
+    val viaNative = d
+      .withColumn("toks",
+        graft.plans.TextExpressions.wordTokens(F.col("text")))
+      .withColumn("sh",
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 3))
+      .select("doc_id", "toks", "sh")
+    assert(viaSql.exceptAll(viaNative).isEmpty &&
+      viaNative.exceptAll(viaSql).isEmpty)
+  }
+
   test("langid scoring is deterministic and total") {
     val out = T.load(spark, sf, "documents")
       .withColumn("t", TextOps.tokens("text"))
