@@ -175,7 +175,7 @@ object AnalyticsQueries {
     "q82_zscore" ->
       """SELECT event_id, event_type,
            round((value - avg(value) OVER w) /
-                 stddev_samp(value) OVER w, 6) AS z
+                 stddev_samp(value) OVER w, 6) + 0 AS z
          FROM events WINDOW w AS (PARTITION BY event_type)""",
     "q83_vec_norm" ->
       """SELECT vec_id,

@@ -150,7 +150,7 @@ object MiscQueries {
          FROM orders""",
     "q63_special_math" ->
       s"""SELECT l_orderkey, l_linenumber,
-          round(${SpecialMath.erfSql("(l_discount * 10 - 0.5)")}, 6)
+          round(${SpecialMath.erfSql("(l_discount * 10 - 0.5)")}, 6) + 0
             AS erf_d,
           round(1.0 - ${SpecialMath.erfSql("(l_tax * 10)")}, 6) AS erfc_t,
           round(${SpecialMath.digammaSql("l_quantity")}, 6) AS digamma_q,
@@ -200,15 +200,15 @@ object MiscQueries {
          GROUP BY 1""",
     "q70_cov" ->
       """SELECT 'l_extendedprice' AS col1, 'l_quantity' AS col2,
-                round(covar_samp(l_extendedprice, l_quantity), 6) AS cov
+                round(covar_samp(l_extendedprice, l_quantity), 6) + 0 AS cov
          FROM lineitem
          UNION ALL
          SELECT 'l_discount', 'l_extendedprice',
-                round(covar_samp(l_discount, l_extendedprice), 6)
+                round(covar_samp(l_discount, l_extendedprice), 6) + 0
          FROM lineitem
          UNION ALL
          SELECT 'l_discount', 'l_quantity',
-                round(covar_samp(l_discount, l_quantity), 6)
+                round(covar_samp(l_discount, l_quantity), 6) + 0
          FROM lineitem""",
     "q68_rep" ->
       """SELECT r_regionkey, r_name FROM region

@@ -166,8 +166,8 @@ object RelQueries {
          FROM orders""",
     "q15_lag_diff" ->
       """SELECT event_id, user_id,
-         round(value - lag(value) OVER w, 6) AS dv,
-         round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pct
+         round(value - lag(value) OVER w, 6) + 0 AS dv,
+         round((value - lag(value) OVER w) / lag(value) OVER w, 6) + 0 AS pct
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q16_rank" ->

@@ -227,14 +227,14 @@ object StatQueries {
          FROM lineitem GROUP BY l_returnflag""",
     "q23_cor" ->
       """SELECT 'l_extendedprice' AS col1, 'l_quantity' AS col2,
-                round(corr(l_extendedprice, l_quantity), 6) AS corr
+                round(corr(l_extendedprice, l_quantity), 6) + 0 AS corr
          FROM lineitem
          UNION ALL
          SELECT 'l_discount', 'l_extendedprice',
-                round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+                round(corr(l_discount, l_extendedprice), 6) + 0 FROM lineitem
          UNION ALL
          SELECT 'l_discount', 'l_quantity',
-                round(corr(l_discount, l_quantity), 6) FROM lineitem""",
+                round(corr(l_discount, l_quantity), 6) + 0 FROM lineitem""",
     "q24_quantiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.25), 4) AS q25,
