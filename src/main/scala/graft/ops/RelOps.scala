@@ -87,6 +87,12 @@ object RelOps {
     def sortBy(orderings: Ordering*): DataFrame =
       df.orderBy(orderings.map(_.toColumn): _*)
 
+    // NOTE on reference `issorted` (src/dataframe.jl:1824-1825): row
+    // order is not observable DataFrame state in Spark (it changes with
+    // partitioning), so sortedness is asserted in tests by comparing
+    // collect() of a frame against its sortBy — see
+    // ReferenceParitySpec/CoreQueriesSpec — rather than as a library op.
+
     /** top-k = sort + head (reference src/dataframe.jl:834-837); Catalyst
       * rewrites orderBy+limit into TakeOrderedAndProject — no full sort,
       * one partial top-k per partition then a driver merge, which is the

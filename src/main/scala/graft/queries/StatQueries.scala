@@ -159,6 +159,15 @@ object StatQueries {
         "k" -> "cast(get_json_object(props, '$.k') as bigint)")
     },
 
+    // Column L2 norms (reference colnorms, src/operators.jl:231-245 —
+    // SURVEY marked these "non-relational/UDF", but sqrt(sum(x²)) is a
+    // plain relational aggregate).
+    "q84_colnorms" -> { (s, dir) =>
+      T.load(s, dir, "lineitem").by(Seq(),
+        "l_quantity_norm" -> "round(sqrt(sum(l_quantity * l_quantity)), 2)",
+        "l_discount_norm" -> "round(sqrt(sum(l_discount * l_discount)), 6)")
+    },
+
     // Date/time parts over timestamps (reference has none — SURVEY
     // §2.9 "date functions: none"; Spark superset).
     "q36_dates" -> { (s, dir) =>
@@ -289,6 +298,12 @@ object StatQueries {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+    "q84_colnorms" ->
+      """SELECT round(sqrt(sum(l_quantity * l_quantity)), 2)
+                  AS l_quantity_norm,
+                round(sqrt(sum(l_discount * l_discount)), 6)
+                  AS l_discount_norm
+         FROM lineitem""",
     "q36_dates" ->
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
