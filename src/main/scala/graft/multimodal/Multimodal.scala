@@ -55,4 +55,45 @@ object Multimodal {
     import spark.implicits._
     decodeStub(asMedia(docs).as[MediaRecord]).toDF()
   }
+
+  /** STUB resize kernel: a real implementation hands each batch to an
+    * image library; the deterministic fake rescales the payload by
+    * byte-sampling to `targetBytes`. Payload-in/payload-out shape,
+    * per-partition batching — the plumbing a real resize uses.
+    */
+  def resizeStub(media: Dataset[MediaRecord],
+                 targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val src = r.payload
+        val out =
+          if (src.length <= targetBytes) src
+          else Array.tabulate(targetBytes)(i =>
+            src((i.toLong * src.length / targetBytes).toInt))
+        r.copy(payload = out, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
+  /** STUB frame sampler: treats the payload as a "video" and emits one
+    * record per sampled frame — the ONE-TO-MANY boundary (flatMap) that
+    * real frame extraction needs; each frame is a deterministic slice.
+    * Output: (doc_id, frame_idx, frame_bytes, checksum).
+    */
+  def frameSampleStub(media: Dataset[MediaRecord],
+                      nFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      val frameLen = math.max(1, len / math.max(nFrames, 1))
+      (0 until math.min(nFrames, len)).map { f =>
+        val start = (f.toLong * len / nFrames).toInt
+        val slice = r.payload.slice(start,
+          math.min(start + frameLen, len))
+        val cs = slice.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+        (r.doc_id, f, slice.length, cs)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "checksum")
+  }
 }

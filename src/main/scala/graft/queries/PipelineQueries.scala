@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.T
 import graft.dedup.Dedup
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 import graft.ops.RelOps._
 import graft.similarity.Knn
 import graft.plans.TextExpressions
@@ -133,6 +133,25 @@ object PipelineQueries {
       Multimodal.extractFeatures(s, T.load(s, dir, "documents"))
     },
 
+    // Multimodal: stub resize (payload-in/payload-out kernel). The
+    // byte math is deterministic, so an oracle checks the metadata.
+    "q85_resize_stub" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.resizeStub(
+        Multimodal.asMedia(T.load(s, dir, "documents")).as[MediaRecord],
+        targetBytes = 128)
+        .toDF().basedOn("doc_id" -> "doc_id", "n_bytes" -> "n_bytes")
+    },
+
+    // Multimodal: stub frame sampling — one-to-many flatMap boundary
+    // (rows-only: frame checksums come from the stub kernel).
+    "q86_frames_stub" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.frameSampleStub(
+        Multimodal.asMedia(T.load(s, dir, "documents")).as[MediaRecord],
+        nFrames = 4)
+    },
+
     // Pair graph → dup clusters via iterative min-label propagation
     // (connected components); oracle = recursive-CTE reachability.
     "q79_dedup_clusters" -> { (s, dir) =>
@@ -222,6 +241,11 @@ object PipelineQueries {
     "q47_media_bytes" ->
       """SELECT doc_id, 'text/plain' AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents""",
+    "q85_resize_stub" ->
+      """SELECT doc_id,
+           CAST(least(octet_length(encode(text)), 128) AS BIGINT)
+             AS n_bytes
          FROM documents""",
     "q79_dedup_clusters" ->
       s"""WITH RECURSIVE

@@ -18,7 +18,8 @@ class CoreQueriesSpec extends SparkSpec {
   test("every query has an oracle or is explicitly rows-only") {
     // deliberate rows-only entries (hash-family / approximate / stub ops
     // whose outputs are not oracle-expressible):
-    val rowsOnly = Set("q42_simhash", "q46_knn_ivf", "q48_decode_stub")
+    val rowsOnly = Set("q42_simhash", "q46_knn_ivf", "q48_decode_stub",
+      "q86_frames_stub")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

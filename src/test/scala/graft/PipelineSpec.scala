@@ -77,6 +77,21 @@ class PipelineSpec extends SparkSpec {
       val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
   }
 
+  test("resize stub caps payloads; frame sampler emits n frames per doc") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(T.load(spark, sf, "documents"))
+      .as[graft.multimodal.MediaRecord]
+    val resized = Multimodal.resizeStub(media, 100)
+    assert(resized.filter(_.n_bytes > 100).count() == 0)
+    assert(resized.count() == media.count())
+    val frames = Multimodal.frameSampleStub(media, 4)
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter(F.col("count") =!= 4).count() == 0)
+    // deterministic across runs
+    val again = Multimodal.frameSampleStub(media, 4)
+    assert(frames.exceptAll(again).isEmpty)
+  }
+
   test("exact dedup marks no dups on the all-distinct sf0.001 corpus") {
     val d = Dedup.exactDups(T.load(spark, sf, "documents"), "text", "doc_id")
     assert(d.filter(F.col("is_dup")).count() == 0)
