@@ -162,6 +162,28 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs.select("id1", "id2"))
     },
 
+    // BM25: top-3 tokens per document by the BM25 ranking function.
+    "q87_bm25" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+      val scored = TextOps.bm25(docs, "doc_id", "toks")
+        .withColumn("bm25", F.round(F.col("bm25"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(F.col("bm25").desc, F.col("tok").asc)
+      scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "bm25", "rn")
+    },
+
+    // Content flags (emails/urls/digit runs/digit ratio) — standard
+    // pretraining-quality scan.
+    "q88_content_flags" -> { (s, dir) =>
+      T.load(s, dir, "documents").basedOn(
+        ("doc_id" -> "doc_id") +:
+          TextOps.contentFlagExprs("text"): _*)
+    },
+
     // TF-IDF: top-3 highest-scoring tokens per document.
     "q80_tfidf" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
@@ -266,6 +288,38 @@ object PipelineQueries {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS comp
           FROM reach GROUP BY a""",
+    "q87_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          wl AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+          stats AS (SELECT avg(dl) AS avgdl,
+                           CAST(count(*) AS DOUBLE) AS n FROM wl),
+          ex AS (SELECT doc_id, dl, unnest(t) AS tok FROM wl),
+          tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+                 FROM ex GROUP BY 1, 2),
+          dft AS (SELECT tok, count(*) AS df FROM
+                    (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY 1),
+          scored AS (
+            SELECT doc_id, tok,
+              round(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+                6) AS bm25
+            FROM tf JOIN dft USING (tok) CROSS JOIN stats)
+          SELECT doc_id, tok, bm25, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY bm25 DESC, tok) AS rn
+            FROM scored) t
+          WHERE rn <= 3""",
+    "q88_content_flags" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+             AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           round((length(text) -
+             length(regexp_replace(text, '[0-9]', '', 'g'))) /
+             CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+         FROM documents""",
     "q80_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -48,7 +48,9 @@ object StreamQueries {
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // AvailableNow terminates on its own; the bound is insurance so
+      // a wedged stream cannot stall the driver's whole verify run.
+      q.awaitTermination(600000L); q.stop()
       s.table(name)
     },
 
@@ -62,7 +64,7 @@ object StreamQueries {
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      q.awaitTermination(600000L); q.stop()
       s.table(name)
     },
 

@@ -104,6 +104,46 @@ object TextOps {
         F.col("tf") * F.log(F.lit(n.toDouble) / F.col("df")))
   }
 
+  /** BM25 relevance scores per (doc, token) — the ranking-function
+    * extension of [[tfidf]]: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl)).
+    * Same two-shuffle shape; avgdl and idf are scalar/broadcast.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           tokCol: String, k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val withLen = docs.withColumn("__dl", F.size(F.col(tokCol)))
+    val avgdl = withLen.agg(F.avg("__dl")).first().getDouble(0)
+    val n = docs.select(idCol).distinct().count()
+    val ex = withLen.select(F.col(idCol), F.col("__dl"),
+      F.explode(F.col(tokCol)).as("tok"))
+    val tf = ex.groupBy(idCol, "tok")
+      .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("dl"))
+    val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
+      .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
+    tf.join(F.broadcast(df_), "tok")
+      .withColumn("idf",
+        F.log((F.lit(n.toDouble) - F.col("df") + 0.5) /
+          (F.col("df") + 0.5) + 1.0))
+      .withColumn("bm25",
+        F.col("idf") * (F.col("tf") * (k1 + 1)) /
+          (F.col("tf") +
+            F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)))
+  }
+
+  /** Content flags for quality filtering: email/url/digit-run counts +
+    * digit character ratio — regex scans, SQL-portable. */
+  def contentFlagExprs(textCol: String): Seq[(String, String)] = Seq(
+    "n_emails" ->
+      s"size(regexp_extract_all($textCol, '[a-z0-9.]+@[a-z0-9.]+', 0))",
+    "n_urls" ->
+      s"size(regexp_extract_all($textCol, 'https?://[^ ]+', 0))",
+    "n_digit_runs" ->
+      s"size(regexp_extract_all($textCol, '[0-9]+', 0))",
+    "digit_ratio" ->
+      s"""round((length($textCol) -
+           length(regexp_replace($textCol, '[0-9]', ''))) /
+           cast(length($textCol) as double), 6)""")
+
   /** Quality-score components (length, token stats, stopword ratio,
     * whitespace ratio) + a composite score in [0,1]-ish range —
     * reference-free heuristics standard in pretraining-data filtering. */
