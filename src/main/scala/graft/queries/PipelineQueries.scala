@@ -162,6 +162,17 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs.select("id1", "id2"))
     },
 
+    // Int8 quantization summary: checksum of quantized codes + scale
+    // per vector (portable floor(x+0.5) rounding on both sides).
+    "q89_quantize" -> { (s, dir) =>
+      graft.similarity.Quantize.int8(
+        T.load(s, dir, "embeddings"), "embedding")
+        .basedOn("vec_id" -> "vec_id",
+          "qsum" -> "aggregate(qvec, 0L, (a, q) -> a + q)",
+          "qmax" -> "array_max(qvec)",
+          "scale" -> "round(scale, 6)")
+    },
+
     // BM25: top-3 tokens per document by the BM25 ranking function.
     "q87_bm25" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
@@ -288,6 +299,24 @@ object PipelineQueries {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS comp
           FROM reach GROUP BY a""",
+    "q89_quantize" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_max(list_transform(embedding::DOUBLE[],
+               x -> abs(x))) AS maxabs,
+             embedding::DOUBLE[] AS e
+           FROM embeddings),
+         qq AS (
+           SELECT vec_id,
+             list_transform(e, x ->
+               CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) AS qvec,
+             maxabs / 127.0 AS scale
+           FROM q)
+         SELECT vec_id,
+           CAST(list_sum(qvec) AS BIGINT) AS qsum,
+           list_max(qvec) AS qmax,
+           round(scale, 6) AS scale
+         FROM qq""",
     "q87_bm25" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           wl AS (SELECT doc_id, t, len(t) AS dl FROM toks),

@@ -77,6 +77,44 @@ class PipelineSpec extends SparkSpec {
       val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
   }
 
+  test("TopK aggregator equals the window-based top-k") {
+    import graft.similarity.{Knn, TopK}
+    val corpus = emb
+    val q = emb.filterExpr("vec_id < 3")
+    val viaWindow = Knn.bruteForceKnn(corpus, q, "vec_id", "embedding", 5)
+    // same candidate sims, ranked by the bounded-memory aggregator
+    val cands = corpus.select(F.col("vec_id").as("neighbor_id"),
+        F.col("embedding").as("cvec"))
+      .join(F.broadcast(q.select(F.col("vec_id").as("query_id"),
+        F.col("embedding").as("qvec"))),
+        F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(
+        graft.plans.VectorExpressions.cosineF(
+          F.col("qvec"), F.col("cvec")), 6))
+    val viaAgg = TopK.perGroup(cands, Seq("query_id"), "sim",
+      "neighbor_id", 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("int8 quantization round-trips within one quantization step") {
+    import graft.similarity.Quantize
+    val q = Quantize.int8(emb, "embedding")
+    val dq = Quantize.dequant(q, "qvec", "scale")
+    // max reconstruction error <= scale/2 per element
+    val bad = dq.withColumn("err", F.expr(
+      """aggregate(zip_with(embedding, dqvec,
+           (x, y) -> abs(cast(x as double) - y)),
+         cast(0.0 as double), (a, v) -> greatest(a, v))"""))
+      .filter(F.col("err") > F.col("scale") * 0.5 + 1e-12)
+    assert(bad.count() == 0)
+    // codes stay in int8 range
+    val oob = q.filter(F.expr(
+      "exists(qvec, v -> v > 127 OR v < -127)"))
+    assert(oob.count() == 0)
+  }
+
   test("resize stub caps payloads; frame sampler emits n frames per doc") {
     import spark.implicits._
     val media = Multimodal.asMedia(T.load(spark, sf, "documents"))
