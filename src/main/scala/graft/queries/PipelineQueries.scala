@@ -162,6 +162,34 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs.select("id1", "id2"))
     },
 
+    // End-to-end corpus curation: quality filter → exact-dup removal →
+    // near-dup cluster pruning (keep representative) → deterministic
+    // sample. The composite pipeline this engine exists for; every
+    // stage is the library op verified individually above.
+    "q90_curation" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      // 1. quality gate
+      val flagged = docs
+        .within(TextOps.contentFlagExprs("text").map {
+          case (n, e) => n -> e }: _*)
+        .filterExpr("n_chars BETWEEN 150 AND 600 AND digit_ratio < 0.05")
+      // 2. exact dedup (canonical = min doc_id per text)
+      val exact = Dedup.exactDups(flagged, "text", "doc_id")
+        .filterExpr("NOT is_dup")
+      // 3. near-dup clusters over the FULL corpus; drop non-reps
+      val shingled = docs
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashNearDups(shingled, "doc_id", "sh", 0.8)
+          .select("id1", "id2"))
+      val nonReps = comps.filter(F.col("id") =!= F.col("comp"))
+        .select(F.col("id").as("doc_id"))
+      // 4. deterministic sample
+      exact.join(nonReps, Seq("doc_id"), "left_anti")
+        .filterExpr("doc_id % 2 = 0")
+        .basedOn("doc_id" -> "doc_id", "lang" -> "lang")
+    },
+
     // Int8 quantization summary: checksum of quantized codes + scale
     // per vector (portable floor(x+0.5) rounding on both sides).
     "q89_quantize" -> { (s, dir) =>
@@ -299,6 +327,41 @@ object PipelineQueries {
             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
           SELECT a AS id, least(a, min(b)) AS comp
           FROM reach GROUP BY a""",
+    "q90_curation" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+          jp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                     AS DOUBLE), 3) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          comps AS (SELECT a AS id, least(a, min(b)) AS comp
+                    FROM reach GROUP BY a),
+          nonreps AS (SELECT id FROM comps WHERE id != comp),
+          flagged AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE n_chars BETWEEN 150 AND 600
+              AND round((length(text) -
+                    length(regexp_replace(text, '[0-9]', '', 'g'))) /
+                    CAST(length(text) AS DOUBLE), 6) < 0.05),
+          exact AS (
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                min(doc_id) OVER (PARTITION BY text) AS keep_id
+              FROM flagged) t
+            WHERE doc_id = keep_id)
+          SELECT doc_id, lang FROM exact
+          WHERE doc_id NOT IN (SELECT id FROM nonreps)
+            AND doc_id % 2 = 0""",
     "q89_quantize" ->
       """WITH q AS (
            SELECT vec_id,
