@@ -3,14 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are forced with
-  * the `noop` sink so projections are NOT pruned away (a bare `.count()`
-  * would let Catalyst drop every computed column and under-report).
+  * SPARK_GRAFT_SF_DIR and emits ONE complete JSON line — on stdout and
+  * to a file (arg 0, default "bench.json") so the consumer never
+  * depends on log-tail capture. Results are forced with the `noop`
+  * sink so projections are NOT pruned away (a bare `.count()` would
+  * let Catalyst drop every computed column and under-report).
+  *
+  * A failed query is recorded as -1 (sentinel) and named in "errors" —
+  * its wall time must never land in the totals, where an early throw
+  * would read as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = args.headOption.getOrElse("bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,26 +27,51 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once so per-query numbers measure the
-    // query, not first-call classloading.
+    // query, not first-call classloading: the flagship plan plus the
+    // generator/struct-agg/window shapes (janino compiles each plan
+    // family's generated classes on first use — measured ~1.5-2 s of
+    // pure warmup on whichever query goes first).
     SparkEntry.entry(spark).count()
+    locally {
+      import org.apache.spark.sql.{functions => F}
+      import spark.implicits._
+      val w = Seq((1, 2.0), (3, 4.0)).toDF("a", "b")
+      w.select(F.explode(F.array(F.when(F.col("a") > 0,
+          F.struct(F.lit(1).as("t"), F.col("b").as("v"))))).as("e"))
+        .filter(F.col("e").isNotNull)
+        .groupBy("e.t")
+        .agg(F.count(F.lit(1)), F.min("e.v"), F.max("e.v"), F.sum("e.v"))
+        .collect()
+      w.withColumn("r", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy("b"))).collect()
+    }
     // SPARK_GRAFT_ONLY=q21,q43 restricts the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+    val errors = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors += name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -31,8 +31,17 @@ object Formula {
       .setStringIndexerOrderType("alphabetAsc")
     val fitted = rf.fit(clean)
     val out = fitted.transform(clean)
-    val width = out.select(F.size(vector_to_array(F.col("__features"))))
-      .first().getInt(0)
+    // Design-matrix width comes from the ML attribute metadata RFormula
+    // stamps on the features column — free, no job. (A .first() here
+    // cost a full extra pass over the data in round 1.) The metadata is
+    // always present for RFormula output; the scan fallback is only
+    // defensive for exotic inputs.
+    val meta = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(out.schema("__features"))
+    val width =
+      if (meta.size >= 0) meta.size
+      else out.select(F.size(vector_to_array(F.col("__features"))))
+        .first().getInt(0)
     val cols = (0 until width).map(i =>
       F.element_at(vector_to_array(F.col("__features")), i + 1).as(s"f$i"))
     out.select(F.col("label") +: cols: _*)

@@ -1,75 +1,234 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
-/** Distributed EXACT quantiles by range-partitioned sort + rank
-  * selection — the scalable exact algorithm (the reference's
-  * distributed quantile does iterative pivot guessing over blocks,
-  * src/dataframe_blocks.jl:263-356; a parallel sort subsumes it).
+/** Distributed EXACT quantiles by iterative histogram refinement —
+  * the same algorithmic family as the reference's distributed quantile
+  * (iterative pivot guessing over blocks, reference
+  * src/dataframe_blocks.jl:263-356), re-expressed as Catalyst
+  * aggregate passes.
   *
-  * `percentile()` builds a per-partition value map whose merge cost is
-  * O(distinct values) on a single reducer — fine for low-cardinality
-  * columns, quadratic-feeling for 100 TB of doubles. Here: sortBy
-  * (range partitioner → parallel), per-partition counts (one cheap
-  * job), then one targeted pass that emits only the rank-straddling
-  * elements. Interpolation matches `percentile`/`quantile_cont`
-  * (linear between floor/ceil ranks).
+  * Why not `percentile()`: it builds a per-partition value map whose
+  * merge is O(distinct values) on ONE reducer — measured 2.9 s for a
+  * single 600k-distinct column vs 0.9 s for a low-cardinality one, and
+  * the merge thread only gets worse with scale. Why not a full sort:
+  * a parallel sort shuffles the ENTIRE column to find 3 ranks.
+  *
+  * Here every pass is a codegen'd scan + tiny aggregate (≤ K×targets
+  * groups shuffled), no wide shuffle, no cache:
+  *   1. min/max/count per column (one agg row);
+  *   2. bucket the candidate interval into K uniform bins, count per
+  *      bin (one pass for ALL unresolved targets, stacked); locate the
+  *      bin holding each target rank; recurse into it — each round
+  *      shrinks candidates ~K×, and a bin whose min == max resolves
+  *      its rank exactly (the duplicate-heavy case);
+  *   3. when a target's candidate count ≤ collect limit, fetch just
+  *      those values and rank-select driver-side.
+  * Uniform data resolves in one refinement round. Interpolation
+  * matches `percentile`/`quantile_cont` (linear between floor/ceil
+  * ranks). Nulls are ignored per column; NaNs are not supported (they
+  * are not ordered by < / >=).
   */
 object Quantiles {
 
-  /** Exact interpolated quantiles of a numeric column. Returns the
-    * values in `qs` order. Runs 2 light jobs + 1 sort. */
-  def exact(df: DataFrame, col: String, qs: Seq[Double]): Seq[Double] = {
-    val rdd0 = df.select(F.col(col).cast("double")).na.drop()
-      .rdd.map(_.getDouble(0))
-    val sorted = rdd0.sortBy(identity)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = sorted.mapPartitionsWithIndex { (i, it) =>
-        Iterator((i, it.size.toLong))
-      }.collect().sortBy(_._1).map(_._2)
-      val n = counts.sum
-      require(n > 0, s"no non-null values in $col")
-      val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before part i
-      // global ranks we need (floor & ceil per quantile, 0-based)
-      val targets = qs.flatMap { q =>
-        val pos = q * (n - 1)
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.distinct.sorted
-      val byPart = targets.groupBy { r =>
-        val p = offsets.lastIndexWhere(_ <= r)
-        math.min(p, counts.length - 1)
-      }
-      val bc = sorted.sparkContext.broadcast(byPart.map { case (p, rs) =>
-        p -> rs.map(r => r - offsets(p))
-      })
-      val picked = sorted.mapPartitionsWithIndex { (i, it) =>
-        bc.value.get(i) match {
-          case None => Iterator.empty
-          case Some(localRanks) =>
-            val wanted = localRanks.toSet
-            val offset = 0L
-            it.zipWithIndex.collect {
-              case (v, j) if wanted.contains(j.toLong) =>
-                (localRanks.indexOf(j.toLong), i, j.toLong, v)
-            }
+  private val K = 8192 // histogram bins per refinement round
+  private val CollectLimit = 65536L // max values rank-selected on driver
+  private val MaxRounds = 64 // safety valve; ~2 rounds in practice
+
+  /** Exact interpolated quantiles of one numeric column. */
+  def exact(df: DataFrame, col: String, qs: Seq[Double]): Seq[Double] =
+    exactMulti(df, Seq(col), qs)(col)
+
+  /** One in-flight quantile: the value at fractional position `pos`
+    * of column `col` needs ranks floor(pos)/ceil(pos); candidates =
+    * rows passing `chain`, which are the `count` values at global
+    * ranks [offset, offset+count). [lo, hi] bounds the candidates for
+    * the next bucketing expression. */
+  private final case class TState(
+      col: String, q: Double, pos: Double,
+      offset: Long, count: Long,
+      lo: Double, hi: Double, chain: Column,
+      vLo: Option[Double], vHi: Option[Double]) {
+    def rankLo: Long = math.floor(pos).toLong
+    def rankHi: Long = math.ceil(pos).toLong
+    def resolved: Boolean = vLo.isDefined && vHi.isDefined
+    def interpolate: Double = {
+      val (a, b) = (vLo.get, vHi.get)
+      if (rankLo == rankHi) a else a + (pos - rankLo) * (b - a)
+    }
+  }
+
+  /** Exact interpolated quantiles of several numeric columns; all
+    * columns and quantiles share each refinement pass. `stats` can
+    * supply precomputed (min, max, non-null count) per column to skip
+    * the first pass (describe already has them). */
+  def exactMulti(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+                 stats: Map[String, (Double, Double, Long)] = Map.empty)
+      : Map[String, Seq[Double]] = {
+    require(cols.nonEmpty && qs.nonEmpty)
+    val st: Map[String, (Double, Double, Long)] =
+      if (cols.forall(stats.contains)) stats
+      else {
+        val aggs = cols.flatMap { c =>
+          Seq(F.min(F.col(c).cast("double")).as(s"${c}__min"),
+            F.max(F.col(c).cast("double")).as(s"${c}__max"),
+            F.count(F.col(c)).as(s"${c}__n"))
         }
-      }.collect()
-      val valueAt: Map[(Int, Long), Double] =
-        picked.map { case (_, p, lr, v) => (p, lr) -> v }.toMap
-      def globalValue(r: Long): Double = {
-        val p = math.min(offsets.lastIndexWhere(_ <= r), counts.length - 1)
-        valueAt((p, r - offsets(p)))
+        val row = df.agg(aggs.head, aggs.tail: _*).first()
+        cols.map { c =>
+          c -> ((row.getAs[Double](s"${c}__min"),
+            row.getAs[Double](s"${c}__max"), row.getAs[Long](s"${c}__n")))
+        }.toMap
       }
-      qs.map { q =>
-        val pos = q * (n - 1)
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        val vl = globalValue(lo)
-        val vh = globalValue(hi)
-        if (lo == hi) vl else vl + (pos - lo) * (vh - vl)
+    cols.foreach { c =>
+      require(st(c)._3 > 0, s"no non-null values in $c")
+    }
+
+    var states: Seq[TState] = for {
+      c <- cols; q <- qs
+    } yield {
+      val (mn, mx, n) = st(c)
+      val s = TState(c, q, q * (n - 1), 0L, n, mn, mx,
+        F.col(c).isNotNull && F.col(c).cast("double").between(mn, mx),
+        None, None)
+      // a constant column (or n == 1) is resolved for free
+      if (mn == mx) s.copy(vLo = Some(mn), vHi = Some(mn)) else s
+    }
+
+    var rounds = 0
+    while (states.exists(s => !s.resolved && s.count > CollectLimit)
+      && rounds < MaxRounds) {
+      rounds += 1
+      states = refine(df, states)
+    }
+    states = collectResolve(df, states)
+    cols.map { c =>
+      c -> qs.map(q =>
+        states.find(s => s.col == c && s.q == q).get.interpolate)
+    }.toMap
+  }
+
+  /** One histogram pass for every unresolved-and-too-big target.
+    * Identical (col, interval) states share a histogram. */
+  private def refine(df: DataFrame, states: Seq[TState]): Seq[TState] = {
+    val active = states.filter(s => !s.resolved && s.count > CollectLimit)
+    if (active.isEmpty) return states
+    val groups = active
+      .groupBy(s =>
+        (s.col, s.lo, s.hi, s.offset, s.count, s.chain.toString)).toSeq
+    val entries = groups.zipWithIndex.map { case (((col, lo, hi, _, _, _),
+        ss), tid) =>
+      val v = F.col(col).cast("double")
+      val w = (hi - lo) / K
+      val bucket = F.least(F.lit(K - 1), F.greatest(F.lit(0),
+        F.floor((v - F.lit(lo)) * F.lit(K) / F.lit(hi - lo)))).cast("int")
+      (tid, ss, lo, hi, w,
+        F.when(ss.head.chain, F.struct(F.lit(tid).as("tid"),
+          bucket.as("bucket"), v.as("v"))))
+    }
+    val exploded = df
+      .select(F.explode(F.array(entries.map(_._6): _*)).as("e"))
+      .filter(F.col("e").isNotNull)
+      .groupBy(F.col("e.tid").as("tid"), F.col("e.bucket").as("bucket"))
+      .agg(F.count(F.lit(1)).as("cnt"), F.min("e.v").as("mn"),
+        F.max("e.v").as("mx"))
+      .collect()
+    val hist: Map[Int, Array[(Int, Long, Double, Double)]] = exploded
+      .map(r => (r.getAs[Int]("tid"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+      .groupBy(_._1)
+      .map { case (tid, rows) =>
+        tid -> rows.map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
       }
-    } finally sorted.unpersist(blocking = false)
+    val refined = entries.flatMap { case (tid, ss, lo, hi, w, _) =>
+      val bins = hist(tid)
+      val cum = bins.scanLeft(0L)(_ + _._2) // rows before bins(i)
+      ss.map { s =>
+        // local (0-based) candidate ranks of this target
+        def locate(rank: Long): (Int, Long) = { // (bin index, below-bin)
+          val local = rank - s.offset
+          val i = cum.lastIndexWhere(_ <= local) match {
+            case j if j >= bins.length => bins.length - 1
+            case j => math.max(0, math.min(j, bins.length - 1))
+          }
+          (i, cum(i))
+        }
+        def valueIfUniform(i: Int): Option[Double] = {
+          val (_, _, mn, mx) = bins(i)
+          if (mn == mx) Some(mn) else None
+        }
+        // only locate ranks that are still unresolved — a resolved
+        // rank may already sit outside the narrowed interval
+        val binLo = if (s.vLo.isEmpty) Some(locate(s.rankLo)._1) else None
+        val binHi = if (s.vHi.isEmpty) Some(locate(s.rankHi)._1) else None
+        val rLo = s.vLo.orElse(binLo.flatMap(valueIfUniform))
+        val rHi = s.vHi.orElse(binHi.flatMap(valueIfUniform))
+        if (rLo.isDefined && rHi.isDefined)
+          s.copy(vLo = rLo, vHi = rHi)
+        else {
+          // narrow to the bin span of the ranks that remain unresolved
+          // (adjacent bins at most, when rankHi = rankLo + 1)
+          val need = Seq(if (rLo.isEmpty) binLo else None,
+            if (rHi.isEmpty) binHi else None).flatten
+          val iLo = need.min
+          val iHi = need.max
+          val bLo = bins(iLo)._1
+          val bHi = bins(iHi)._1
+          val newOffset = s.offset + cum(iLo)
+          val newCount =
+            bins.slice(iLo, iHi + 1).map(_._2).sum
+          val bucketOf = {
+            val v = F.col(s.col).cast("double")
+            F.least(F.lit(K - 1), F.greatest(F.lit(0),
+              F.floor((v - F.lit(lo)) * F.lit(K) / F.lit(hi - lo))))
+              .cast("int")
+          }
+          // margin of one bin on each side keeps the next bucketing
+          // range a superset of the chain-selected values under float
+          // rounding; membership itself is exactly the bucket predicate
+          val newLo = math.max(lo, lo + (bLo - 1) * w)
+          val newHi = math.min(hi, lo + (bHi + 2) * w)
+          s.copy(
+            offset = newOffset, count = newCount,
+            lo = newLo, hi = newHi,
+            chain = s.chain && bucketOf.between(bLo, bHi),
+            vLo = rLo, vHi = rHi)
+        }
+      }
+    }
+    val refinedKeys = refined.map(s => (s.col, s.q)).toSet
+    states.filterNot(s => refinedKeys.contains((s.col, s.q))) ++ refined
+  }
+
+  /** Fetch every remaining target's candidate values (bounded by
+    * CollectLimit each) in one pass and rank-select driver-side. */
+  private def collectResolve(df: DataFrame,
+                             states: Seq[TState]): Seq[TState] = {
+    val pending = states.filterNot(_.resolved)
+    if (pending.isEmpty) return states
+    val groups = pending
+      .groupBy(s => (s.col, s.chain.toString)).toSeq
+    val entries = groups.zipWithIndex.map { case ((_, ss), tid) =>
+      (tid, ss,
+        F.when(ss.head.chain, F.struct(F.lit(tid).as("tid"),
+          F.col(ss.head.col).cast("double").as("v"))))
+    }
+    val rows = df
+      .select(F.explode(F.array(entries.map(_._3): _*)).as("e"))
+      .filter(F.col("e").isNotNull)
+      .select(F.col("e.tid"), F.col("e.v"))
+      .collect()
+    val byTid = rows.groupBy(_.getInt(0))
+    val resolved = entries.flatMap { case (tid, ss, _) =>
+      val sortedVals = byTid.getOrElse(tid, Array.empty)
+        .map(_.getDouble(1)).sorted
+      ss.map { s =>
+        def at(rank: Long): Double = sortedVals((rank - s.offset).toInt)
+        s.copy(vLo = s.vLo.orElse(Some(at(s.rankLo))),
+          vHi = s.vHi.orElse(Some(at(s.rankHi))))
+      }
+    }
+    val doneKeys = resolved.map(s => (s.col, s.q)).toSet
+    states.filterNot(s => doneKeys.contains((s.col, s.q))) ++ resolved
   }
 }

@@ -119,10 +119,10 @@ object RelOps {
       */
     def hcat(other: DataFrame, orderLeft: Seq[String],
              orderRight: Seq[String]): DataFrame = {
+      // scalable row id: range-partitioned sort + per-partition offsets
+      // (NOT an unpartitioned row_number window — single-task at scale).
       def withRid(d: DataFrame, order: Seq[String]) =
-        d.withColumn("__rid",
-          F.row_number().over(
-            Window.orderBy(order.map(F.col): _*)).cast(LongType))
+        globalRowNumber(d, "__rid", order.map(Ordering(_)))
       val l = withRid(df, orderLeft)
       // collision-safe names, reference `make_unique` (src/utils.jl:42-68)
       val taken = df.columns.toSet
@@ -178,6 +178,31 @@ object RelOps {
       if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
     }
+  }
+
+  /** Global 1-based row number under a TOTAL ordering without a
+    * single-partition window: range-repartition on the sort key, sort
+    * within partitions, then add per-partition offsets (zipWithIndex).
+    * Every stage is parallel — a plain `row_number() OVER (ORDER BY …)`
+    * funnels the whole table through ONE task, which is the round-1
+    * scale-killer this replaces. The only narrow point left is the
+    * O(#partitions) offset array zipWithIndex holds on the driver.
+    *
+    * Determinism: the range boundaries are sampled once when the RDD
+    * DAG is built, so the count job and the map job inside zipWithIndex
+    * see identical partitioning; the ordering must be total (include a
+    * tiebreaker) for the sort itself to be deterministic.
+    */
+  def globalRowNumber(df: DataFrame, out: String,
+                      orderings: Seq[Ordering]): DataFrame = {
+    val sortCols = orderings.map(_.toColumn)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema.add(out, LongType, nullable = false)
+    val rows = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rows, schema)
   }
 
   /** reference `make_unique` (src/utils.jl:42-68): suffix `_k` until the

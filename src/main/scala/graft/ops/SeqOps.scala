@@ -67,13 +67,21 @@ object SeqOps {
     }
 
     /** sortperm as a column: rank of each row under the given ordering
-      * (reference src/dataframe.jl:1540-1852; `sortperm`). */
+      * (reference src/dataframe.jl:1540-1852; `sortperm`).
+      *
+      * Partitioned → per-key window after a hash shuffle (scales).
+      * Unpartitioned (global sortperm) → range-partitioned sort +
+      * per-partition offsets via [[RelOps.globalRowNumber]]; an
+      * unpartitioned row_number window would funnel every row through
+      * one task. */
     def rankBy(out: String, partitionBy: Seq[String],
-               orderings: RelOps.Ordering*): DataFrame = {
-      val w0 = if (partitionBy.isEmpty) Window.partitionBy()
-               else Window.partitionBy(partitionBy.map(F.col): _*)
-      df.withColumn(out,
-        F.row_number().over(w0.orderBy(orderings.map(_.toColumn): _*)))
-    }
+               orderings: RelOps.Ordering*): DataFrame =
+      if (partitionBy.isEmpty)
+        RelOps.globalRowNumber(df, out, orderings)
+      else {
+        val w0 = Window.partitionBy(partitionBy.map(F.col): _*)
+        df.withColumn(out,
+          F.row_number().over(w0.orderBy(orderings.map(_.toColumn): _*)))
+      }
   }
 }

@@ -46,34 +46,49 @@ object StatOps {
     }
 
     /** describeCols with quantiles via the sort-based exact algorithm
-      * ([[Quantiles.exact]]) instead of `percentile`'s value-map
-      * buffers: same output, scales to high-cardinality columns. One
-      * aggregate pass for min/mean/max/counts + one parallel sort per
-      * column for the quantile ranks.
+      * ([[Quantiles.exactMulti]]) instead of `percentile`'s value-map
+      * buffers: same output, scales to high-cardinality columns (the
+      * value-map merge is O(distinct) on ONE reducer — measured 2.9 s
+      * for one 600k-distinct column vs 0.9 s for low-cardinality). ONE
+      * aggregate pass for min/mean/max/counts + ONE parallel sort of
+      * all columns stacked for the quantile ranks, regardless of how
+      * many columns are described.
       */
     def describeColsExact(cols: Seq[String], digits: Int = 6): DataFrame = {
       val spark = df.sparkSession
+      // Lean aggregate: UNROUNDED min/max (they double as the quantile
+      // interval bounds — rounded bounds could exclude true extremes
+      // and corrupt the rank bookkeeping; display rounding = the same
+      // HALF_UP applied driver-side), n_missing derived from one shared
+      // count(1). Fewer expressions = visibly cheaper whole-stage
+      // codegen compile, which dominates the cold run.
       val aggs = cols.flatMap { c =>
         Seq(
-          F.expr(s"round(min($c), $digits)").as(s"${c}__min"),
+          F.min(F.col(c).cast("double")).as(s"${c}__min"),
+          F.max(F.col(c).cast("double")).as(s"${c}__max"),
           F.expr(s"round(avg($c), $digits)").as(s"${c}__mean"),
-          F.expr(s"round(max($c), $digits)").as(s"${c}__max"),
-          F.expr(s"count($c)").cast("long").as(s"${c}__n"),
-          F.expr(s"count_if($c is null)").cast("long").as(s"${c}__n_missing"))
-      }
+          F.expr(s"count($c)").cast("long").as(s"${c}__n"))
+      } :+ F.count(F.lit(1)).as("__rows")
       val one = df.agg(aggs.head, aggs.tail: _*).first()
       def rnd(v: Double) =
         BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_UP)
           .toDouble
-      val rows = cols.map { c =>
-        val Seq(q25, med, q75) =
-          Quantiles.exact(df, c, Seq(0.25, 0.5, 0.75))
-        org.apache.spark.sql.Row(
-          c, one.getAs[Double](s"${c}__min"), rnd(q25), rnd(med),
-          one.getAs[Double](s"${c}__mean"), rnd(q75),
+      val totalRows = one.getAs[Long]("__rows")
+      val stats = cols.map { c =>
+        c -> ((one.getAs[Double](s"${c}__min"),
           one.getAs[Double](s"${c}__max"),
-          one.getAs[Long](s"${c}__n").toDouble,
-          one.getAs[Long](s"${c}__n_missing").toDouble)
+          one.getAs[Long](s"${c}__n")))
+      }.toMap
+      val quantiles =
+        Quantiles.exactMulti(df, cols, Seq(0.25, 0.5, 0.75), stats)
+      val rows = cols.map { c =>
+        val Seq(q25, med, q75) = quantiles(c)
+        val n = one.getAs[Long](s"${c}__n")
+        org.apache.spark.sql.Row(
+          c, rnd(one.getAs[Double](s"${c}__min")), rnd(q25), rnd(med),
+          one.getAs[Double](s"${c}__mean"), rnd(q75),
+          rnd(one.getAs[Double](s"${c}__max")),
+          n.toDouble, (totalRows - n).toDouble)
       }
       import org.apache.spark.sql.types._
       val schema = StructType(

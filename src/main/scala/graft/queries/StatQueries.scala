@@ -48,15 +48,16 @@ object StatQueries {
         .xtab("c_mktsegment", "o_orderstatus", orderStatuses)
     },
 
-    // describe: one-pass multi-column summary (reference
-    // src/dataframe.jl:867-906).
-    // describeCols (percentile value-map buffers) wins below ~10^6 rows
-    // per column; describeColsExact (range-partitioned sort + rank
-    // selection) is the high-cardinality / 100 TB path — equality of
-    // the two is asserted in OpsSpec.
+    // describe: multi-column summary (reference src/dataframe.jl:
+    // 867-906). describeColsExact = one stats agg + iterative histogram
+    // refinement for the exact quantiles (no wide shuffle, no
+    // single-reducer value-map merge) — the 100 TB path at any
+    // cardinality. Equality with the percentile-based describeCols is
+    // asserted in OpsSpec.
     "q21_describe" -> { (s, dir) =>
       T.load(s, dir, "lineitem")
-        .describeCols(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .describeColsExact(
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
     },
 
     // colwise aggregate fan-out, `col_fn` naming (reference
@@ -283,8 +284,8 @@ object StatQueries {
          round(log10(l_extendedprice), 6) AS log10_price,
          round(exp(l_discount), 6) AS exp_disc,
          round(abs(l_quantity - 25.0), 6) AS abs_c,
-         floor(l_quantity) AS floor_q,
-         ceiling(l_quantity) AS ceil_q,
+         CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+         CAST(ceiling(l_quantity) AS BIGINT) AS ceil_q,
          round(pow(1.0 + l_tax, 2), 6) AS pow_d,
          round(sin(l_quantity), 6) AS sin_q
          FROM lineitem""",

@@ -20,13 +20,39 @@ object StreamQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a DIRECTORY; glob-filter to the events
-    // file inside the sf dir.
+    // file inside the sf dir. NO maxFilesPerTrigger here: AvailableNow
+    // processes everything in one micro-batch — per-batch fixed costs
+    // (state-store commit fan-out, complete-mode re-emission) scale with
+    // batch COUNT, so the verify/bench path wants exactly one. The
+    // micro-batch-per-file parity path (reference minibatch iterator)
+    // is DataStream.openStream, exercised in tests.
     s.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming aggregate to completion with a bounded state-store
+    * footprint: state partitions = min(8, session shuffle partitions) —
+    * the stateful-shuffle partition count is fixed at first batch, and
+    * 32 near-empty HDFS-backed stores pay 32 commit+maintenance rounds
+    * for a toy stream. Restores the session conf afterwards. */
+  private def runStateful(s: SparkSession, df: DataFrame,
+                          name: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(8, prev.toInt).toString)
+    try {
+      val q = df.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates on its own; the bound is insurance so a
+      // wedged stream cannot stall the driver's whole verify run.
+      q.awaitTermination(600000L); q.stop()
+    } finally s.conf.set(key, prev)
+    s.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,38 +60,27 @@ object StreamQueries {
     // Running per-group aggregates in complete mode — the reference's
     // streaming sum/mean accumulators (src/datastream.jl:87-247).
     "q60_stream_agg" -> { (s, dir) =>
-      val name = uniq("stream_agg")
       // sum/mean/count = reference streaming aggregates
       // (src/datastream.jl:87-247); stddev = the latent Welford
-      // variance path (src/datastream.jl:249-446, commented out there).
+      // variance path, covar_samp = the latent two-pass covariance
+      // (src/datastream.jl:249-446, commented out there).
       val agg = eventsStream(s, dir)
         .groupBy("event_type")
         .agg(F.round(F.sum("value"), 2).as("total"),
              F.round(F.avg("value"), 6).as("mean"),
              F.round(F.stddev_samp(F.col("value")), 6).as("sd"),
+             F.round(F.covar_samp(F.col("value"),
+               F.col("user_id").cast("double")), 4).as("cov_vu"),
              F.count(F.lit(1)).as("n"))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // AvailableNow terminates on its own; the bound is insurance so
-      // a wedged stream cannot stall the driver's whole verify run.
-      q.awaitTermination(600000L); q.stop()
-      s.table(name)
+      runStateful(s, agg, uniq("stream_agg"))
     },
 
     // Event-time tumbling windows (1 hour) per event_type — Spark
     // superset (the reference has no event-time windows).
     "q61_stream_window" -> { (s, dir) =>
-      val name = uniq("stream_win")
       val win = DataStream.windowedAgg(
-        eventsStream(s, dir), "ts", "event_type", "1 hour", "2 hours")
-      val q = win.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(600000L); q.stop()
-      s.table(name)
+        eventsStream(s, dir), "ts", "event_type", "1 hour")
+      runStateful(s, win, uniq("stream_win"))
     },
 
     // Gap-based sessionization, batch path (30-minute gap); the
@@ -90,10 +105,10 @@ object StreamQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
            SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
                ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
@@ -103,7 +118,10 @@ object StreamQueries {
     "q60_stream_agg" ->
       """SELECT event_type, round(sum(value), 2) AS total,
                 round(avg(value), 6) AS mean,
-                round(stddev_samp(value), 6) AS sd, count(*) AS n
+                round(stddev_samp(value), 6) AS sd,
+                round(covar_samp(value, CAST(user_id AS DOUBLE)), 4)
+                  AS cov_vu,
+                count(*) AS n
          FROM events GROUP BY event_type""",
     "q61_stream_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)

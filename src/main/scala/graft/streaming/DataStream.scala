@@ -60,12 +60,30 @@ object DataStream {
     spark.table(queryName)
   }
 
-  /** Event-time tumbling-window aggregate with watermark — the Spark
-    * superset the reference lacks (SURVEY §2.10: "no watermarks, no
-    * event-time windows"). Epoch-aligned windows.
+  /** Event-time tumbling-window aggregate — the Spark superset the
+    * reference lacks (SURVEY §2.10: "no watermarks, no event-time
+    * windows"). Epoch-aligned windows, complete output mode: no
+    * watermark here, because a watermark is IGNORED in complete mode
+    * (all windows are re-emitted each batch) and merely forces useless
+    * event-time tracking. Late-data eviction lives in
+    * [[windowedAggLate]].
     */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
-                  window: String, watermark: String): DataFrame =
+                  window: String): DataFrame =
+    events
+      .groupBy(F.window(F.col(tsCol), window), F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n"),
+           F.round(F.sum("value"), 2).as("total"))
+      .select(
+        F.unix_timestamp(F.col("window.start")).as("window_start"),
+        F.col(keyCol), F.col("n"), F.col("total"))
+
+  /** Watermarked variant for append-mode emission: windows close (and
+    * state is evicted) once the watermark passes window end — the
+    * unbounded-stream path where complete mode would hold every window
+    * forever. */
+  def windowedAggLate(events: DataFrame, tsCol: String, keyCol: String,
+                      window: String, watermark: String): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(F.window(F.col(tsCol), window), F.col(keyCol))

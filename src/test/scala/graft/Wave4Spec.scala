@@ -15,6 +15,8 @@ class Wave4Spec extends SparkSpec {
       .agg(F.round(F.sum("value"), 2).as("total"),
         F.round(F.avg("value"), 6).as("mean"),
         F.round(F.stddev_samp(F.col("value")), 6).as("sd"),
+        F.round(F.covar_samp(F.col("value"),
+          F.col("user_id").cast("double")), 4).as("cov_vu"),
         F.count(F.lit(1)).as("n"))
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)

@@ -18,14 +18,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # Strict dtype-aware normalization: int 25 and float 25.0 must NOT
+    # fold together — the driver converts DuckDB results through pandas,
+    # where HUGEINT (integer window sums) and floor()/ceiling() become
+    # float64 and hash as "25.0" against Spark's BIGINT "25". Round-1
+    # q33/q71 hash failures were exactly this, invisible to the old
+    # %.9g normalization.
     if v is None:
         return "NULL"
+    if hasattr(v, "item"):  # numpy scalar → Python scalar
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "0.0" if math.copysign(1, v) > 0 else "-0.0"
+        return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)
@@ -58,10 +66,14 @@ def main():
             print(f"EMPTY  {name}: no parquet output")
             n_fail += 1
             continue
+        # Go through pandas (.df()) like the driver does: DuckDB HUGEINT
+        # and floor()/ceiling() land as float64 there, so dtype drift vs
+        # Spark's BIGINT is visible. fetchall() would hide it (Python int).
         got = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        g_cols = [d[0] for d in got.description]
-        g_rows = got.fetchall()
+        g_df = got.df()
+        g_cols = list(g_df.columns)
+        g_rows = [tuple(r) for r in g_df.itertuples(index=False, name=None)]
         if name not in oracles:
             print(f"NOORA  {name}: rows={len(g_rows)} (rows-only check: "
                   f"{'PASS' if len(g_rows) > 0 else 'FAIL'})")
@@ -72,8 +84,10 @@ def main():
             continue
         try:
             exp = con.execute(oracles[name])
-            e_cols = [d[0] for d in exp.description]
-            e_rows = exp.fetchall()
+            e_df = exp.df()
+            e_cols = list(e_df.columns)
+            e_rows = [tuple(r)
+                      for r in e_df.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"ORAERR {name}: {e}")
             n_fail += 1
