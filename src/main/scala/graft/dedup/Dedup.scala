@@ -109,20 +109,35 @@ object Dedup {
   /** All pairs with Jaccard >= threshold, computed EXACTLY via an
     * inverted shingle index: explode → self-join on shingle → count
     * common per pair → |∪| = |A|+|B|-common. The join key is an 8-byte
-    * shingle hash. Scale note: ultra-common shingles create join skew;
-    * production path adds a df-cap prefilter (trades exactness below
-    * the threshold) or AQE skew-join handles it — left exact here.
+    * shingle hash.
+    *
+    * Scale note: ultra-common "stop shingles" make the self-join emit
+    * Σdf² candidate rows — the one blow-up in this plan. `dfCap` drops
+    * shingles whose document frequency exceeds the cap BEFORE the join
+    * (one extra count-over-window on the same key the join shuffles
+    * on). The trade is explicit and one-sided: dropped shingles shrink
+    * `common` only, so `jac` is UNDERCOUNTED — pairs can fall below the
+    * threshold, never rise above it; with the cap above the corpus's
+    * max df the output is bit-identical (asserted in PipelineSpec).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, shCol: String,
                    threshold: Double,
-                   blockCols: Seq[String] = Nil): DataFrame = {
+                   blockCols: Seq[String] = Nil,
+                   dfCap: Option[Long] = None): DataFrame = {
     val base = docs
       .select(F.col(idCol) +: F.col(shCol) +: blockCols.map(F.col): _*)
       .withColumn("sz", F.size(F.col(shCol)))
-    val ex = base.select(
+    val ex0 = base.select(
       (F.col(idCol) +: F.col("sz") +: blockCols.map(F.col)) :+
         F.explode(F.col(shCol)).as("shv"): _*)
       .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
+    val ex = dfCap match {
+      case Some(cap) =>
+        val w = Window.partitionBy((Seq("shh") ++ blockCols).map(F.col): _*)
+        ex0.withColumn("__df", F.count(F.lit(1)).over(w))
+          .filter(F.col("__df") <= cap).drop("__df")
+      case None => ex0
+    }
     val joinCond = (Seq("shh") ++ blockCols).map(c =>
       F.col(s"a.$c") === F.col(s"b.$c")).reduce(_ && _) &&
       F.col(s"a.$idCol") < F.col(s"b.$idCol")

@@ -29,6 +29,23 @@ object Funcs {
   def pasteColumns(sep: String, cols: Column*): Column =
     F.concat_ws(sep, cols: _*)
 
+  /** reference `paste` WITH RECYCLING (src/extras.jl:12-30): elementwise
+    * concat of several sequences, shorter ones repeating cyclically to
+    * the longest length — R's paste semantics. Sequences are array
+    * columns here (the row-parallel analog of the reference's vector
+    * arguments); all-pure-expression, codegen'd. Arrays must be
+    * non-empty (recycling an empty sequence is undefined in the
+    * reference too). */
+  def pasteRecycle(sep: String, arrs: Column*): Column = {
+    require(arrs.nonEmpty)
+    val len =
+      if (arrs.size == 1) F.size(arrs.head)
+      else F.greatest(arrs.map(F.size): _*)
+    F.transform(F.sequence(F.lit(0), len - 1), i =>
+      F.concat_ws(sep,
+        arrs.map(a => F.element_at(a, (i % F.size(a)) + 1)): _*))
+  }
+
   /** Median absolute deviation — reference `mad` export (via Stats.jl,
     * src/operators.jl:52-53). Two exact-percentile passes composed at
     * the plan level; callers on huge data swap percentile→approx. Usage:

@@ -101,6 +101,19 @@ object RelOps {
     def topK(k: Int, orderings: Ordering*): DataFrame =
       sortBy(orderings: _*).limit(k)
 
+    /** `tail(df, n)`: the LAST n rows under an explicit total ordering
+      * (reference src/dataframe.jl:834-837 — head/tail pair over row
+      * order; row order is only semantic under a key in Spark). The
+      * reversed sort+limit lowers to TakeOrderedAndProject (partial
+      * top-k per partition + driver merge, no full sort); the final
+      * sort re-establishes ascending presentation over just n rows.
+      */
+    def tail(n: Int, orderings: Ordering*): DataFrame = {
+      val reversed = orderings.map(o => o.copy(desc = !o.desc))
+      df.orderBy(reversed.map(_.toColumn): _*).limit(n)
+        .sortBy(orderings: _*)
+    }
+
     // ---- §2.7 set ops / concat ----------------------------------------
 
     /** `vcat`/`rbind`: row-bind with union-of-columns-by-name, missing

@@ -22,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
 
   def tokenize(s: UTF8String): Array[String] = {
-    val str = s.toString.toLowerCase
+    // Locale.ROOT pins locale-independent lowercasing like SQL lower()
+    // and the DuckDB oracles — under a Turkish-family default locale a
+    // bare toLowerCase maps 'I' to dotless ı and silently diverges.
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
     var i = 0

@@ -136,6 +136,41 @@ object MiscQueries {
         .agg(F.round(ProductAgg.product(
           F.col("l_discount") + F.lit(1.0)), 6).as("prod_disc"),
           F.count(F.lit(1)).as("n"))
+    },
+
+    // tail: last n rows under an explicit total ordering (reference
+    // head/tail pair, src/dataframe.jl:834-837; q32 is the head half).
+    "q91_tail" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .basedOn("o_orderkey" -> "o_orderkey",
+          "o_totalprice" -> "o_totalprice")
+        .tail(50, Ordering("o_orderkey"))
+    },
+
+    // paste with recycling (reference src/extras.jl:12-30): shorter
+    // sequences repeat cyclically to the longest length. Joined to one
+    // string per row for a stable hash compare.
+    "q92_paste_recycle" -> { (s, dir) =>
+      T.load(s, dir, "customer").select(
+        F.col("c_custkey"),
+        F.array_join(graft.functions.Funcs.pasteRecycle("_",
+          F.split(F.col("c_name"), "#"),   // 2 elements
+          F.array(F.col("c_mktsegment"))), // 1 element, recycled
+          "|").as("pasted"))
+    },
+
+    // colffts (reference src/operators.jl:231-245): per-group DFT over
+    // a bounded 32-point series under a total order; k = 8 coefficients.
+    "q93_colfft" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val series = T.load(s, dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+      graft.ops.Fourier.dftByGroup(series, Seq("o_orderstatus"),
+          Seq("o_orderkey"), "o_totalprice", 8)
+        .basedOn("o_orderstatus" -> "o_orderstatus", "k" -> "k",
+          "re" -> "round(re, 2)", "im" -> "round(im, 2)")
     }
   )
 
@@ -218,6 +253,35 @@ object MiscQueries {
                 round(product(l_discount + 1.0), 6) AS prod_disc,
                 count(*) AS n
          FROM lineitem WHERE l_orderkey % 1000 = 1
-         GROUP BY l_returnflag"""
+         GROUP BY l_returnflag""",
+    "q91_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey DESC LIMIT 50""",
+    "q92_paste_recycle" ->
+      """SELECT c_custkey,
+           array_to_string(
+             list_transform(
+               range(greatest(len(a1), len(a2))),
+               i -> a1[(i % len(a1)) + 1] || '_' || a2[(i % len(a2)) + 1]),
+             '|') AS pasted
+         FROM (SELECT c_custkey, string_split(c_name, '#') AS a1,
+                      [c_mktsegment] AS a2
+               FROM customer)""",
+    "q93_colfft" ->
+      """WITH series AS (
+           SELECT o_orderstatus, o_totalprice AS x,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey) - 1 AS DOUBLE) AS idx
+           FROM orders
+           QUALIFY idx < 32),
+         sized AS (
+           SELECT *, CAST(count(*) OVER (PARTITION BY o_orderstatus)
+             AS DOUBLE) AS len
+           FROM series),
+         ks AS (SELECT CAST(unnest(range(8)) AS INT) AS k)
+         SELECT o_orderstatus, k,
+           round(sum(x * cos(-2 * pi() * k * idx / len)), 2) AS re,
+           round(sum(x * sin(-2 * pi() * k * idx / len)), 2) AS im
+         FROM sized CROSS JOIN ks GROUP BY 1, 2"""
   )
 }

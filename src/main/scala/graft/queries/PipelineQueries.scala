@@ -113,11 +113,42 @@ object PipelineQueries {
     },
 
     // IVF ANN via per-label centroids, nprobe=3 (rows-only: approximate
-    // routing is the point; exactness is q45's job).
+    // routing is the point; recall@10 vs q45 is asserted in
+    // PipelineSpec, and q94 hash-verifies the full-probe limit).
     "q46_knn_ivf" -> { (s, dir) =>
       val emb = T.load(s, dir, "embeddings")
       Knn.ivfKnn(emb, emb.filterExpr("vec_id < 5"),
         "vec_id", "embedding", "label", 10, 3)
+    },
+
+    // IVF at FULL probe must reproduce the exact top-k EXACTLY (recall
+    // = 1.0 by construction): same oracle as q45, hash-checked — the
+    // verification that the IVF routing/rank machinery is sound, with
+    // q46 exercising the approximate path.
+    "q94_ivf_fullprobe" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      Knn.ivfKnn(emb, emb.filterExpr("vec_id < 5"),
+        "vec_id", "embedding", "label", 10, nprobe = 1 << 20)
+    },
+
+    // SimHash recall, hash-checked: pairs at hamming distance <= 16
+    // (lang-blocked) intersected with the EXACT Jaccard >= 0.8 pair set
+    // — equal to that exact set iff SimHash missed nothing. d=16 makes
+    // a miss vanishingly rare for this corpus's J >= 0.95 dups
+    // (P(bit flip) ≈ 0.08 → E[dist] ≈ 5), while false positives are
+    // removed by the intersection, so the check is deterministic in
+    // practice. Signature bits themselves stay rows-only (q42).
+    "q95_simhash_verify" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val sigs = Dedup.simhash64(docs, "doc_id", "toks")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val shPairs = Dedup.simhashNearDups(sigs, "doc_id", "lang", 16)
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.8,
+        blockCols = Seq("lang"))
+      shPairs.join(exact, Seq("id1", "id2"))
+        .select("id1", "id2", "jac")
     },
 
     // Multimodal: binary payload + metadata projection.
@@ -207,11 +238,9 @@ object PipelineQueries {
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       val scored = TextOps.bm25(docs, "doc_id", "toks")
         .withColumn("bm25", F.round(F.col("bm25"), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(F.col("bm25").desc, F.col("tok").asc)
-      scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+      // bounded-memory top-k path (see q80)
+      graft.similarity.TopK
+        .perGroup[String](scored, Seq("doc_id"), "bm25", "tok", 3, "rn")
         .select("doc_id", "tok", "bm25", "rn")
     },
 
@@ -229,11 +258,11 @@ object PipelineQueries {
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       val scored = TextOps.tfidf(docs, "doc_id", "toks")
         .withColumn("tfidf", F.round(F.col("tfidf"), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(F.col("tfidf").desc, F.col("tok").asc)
-      scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+      // bounded-memory top-k (O(docs × 3) shuffled, not O(doc-token
+      // pairs)) — same (score desc, tok asc) order as a row_number
+      // window; ranking on ROUNDED scores so ties match the oracle
+      graft.similarity.TopK
+        .perGroup[String](scored, Seq("doc_id"), "tfidf", "tok", 3, "rn")
         .select("doc_id", "tok", "tfidf", "rn")
     },
 
@@ -278,6 +307,12 @@ object PipelineQueries {
            min(doc_id) OVER (PARTITION BY text) AS keep_id,
            doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
          FROM documents""",
+    // NOTE the oracle is the EXACT all-pairs Jaccard set; the engine is
+    // probabilistic (16 bands × 4 rows → a pair at J barely ≥ 0.8 is
+    // missed w.p. ≈ 2e-4). The gate holds because this corpus's
+    // qualifying pairs all sit at J ≥ 0.95 (miss ≈ 2e-12, checked in
+    // DedupSpec); on a corpus with near-threshold pairs this equality
+    // check would need a superset compare or more bands instead.
     "q41_minhash_neardup" -> duckJaccardPairs(0.8, sameLang = false),
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q44_embed_neardup" ->
@@ -299,6 +334,22 @@ object PipelineQueries {
            row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id) AS rank
          FROM sims QUALIFY rank <= 10""",
+    // q94: IVF at full probe == the exact top-k — oracle is q45's
+    // exact-kNN SQL verbatim.
+    "q94_ivf_fullprobe" ->
+      """WITH sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 5)
+         SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims QUALIFY rank <= 10""",
+    // q95: SimHash(d<=16) ∩ exact(J>=0.8) == exact set iff SimHash
+    // recall is 1 on this corpus (see the query comment).
+    "q95_simhash_verify" -> duckJaccardPairs(0.8, sameLang = true),
     "q47_media_bytes" ->
       """SELECT doc_id, 'text/plain' AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -372,7 +423,9 @@ object PipelineQueries {
          qq AS (
            SELECT vec_id,
              list_transform(e, x ->
-               CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) AS qvec,
+               CASE WHEN maxabs = 0.0 THEN 0
+                    ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)
+               END) AS qvec,
              maxabs / 127.0 AS scale
            FROM q)
          SELECT vec_id,

@@ -19,10 +19,14 @@ object Quantize {
       .withColumn("__maxabs", F.expr(
         s"""aggregate($vecCol, cast(0.0 as double),
              (a, x) -> greatest(a, abs(cast(x as double))))"""))
+      // zero guard: an all-zero vector has maxabs 0 — x/0 is Inf and an
+      // ANSI cast of Inf to int throws; emit qvec of zeros and scale 0
+      // (the oracle mirrors the same CASE).
       .withColumn("qvec", F.expr(
         s"""transform($vecCol, x ->
-              cast(floor(cast(x as double) * 127.0 / __maxabs + 0.5)
-                   as int))"""))
+              if(__maxabs = 0.0d, 0,
+                 cast(floor(cast(x as double) * 127.0 / __maxabs + 0.5)
+                      as int)))"""))
       .withColumn("scale", F.col("__maxabs") / 127.0)
       .drop("__maxabs")
 

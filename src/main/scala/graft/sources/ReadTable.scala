@@ -74,15 +74,63 @@ object ReadTable {
         r.csv(spark.createDataset(lines))
       } else r.csv(path)
     // Reference true/false string sets are wider than Spark's CSV
-    // booleans; post-cast string columns that are entirely boolean-ish.
-    // (The reference restarts column parsing on demotion; Spark's
-    // two-pass inference achieves the same lattice.)
+    // booleans (src/io.jl:356-368, 602-603: T/t/F/f parse as Bool), and
+    // nastrings is a SET while Spark's nullValue is one string. Finish
+    // both post-parse: null out extra naStrings, then cast string
+    // columns whose non-null values all fall in trueStrings ∪
+    // falseStrings. One aggregate pass decides every candidate column
+    // together (the reference pays the same inference scan in-parse).
+    if (opts.inferSchema) df = boolishPostCast(df, opts)
     if (opts.colNames.nonEmpty) {
       require(opts.colNames.size == df.columns.length,
         s"colNames size ${opts.colNames.size} != ${df.columns.length}")
       df = df.toDF(opts.colNames: _*)
     }
     opts.nrows.map(df.limit).getOrElse(df)
+  }
+
+  /** Post-parse finish of the reference's inference cascade for the
+    * pieces Spark's CSV options can't express: extra `naStrings`
+    * entries → null, and all-boolean-ish string columns → boolean
+    * (reference src/io.jl:356-368, 602-603). Costs one aggregate scan
+    * over the string columns, same order as the inference scan itself.
+    */
+  private def boolishPostCast(df0: DataFrame,
+                              opts: ReadOptions): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.StringType
+    val strCols = df0.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    if (strCols.isEmpty) return df0
+    val primaryNa = opts.naStrings.find(_.nonEmpty).getOrElse("")
+    val extraNa = opts.naStrings.filter(s => s.nonEmpty && s != primaryNa)
+    val df =
+      if (extraNa.isEmpty) df0
+      else strCols.foldLeft(df0) { (d, c) =>
+        d.withColumn(c,
+          F.when(F.col(c).isin(extraNa: _*), F.lit(null))
+            .otherwise(F.col(c)))
+      }
+    val tf = opts.trueStrings ++ opts.falseStrings
+    if (tf.isEmpty) return df
+    val aggs = strCols.flatMap { c =>
+      Seq(
+        F.bool_and(F.col(c).isNull || F.col(c).isin(tf: _*))
+          .as(s"${c}__all"),
+        F.bool_or(F.col(c).isNotNull).as(s"${c}__any"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    def flag(name: String): Boolean = {
+      val i = row.fieldIndex(name)
+      !row.isNullAt(i) && row.getBoolean(i)
+    }
+    val boolish =
+      strCols.filter(c => flag(s"${c}__all") && flag(s"${c}__any"))
+    boolish.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        F.when(F.col(c).isin(opts.trueStrings: _*), true)
+          .when(F.col(c).isin(opts.falseStrings: _*), false))
+    }
   }
 
   /** reference writetable (src/io.jl:726-791): header + separator +

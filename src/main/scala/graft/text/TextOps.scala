@@ -87,47 +87,59 @@ object TextOps {
 
   /** TF-IDF over a tokenized corpus: explode tokens → tf per (doc,
     * token), df per token → tfidf = tf * ln(N / df). Two shuffles
-    * (doc-token, token), both on compact keys; the idf table is tiny
-    * and broadcast into the scoring join. Standard relevance/quality
-    * machinery for pretraining-data pipelines.
+    * (doc-token, token), both on compact keys. The token↔df join is
+    * left to AQE: on a web-scale corpus the vocabulary is far past
+    * broadcast size, so no broadcast hint is forced. The corpus size N
+    * is a 1-row aggregate cross-joined into the plan — one job, no
+    * driver-side count() action.
     */
   def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
             tokCol: String): org.apache.spark.sql.DataFrame = {
     val ex = docs.select(F.col(idCol), F.explode(F.col(tokCol)).as("tok"))
     val tf = ex.groupBy(idCol, "tok")
       .agg(F.count(F.lit(1)).as("tf"))
-    val n = docs.select(idCol).distinct().count()
+    val nDf = docs.agg(
+      F.count_distinct(F.col(idCol)).cast("double").as("__n"))
     val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
       .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
-    tf.join(F.broadcast(df_), "tok")
+    tf.join(df_, "tok")
+      .crossJoin(nDf) // 1 row → broadcast NL join, stays one job
       .withColumn("tfidf",
-        F.col("tf") * F.log(F.lit(n.toDouble) / F.col("df")))
+        F.col("tf") * F.log(F.col("__n") / F.col("df")))
+      .drop("__n")
   }
 
   /** BM25 relevance scores per (doc, token) — the ranking-function
     * extension of [[tfidf]]: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*|d|/avgdl)).
-    * Same two-shuffle shape; avgdl and idf are scalar/broadcast.
+    * Same two-shuffle shape; N and avgdl come from ONE 1-row aggregate
+    * cross-joined into the plan (no driver .first()/.count() actions),
+    * and the vocabulary join is left to AQE (no broadcast hint — a
+    * web-scale vocabulary exceeds broadcast limits).
     */
   def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
            tokCol: String, k1: Double = 1.2,
            b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val withLen = docs.withColumn("__dl", F.size(F.col(tokCol)))
-    val avgdl = withLen.agg(F.avg("__dl")).first().getDouble(0)
-    val n = docs.select(idCol).distinct().count()
+    val statsDf = withLen.agg(
+      F.avg("__dl").as("__avgdl"),
+      F.count_distinct(F.col(idCol)).cast("double").as("__n"))
     val ex = withLen.select(F.col(idCol), F.col("__dl"),
       F.explode(F.col(tokCol)).as("tok"))
     val tf = ex.groupBy(idCol, "tok")
       .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("dl"))
     val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
       .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
-    tf.join(F.broadcast(df_), "tok")
+    tf.join(df_, "tok")
+      .crossJoin(statsDf) // 1 row → broadcast NL join
       .withColumn("idf",
-        F.log((F.lit(n.toDouble) - F.col("df") + 0.5) /
+        F.log((F.col("__n") - F.col("df") + 0.5) /
           (F.col("df") + 0.5) + 1.0))
       .withColumn("bm25",
         F.col("idf") * (F.col("tf") * (k1 + 1)) /
           (F.col("tf") +
-            F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)))
+            F.lit(k1) * (F.lit(1 - b) +
+              F.lit(b) * F.col("dl") / F.col("__avgdl"))))
+      .drop("__n", "__avgdl")
   }
 
   /** Content flags for quality filtering: email/url/digit-run counts +

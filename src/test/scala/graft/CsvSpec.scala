@@ -37,6 +37,22 @@ class CsvSpec extends SparkSpec {
     }
   }
 
+  test("T/t/F/f columns post-cast to boolean; extra naStrings nulled") {
+    // reference parses T/t/F/f as Bool (src/io.jl:356-368, 602-603);
+    // nastrings is a set, here {"NA", "NULL"}
+    val p = fixture("boolish.csv",
+      "b1,b2,s,m\nT,true,Tx,1\nf,F,ok,NULL\nt,T,T,NA\n")
+    val df = ReadTable.readtable(spark, p,
+      ReadOptions(naStrings = Seq("NA", "", "NULL")))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("b1") == BooleanType) // T/f/t
+    assert(types("b2") == BooleanType) // Spark-native true/false + T/F
+    assert(types("s") == StringType)   // "Tx"/"ok" are not boolean-ish
+    val rows = df.orderBy("m").collect()
+    assert(df.filter(df("m").isNull).count() == 2) // NA and NULL
+    assert(rows.exists(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("quoting: embedded separators, quotes, and newlines") {
     val p = fixture("quote.csv",
       "name,note\n\"x,y\",\"say \"\"hi\"\"\"\n\"multi\nline\",plain\n")

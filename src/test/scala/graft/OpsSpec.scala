@@ -101,6 +101,40 @@ class OpsSpec extends SparkSpec {
     assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty)
   }
 
+  test("tail returns the last n rows under the ordering (head's pair)") {
+    val o = T.load(spark, sf, "orders")
+    val t = o.tail(5, Ordering("o_orderkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val expect = o.orderBy(F.col("o_orderkey").desc).limit(5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(t == expect)
+    assert(t == t.sorted) // ascending presentation, like reference tail
+  }
+
+  test("pasteRecycle recycles shorter sequences cyclically") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      graft.functions.Funcs.pasteRecycle("-",
+        F.expr("array('a','b','c','d')"),
+        F.expr("array('1','2')")).as("p"))
+    assert(df.first().getSeq[String](0) ==
+      Seq("a-1", "b-2", "c-1", "d-2")) // reference paste recycling
+  }
+
+  test("dftByGroup: k=0 is the series sum, im(0)=0") {
+    val o = T.load(spark, sf, "orders")
+    val dft = graft.ops.Fourier.dftByGroup(
+      o, Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice", 2)
+    val k0 = dft.filter(F.col("k") === 0).collect()
+    val sums = o.groupBy("o_orderstatus").agg(F.sum("o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    k0.foreach { r =>
+      assert(math.abs(r.getAs[Double]("re") -
+        sums(r.getString(0))) < 1e-4)
+      assert(math.abs(r.getAs[Double]("im")) < 1e-4)
+    }
+  }
+
   test("corMatrix is bounded in [-1,1] and symmetric pairs unique") {
     val c = T.load(spark, sf, "lineitem")
       .corMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))

@@ -77,6 +77,69 @@ class PipelineSpec extends SparkSpec {
       val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
   }
 
+  test("jaccardPairs df-cap above observed max df is a no-op") {
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
+      blockCols = Seq("lang"))
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
+      blockCols = Seq("lang"), dfCap = Some(100000L))
+    assert(capped.exceptAll(uncapped).isEmpty &&
+      uncapped.exceptAll(capped).isEmpty)
+    // a tight cap can only LOSE pairs (jac undercounts), never add
+    val tight = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
+      blockCols = Seq("lang"), dfCap = Some(2L))
+    assert(tight.select("id1", "id2")
+      .exceptAll(uncapped.select("id1", "id2")).isEmpty)
+  }
+
+  test("IVF recall@10 at nprobe=3 vs exact brute force") {
+    // The sf corpus embeddings are isotropic noise (intra-label and
+    // inter-label mean cosine both ~0), so ANY cell routing there is a
+    // random partition: expected recall == nprobe/ncells. IVF's recall
+    // claim is about clustered data, so assert it on a planted-cluster
+    // corpus; on the real corpus only the routing-fraction floor holds.
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val ncells = 10; val per = 40
+    val rows = for {
+      c <- 0 until ncells
+      i <- 0 until per
+    } yield {
+      val center = Array.tabulate(dim)(d =>
+        math.sin((c * dim + d + 1) * 2.39996).toFloat * 3f)
+      val v = center.map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      (c * per + i, v.toSeq, c)
+    }
+    import spark.implicits._
+    val planted = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val q = planted.filter(F.col("vec_id") % 40 === 0)
+    val exact = Knn.bruteForceKnn(planted, q, "vec_id", "embedding", 10)
+    val ivf = Knn.ivfKnn(planted, q, "vec_id", "embedding", "label", 10, 3)
+    val hits = ivf.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / exact.count()
+    info(f"planted-cluster IVF nprobe=3 recall@10 = $recall%.3f")
+    assert(recall >= 0.95)
+    // real corpus: random-partition floor only (nprobe/ncells, slack 2x)
+    val qr = emb.filterExpr("vec_id < 5")
+    val exactR = Knn.bruteForceKnn(emb, qr, "vec_id", "embedding", 10)
+    val ivfR = Knn.ivfKnn(emb, qr, "vec_id", "embedding", "label", 10, 3)
+    val recallR = ivfR.select("query_id", "neighbor_id")
+      .intersect(exactR.select("query_id", "neighbor_id")).count()
+      .toDouble / exactR.count()
+    info(f"isotropic-corpus IVF nprobe=3 recall@10 = $recallR%.3f")
+    assert(recallR >= 0.15)
+  }
+
+  test("simhash hamming distance is small exactly on true near-dups") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "toks")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val sh = Dedup.simhashNearDups(sigs, "doc_id", "lang", 16)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.8,
+      blockCols = Seq("lang"))
+    // recall: every exact pair is simhash-close
+    assert(exact.join(sh, Seq("id1", "id2"), "left_anti").count() == 0)
+  }
+
   test("TopK aggregator equals the window-based top-k") {
     import graft.similarity.{Knn, TopK}
     val corpus = emb
@@ -91,7 +154,7 @@ class PipelineSpec extends SparkSpec {
       .withColumn("sim", F.round(
         graft.plans.VectorExpressions.cosineF(
           F.col("qvec"), F.col("cvec")), 6))
-    val viaAgg = TopK.perGroup(cands, Seq("query_id"), "sim",
+    val viaAgg = TopK.perGroup[Long](cands, Seq("query_id"), "sim",
       "neighbor_id", 5)
       .select("query_id", "neighbor_id", "sim", "rank")
     assert(viaAgg.exceptAll(viaWindow).isEmpty &&
