@@ -25,8 +25,19 @@ object PlanAudit {
           val plan = df.queryExecution.executedPlan.toString()
           val shuffles = "Exchange hashpartitioning".r
             .findAllIn(plan).size
-          val singleParts = "Exchange SinglePartition".r
-            .findAllIn(plan).size
+          // A SinglePartition exchange is the scale red flag ONLY when
+          // it funnels data rows through one task. The final step of a
+          // global scalar aggregate (child = HashAggregate(keys=[]))
+          // moves one partial-agg row per map task — O(partitions),
+          // benign by construction — and is counted apart as `scalar`.
+          val planLines = plan.linesIterator.toArray
+          val singleIdx = planLines.zipWithIndex.collect {
+            case (l, i) if l.contains("Exchange SinglePartition") => i
+          }
+          val scalarAgg = singleIdx.count(i =>
+            planLines.slice(i + 1, i + 4)
+              .exists(_.contains("HashAggregate(keys=[]")))
+          val singleParts = singleIdx.length - scalarAgg
           val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
           val smj = "SortMergeJoin".r.findAllIn(plan).size
           // codegen'd operators print as "*(id) Op"; count distinct spans
@@ -34,8 +45,8 @@ object PlanAudit {
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
           val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
           f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
-            f"bhj=$bhj%2d smj=$smj%2d wscg=$codegen%2d " +
-            f"pushed=$pushed%2d wide_scan=$widecols%2d"
+            f"scalar=$scalarAgg%2d bhj=$bhj%2d smj=$smj%2d " +
+            f"wscg=$codegen%2d pushed=$pushed%2d wide_scan=$widecols%2d"
         } catch {
           case e: Throwable => f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}"
         }
