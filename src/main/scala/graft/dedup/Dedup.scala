@@ -202,6 +202,69 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path for HIGH-DIAMETER graphs, where
+    * [[connectedComponents]]' min-label propagation needs O(diameter)
+    * rounds. Star operations contract the graph in O(log²ⁿ) rounds
+    * regardless of diameter:
+    *
+    *  - large-star (per node u over BOTH edge directions): link every
+    *    strictly-larger neighbor v to m = min(Γ(u) ∪ u)
+    *  - small-star (per node u over edges oriented hi→lo): link every
+    *    smaller-or-equal neighbor (and u itself) to m = min(Γ(u) ∪ u)
+    *
+    * Both steps are groupBy-min + join-back — hash shuffles on node
+    * ids, NO per-node neighbor list is ever materialized (the classic
+    * collect_list formulation puts a component's whole membership in
+    * one row at the root; the join form streams it). Converges when the
+    * edge set is a star forest rooted at component minima, so labels
+    * read off directly. Output matches [[connectedComponents]] exactly:
+    * (id, comp = min reachable id) for every id in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame,
+                              maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(F.col("id1").as("id"))
+      .union(pairs.select(F.col("id2").as("id")))
+      .distinct().localCheckpoint()
+    var edges = pairs
+      .select(F.least(F.col("id1"), F.col("id2")).as("lo"),
+        F.greatest(F.col("id1"), F.col("id2")).as("hi"))
+      .filter(F.col("lo") =!= F.col("hi"))
+      .distinct().localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      // large-star over the symmetric direction set
+      val dir = edges.select(F.col("lo").as("u"), F.col("hi").as("v"))
+        .union(edges.select(F.col("hi").as("u"), F.col("lo").as("v")))
+      val mins = dir.groupBy("u").agg(F.min("v").as("mv"))
+        .withColumn("m", F.least(F.col("u"), F.col("mv")))
+      val ls = dir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").as("lo"), F.col("v").as("hi")) // m <= u < v
+        .filter(F.col("lo") =!= F.col("hi"))
+        .distinct()
+      // small-star on hi→lo orientation (every neighbor v < u)
+      val dir2 = ls.select(F.col("hi").as("u"), F.col("lo").as("v"))
+      val mins2 = dir2.groupBy("u").agg(F.min("v").as("m"))
+      val ss = dir2.join(mins2, "u")
+        .select(F.col("m").as("lo"), F.col("v").as("hi")) // v >= m
+        .union(mins2.select(F.col("m").as("lo"), F.col("u").as("hi")))
+        .filter(F.col("lo") =!= F.col("hi"))
+        .distinct()
+        .localCheckpoint() // truncate per-round lineage growth
+      changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+      edges = ss
+      it += 1
+    }
+    // star forest: members are hi→lo; roots (and isolated nodes from
+    // self-pairs) label themselves
+    nodes.join(edges.select(F.col("hi").as("id"), F.col("lo").as("comp")),
+        Seq("id"), "left_outer")
+      .select(F.col("id"), F.coalesce(F.col("comp"), F.col("id")).as("comp"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over token xxhash64s: per bit, sum ±1 across tokens;
@@ -221,7 +284,7 @@ object Dedup {
 
   /** SimHash near-dup pairs within a blocking column: hamming distance
     * <= maxDist. Blocking keeps the pair space linear-ish; the unblocked
-    * scale path buckets by signature bytes (4 tables of 16 bits). */
+    * scale path is [[simhashNearDupsBanded]]. */
   def simhashNearDups(sigs: DataFrame, idCol: String, blockCol: String,
                       maxDist: Int): DataFrame = {
     val a = sigs.select(F.col(idCol).as("id1"),
@@ -233,5 +296,65 @@ object Dedup {
       .withColumn("dist", F.expr("bit_count(s1 ^ s2)"))
       .filter(F.col("dist") <= maxDist)
       .select("id1", "id2", "dist")
+  }
+
+  /** UNBLOCKED SimHash near-dup join — the web-scale path (no blocking
+    * column needed). Same LSH shape as MinHash banding, over signature
+    * bits: split the 64-bit signature into `nBands` contiguous bands,
+    * bucket docs by (band index, band value), emit intra-bucket pairs,
+    * verify `bit_count(s1^s2) <= maxDist` on the candidates.
+    *
+    * Recall is the pigeonhole bound: a pair at hamming distance d
+    * flips bits in at most d bands, so with d < nBands at least one
+    * band is untouched and the pair MUST collide — recall = 1 for
+    * maxDist <= nBands-1 (asserted in PipelineSpec against the
+    * all-pairs join). Beyond that it degrades gracefully (a distance-d
+    * pair is missed only if its d flipped bits hit >= nBands distinct
+    * bands); the production dial for larger d is more/narrower bands or
+    * Manku-style block permutations — same plan, different `nBands`.
+    * False positives never survive: the verify filter is exact.
+    *
+    * Plan shape: explode ×nBands → one groupBy on (band, value) —
+    * partial-agg'd, 8-byte keys — pair expansion inside buckets only,
+    * then a broadcast-friendly join back to signatures. Shuffles carry
+    * ids and 8-byte band values, never text.
+    */
+  def simhashNearDupsBanded(sigs: DataFrame, idCol: String, maxDist: Int,
+                            nBands: Int = 4): DataFrame = {
+    val cands = bandedCandidates(sigs, idCol, "simhash", nBands)
+    val a = sigs.select(F.col(idCol).as("id1"), F.col("simhash").as("s1"))
+    val b = sigs.select(F.col(idCol).as("id2"), F.col("simhash").as("s2"))
+    cands.join(a, "id1").join(b, "id2")
+      .withColumn("dist", F.expr("bit_count(s1 ^ s2)"))
+      .filter(F.col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
+  /** Candidate pairs of docs sharing >= 1 exact band of a 64-bit
+    * signature column — the generic banded-LSH bucketing behind
+    * [[simhashNearDupsBanded]] and the random-hyperplane cosine LSH
+    * ([[graft.similarity.Srp]]). One partial-agg'd groupBy on
+    * (band index, band value); pair expansion only inside buckets.
+    */
+  def bandedCandidates(sigs: DataFrame, idCol: String, sigCol: String,
+                       nBands: Int): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands $nBands must divide 64")
+    val w = 64 / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val bandStructs = (0 until nBands).map(b =>
+      s"struct($b as band, shiftright($sigCol, ${b * w}) & ${mask}L as bv)")
+      .mkString(", ")
+    sigs
+      .select(F.col(idCol),
+        F.explode(F.expr(s"array($bandStructs)")).as("bd"))
+      .groupBy(F.col("bd.band"), F.col("bd.bv"))
+      .agg(F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
+      .filter(F.size(F.col("ids")) > 1)
+      .select(F.explode(F.expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)), y ->
+               struct(x as id1, y as id2))))""")).as("p"))
+      .select(F.col("p.id1"), F.col("p.id2"))
+      .distinct()
   }
 }

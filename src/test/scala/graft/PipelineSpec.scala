@@ -18,6 +18,26 @@ class PipelineSpec extends SparkSpec {
 
   private def emb = T.load(spark, sf, "embeddings")
 
+  /** Seeded corpus with 10 well-separated planted clusters — the shape
+    * IVF's recall claim is about (the sf embeddings are isotropic
+    * noise, where any cell routing is a random partition). */
+  private def plantedClusters(dim: Int = 16, ncells: Int = 10,
+                              per: Int = 40) = {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      c <- 0 until ncells
+      i <- 0 until per
+    } yield {
+      val center = Array.tabulate(dim)(d =>
+        math.sin((c * dim + d + 1) * 2.39996).toFloat * 3f)
+      val v = center.map(x => x + rnd.nextGaussian().toFloat * 0.3f)
+      (c * per + i, v.toSeq, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+  }
+
   test("minhash LSH near-dups equal exact all-pairs Jaccard at J>=0.8") {
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.8)
@@ -97,20 +117,7 @@ class PipelineSpec extends SparkSpec {
     // random partition: expected recall == nprobe/ncells. IVF's recall
     // claim is about clustered data, so assert it on a planted-cluster
     // corpus; on the real corpus only the routing-fraction floor holds.
-    val rnd = new scala.util.Random(42)
-    val dim = 16; val ncells = 10; val per = 40
-    val rows = for {
-      c <- 0 until ncells
-      i <- 0 until per
-    } yield {
-      val center = Array.tabulate(dim)(d =>
-        math.sin((c * dim + d + 1) * 2.39996).toFloat * 3f)
-      val v = center.map(x => x + rnd.nextGaussian().toFloat * 0.3f)
-      (c * per + i, v.toSeq, c)
-    }
-    import spark.implicits._
-    val planted = rows.toDF("vec_id", "embedding", "label")
-      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val planted = plantedClusters()
     val q = planted.filter(F.col("vec_id") % 40 === 0)
     val exact = Knn.bruteForceKnn(planted, q, "vec_id", "embedding", 10)
     val ivf = Knn.ivfKnn(planted, q, "vec_id", "embedding", "label", 10, 3)
@@ -128,6 +135,72 @@ class PipelineSpec extends SparkSpec {
       .toDouble / exactR.count()
     info(f"isotropic-corpus IVF nprobe=3 recall@10 = $recallR%.3f")
     assert(recallR >= 0.15)
+  }
+
+  test("banded simhash join: exact recall at d <= nBands-1, subset beyond") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "toks")
+    // ground truth: unblocked all-pairs via a constant block column
+    val allPairs = Dedup.simhashNearDups(
+      sigs.withColumn("__blk", F.lit(1)), "doc_id", "__blk", 3)
+    val banded = Dedup.simhashNearDupsBanded(sigs, "doc_id", 3, nBands = 4)
+    // pigeonhole: d=3 < 4 bands → recall 1; verify filter → precision 1
+    assert(banded.exceptAll(allPairs).isEmpty &&
+      allPairs.exceptAll(banded).isEmpty)
+    // beyond the bound the candidates are still never wrong (subset)
+    val all16 = Dedup.simhashNearDups(
+      sigs.withColumn("__blk", F.lit(1)), "doc_id", "__blk", 16)
+    val banded16 = Dedup.simhashNearDupsBanded(sigs, "doc_id", 16, nBands = 4)
+    assert(banded16.exceptAll(all16).isEmpty)
+    info(s"banded d=16 found ${banded16.count()} of ${all16.count()} pairs")
+  }
+
+  test("label-free kmeans IVF recovers planted clusters (recall >= 0.95)") {
+    val planted = plantedClusters().drop("label") // no label: must train
+    val q = planted.filter(F.col("vec_id") % 40 === 0)
+    val exact = Knn.bruteForceKnn(planted, q, "vec_id", "embedding", 10)
+    val ivf = Knn.ivfKnnAuto(planted, q, "vec_id", "embedding",
+      k = 10, nprobe = 3, ncells = 10, iters = 5)
+    val recall = ivf.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+      .toDouble / exact.count()
+    info(f"kmeans IVF nprobe=3 recall@10 = $recall%.3f")
+    assert(recall >= 0.95)
+    // training is deterministic: same seeds, same centroids
+    val c1 = Knn.kmeansCentroids(planted, "vec_id", "embedding", 10, 3)
+    val c2 = Knn.kmeansCentroids(planted, "vec_id", "embedding", 10, 3)
+    assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty)
+  }
+
+  test("SRP cosine LSH equals exact all-pairs on planted near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val twins = base.take(20).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val lsh = graft.similarity.Srp.cosineNearDups(
+      corpus, "vec_id", "embedding", dim, 0.95)
+    val a = corpus.select(F.col("vec_id").as("id1"),
+      F.col("embedding").as("v1"))
+    val b = corpus.select(F.col("vec_id").as("id2"),
+      F.col("embedding").as("v2"))
+    val exact = a.join(b, F.col("id1") < F.col("id2"))
+      .withColumn("sim", F.round(graft.plans.VectorExpressions
+        .cosineF(F.col("v1"), F.col("v2")), 6))
+      .filter(F.col("sim") >= 0.95)
+      .select("id1", "id2", "sim")
+    // all 20 planted twins found, nothing else (exact verify: precision 1;
+    // recall at cos>=0.998 is 1 - ~1e-20 with 16x4 banding)
+    assert(exact.count() == 20)
+    assert(lsh.exceptAll(exact).isEmpty && exact.exceptAll(lsh).isEmpty)
+    // signatures are deterministic across invocations
+    val s1 = graft.similarity.Srp.signatures(corpus, "vec_id", "embedding", dim)
+    val s2 = graft.similarity.Srp.signatures(corpus, "vec_id", "embedding", dim)
+    assert(s1.exceptAll(s2).isEmpty)
   }
 
   test("simhash hamming distance is small exactly on true near-dups") {
@@ -216,6 +289,26 @@ class PipelineSpec extends SparkSpec {
       .toDF("id1", "id2")
     val cc2 = Dedup.connectedComponents(chain).collect()
     assert(cc2.forall(_.getLong(1) == 1L))
+  }
+
+  test("large-star/small-star CC equals propagation CC (incl. deep chain)") {
+    import spark.implicits._
+    // high-diameter chain (64 nodes), a clique, a pair, a self-loop
+    // singleton — the chain is where star-contraction earns its keep
+    // (propagation needs O(diameter) rounds, star O(log^2))
+    val chain = (100L to 163L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val pairs = (chain ++ clique ++ Seq((70L, 71L), (90L, 90L)))
+      .toDF("id1", "id2")
+    val star = Dedup.connectedComponentsStar(pairs)
+    val prop = Dedup.connectedComponents(pairs, maxIter = 100)
+    assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty)
+    // and on the real LSH dup graph of the corpus
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      .select(F.col("id1"), F.col("id2"))
+    val starR = Dedup.connectedComponentsStar(lsh)
+    val propR = Dedup.connectedComponents(lsh)
+    assert(starR.exceptAll(propR).isEmpty && propR.exceptAll(starR).isEmpty)
   }
 
   test("tfidf: rare tokens outscore ubiquitous ones; df=N scores 0") {
