@@ -13,11 +13,67 @@ final case class MediaRecord(doc_id: Long, payload: Array[Byte],
 final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
                                width: Int, height: Int)
 
-/** Multimodal-column plumbing. The container ships no image/audio codecs
-  * (builder contract), so the decode kernel is a clearly-marked
-  * deterministic STUB — but everything Spark-side is real: binary
+/** THE CODEC SEAM. The container ships no image/audio codecs (builder
+  * contract), so the default kernel is a clearly-marked deterministic
+  * STUB — but the seam is the real product: swap in a JNI/FFI-backed
+  * implementation (libjpeg/ffmpeg/...) and every Multimodal operator
+  * picks it up unchanged, because all Spark-side plumbing (binary
+  * schema, typed Dataset boundary, per-partition batching, one-to-many
+  * frame fan-out) is kernel-agnostic.
+  *
+  * Contract: implementations are Serializable (instances ship to
+  * executors); `init()` is called ONCE per partition before any record
+  * — the place for codec/library initialization so it is amortized
+  * across the batch, never paid per row.
+  */
+trait MediaKernel extends Serializable {
+  /** Per-partition initialization hook (codec setup, native lib load). */
+  def init(): Unit = ()
+  def decode(r: MediaRecord): MediaFeatures
+  def resize(r: MediaRecord, targetBytes: Int): MediaRecord
+  /** One-to-many frame extraction: (frame_idx, frame_bytes, checksum). */
+  def sampleFrames(r: MediaRecord, nFrames: Int): Seq[(Int, Int, Long)]
+}
+
+/** Deterministic STUB kernel (default): derives pseudo-features from
+  * payload bytes so the distributed plumbing is testable end-to-end in
+  * a codec-less container. Every output is a pure function of the
+  * bytes — stable across partitionings and runs.
+  */
+object StubMediaKernel extends MediaKernel {
+  private def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+
+  override def decode(r: MediaRecord): MediaFeatures = {
+    val cs = checksum(r.payload)
+    MediaFeatures(r.doc_id, r.payload.length.toLong, cs,
+      width = 64 + (cs % 512).toInt, height = 64 + ((cs / 512) % 512).toInt)
+  }
+
+  override def resize(r: MediaRecord, targetBytes: Int): MediaRecord = {
+    val src = r.payload
+    val out =
+      if (src.length <= targetBytes) src
+      else Array.tabulate(targetBytes)(i =>
+        src((i.toLong * src.length / targetBytes).toInt))
+    r.copy(payload = out, n_bytes = out.length.toLong)
+  }
+
+  override def sampleFrames(r: MediaRecord,
+                            nFrames: Int): Seq[(Int, Int, Long)] = {
+    val len = r.payload.length
+    val frameLen = math.max(1, len / math.max(nFrames, 1))
+    (0 until math.min(nFrames, len)).map { f =>
+      val start = (f.toLong * len / nFrames).toInt
+      val slice = r.payload.slice(start, math.min(start + frameLen, len))
+      (f, slice.length, checksum(slice))
+    }
+  }
+}
+
+/** Multimodal-column operators over the [[MediaKernel]] seam: binary
   * schema, typed Dataset boundary, partition-batch iteration, and the
-  * pruning metadata layout.
+  * pruning metadata layout are real; the default kernel is the stub.
   */
 object Multimodal {
 
@@ -30,70 +86,52 @@ object Multimodal {
       F.lit("text/plain").as("mime"),
       F.expr("octet_length(encode(text, 'UTF-8'))").cast("long").as("n_bytes"))
 
-  /** STUB decode kernel.
-    *
-    * Real implementation would decode payloads with an image library in
-    * batch (the `mapPartitions` boundary is exactly where that batch
-    * call goes — one codec init per partition, not per row). Here the
-    * "decode" derives deterministic pseudo-features from the bytes so
-    * the plumbing is testable end-to-end without codecs.
-    */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Batch decode: one kernel init per partition, then per-record
+    * decode — the boundary where a real codec call goes. */
+  def decode(media: Dataset[MediaRecord],
+             kernel: MediaKernel = StubMediaKernel): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition "codec init" would happen here
-      it.map { r =>
-        val cs = r.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-        MediaFeatures(r.doc_id, r.payload.length.toLong, cs,
-          width = 64 + (cs % 512).toInt, height = 64 + ((cs / 512) % 512).toInt)
-      }
+      kernel.init()
+      it.map(kernel.decode)
     }
   }
 
-  /** End-to-end: documents → media records → stub decode → features. */
+  /** Payload-in/payload-out resize with per-partition batching. */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int,
+             kernel: MediaKernel = StubMediaKernel): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      kernel.init()
+      it.map(kernel.resize(_, targetBytes))
+    }
+  }
+
+  /** ONE-TO-MANY frame extraction (flatMap boundary).
+    * Output: (doc_id, frame_idx, frame_bytes, checksum). */
+  def frameSample(media: Dataset[MediaRecord], nFrames: Int,
+                  kernel: MediaKernel = StubMediaKernel): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      kernel.init()
+      it.flatMap(r => kernel.sampleFrames(r, nFrames)
+        .map { case (f, n, cs) => (r.doc_id, f, n, cs) })
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "checksum")
+  }
+
+  // Stub-named aliases kept for the registered queries (q48/q85/q86):
+  // the names say loudly that the DEFAULT kernel computes fake features.
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    decode(media)
+  def resizeStub(media: Dataset[MediaRecord],
+                 targetBytes: Int): Dataset[MediaRecord] =
+    resize(media, targetBytes)
+  def frameSampleStub(media: Dataset[MediaRecord], nFrames: Int): DataFrame =
+    frameSample(media, nFrames)
+
+  /** End-to-end: documents → media records → decode → features. */
   def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    decodeStub(asMedia(docs).as[MediaRecord]).toDF()
-  }
-
-  /** STUB resize kernel: a real implementation hands each batch to an
-    * image library; the deterministic fake rescales the payload by
-    * byte-sampling to `targetBytes`. Payload-in/payload-out shape,
-    * per-partition batching — the plumbing a real resize uses.
-    */
-  def resizeStub(media: Dataset[MediaRecord],
-                 targetBytes: Int): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { r =>
-        val src = r.payload
-        val out =
-          if (src.length <= targetBytes) src
-          else Array.tabulate(targetBytes)(i =>
-            src((i.toLong * src.length / targetBytes).toInt))
-        r.copy(payload = out, n_bytes = out.length.toLong)
-      }
-    }
-  }
-
-  /** STUB frame sampler: treats the payload as a "video" and emits one
-    * record per sampled frame — the ONE-TO-MANY boundary (flatMap) that
-    * real frame extraction needs; each frame is a deterministic slice.
-    * Output: (doc_id, frame_idx, frame_bytes, checksum).
-    */
-  def frameSampleStub(media: Dataset[MediaRecord],
-                      nFrames: Int): DataFrame = {
-    import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val len = r.payload.length
-      val frameLen = math.max(1, len / math.max(nFrames, 1))
-      (0 until math.min(nFrames, len)).map { f =>
-        val start = (f.toLong * len / nFrames).toInt
-        val slice = r.payload.slice(start,
-          math.min(start + frameLen, len))
-        val cs = slice.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-        (r.doc_id, f, slice.length, cs)
-      }
-    }.toDF("doc_id", "frame_idx", "frame_bytes", "checksum")
+    decode(asMedia(docs).as[MediaRecord]).toDF()
   }
 }

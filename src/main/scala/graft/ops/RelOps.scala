@@ -87,11 +87,41 @@ object RelOps {
     def sortBy(orderings: Ordering*): DataFrame =
       df.orderBy(orderings.map(_.toColumn): _*)
 
-    // NOTE on reference `issorted` (src/dataframe.jl:1824-1825): row
-    // order is not observable DataFrame state in Spark (it changes with
-    // partitioning), so sortedness is asserted in tests by comparing
-    // collect() of a frame against its sortBy — see
-    // ReferenceParitySpec/CoreQueriesSpec — rather than as a library op.
+    /** `issorted` (reference src/dataframe.jl:1824-1825): is the frame
+      * already in the given order, taking "row order" as the
+      * presentation order (partition index, then position) — the order
+      * a write or collect would emit. Distributed: ONE scan checks each
+      * partition internally (streaming pairwise compare, no
+      * materialization) and emits only (partition, ok, first, last);
+      * the driver then checks the O(partitions) boundary chain. No
+      * shuffle, no sort — this is the cheap pre-check that lets a
+      * caller SKIP a sort, so it must not cost one.
+      */
+    def issorted(orderings: Ordering*): Boolean = {
+      require(orderings.nonEmpty, "issorted needs an explicit ordering")
+      val keyed = df.select(orderings.map(o => F.col(o.col)): _*)
+      val descs = orderings.map(_.desc).toArray
+      val parts = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var first: org.apache.spark.sql.Row = null
+          var prev: org.apache.spark.sql.Row = null
+          var ok = true
+          while (it.hasNext) {
+            val r = it.next()
+            if (first == null) first = r
+            else if (RelOps.cmpRows(prev, r, descs) > 0) ok = false
+            prev = r
+          }
+          Iterator((idx, ok, first, prev))
+        }
+      }.collect().sortBy(_._1)
+      parts.forall(_._2) && parts.sliding(2).forall {
+        case Array((_, _, _, last), (_, _, first, _)) =>
+          RelOps.cmpRows(last, first, descs) <= 0
+        case _ => true
+      }
+    }
 
     /** top-k = sort + head (reference src/dataframe.jl:834-837); Catalyst
       * rewrites orderBy+limit into TakeOrderedAndProject — no full sort,
@@ -225,5 +255,36 @@ object RelOps {
     var cand = s"${name}_$i"
     while (taken.contains(cand)) { i += 1; cand = s"${name}_$i" }
     cand
+  }
+
+  /** Row comparator for [[DataFrameOps.issorted]] matching
+    * [[Ordering.toColumn]] exactly: asc = nulls first, desc = reversed
+    * values with nulls last. Runs on executors — kept in the companion
+    * so the closure stays small and serializable. */
+  private[ops] def cmpRows(a: org.apache.spark.sql.Row,
+                           b: org.apache.spark.sql.Row,
+                           descs: Array[Boolean]): Int = {
+    var i = 0
+    while (i < descs.length) {
+      val (va, vb) = (a.get(i), b.get(i))
+      val c =
+        if (va == null && vb == null) 0
+        else if (va == null) { if (descs(i)) 1 else -1 }
+        else if (vb == null) { if (descs(i)) -1 else 1 }
+        else {
+          val base = va match {
+            case x: Comparable[_] if x.getClass == vb.getClass =>
+              x.asInstanceOf[Comparable[Any]].compareTo(vb)
+            case x: Number => java.lang.Double
+              .compare(x.doubleValue(), vb.asInstanceOf[Number].doubleValue())
+            case _ => throw new IllegalArgumentException(
+              s"issorted: unorderable type ${va.getClass}")
+          }
+          if (descs(i)) -base else base
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
   }
 }

@@ -89,6 +89,30 @@ object StreamQueries {
     "q71_sessionize" -> { (s, dir) =>
       graft.streaming.Sessionize.sessionizeBatch(
         graft.T.load(s, dir, "events"), 1800L)
+    },
+
+    // Streaming exact dedup at the door: dropDuplicates on the 8-byte
+    // text hash as documents stream in, then kept-docs per lang (exact
+    // dup groups are single-lang in this corpus, so the projection is
+    // deterministic regardless of WHICH row of a dup group the stream
+    // saw first). Bounded-state watermark variant in StreamSpec.
+    "q96_stream_dedup" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("__key", F.xxhash64(F.col("text")))
+      val kept = DataStream.dedupStream(src, Seq("__key"))
+        .select("doc_id", "lang")
+      val name = uniq("stream_dedup")
+      val q = kept.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000L); q.stop()
+      s.table(name).groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"))
     }
   )
 
@@ -128,6 +152,9 @@ object StreamQueries {
                   AS window_start,
                 event_type, count(*) AS n,
                 round(sum(value), 2) AS total
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "q96_stream_dedup" ->
+      """SELECT lang, count(DISTINCT text) AS n_docs
+         FROM documents GROUP BY lang"""
   )
 }

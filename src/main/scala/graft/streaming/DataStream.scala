@@ -93,6 +93,27 @@ object DataStream {
         F.unix_timestamp(F.col("window.start")).as("window_start"),
         F.col(keyCol), F.col("n"), F.col("total"))
 
+  /** Streaming exact dedup: emit only the FIRST row seen per key —
+    * the streaming twin of `Dedup.exactDups` for continuous ingest
+    * pipelines (dedup-at-the-door before anything lands). Pre-hash
+    * text keys to xxhash64 so the dedup state holds 8-byte keys, never
+    * documents. Unbounded state: exact over the whole stream — the
+    * verify/bench path, and correct whenever the key space fits state.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
+  /** Bounded-state streaming dedup — the unbounded-stream production
+    * path: duplicates are only tracked within the event-time watermark,
+    * and state older than it is evicted. Exact iff a duplicate never
+    * arrives later than `delay` after its first occurrence (the usual
+    * contract for crawl/ingest re-delivery). */
+  def dedupStreamBounded(stream: DataFrame, tsCol: String,
+                         delay: String, keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drive a streaming DataFrame to completion into a memory sink and
     * return the result table (micro-batch pull loop, reference
     * src/datastream.jl:62-79). */

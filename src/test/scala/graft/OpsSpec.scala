@@ -111,6 +111,31 @@ class OpsSpec extends SparkSpec {
     assert(t == t.sorted) // ascending presentation, like reference tail
   }
 
+  test("issorted: one-scan distributed order check incl. desc and nulls") {
+    import spark.implicits._
+    val o = T.load(spark, sf, "orders")
+    // a globally sorted frame is sorted under its own order...
+    val sorted = o.sortBy(Ordering("o_orderkey"))
+    assert(sorted.issorted(Ordering("o_orderkey")))
+    // ...and NOT under the reverse; the raw frame isn't price-ordered
+    assert(!sorted.issorted(Ordering("o_orderkey", desc = true)))
+    assert(sorted.sortBy(Ordering("o_orderkey", desc = true))
+      .issorted(Ordering("o_orderkey", desc = true)))
+    assert(!o.issorted(Ordering("o_totalprice")))
+    // multi-partition boundary violations are caught (partition-local
+    // sort only — each partition ordered, boundaries interleave)
+    val within = o.repartition(8)
+      .sortWithinPartitions(F.col("o_orderkey"))
+    assert(!within.issorted(Ordering("o_orderkey")))
+    // nulls-first asc / nulls-last desc, matching Ordering.toColumn
+    val withNulls = Seq[(java.lang.Long, String)](
+      (null, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    assert(withNulls.coalesce(1).issorted(Ordering("k")))
+    val descNulls = Seq[(java.lang.Long, String)](
+      (2L, "a"), (1L, "b"), (null, "c")).toDF("k", "v")
+    assert(descNulls.coalesce(1).issorted(Ordering("k", desc = true)))
+  }
+
   test("pasteRecycle recycles shorter sequences cyclically") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(

@@ -266,6 +266,32 @@ class PipelineSpec extends SparkSpec {
     assert(frames.exceptAll(again).isEmpty)
   }
 
+  test("MediaKernel seam: a swapped-in kernel drives all three operators") {
+    import graft.multimodal._
+    import spark.implicits._
+    // a "codec" that reports fixed dimensions and nFrames 1-byte frames
+    object FixedKernel extends MediaKernel {
+      override def decode(r: MediaRecord) =
+        MediaFeatures(r.doc_id, r.n_bytes, 0L, width = 320, height = 240)
+      override def resize(r: MediaRecord, t: Int) =
+        r.copy(payload = Array[Byte](42), n_bytes = 1L)
+      override def sampleFrames(r: MediaRecord, n: Int) =
+        (0 until n).map(f => (f, 1, 7L))
+    }
+    val media = Multimodal.asMedia(docs.limit(10)).as[MediaRecord]
+    val feats = Multimodal.decode(media, FixedKernel)
+    assert(feats.collect().forall(f => f.width == 320 && f.height == 240))
+    val rs = Multimodal.resize(media, 5, FixedKernel)
+    assert(rs.collect().forall(_.n_bytes == 1L))
+    val fr = Multimodal.frameSample(media, 4, FixedKernel)
+    assert(fr.count() == 40 &&
+      fr.select(F.max("checksum")).head().getLong(0) == 7L)
+    // and the default (stub) path still yields byte-deterministic output
+    val s1 = Multimodal.decode(media).collect().map(_.checksum).sorted.toSeq
+    val s2 = Multimodal.decode(media).collect().map(_.checksum).sorted.toSeq
+    assert(s1 == s2)
+  }
+
   test("exact dedup marks no dups on the all-distinct sf0.001 corpus") {
     val d = Dedup.exactDups(T.load(spark, sf, "documents"), "text", "doc_id")
     assert(d.filter(F.col("is_dup")).count() == 0)

@@ -46,4 +46,28 @@ class StreamSpec extends SparkSpec {
     assert(got.count() == 3)
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
+
+  test("bounded-state streaming dedup keeps first row per key in-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def ev(u: Long, offSec: Long, v: Double) =
+      SessEvent(u, new Timestamp((base + offSec) * 1000), v)
+    val stream = MemoryStream[SessEvent]
+    // duplicates (same user_id key) arriving within the 1h watermark
+    stream.addData(Seq(
+      ev(1, 0, 1.0), ev(1, 60, 2.0), ev(2, 0, 3.0),
+      ev(2, 120, 4.0), ev(3, 30, 5.0)))
+    val dedup = graft.streaming.DataStream.dedupStreamBounded(
+      stream.toDS().toDF(), "ts", "1 hour", Seq("user_id"))
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_test").start()
+    q.processAllAvailable()
+    q.stop()
+    // one row per key survives; the full-stream variant agrees with
+    // batch distinct-count
+    val kept = spark.table("dedup_test")
+    assert(kept.select("user_id").distinct().count() == 3)
+    assert(kept.count() == 3)
+  }
 }
