@@ -151,6 +151,13 @@ object PipelineQueries {
         .select("id1", "id2", "jac")
     },
 
+    // Gopher-style repetition quality signals: duplicate-3gram fraction
+    // + top-token fraction per document.
+    "q97_repetition" -> { (s, dir) =>
+      TextOps.repetitionSignals(T.load(s, dir, "documents"),
+        "doc_id", "text", 3)
+    },
+
     // Multimodal: binary payload + metadata projection.
     "q47_media_bytes" -> { (s, dir) =>
       Multimodal.asMedia(T.load(s, dir, "documents"))
@@ -350,6 +357,33 @@ object PipelineQueries {
     // q95: SimHash(d<=16) ∩ exact(J>=0.8) == exact set iff SimHash
     // recall is 1 on this corpus (see the query comment).
     "q95_simhash_verify" -> duckJaccardPairs(0.8, sameLang = true),
+    "q97_repetition" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS t FROM documents),
+          ng AS (
+            SELECT doc_id,
+              [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               for i in range(1, len(t) - 1)] AS g
+            FROM toks),
+          dup AS (
+            SELECT doc_id,
+              CASE WHEN len(g) = 0 THEN 0.0
+                   ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                              / CAST(len(g) AS DOUBLE), 6)
+              END AS dup_ngram_frac
+            FROM ng),
+          cnt AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            GROUP BY 1, 2),
+          top AS (
+            SELECT doc_id,
+              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                AS top_tok_frac
+            FROM cnt GROUP BY 1)
+          SELECT d.doc_id, d.dup_ngram_frac,
+            coalesce(t.top_tok_frac, 0.0) AS top_tok_frac
+          FROM dup d LEFT JOIN top t USING (doc_id)""",
     "q47_media_bytes" ->
       """SELECT doc_id, 'text/plain' AS mime,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -145,4 +145,23 @@ object ReadTable {
       .option("sep", separator.toString)
       .csv(path)
   }
+
+  /** HTML table writer — reference MIME"text/html" show
+    * (src/io.jl:805-827): header row + up to `n` body rows, values
+    * escaped, nulls as the reference's `NA`. Presentation-layer by
+    * nature: collects only the `limit(n)` head (bounded driver data),
+    * exactly like the reference's truncated notebook display. */
+  def toHtml(df: DataFrame, n: Int = 30): String = {
+    val cols = df.columns
+    val esc = (s: String) => s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = df.limit(n).collect().map { r =>
+      cols.indices.map { i =>
+        val cell = if (r.isNullAt(i)) "NA" else esc(String.valueOf(r.get(i)))
+        s"<td>$cell</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString
+    s"<table><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"
+  }
 }

@@ -34,6 +34,49 @@ object TextOps {
               i -> concat_ws(' ', slice(t, i + 1, $n))))
           ELSE cast(array() as array<string>) END), 1)"""
 
+  /** NON-distinct word n-grams (same binding trick as [[shinglesExpr]])
+    * — repetition measurement needs the duplicates that dedup'd
+    * shingles erase. */
+  def allShinglesExpr(tokExpr: String, n: Int): String =
+    s"""element_at(transform(array($tokExpr), t ->
+          CASE WHEN size(t) >= $n THEN
+            transform(sequence(0, size(t) - $n),
+              i -> concat_ws(' ', slice(t, i + 1, $n)))
+          ELSE cast(array() as array<string>) END), 1)"""
+
+  /** Gopher-style repetition signals — the quality-filter family that
+    * screens boilerplate/spam out of pretraining corpora (Rae et al.
+    * 2021 §A1.1): per document, the fraction of duplicate word n-grams
+    * and the fraction of tokens taken by the single most frequent
+    * token. The n-gram fraction is a pure column expression (scan-
+    * parallel, no shuffle); the top-token fraction is one explode +
+    * two partial-agg'd groupBys on (doc, token) — the tfidf shuffle
+    * shape, compact keys. Output: (id, dup_ngram_frac, top_tok_frac).
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(F.col(idCol),
+      graft.plans.TextExpressions.wordTokens(F.col(textCol)).as("__t"))
+    val dup = toks
+      .withColumn("__ng", F.expr(allShinglesExpr("__t", n)))
+      .select(F.col(idCol),
+        F.when(F.size(F.col("__ng")) === 0, 0.0)
+          .otherwise(F.round(
+            F.lit(1.0) - F.size(F.array_distinct(F.col("__ng")))
+              .cast("double") / F.size(F.col("__ng")).cast("double"), 6))
+          .as("dup_ngram_frac"))
+    val top = toks
+      .select(F.col(idCol), F.explode(F.col("__t")).as("tok"))
+      .groupBy(idCol, "tok").agg(F.count(F.lit(1)).as("c"))
+      .groupBy(idCol).agg(F.round(
+        F.max("c").cast("double") / F.sum("c").cast("double"), 6)
+        .as("top_tok_frac"))
+    dup.join(top, Seq(idCol), "left_outer")
+      .select(F.col(idCol), F.col("dup_ngram_frac"),
+        F.coalesce(F.col("top_tok_frac"), F.lit(0.0)).as("top_tok_frac"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, individual symbols —
     * the shape of a byte-pair-style pre-tokenizer. */
   def bpeCountExpr(col: String): String =

@@ -39,4 +39,41 @@ class BucketSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("IVF probe over a cell-partitioned corpus prunes to nprobe cells") {
+    import graft.similarity.Knn
+    val s = spark
+    val emb = T.load(s, sf, "embeddings")
+    val cents = Knn.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val assigned = Knn.assignCells(emb, cents, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_cells").toString
+    try {
+      // the SCALE.md layout claim: corpus written partitioned by cell
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val corpus = s.read.parquet(dir)
+      val probes = Seq(0, 1, 2)
+      val probed = corpus.filter(F.col("cell").isin(probes: _*))
+      probed.collect()
+      val scan = probed.queryExecution.executedPlan.toString()
+      // the cell predicate must be a PARTITION filter (directory-level
+      // pruning - a probe reads nprobe/ncells of the data), not a
+      // post-scan filter
+      assert(scan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).nonEmpty,
+        s"cell filter did not reach partition pruning:\n$scan")
+      val allFiles = corpus.inputFiles.length
+      val readFiles = probed.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }.sum
+      assert(readFiles < allFiles,
+        s"probe read all $allFiles files (no pruning)")
+      // and the probed slice is exactly those cells' rows
+      assert(probed.count() ==
+        assigned.filter(F.col("cell").isin(probes: _*)).count())
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -127,4 +127,16 @@ class CsvSpec extends SparkSpec {
     val vals = ReadTable.readtable(spark, p).collect().map(_.getString(0))
     assert(vals.toSet == Set("héllo", "mötör", "日本語"))
   }
+
+  test("toHtml renders header + escaped cells + NA nulls (MIME writer)") {
+    import spark.implicits._
+    val df = Seq((1L, "a<b"), (2L, null)).toDF("k", "v")
+      .orderBy("k")
+    val html = ReadTable.toHtml(df, 10)
+    assert(html.startsWith("<table><thead><tr><th>k</th><th>v</th>"))
+    assert(html.contains("<td>a&lt;b</td>") && html.contains("<td>NA</td>"))
+    // row limit respected
+    val limited = ReadTable.toHtml(df, 1)
+    assert(!limited.contains("<td>NA</td>"))
+  }
 }

@@ -365,6 +365,21 @@ class PipelineSpec extends SparkSpec {
       viaNative.exceptAll(viaSql).isEmpty)
   }
 
+  test("repetition signals: duplicated text scores high, varied text low") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(d, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    // doc 1: all 4 trigrams identical -> dup frac 0.75; top token = all
+    assert(r(1L) == (0.75, 1.0))
+    // doc 2: no repeats at all
+    assert(r(2L)._1 == 0.0 && r(2L)._2 < 0.2)
+  }
+
   test("langid scoring is deterministic and total") {
     val out = T.load(spark, sf, "documents")
       .withColumn("t", TextOps.tokens("text"))
