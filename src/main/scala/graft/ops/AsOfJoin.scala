@@ -49,4 +49,35 @@ object AsOfJoin {
       .select(leftCols.map(F.col) ++
         valueCols.map(c => F.col(s"__last.$c").as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row
+    * with `right.ts >= left.ts` in the same key (inclusive): the
+    * "next quote" / lead-lookup mirror of [[backward]]. Identical
+    * single-shuffle composition with the window order reversed —
+    * carrying the last right payload over descending time IS the next
+    * right row in ascending time. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = F.struct(valueCols.map(F.col): _*)
+    val r = right.select(
+      (keyCols :+ tsCol).map(F.col) :+ payload.as("__p") :+
+        F.lit(1).as("__r"): _*)
+    val l = left
+      .withColumn("__p", F.lit(null).cast(r.schema("__p").dataType))
+      .withColumn("__r", F.lit(0))
+      .select((keyCols :+ tsCol).map(F.col) ++
+        leftCols.filterNot((keyCols :+ tsCol).contains).map(F.col) ++
+        Seq(F.col("__p"), F.col("__r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort BEFORE left rows at equal ts → inclusive (>=)
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(F.col(tsCol).desc, F.col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__next",
+      F.last(F.col("__p"), ignoreNulls = true).over(w))
+    carried.filter(F.col("__r") === 0)
+      .select(leftCols.map(F.col) ++
+        valueCols.map(c => F.col(s"__next.$c").as(s"asof_$c")): _*)
+  }
 }

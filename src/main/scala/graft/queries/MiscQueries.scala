@@ -87,6 +87,33 @@ object MiscQueries {
           "asof_value" -> "asof_value")
     },
 
+    // Forward as-of: next error at-or-after each event — the [[q73]]
+    // mirror (same union+window composition, reversed order).
+    "q98_asof_fwd" -> { (s, dir) =>
+      val e = T.load(s, dir, "events")
+      val errs = e.filterExpr("event_type = 'error'")
+        .by(Seq("user_id", "ts"), "value" -> "max(value)")
+      graft.ops.AsOfJoin.forward(
+        e.select("event_id", "user_id", "ts"), errs,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        valueCols = Seq("value"))
+        .basedOn("event_id" -> "event_id", "user_id" -> "user_id",
+          "asof_value" -> "asof_value")
+    },
+
+    // Full cube: every subtotal combination in one pass (q72 is the
+    // rollup half of the grouping-sets family).
+    "q99_cube" -> { (s, dir) =>
+      T.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("o_totalprice"), 2).as("total"))
+        .basedOn(
+          "o_orderstatus" -> "coalesce(o_orderstatus, '<all>')",
+          "o_orderpriority" -> "coalesce(o_orderpriority, '<all>')",
+          "n" -> "n", "total" -> "total")
+    },
+
     // Grouping sets / rollup (SURVEY §2.4: "Spark cube/rollup are free
     // if we want them") — subtotals + grand total in one pass.
     "q72_rollup" -> { (s, dir) =>
@@ -223,6 +250,18 @@ object MiscQueries {
                 count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q98_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, r.value AS asof_value
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'error' GROUP BY 1, 2
+         ) r ON e.user_id = r.user_id AND e.ts <= r.ts""",
+    "q99_cube" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+                coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+                count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q69_mad" ->
       """WITH med AS (
            SELECT o_orderstatus,

@@ -40,6 +40,34 @@ class BucketSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    val s = spark
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // make skew detection fire on toy data
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      // one pathologically hot key on both sides
+      val a = (1 to 40000).map(i =>
+        (if (i % 20 == 0) i.toLong else 777L, s"a$i")).toDF("k", "va")
+      val b = (1 to 200).map(i =>
+        (if (i < 3) 777L else i.toLong, s"b$i")).toDF("k", "vb")
+      val j = a.join(b, "k")
+      j.collect() // execute THIS QueryExecution so AQE finalizes
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("IVF probe over a cell-partitioned corpus prunes to nprobe cells") {
     import graft.similarity.Knn
     val s = spark

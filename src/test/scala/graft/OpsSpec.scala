@@ -136,6 +136,27 @@ class OpsSpec extends SparkSpec {
     assert(descNulls.coalesce(1).issorted(Ordering("k", desc = true)))
   }
 
+  test("forward as-of picks the earliest right row at-or-after each ts") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 31L, "e3"),
+      (2L, 5L, "e4")).toDF("k", "ts", "tag")
+    val r = Seq((1L, 20L, 100.0), (1L, 30L, 200.0))
+      .toDF("k", "ts", "v")
+    val got = graft.ops.AsOfJoin.forward(l, r,
+      keyCols = Seq("k"), tsCol = "ts", valueCols = Seq("v"))
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    // e1(10)→20:100 (next), e2(20)→20:100 (inclusive), e3(31)→none,
+    // e4(key 2)→none
+    assert(got == Map("e1" -> Some(100.0), "e2" -> Some(100.0),
+      "e3" -> None, "e4" -> None))
+    // mirror: backward at the same points
+    val back = graft.ops.AsOfJoin.backward(l, r,
+      keyCols = Seq("k"), tsCol = "ts", valueCols = Seq("v"))
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    assert(back == Map("e1" -> None, "e2" -> Some(100.0),
+      "e3" -> Some(200.0), "e4" -> None))
+  }
+
   test("pasteRecycle recycles shorter sequences cyclically") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(
