@@ -258,6 +258,12 @@ object Dedup {
       edges = ss
       it += 1
     }
+    // fail LOUDLY on non-convergence: a mid-run edge set can hold two
+    // labels for one hi node, and the join below would silently fan
+    // out duplicate (id, comp) rows — corrupted cardinalities beat no
+    // answer only if the caller knows.
+    require(changed == 0,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
     // star forest: members are hi→lo; roots (and isolated nodes from
     // self-pairs) label themselves
     nodes.join(edges.select(F.col("hi").as("id"), F.col("lo").as("comp")),
@@ -320,8 +326,9 @@ object Dedup {
     * ids and 8-byte band values, never text.
     */
   def simhashNearDupsBanded(sigs: DataFrame, idCol: String, maxDist: Int,
-                            nBands: Int = 4): DataFrame = {
-    val cands = bandedCandidates(sigs, idCol, "simhash", nBands)
+                            nBands: Int = 4,
+                            bucketCap: Option[Long] = None): DataFrame = {
+    val cands = bandedCandidates(sigs, idCol, "simhash", nBands, bucketCap)
     val a = sigs.select(F.col(idCol).as("id1"), F.col("simhash").as("s1"))
     val b = sigs.select(F.col(idCol).as("id2"), F.col("simhash").as("s2"))
     cands.join(a, "id1").join(b, "id2")
@@ -333,28 +340,45 @@ object Dedup {
   /** Candidate pairs of docs sharing >= 1 exact band of a 64-bit
     * signature column — the generic banded-LSH bucketing behind
     * [[simhashNearDupsBanded]] and the random-hyperplane cosine LSH
-    * ([[graft.similarity.Srp]]). One partial-agg'd groupBy on
-    * (band index, band value); pair expansion only inside buckets.
+    * ([[graft.similarity.Srp]]).
+    *
+    * Pair expansion is a SELF-JOIN on (band, value) — never a
+    * collect_list of a bucket's membership into one row, so a hot
+    * bucket costs join fan-out (which AQE skew-splits across tasks),
+    * not a single-task array blow-up. Degenerate bands are still the
+    * residual risk at web scale (e.g. the all-zero SimHash band every
+    * near-empty doc shares): `bucketCap` drops buckets larger than the
+    * cap BEFORE the join — same trade shape as [[jaccardPairs]]'
+    * dfCap, one-sided and explicit: a pair is lost only if EVERY band
+    * it shares is degenerate, so the pigeonhole recall guarantee
+    * continues to hold over non-capped bands.
     */
   def bandedCandidates(sigs: DataFrame, idCol: String, sigCol: String,
-                       nBands: Int): DataFrame = {
+                       nBands: Int,
+                       bucketCap: Option[Long] = None): DataFrame = {
     require(nBands > 0 && 64 % nBands == 0, s"nBands $nBands must divide 64")
     val w = 64 / nBands
     val mask = if (w == 64) -1L else (1L << w) - 1
     val bandStructs = (0 until nBands).map(b =>
       s"struct($b as band, shiftright($sigCol, ${b * w}) & ${mask}L as bv)")
       .mkString(", ")
-    sigs
+    val ex0 = sigs
       .select(F.col(idCol),
         F.explode(F.expr(s"array($bandStructs)")).as("bd"))
-      .groupBy(F.col("bd.band"), F.col("bd.bv"))
-      .agg(F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
-      .filter(F.size(F.col("ids")) > 1)
-      .select(F.explode(F.expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids)), y ->
-               struct(x as id1, y as id2))))""")).as("p"))
-      .select(F.col("p.id1"), F.col("p.id2"))
+      .select(F.col(idCol), F.col("bd.band").as("band"),
+        F.col("bd.bv").as("bv"))
+    val ex = bucketCap match {
+      case Some(cap) =>
+        val win = Window.partitionBy("band", "bv")
+        ex0.withColumn("__n", F.count(F.lit(1)).over(win))
+          .filter(F.col("__n") <= cap).drop("__n")
+      case None => ex0
+    }
+    ex.as("a").join(ex.as("b"),
+        F.col("a.band") === F.col("b.band") &&
+          F.col("a.bv") === F.col("b.bv") &&
+          F.col(s"a.$idCol") < F.col(s"b.$idCol"))
+      .select(F.col(s"a.$idCol").as("id1"), F.col(s"b.$idCol").as("id2"))
       .distinct()
   }
 }

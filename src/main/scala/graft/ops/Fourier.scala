@@ -26,6 +26,8 @@ object Fourier {
   def dftByGroup(df: DataFrame, groupCols: Seq[String],
                  orderCols: Seq[String], valCol: String,
                  k: Int): DataFrame = {
+    // sequence(0, k-1) with k = 0 would emit [0, -1] (descending step)
+    require(k > 0, s"dftByGroup needs k > 0 coefficients, got $k")
     val w = Window.partitionBy(groupCols.map(F.col): _*)
       .orderBy(orderCols.map(F.col): _*)
     val wAll = Window.partitionBy(groupCols.map(F.col): _*)

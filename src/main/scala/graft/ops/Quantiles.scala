@@ -27,7 +27,12 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * Uniform data resolves in one refinement round. Interpolation
   * matches `percentile`/`quantile_cont` (linear between floor/ceil
   * ranks). Nulls are ignored per column; NaNs are not supported (they
-  * are not ordered by < / >=).
+  * are not ordered by < / >=). ±Infinity is supported: infinite values
+  * occupy the extreme ranks by definition, so they are counted once
+  * and resolved directly while refinement runs only over the finite
+  * interior (interval arithmetic on an infinite bound is NaN-poisoned).
+  * Bucket arithmetic is division-first in half-space, so a finite span
+  * up to the full double range (hi - lo overflowing) cannot overflow.
   */
 object Quantiles {
 
@@ -84,15 +89,60 @@ object Quantiles {
       require(st(c)._3 > 0, s"no non-null values in $c")
     }
 
+    // ±Infinity pre-pass: infinite bounds poison interval bucketing
+    // (hi - lo = NaN/Inf), but infinities sit at the extreme ranks by
+    // definition — count them and bound the finite interior.
+    val infCols = cols.filter(c => st(c)._1.isInfinite || st(c)._2.isInfinite)
+    val infSt: Map[String, (Long, Long, Double, Double)] =
+      if (infCols.isEmpty) Map.empty
+      else {
+        val aggs = infCols.flatMap { c =>
+          val v = F.col(c).cast("double")
+          val fin = v.between(-Double.MaxValue, Double.MaxValue)
+          Seq(
+            F.count(F.when(v === Double.NegativeInfinity, 1))
+              .as(s"${c}__ni"),
+            F.count(F.when(v === Double.PositiveInfinity, 1))
+              .as(s"${c}__pi"),
+            F.min(F.when(fin, v)).as(s"${c}__fmn"),
+            F.max(F.when(fin, v)).as(s"${c}__fmx"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).first()
+        infCols.map { c =>
+          def d(f: String, dflt: Double): Double = {
+            val i = row.fieldIndex(s"${c}__$f")
+            if (row.isNullAt(i)) dflt else row.getDouble(i)
+          }
+          c -> ((row.getAs[Long](s"${c}__ni"), row.getAs[Long](s"${c}__pi"),
+            d("fmn", 0.0), d("fmx", 0.0)))
+        }.toMap
+      }
+
     var states: Seq[TState] = for {
       c <- cols; q <- qs
     } yield {
       val (mn, mx, n) = st(c)
-      val s = TState(c, q, q * (n - 1), 0L, n, mn, mx,
-        F.col(c).isNotNull && F.col(c).cast("double").between(mn, mx),
-        None, None)
-      // a constant column (or n == 1) is resolved for free
-      if (mn == mx) s.copy(vLo = Some(mn), vHi = Some(mn)) else s
+      if (!infSt.contains(c)) {
+        val s = TState(c, q, q * (n - 1), 0L, n, mn, mx,
+          F.col(c).isNotNull && F.col(c).cast("double").between(mn, mx),
+          None, None)
+        // a constant column (or n == 1) is resolved for free
+        if (mn == mx) s.copy(vLo = Some(mn), vHi = Some(mn)) else s
+      } else {
+        val (ni, pi, fmn, fmx) = infSt(c)
+        val pos = q * (n - 1)
+        // ranks inside the -Inf / +Inf blocks resolve immediately
+        def blockVal(rank: Long): Option[Double] =
+          if (rank < ni) Some(Double.NegativeInfinity)
+          else if (rank >= n - pi) Some(Double.PositiveInfinity)
+          else if (fmn == fmx) Some(fmn) // constant finite interior
+          else None
+        val s = TState(c, q, pos, ni, n - ni - pi, fmn, fmx,
+          F.col(c).isNotNull &&
+            F.col(c).cast("double").between(fmn, fmx),
+          None, None)
+        s.copy(vLo = blockVal(s.rankLo), vHi = blockVal(s.rankHi))
+      }
     }
 
     var rounds = 0
@@ -119,10 +169,15 @@ object Quantiles {
     val entries = groups.zipWithIndex.map { case (((col, lo, hi, _, _, _),
         ss), tid) =>
       val v = F.col(col).cast("double")
-      val w = (hi - lo) / K
+      // half-space + division-first: (hi - lo) and (v - lo) * K can
+      // overflow to Inf on a span near the full double range; the
+      // half-space difference is always finite and the ratio <= 1
+      // before the * K.
+      val wHalf = (hi / 2 - lo / 2) / K
       val bucket = F.least(F.lit(K - 1), F.greatest(F.lit(0),
-        F.floor((v - F.lit(lo)) * F.lit(K) / F.lit(hi - lo)))).cast("int")
-      (tid, ss, lo, hi, w,
+        F.floor((v / 2 - F.lit(lo / 2)) / F.lit(hi / 2 - lo / 2)
+          * F.lit(K)))).cast("int")
+      (tid, ss, lo, hi, wHalf,
         F.when(ss.head.chain, F.struct(F.lit(tid).as("tid"),
           bucket.as("bucket"), v.as("v"))))
     }
@@ -140,7 +195,7 @@ object Quantiles {
       .map { case (tid, rows) =>
         tid -> rows.map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
       }
-    val refined = entries.flatMap { case (tid, ss, lo, hi, w, _) =>
+    val refined = entries.flatMap { case (tid, ss, lo, hi, wHalf, _) =>
       val bins = hist(tid)
       val cum = bins.scanLeft(0L)(_ + _._2) // rows before bins(i)
       ss.map { s =>
@@ -180,14 +235,17 @@ object Quantiles {
           val bucketOf = {
             val v = F.col(s.col).cast("double")
             F.least(F.lit(K - 1), F.greatest(F.lit(0),
-              F.floor((v - F.lit(lo)) * F.lit(K) / F.lit(hi - lo))))
-              .cast("int")
+              F.floor((v / 2 - F.lit(lo / 2)) / F.lit(hi / 2 - lo / 2)
+                * F.lit(K)))).cast("int")
           }
           // margin of one bin on each side keeps the next bucketing
           // range a superset of the chain-selected values under float
-          // rounding; membership itself is exactly the bucket predicate
-          val newLo = math.max(lo, lo + (bLo - 1) * w)
-          val newHi = math.min(hi, lo + (bHi + 2) * w)
+          // rounding; membership itself is exactly the bucket predicate.
+          // Computed in half-space and doubled so nothing overflows for
+          // finite lo/hi; an overflow at the very edge lands on ±Inf
+          // and the min/max clamps pull it back to the old bound.
+          val newLo = math.max(lo, 2 * (lo / 2 + (bLo - 1) * wHalf))
+          val newHi = math.min(hi, 2 * (lo / 2 + (bHi + 2) * wHalf))
           s.copy(
             offset = newOffset, count = newCount,
             lo = newLo, hi = newHi,

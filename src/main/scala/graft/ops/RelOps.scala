@@ -272,11 +272,19 @@ object RelOps {
         else if (va == null) { if (descs(i)) 1 else -1 }
         else if (vb == null) { if (descs(i)) -1 else 1 }
         else {
-          val base = va match {
-            case x: Comparable[_] if x.getClass == vb.getClass =>
-              x.asInstanceOf[Comparable[Any]].compareTo(vb)
-            case x: Number => java.lang.Double
-              .compare(x.doubleValue(), vb.asInstanceOf[Number].doubleValue())
+          val base = (va, vb) match {
+            // Spark's sort normalizes -0.0 == 0.0 (and a frame Spark
+            // just sorted may interleave them); Double.compareTo would
+            // order them and flag that frame unsorted. Numeric ==
+            // treats them equal while still ordering NaN via compareTo.
+            case (x: java.lang.Double, y: java.lang.Double)
+                if x.doubleValue() == y.doubleValue() => 0
+            case (x: java.lang.Float, y: java.lang.Float)
+                if x.floatValue() == y.floatValue() => 0
+            case (x: Comparable[_], y) if x.getClass == y.getClass =>
+              x.asInstanceOf[Comparable[Any]].compareTo(y)
+            case (x: Number, y: Number) => java.lang.Double
+              .compare(x.doubleValue(), y.doubleValue())
             case _ => throw new IllegalArgumentException(
               s"issorted: unorderable type ${va.getClass}")
           }

@@ -38,13 +38,13 @@ object StreamQueries {
     * the stateful-shuffle partition count is fixed at first batch, and
     * 32 near-empty HDFS-backed stores pay 32 commit+maintenance rounds
     * for a toy stream. Restores the session conf afterwards. */
-  private def runStateful(s: SparkSession, df: DataFrame,
-                          name: String): DataFrame = {
+  private def runStateful(s: SparkSession, df: DataFrame, name: String,
+                          mode: String = "complete"): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, math.min(8, prev.toInt).toString)
     try {
-      val q = df.writeStream.outputMode("complete")
+      val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -105,13 +105,8 @@ object StreamQueries {
         .withColumn("__key", F.xxhash64(F.col("text")))
       val kept = DataStream.dedupStream(src, Seq("__key"))
         .select("doc_id", "lang")
-      val name = uniq("stream_dedup")
-      val q = kept.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(600000L); q.stop()
-      s.table(name).groupBy("lang")
+      runStateful(s, kept, uniq("stream_dedup"), mode = "append")
+        .groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_docs"))
     }
   )

@@ -116,15 +116,9 @@ object Knn {
         F.row_number().over(Window.orderBy(F.col("centroid"))) - 1)
       .select("cell", "centroid")
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      assignCells(corpus, cents, idCol, vecCol)
-        .select(F.col("cell"),
-          F.posexplode(F.col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(F.avg(F.expr("cast(v as double)")).as("cv"))
-        .groupBy("cell")
-        .agg(F.expr(
-          "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
-          .as("centroid"))
+      // Lloyd update = the per-label centroid build over the current
+      // assignment (ONE implementation, see [[centroids]]).
+      centroids(assignCells(corpus, cents, idCol, vecCol), "cell", vecCol)
         // localCheckpoint: k×dim rows — truncates the per-iteration
         // lineage so the final plan doesn't nest `iters` scans deep
         .localCheckpoint()

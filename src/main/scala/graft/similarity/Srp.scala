@@ -51,9 +51,10 @@ object Srp {
     * recall per the class doc). Output: (id1, id2, sim). */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double, nBands: Int = 16,
-                     nbits: Int = 64, seed: Long = 7L): DataFrame = {
+                     nbits: Int = 64, seed: Long = 7L,
+                     bucketCap: Option[Long] = None): DataFrame = {
     val sigs = signatures(corpus, idCol, vecCol, dim, nbits, seed)
-    val cands = Dedup.bandedCandidates(sigs, idCol, "srp", nBands)
+    val cands = Dedup.bandedCandidates(sigs, idCol, "srp", nBands, bucketCap)
     val a = corpus.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
     val b = corpus.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
     cands.join(a, "id1").join(b, "id2")

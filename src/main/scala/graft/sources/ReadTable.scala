@@ -76,11 +76,15 @@ object ReadTable {
     // Reference true/false string sets are wider than Spark's CSV
     // booleans (src/io.jl:356-368, 602-603: T/t/F/f parse as Bool), and
     // nastrings is a SET while Spark's nullValue is one string. Finish
-    // both post-parse: null out extra naStrings, then cast string
-    // columns whose non-null values all fall in trueStrings ∪
-    // falseStrings. One aggregate pass decides every candidate column
-    // together (the reference pays the same inference scan in-parse).
-    if (opts.inferSchema) df = boolishPostCast(df, opts)
+    // both post-parse: null out extra naStrings in EVERY column (the
+    // reference nulls sentinels before type inference, so a numeric
+    // sentinel like -999 must not survive as data), then re-run the
+    // reference's Int→Float64→Bool cascade over string columns whose
+    // non-sentinel values now all parse (a column held string only by
+    // its NA marker becomes numeric, as in the reference). One
+    // aggregate pass decides every candidate column together.
+    df = nullExtraNaStrings(df, opts)
+    if (opts.inferSchema) df = inferencePostCast(df, opts)
     if (opts.colNames.nonEmpty) {
       require(opts.colNames.size == df.columns.length,
         s"colNames size ${opts.colNames.size} != ${df.columns.length}")
@@ -89,47 +93,73 @@ object ReadTable {
     opts.nrows.map(df.limit).getOrElse(df)
   }
 
-  /** Post-parse finish of the reference's inference cascade for the
-    * pieces Spark's CSV options can't express: extra `naStrings`
-    * entries → null, and all-boolean-ish string columns → boolean
-    * (reference src/io.jl:356-368, 602-603). Costs one aggregate scan
-    * over the string columns, same order as the inference scan itself.
-    */
-  private def boolishPostCast(df0: DataFrame,
-                              opts: ReadOptions): DataFrame = {
+  /** Null out every extra naStrings entry (beyond the one Spark's CSV
+    * `nullValue` already handled) in ALL columns — the reference nulls
+    * sentinels before inference (src/io.jl:20, 427-474), so a -999 in
+    * a numeric column must become null, not data. Non-string columns
+    * match on their canonical string rendering (the form a numeric
+    * sentinel is written in). */
+  private def nullExtraNaStrings(df0: DataFrame,
+                                 opts: ReadOptions): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.types.StringType
-    val strCols = df0.schema.fields
-      .filter(_.dataType == StringType).map(_.name).toSeq
-    if (strCols.isEmpty) return df0
     val primaryNa = opts.naStrings.find(_.nonEmpty).getOrElse("")
     val extraNa = opts.naStrings.filter(s => s.nonEmpty && s != primaryNa)
-    val df =
-      if (extraNa.isEmpty) df0
-      else strCols.foldLeft(df0) { (d, c) =>
-        d.withColumn(c,
-          F.when(F.col(c).isin(extraNa: _*), F.lit(null))
-            .otherwise(F.col(c)))
-      }
+    if (extraNa.isEmpty) return df0
+    df0.schema.fields.foldLeft(df0) { (d, f) =>
+      val probe =
+        if (f.dataType == StringType) F.col(f.name)
+        else F.col(f.name).cast("string")
+      d.withColumn(f.name,
+        F.when(probe.isin(extraNa: _*), F.lit(null))
+          .otherwise(F.col(f.name)))
+    }
+  }
+
+  /** Post-parse finish of the reference's Int→Float64→Bool→String
+    * inference cascade (src/io.jl:135-263, 356-368, 602-603) for the
+    * pieces Spark's CSV options can't express: a string column whose
+    * non-null values all parse as longs / doubles / members of
+    * trueStrings ∪ falseStrings is cast accordingly — needed because
+    * Spark's inference ran BEFORE the extra naStrings were nulled, so
+    * a column held string only by its NA marker must still come out
+    * numeric. Costs one aggregate scan over the string columns, same
+    * order as the inference scan itself.
+    */
+  private def inferencePostCast(df: DataFrame,
+                                opts: ReadOptions): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.StringType
+    val strCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    if (strCols.isEmpty) return df
     val tf = opts.trueStrings ++ opts.falseStrings
-    if (tf.isEmpty) return df
     val aggs = strCols.flatMap { c =>
+      val v = F.col(c)
       Seq(
-        F.bool_and(F.col(c).isNull || F.col(c).isin(tf: _*))
-          .as(s"${c}__all"),
-        F.bool_or(F.col(c).isNotNull).as(s"${c}__any"))
+        F.bool_and(v.isNull || F.expr(s"try_cast(`$c` as long)").isNotNull)
+          .as(s"${c}__lng"),
+        F.bool_and(v.isNull || F.expr(s"try_cast(`$c` as double)").isNotNull)
+          .as(s"${c}__dbl"),
+        F.bool_and(v.isNull || v.isin(tf: _*)).as(s"${c}__bool"),
+        F.bool_or(v.isNotNull).as(s"${c}__any"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     def flag(name: String): Boolean = {
       val i = row.fieldIndex(name)
       !row.isNullAt(i) && row.getBoolean(i)
     }
-    val boolish =
-      strCols.filter(c => flag(s"${c}__all") && flag(s"${c}__any"))
-    boolish.foldLeft(df) { (d, c) =>
-      d.withColumn(c,
-        F.when(F.col(c).isin(opts.trueStrings: _*), true)
-          .when(F.col(c).isin(opts.falseStrings: _*), false))
+    strCols.foldLeft(df) { (d, c) =>
+      if (!flag(s"${c}__any")) d // all-null: leave string, like Spark
+      else if (flag(s"${c}__lng"))
+        d.withColumn(c, F.col(c).cast("long"))
+      else if (flag(s"${c}__dbl"))
+        d.withColumn(c, F.col(c).cast("double"))
+      else if (tf.nonEmpty && flag(s"${c}__bool"))
+        d.withColumn(c,
+          F.when(F.col(c).isin(opts.trueStrings: _*), true)
+            .when(F.col(c).isin(opts.falseStrings: _*), false))
+      else d
     }
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import graft.sources.{ReadOptions, ReadTable}
 
@@ -48,9 +49,21 @@ class CsvSpec extends SparkSpec {
     assert(types("b1") == BooleanType) // T/f/t
     assert(types("b2") == BooleanType) // Spark-native true/false + T/F
     assert(types("s") == StringType)   // "Tx"/"ok" are not boolean-ish
+    // m was held string only by its "NULL" marker: after sentinel
+    // nulling the reference cascade re-infers it numeric
+    assert(types("m") == LongType)
     val rows = df.orderBy("m").collect()
     assert(df.filter(df("m").isNull).count() == 2) // NA and NULL
     assert(rows.exists(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
+  test("numeric NA sentinels (-999) null out of already-numeric columns") {
+    val p = fixture("sentinel.csv", "v,w\n1,1.5\n-999,2.5\n3,-999.0\n")
+    val df = ReadTable.readtable(spark, p,
+      ReadOptions(naStrings = Seq("NA", "", "-999", "-999.0")))
+    assert(df.filter(df("v").isNull).count() == 1)
+    assert(df.filter(df("w").isNull).count() == 1)
+    assert(df.agg(F.sum("v")).head().getLong(0) == 4L)
   }
 
   test("quoting: embedded separators, quotes, and newlines") {

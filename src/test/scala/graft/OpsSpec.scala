@@ -85,6 +85,27 @@ class OpsSpec extends SparkSpec {
     d.foreach { r => assert(r.getAs[Double]("n") == n) }
   }
 
+  test("exact quantiles handle infinities and full-double-range spans") {
+    import spark.implicits._
+    // ±Inf occupy the extreme ranks; interior refines over finite values
+    val withInf = Seq(Double.NegativeInfinity, 1.0, 2.0, 3.0, 4.0,
+      Double.PositiveInfinity).toDF("x")
+    val qs = graft.ops.Quantiles.exact(withInf, "x", Seq(0.0, 0.5, 1.0))
+    assert(qs(0) == Double.NegativeInfinity)
+    assert(qs(1) == 2.5) // median of ranks 2,3 → (2+3)/2
+    assert(qs(2) == Double.PositiveInfinity)
+    // a finite span that overflows (hi - lo = Inf in naive arithmetic)
+    val wide = Seq(-1.5e308, -1.0, 0.0, 1.0, 1.5e308).toDF("x")
+    val qw = graft.ops.Quantiles.exact(wide, "x", Seq(0.25, 0.5, 0.75))
+    assert(qw == Seq(-1.0, 0.0, 1.0))
+    // all-infinite column resolves without refinement
+    val allInf = Seq(Double.NegativeInfinity, Double.PositiveInfinity)
+      .toDF("x")
+    val qi = graft.ops.Quantiles.exact(allInf, "x", Seq(0.0, 1.0))
+    assert(qi(0) == Double.NegativeInfinity &&
+      qi(1) == Double.PositiveInfinity)
+  }
+
   test("sort-based exact quantiles equal percentile()") {
     val li = T.load(spark, sf, "lineitem")
     val viaSort = graft.ops.Quantiles.exact(li, "l_extendedprice",

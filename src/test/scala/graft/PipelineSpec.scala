@@ -152,6 +152,14 @@ class PipelineSpec extends SparkSpec {
     val banded16 = Dedup.simhashNearDupsBanded(sigs, "doc_id", 16, nBands = 4)
     assert(banded16.exceptAll(all16).isEmpty)
     info(s"banded d=16 found ${banded16.count()} of ${all16.count()} pairs")
+    // bucketCap above the hottest bucket is a no-op; a tight cap only
+    // LOSES candidates (degenerate-band trade), never invents them
+    val capped = Dedup.simhashNearDupsBanded(sigs, "doc_id", 3,
+      nBands = 4, bucketCap = Some(1000000L))
+    assert(capped.exceptAll(banded).isEmpty && banded.exceptAll(capped).isEmpty)
+    val tight = Dedup.simhashNearDupsBanded(sigs, "doc_id", 16,
+      nBands = 4, bucketCap = Some(2L))
+    assert(tight.exceptAll(banded16).isEmpty)
   }
 
   test("label-free kmeans IVF recovers planted clusters (recall >= 0.95)") {

@@ -26,6 +26,12 @@ def norm_cell(v):
     # %.9g normalization.
     if v is None:
         return "NULL"
+    if hasattr(v, "tolist") and hasattr(v, "ndim") and v.ndim > 0:
+        # numpy array (DuckDB LIST via .df()): normalize elementwise —
+        # .item() on a multi-element array raises ValueError
+        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "item"):  # numpy scalar → Python scalar
         v = v.item()
     if isinstance(v, float):
