@@ -35,4 +35,27 @@ object Sampling {
       F.pmod(F.xxhash64(F.col(keyCol), F.lit(seed)), F.lit(buckets))
         < keepExpr)
   }
+
+  /** EXACTLY `k` rows per group (fewer if the group is smaller),
+    * deterministically: rank rows by xxhash64(key, seed) inside each
+    * group and keep the k smallest — a reproducible reservoir. Runs on
+    * the bounded-memory TopK aggregator, so the shuffle carries
+    * O(groups × k) rows, not the corpus (rate-based sampling can't
+    * promise per-group counts; eval-set carving wants exactly-k).
+    * Output: groupCols + keyCol + "rnk". Per-id payloads join back on
+    * keyCol. */
+  def fixedSizePerGroup(df: DataFrame, groupCols: Seq[String],
+                        keyCol: String, k: Int,
+                        seed: Long = 42L): DataFrame = {
+    val scored = df
+      .select((groupCols :+ keyCol).map(F.col): _*)
+      // negated hash as score: TopK keeps largest-score (desc) first,
+      // so the k hash-smallest rows = top-k of the negation
+      .withColumn("__score",
+        -F.pmod(F.xxhash64(F.col(keyCol), F.lit(seed)), F.lit(1L << 40))
+          .cast("double"))
+    graft.similarity.TopK
+      .perGroup[Long](scored, groupCols, "__score", keyCol, k, "rnk")
+      .drop("__score")
+  }
 }

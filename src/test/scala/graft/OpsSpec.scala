@@ -239,6 +239,18 @@ class OpsSpec extends SparkSpec {
     assert(s3.subsetOf(s1))
   }
 
+  test("fixedSizePerGroup: exactly k per group, deterministic, stable") {
+    val o = T.load(spark, sf, "orders")
+    val s1 = graft.ops.Sampling.fixedSizePerGroup(
+      o, Seq("o_orderstatus"), "o_orderkey", 5)
+    val counts = s1.groupBy("o_orderstatus").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 5))
+    // same selection across runs and partitionings
+    val s2 = graft.ops.Sampling.fixedSizePerGroup(
+      o.repartition(13), Seq("o_orderstatus"), "o_orderkey", 5)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
   test("stratified hash sampling respects per-stratum rates") {
     val docs = T.load(spark, sf, "documents")
     val s = graft.ops.Sampling.stratifiedHashSample(docs, "doc_id", "lang",
