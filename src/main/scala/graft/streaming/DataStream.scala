@@ -114,6 +114,27 @@ object DataStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — the Spark superset completing
+    * §2.10: left events matched to right events with the same key
+    * whose event time falls in [left.ts, left.ts + bound]. BOTH sides
+    * carry watermarks, so join state is evicted once the watermark
+    * passes the interval — bounded state on unbounded streams (the
+    * whole point; an unbounded stream-stream join would buffer both
+    * streams forever). Output columns are prefixed l_/r_.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, bound: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => F.col(c).as(s"l_$c")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => F.col(c).as(s"r_$c")): _*)
+    l.join(r, F.expr(
+      s"""l_$keyCol = r_$keyCol AND
+          r_$tsCol >= l_$tsCol AND
+          r_$tsCol <= l_$tsCol + INTERVAL $bound"""))
+  }
+
   /** Drive a streaming DataFrame to completion into a memory sink and
     * return the result table (micro-batch pull loop, reference
     * src/datastream.jl:62-79). */

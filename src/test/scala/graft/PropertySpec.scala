@@ -108,4 +108,51 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(lhs - rhs) < 1e-8, s"x=$x lhs=$lhs rhs=$rhs")
     }
   }
+
+  test("property: exact quantiles equal sorted-rank interpolation") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.choose(-1e6, 1e6),
+        Gen.choose(-5.0, 5.0),     // duplicate-heavy small range
+        Gen.oneOf(0.0, 1.0, 1.0))), // ties
+      Gen.choose(0.0, 1.0))
+    forAll(gen, n = 10) { case (xs: List[Double], q: Double) =>
+      val df = xs.toDF("x")
+      val got = graft.ops.Quantiles.exact(df, "x", Seq(q)).head
+      val sorted = xs.sorted
+      val pos = q * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.floor.toInt), sorted(pos.ceil.toInt))
+      val want = lo + (pos - pos.floor) * (hi - lo)
+      assert(math.abs(got - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+        s"q=$q got=$got want=$want n=${xs.length}")
+    }
+  }
+
+  test("property: pasteRecycle matches elementwise concat with recycling") {
+    val arrGen = Gen.nonEmptyListOf(Gen.alphaNumStr.map(_.take(4)))
+    forAll(Gen.zip(arrGen, arrGen), n = 10) {
+      case (a: List[String], b: List[String]) =>
+        val df = Seq((a, b)).toDF("a", "b")
+        val got = df.select(graft.functions.Funcs
+          .pasteRecycle("_", F.col("a"), F.col("b")).as("p"))
+          .head().getSeq[String](0)
+        val len = math.max(a.length, b.length)
+        val want = (0 until len).map(i =>
+          a(i % a.length) + "_" + b(i % b.length))
+        assert(got == want)
+    }
+  }
+
+  test("property: issorted agrees with Scala sortedness on one partition") {
+    forAll(Gen.listOfN(25, Gen.choose(-1000L, 1000L)), n = 10) {
+      xs: List[Long] =>
+        whenever(xs.nonEmpty) {
+          val df = xs.toDF("k").coalesce(1)
+          assert(df.sortBy(Ordering("k")).issorted(Ordering("k")))
+          // the raw insertion order is sorted iff the list is
+          val expect = xs == xs.sorted
+          assert(df.issorted(Ordering("k")) == expect)
+        }
+    }
+  }
 }

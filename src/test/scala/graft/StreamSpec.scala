@@ -47,6 +47,37 @@ class StreamSpec extends SparkSpec {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def ev(u: Long, offSec: Long, v: Double) =
+      SessEvent(u, new Timestamp((base + offSec) * 1000), v)
+    val lEvents = Seq(ev(1, 0, 1.0), ev(1, 600, 2.0), ev(2, 0, 3.0))
+    val rEvents = Seq(ev(1, 100, 10.0), ev(1, 3000, 20.0), ev(2, 30, 30.0),
+      ev(3, 10, 40.0))
+    val ls = MemoryStream[SessEvent]; ls.addData(lEvents)
+    val rs = MemoryStream[SessEvent]; rs.addData(rEvents)
+    val joined = graft.streaming.DataStream.intervalJoin(
+      ls.toDS().toDF(), rs.toDS().toDF(),
+      "user_id", "ts", "5 minutes", "1 hour")
+      .select("l_user_id", "l_ts", "r_ts", "r_value")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ij_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_test")
+    val batch = lEvents.toDF().as("l").join(rEvents.toDF().as("r"),
+      F.expr("""l.user_id = r.user_id AND r.ts >= l.ts AND
+                r.ts <= l.ts + INTERVAL 5 minutes"""))
+      .select(F.col("l.user_id").as("l_user_id"), F.col("l.ts").as("l_ts"),
+        F.col("r.ts").as("r_ts"), F.col("r.value").as("r_value"))
+    // expected: (u1,0)x(100), (u2,0)x(30) — (u1,600)x(3000) is outside
+    // the 5-minute bound, u3 has no left side
+    assert(got.count() == 2)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("bounded-state streaming dedup keeps first row per key in-window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
