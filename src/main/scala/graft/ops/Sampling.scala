@@ -36,6 +36,19 @@ object Sampling {
         < keepExpr)
   }
 
+  /** Per-row Bernoulli sampling with a PER-ROW rate — quality-weighted
+    * downsampling (keep high-quality docs with probability ~1, low
+    * quality at their score): keep iff uniform_hash(key) < rateCol.
+    * Same determinism contract as [[hashSample]] (stable across runs
+    * and partitionings); rate 0 drops, rate >= 1 keeps. */
+  def bernoulliByRate(df: DataFrame, keyCol: String, rateCol: String,
+                      seed: Long = 42L): DataFrame = {
+    val buckets = 1000000L
+    df.filter(
+      F.pmod(F.xxhash64(F.col(keyCol), F.lit(seed)), F.lit(buckets))
+        .cast("double") / buckets < F.col(rateCol))
+  }
+
   /** EXACTLY `k` rows per group (fewer if the group is smaller),
     * deterministically: rank rows by xxhash64(key, seed) inside each
     * group and keep the k smallest — a reproducible reservoir. Runs on

@@ -239,6 +239,23 @@ class OpsSpec extends SparkSpec {
     assert(s3.subsetOf(s1))
   }
 
+  test("bernoulliByRate: rate 0/1 exact, mid-rate ~proportional, stable") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i =>
+      (i, if (i % 2 == 0) 0.0 else if (i % 3 == 0) 1.0 else 0.5))
+      .toDF("id", "rate")
+    val kept = graft.ops.Sampling.bernoulliByRate(df, "id", "rate")
+    assert(kept.filter("rate = 0.0").count() == 0)
+    assert(kept.filter("rate = 1.0").count() ==
+      df.filter("rate = 1.0").count())
+    val mid = kept.filter("rate = 0.5").count().toDouble /
+      df.filter("rate = 0.5").count()
+    assert(mid > 0.4 && mid < 0.6, s"mid-rate kept $mid")
+    val again = graft.ops.Sampling.bernoulliByRate(
+      df.repartition(7), "id", "rate")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
   test("fixedSizePerGroup: exactly k per group, deterministic, stable") {
     val o = T.load(spark, sf, "orders")
     val s1 = graft.ops.Sampling.fixedSizePerGroup(
