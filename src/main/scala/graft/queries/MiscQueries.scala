@@ -87,6 +87,22 @@ object MiscQueries {
           "asof_value" -> "asof_value")
     },
 
+    // CSV ingest through the real readtable path (the reference's
+    // headline baseline is readtable wall-clock): write customer as
+    // CSV once per run, read it back with full inference, aggregate.
+    // Round-trips through target/ (inside the repo, gitignored); the
+    // oracle computes the same aggregate from the parquet source —
+    // equal because shortest-repr double writing round-trips exactly.
+    "q29_csv_ingest" -> { (s, dir) =>
+      val out = s"${sys.props.getOrElse("user.dir", ".")}/target/q29_csv_ingest"
+      graft.sources.ReadTable.writetable(
+        T.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), out)
+      graft.sources.ReadTable.readtable(s, out)
+        .by(Seq("c_mktsegment"),
+          "n" -> "count(*)", "bal" -> "round(sum(c_acctbal), 2)")
+    },
+
     // Forward as-of: next error at-or-after each event — the [[q73]]
     // mirror (same union+window composition, reversed order).
     "q98_asof_fwd" -> { (s, dir) =>
@@ -250,6 +266,10 @@ object MiscQueries {
                 count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q29_csv_ingest" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                round(sum(c_acctbal), 2) AS bal
+         FROM customer GROUP BY 1""",
     "q98_asof_fwd" ->
       """SELECT e.event_id, e.user_id, r.value AS asof_value
          FROM events e ASOF LEFT JOIN (
