@@ -59,11 +59,13 @@ object SeqOps {
       df.withColumn(out,
         F.col(col) - F.lag(F.col(col), 1).over(spec(partitionBy, orderBy)))
 
-    /** percent_change / reldiff (reference src/DataFrames.jl:121,130). */
+    /** percent_change / reldiff (reference src/DataFrames.jl:121,130).
+      * A zero previous value yields null (not an ANSI divide-by-zero
+      * error): `nullif(prev, 0)` — same as DuckDB's x/0 → NULL. */
     def percentChange(col: String, out: String, partitionBy: Seq[String],
                       orderBy: Seq[String]): DataFrame = {
       val prev = F.lag(F.col(col), 1).over(spec(partitionBy, orderBy))
-      df.withColumn(out, (F.col(col) - prev) / prev)
+      df.withColumn(out, (F.col(col) - prev) / F.nullif(prev, F.lit(0)))
     }
 
     /** sortperm as a column: rank of each row under the given ordering

@@ -167,7 +167,7 @@ object RelQueries {
     "q15_lag_diff" ->
       """SELECT event_id, user_id,
          round(value - lag(value) OVER w, 6) + 0 AS dv,
-         round((value - lag(value) OVER w) / lag(value) OVER w, 6) + 0 AS pct
+         round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 6) + 0 AS pct
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q16_rank" ->
