@@ -45,6 +45,14 @@ object Bench {
       w.withColumn("r", F.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy("b"))).collect()
+      // distinct-agg (Expand) + typed-imperative-agg (ObjectHashAggregate)
+      // family — janino cost measured ~3.5 s on whichever query hits it
+      // first (q58's sketch-vs-exact shape)
+      w.groupBy("a").agg(
+        F.count_distinct(F.col("b")),
+        F.approx_count_distinct(F.col("b"), 0.02),
+        F.expr("percentile(b, 0.5)"),
+        F.percentile_approx(F.col("b"), F.lit(0.5), F.lit(100))).collect()
     }
     // SPARK_GRAFT_ONLY=q21,q43 restricts the run (local iteration aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

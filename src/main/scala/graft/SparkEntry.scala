@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.RelQueries.queries,
     _root_.graft.queries.StatQueries.queries,
     _root_.graft.queries.PipelineQueries.queries,
+    _root_.graft.queries.CurationQueries.queries,
     _root_.graft.queries.StreamQueries.queries,
     _root_.graft.queries.MiscQueries.queries,
     _root_.graft.queries.AnalyticsQueries.queries
@@ -25,6 +26,7 @@ object SparkEntry {
     _root_.graft.queries.RelQueries.oracleSql,
     _root_.graft.queries.StatQueries.oracleSql,
     _root_.graft.queries.PipelineQueries.oracleSql,
+    _root_.graft.queries.CurationQueries.oracleSql,
     _root_.graft.queries.StreamQueries.oracleSql,
     _root_.graft.queries.MiscQueries.oracleSql,
     _root_.graft.queries.AnalyticsQueries.oracleSql

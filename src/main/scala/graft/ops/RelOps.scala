@@ -248,6 +248,43 @@ object RelOps {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of a long column under a global
+    * ordering — the two-phase scan: range-partition + local sort, one
+    * bounded driver collect of per-partition totals (a single long per
+    * partition), then a per-partition streaming add of the broadcast
+    * offsets. Same scale shape as [[globalRowNumber]] (which is the
+    * special case valCol ≡ 1): no single-task global window, O(P)
+    * driver data. The input lineage is evaluated twice (totals pass +
+    * final pass), like zipWithIndex's internal count job — persist
+    * upstream if it is expensive to recompute.
+    */
+  def globalPrefixSum(df: DataFrame, valCol: String, out: String,
+                      orderings: Seq[Ordering]): DataFrame = {
+    val sortCols = orderings.map(_.toColumn)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema.add(out, LongType, nullable = false)
+    val valIdx = ordered.schema.fieldIndex(valCol)
+    val rdd = ordered.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valIdx))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(valIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** reference `make_unique` (src/utils.jl:42-68): suffix `_k` until the
     * name is free. */
   def makeUnique(name: String, taken: Set[String]): String = {

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.T
+import graft.ops.RelOps
+import graft.ops.RelOps._
+import graft.ops.Sampling
+import graft.plans.TextExpressions
+import graft.text.{Decontam, PII, TextOps}
+
+/** Wave-4: corpus-preparation operators — the passes between "filtered
+  * corpus" and "training batches": benchmark decontamination, passage
+  * dedup, PII scrubbing, deterministic corpus shuffle, temperature
+  * resampling, sequence packing, sketch-based profiling, per-class
+  * embedding centroids.
+  *
+  * Approximate operators (HLL distinct counts, approximate quantiles,
+  * hash-Bernoulli realized rates) are gated with in-query tolerance
+  * BOOLEANS against exact values computed in the same plan — the oracle
+  * emits the exact values and literal TRUE, so a sketch drifting out of
+  * tolerance fails the hash gate deterministically.
+  */
+object CurationQueries {
+
+  // ---- shared DuckDB fragments ---------------------------------------
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  private val duckShingles5 =
+    """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       t[i+3] || ' ' || t[i+4] for i in range(1, len(t) - 3)])"""
+
+  /** Deterministic PII injection: the synthetic corpus is digit- and
+    * @-free, so both engines append the same doc_id-derived email,
+    * phone and IPv4 to every document — the redaction machinery then
+    * runs against guaranteed-nonzero hits. */
+  private def injectSpark =
+    """concat(text, ' contact u', cast(doc_id as string),
+       '@example.com call 555-',
+       lpad(cast(doc_id % 10000 as string), 4, '0'),
+       ' ip 10.0.', cast(doc_id % 256 as string), '.',
+       cast((doc_id * 7) % 256 as string))"""
+
+  private def injectDuck =
+    """concat(text, ' contact u', doc_id::VARCHAR,
+       '@example.com call 555-',
+       lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+       ' ip 10.0.', (doc_id % 256)::VARCHAR, '.',
+       ((doc_id * 7) % 256)::VARCHAR)"""
+
+  // ---- queries --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic corpus shuffle: a reproducible pseudo-random global
+    // permutation (rank by md5 of the key) — how a training pipeline
+    // fixes example order without trusting partition layout. Scale
+    // path: range-partitioned sort + per-partition offsets
+    // (globalRowNumber), no single-task window.
+    "q37_shuffle" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .basedOn("doc_id" -> "doc_id", "h" -> "md5(cast(doc_id as string))")
+      RelOps.globalRowNumber(d, "pos",
+          Seq(RelOps.Ordering("h"), RelOps.Ordering("doc_id")))
+        .basedOn("doc_id" -> "doc_id", "pos" -> "pos")
+    },
+
+    // Temperature resampling (multilingual-corpus rebalancing): per-lang
+    // keep rate (min_n / n)^(1/2), then deterministic hash-Bernoulli.
+    // The rates are hash-checked exactly; the realized kept fraction is
+    // gated within ±0.12 of the target (the hash sampler is
+    // deterministic, so on a given corpus this bound either always
+    // holds or always fails; CurationSpec asserts the tighter ±0.08).
+    "q38_temperature_sample" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(F.count(F.lit(1)).as("n_orig"))
+      val rates = counts
+        .crossJoin(counts.agg(F.min("n_orig").as("__mn"))) // 1 row
+        .withColumn("rate", F.round(
+          F.sqrt(F.col("__mn").cast("double") / F.col("n_orig")), 6))
+      val kept = Sampling.bernoulliByRate(
+          docs.join(F.broadcast(rates.select("lang", "rate")), "lang"),
+          "doc_id", "rate")
+        .groupBy("lang").agg(F.count(F.lit(1)).as("__kept"))
+      rates.join(kept, Seq("lang"), "left_outer")
+        .select(F.col("lang"), F.col("n_orig"), F.col("rate"),
+          (F.abs(F.coalesce(F.col("__kept"), F.lit(0L)).cast("double")
+             / F.col("n_orig") - F.col("rate")) <= 0.12).as("rate_ok"))
+    },
+
+    // Benchmark decontamination: training docs sharing any 5-gram with
+    // the (deterministic) benchmark slice doc_id % 17 = 0.
+    "q54_decontam" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 5))
+      Decontam.overlap(docs, "doc_id", "sh", F.expr("doc_id % 17 = 0"))
+    },
+
+    // Passage-level exact dedup + reassembly over 8-token chunks.
+    "q55_passage_dedup" -> { (s, dir) =>
+      Decontam.passageDedup(T.load(s, dir, "documents"),
+        "doc_id", "text", 8)
+    },
+
+    // PII scrub: detect + redact emails / IPv4 / phone-shaped numbers.
+    "q56_pii" -> { (s, dir) =>
+      T.load(s, dir, "documents")
+        .within("pii_text" -> injectSpark)
+        .basedOn(
+          ("doc_id" -> "doc_id") +:
+            PII.flagExprs("pii_text") :+
+            ("redacted" -> PII.redactExpr("pii_text")): _*)
+    },
+
+    // Sequence packing: concatenate-and-chunk batch assembly — each doc
+    // gets a global token offset (distributed prefix sum), bin =
+    // offset / 512. No single-task window; see RelOps.globalPrefixSum.
+    "q57_pack" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .basedOn("doc_id" -> "doc_id",
+          "n_tok" -> "cast(size(split(trim(text), ' +')) as bigint)")
+      RelOps.globalPrefixSum(d, "n_tok", "start_tok",
+          Seq(RelOps.Ordering("doc_id")))
+        .basedOn("doc_id" -> "doc_id", "n_tok" -> "n_tok",
+          "bin" -> "cast(floor(start_tok / 512.0) as bigint)",
+          "off" -> "cast(start_tok % 512 as bigint)")
+    },
+
+    // Sketch-based profiling with in-query accuracy gates: HLL distinct
+    // users (rsd 2%, gated at ±5%) and approximate median (rank
+    // accuracy 1e-4, gated at ±1% of the value range) vs their exact
+    // twins — the sketches ARE the 100 TB path (mergeable partial
+    // state, no exact-distinct shuffle), and the gate proves them.
+    "q58_sketch" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+      // distinct counts and percentile buffers in SEPARATE aggregates:
+      // one agg mixing count_distinct with typed-imperative percentiles
+      // makes the distinct rewrite key every partial percentile buffer
+      // by (event_type, user_id) — 100k live buffer objects + the
+      // ObjectHashAggregate sort fallback (measured 9.6 s → 1.5 s).
+      // rsd 0.02 (4k HLL registers): measured error ≤ 0.4% on this data
+      // vs the 5% gate; rsd 0.01 quadruples sketch state for nothing
+      // (its 16k-register partials alone cost ~0.6 s/query here).
+      val dis = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).as("n_users"),
+        F.approx_count_distinct(F.col("user_id"), 0.02).as("__acd"))
+      val pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").as("__p50e"),
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000))
+          .as("__p50a"),
+        F.min("value").as("__lo"), F.max("value").as("__hi"))
+      dis.join(pct, "event_type")
+        .select(F.col("event_type"), F.col("n_users"),
+          (F.abs(F.col("__acd") - F.col("n_users")).cast("double")
+             / F.col("n_users") <= 0.05).as("acd_ok"),
+          F.round(F.col("__p50e"), 6).as("p50"),
+          (F.abs(F.col("__p50a") - F.col("__p50e"))
+             <= (F.col("__hi") - F.col("__lo")) * 0.01).as("p50_ok"))
+    },
+
+    // Per-class embedding centroids: element-wise mean + L2-normalized
+    // unit centroid. Explode → partial-agg'd (label, pos) average → one
+    // per-label window over 64 rows; shuffles carry (label, pos, sum)
+    // only, never whole vectors.
+    "q59_centroids" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("label"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+      val c = ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).as("c"))
+      val w = Window.partitionBy("label")
+      c.select(F.col("label"),
+        (F.col("pos") + 1).cast("bigint").as("pos"),
+        F.round(F.col("c"), 6).as("centroid"),
+        F.round(F.col("c")
+          / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)), 6).as("unit"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q37_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+             AS pos
+         FROM documents""",
+    "q38_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_orig
+                    FROM documents GROUP BY 1),
+          m AS (SELECT min(n_orig) AS mn FROM c)
+          SELECT lang, CAST(n_orig AS BIGINT) AS n_orig,
+            round(sqrt(CAST(mn AS DOUBLE) / n_orig), 6) AS rate,
+            TRUE AS rate_ok
+          FROM c CROSS JOIN m""",
+    "q54_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles5 AS s FROM toks),
+          bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 17 = 0),
+          train AS (SELECT doc_id, unnest(s) AS g FROM sh
+                    WHERE doc_id % 17 != 0),
+          hits AS (SELECT doc_id, count(*) AS n_hits
+                   FROM train JOIN bench USING (g) GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            coalesce(h.n_hits, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) d
+          LEFT JOIN hits h USING (doc_id)""",
+    "q55_passage_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          chunks AS (SELECT doc_id,
+            [array_to_string(t[(i-1)*8+1:i*8], ' ')
+             for i in range(1, cast(ceil(len(t)/8.0) as int) + 1)] AS cs
+            FROM toks),
+          ex AS (SELECT doc_id,
+            unnest(list_zip(cs, generate_series(1, len(cs)))) AS z
+            FROM chunks),
+          ch AS (SELECT doc_id, z[2]::BIGINT AS idx, z[1]::VARCHAR AS chunk
+                 FROM ex),
+          flagged AS (SELECT doc_id, idx, chunk,
+            row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+              AS keep
+            FROM ch)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN keep THEN chunk END, ' '
+              ORDER BY idx), '') AS kept_text
+          FROM flagged GROUP BY 1""",
+    "q56_pii" ->
+      s"""WITH p AS (SELECT doc_id, $injectDuck AS pii_text FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(pii_text,
+              '${PII.emailRe}')) AS n_pii_emails,
+            len(regexp_extract_all(pii_text,
+              '${PII.ipRe}')) AS n_pii_ips,
+            len(regexp_extract_all(pii_text,
+              '${PII.phoneRe}')) AS n_pii_phones,
+            regexp_replace(regexp_replace(regexp_replace(pii_text,
+              '${PII.emailRe}', '<EMAIL>', 'g'),
+              '${PII.ipRe}', '<IP>', 'g'),
+              '${PII.phoneRe}', '<PHONE>', 'g') AS redacted
+          FROM p""",
+    "q57_pack" ->
+      """WITH d AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+          ps AS (SELECT doc_id, n_tok,
+            coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS start_tok
+          FROM d)
+          SELECT doc_id, n_tok,
+            CAST(floor(start_tok / 512.0) AS BIGINT) AS bin,
+            CAST(start_tok % 512 AS BIGINT) AS off
+          FROM ps""",
+    "q58_sketch" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS acd_ok,
+           round(quantile_cont(value, 0.5), 6) + 0 AS p50,
+           TRUE AS p50_ok
+         FROM events GROUP BY 1""",
+    "q59_centroids" ->
+      """WITH ex AS (SELECT label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          c AS (SELECT label, z[2]::BIGINT AS pos, avg(z[1]::DOUBLE) AS c
+                FROM ex GROUP BY 1, 2)
+          SELECT label, pos,
+            round(c, 6) + 0 AS centroid,
+            round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
+              AS unit
+          FROM c"""
+  )
+}

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Cross-document hygiene passes a pretraining pipeline runs before the
+  * corpus ships: benchmark decontamination (drop/flag training docs
+  * that share n-grams with an eval set) and passage-level exact dedup
+  * (remove boilerplate passages duplicated across documents, keeping
+  * each passage's first occurrence — the FineWeb/Gopher paragraph-dedup
+  * shape, on deterministic fixed-k token chunks here because the
+  * synthetic corpus has no newlines).
+  *
+  * Both are plain Catalyst plans: explode → hash-partitioned
+  * aggregation/window → reassembly. No UDFs, no driver loops.
+  */
+object Decontam {
+
+  /** Benchmark n-gram overlap — the standard decontamination check
+    * (count distinct shingles each training doc shares with ANY
+    * benchmark doc; contaminated = at least one hit).
+    *
+    * Scale shape: the benchmark side is an eval set — small by
+    * construction — so its distinct-shingle set is broadcast and the
+    * training corpus never shuffles: one scan, partial-agg'd count per
+    * doc. For an unusually large eval suite, drop the broadcast hint
+    * and let AQE pick the join.
+    *
+    * `shCol` must hold DISTINCT shingles per doc (WordShingles does),
+    * so the per-doc hit count needs no DISTINCT of its own.
+    */
+  def overlap(docs: DataFrame, idCol: String, shCol: String,
+              benchPred: Column): DataFrame = {
+    val bench = docs.filter(benchPred)
+      .select(F.explode(F.col(shCol)).as("__g")).distinct()
+    val train = docs.filter(!benchPred)
+    val hits = train
+      .select(F.col(idCol), F.explode(F.col(shCol)).as("__g"))
+      .join(F.broadcast(bench), "__g")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_hits"))
+    train.select(F.col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_hits"), F.lit(0L)).as("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Fixed-k token chunks of a token-array column, joined by single
+    * spaces — the deterministic "paragraph" unit for [[passageDedup]].
+    * Same single-element-transform binding trick as
+    * [[TextOps.shinglesExpr]] (prevents projection collapse from
+    * re-tokenizing per chunk).
+    */
+  def passagesExpr(tokExpr: String, k: Int): String =
+    s"""element_at(transform(array($tokExpr), t ->
+          CASE WHEN size(t) < 1 THEN cast(array() as array<string>)
+          ELSE transform(
+            sequence(0, cast(ceil(size(t) / ${k}.0) as int) - 1),
+            i -> concat_ws(' ', slice(t, i * $k + 1, $k))) END), 1)"""
+
+  /** Passage-level exact dedup with reassembly: chunk every document
+    * into k-token passages, keep only each passage's FIRST corpus-wide
+    * occurrence (ordered by doc id, then position), and rebuild each
+    * document from its surviving passages.
+    *
+    * One pipeline, two shuffles: a window partitioned BY PASSAGE (hash
+    * shuffle on the passage text — per-passage state is one row_number,
+    * so partitions stream), then the per-doc reassembly aggregation.
+    * The passage text crosses the wire once per shuffle, which is the
+    * floor for exact passage dedup + reassembly; a fingerprint-only
+    * variant would still have to move the text for reassembly.
+    *
+    * Output: id, n_chunks, n_kept, kept_text ('' when every passage of
+    * a doc appeared earlier elsewhere — true for exact-dup docs).
+    */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val ch = docs
+      .withColumn("__t",
+        graft.plans.TextExpressions.wordTokens(F.col(textCol)))
+      .select(F.col(idCol),
+        F.posexplode(F.expr(passagesExpr("__t", k))).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk")
+      .orderBy(F.col(idCol).asc, F.col("idx").asc)
+    ch.withColumn("__keep", F.row_number().over(w) === 1)
+      .groupBy(idCol)
+      .agg(
+        F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.when(F.col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        F.array_join(
+          F.transform(
+            F.array_sort(F.collect_list(
+              F.when(F.col("__keep"),
+                F.struct(F.col("idx"), F.col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("kept_text"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.ops.RelOps
+import graft.ops.RelOps._
+import graft.text.{Decontam, PII}
+
+/** Wave-4 corpus-preparation operators: decontamination, passage dedup,
+  * PII scrub, distributed prefix sum / packing, temperature sampling,
+  * sketch gates, centroids. */
+class CurationSpec extends SparkSpec {
+
+  test("decontam.overlap flags exactly the docs sharing a benchmark shingle") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),    // benchmark
+      (2L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram
+      (3L, "one two three four five six"),        // clean
+      (4L, "zeta alpha beta gamma delta epsilon") // shares 5-gram (2 of them)
+    ).toDF("doc_id", "text")
+      .withColumn("sh", graft.plans.TextExpressions.wordShingles(F.col("text"), 5))
+    val out = Decontam.overlap(docs, "doc_id", "sh", F.col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set((2L, 1L, true), (3L, 0L, false), (4L, 1L, true)))
+  }
+
+  test("passageDedup keeps first occurrence and reassembles in order") {
+    val s = spark
+    import s.implicits._
+    // k=2 chunks; doc 1: [a b][c d]; doc 2: [a b][x y] — loses "a b";
+    // doc 3 duplicates doc 1 exactly — loses everything.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Decontam.passageDedup(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("PII redaction masks emails, IPs and phone numbers globally") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("mail bob.smith@corp.example.org and 10.0.42.7 call 555-0199 or 555-0200")
+      .toDF("t")
+      .basedOn(PII.flagExprs("t") :+ ("red" -> PII.redactExpr("t")): _*)
+    val r = df.collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((1, 1, 2)))
+    assert(r.getString(3) === "mail <EMAIL> and <IP> call <PHONE> or <PHONE>")
+  }
+
+  test("globalPrefixSum matches a single-partition running sum") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5000L).map(i => (i, (i * 2654435761L) % 97))
+      .toDF("k", "v").repartition(16)
+    // AQE coalesces toy data to one partition; turn that off so the
+    // test can observe the distributed layout the op preserves at scale
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val got =
+      try RelOps.globalPrefixSum(df, "v", "ps", Seq(RelOps.Ordering("k")))
+        .cache()
+      finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert(got.rdd.getNumPartitions > 1, "prefix sum must stay distributed")
+    val expect = df.orderBy("k").collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), r) =>
+        (r.getLong(0), r.getLong(1), acc + r.getLong(1))
+      }.drop(1).map { case (k, v, cum) => (k, v, cum - v) }.toSet // exclusive
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet === expect)
+  }
+
+  test("temperature sampling: realized rate within 0.08 of target per lang") {
+    val s = spark
+    val q = SparkEntry.queries("q38_temperature_sample")
+    // recompute the deviation directly (the query only exposes a bool)
+    val docs = T.load(s, sf, "documents")
+    val counts = docs.groupBy("lang").agg(F.count(F.lit(1)).as("n"))
+    val rates = counts.crossJoin(counts.agg(F.min("n").as("mn")))
+      .withColumn("rate", F.round(F.sqrt(F.col("mn").cast("double") / F.col("n")), 6))
+    val kept = graft.ops.Sampling.bernoulliByRate(
+        docs.join(rates.select("lang", "rate"), "lang"), "doc_id", "rate")
+      .groupBy("lang").agg(F.count(F.lit(1)).as("k"))
+    val dev = rates.join(kept, Seq("lang"), "left_outer")
+      .select(F.max(F.abs(
+        F.coalesce(F.col("k"), F.lit(0L)).cast("double") / F.col("n")
+          - F.col("rate")))).collect()(0).getDouble(0)
+    assert(dev <= 0.08, s"hash-Bernoulli realized-rate deviation $dev")
+    // and the query's own gate holds
+    assert(q(s, sf).filter(!F.col("rate_ok")).count() === 0)
+  }
+
+  test("sketch gates hold and pack bins respect capacity") {
+    val s = spark
+    val sk = SparkEntry.queries("q58_sketch")(s, sf)
+    assert(sk.filter(!F.col("acd_ok") || !F.col("p50_ok")).count() === 0)
+    val pk = SparkEntry.queries("q57_pack")(s, sf)
+    // every offset < 512, bins contiguous from 0
+    assert(pk.filter(F.col("off") >= 512 || F.col("off") < 0).count() === 0)
+    val bins = pk.select("bin").distinct().collect().map(_.getLong(0)).sorted
+    assert(bins.head === 0L && bins === (0L until bins.length).toArray)
+  }
+
+  test("unit centroids have L2 norm 1 per label") {
+    val s = spark
+    val c = SparkEntry.queries("q59_centroids")(s, sf)
+    val norms = c.groupBy("label")
+      .agg(F.sum(F.col("unit") * F.col("unit")).as("n2"))
+      .collect().map(_.getDouble(1))
+    // components are rounded to 6 digits → norm² error up to ~64·1e-6
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4, s"norm² $n"))
+  }
+
+  test("shuffle produces a permutation of 1..n decorrelated from doc_id") {
+    val s = spark
+    val sh = SparkEntry.queries("q37_shuffle")(s, sf)
+    val n = sh.count()
+    assert(sh.select("pos").distinct().count() === n)
+    assert(sh.agg(F.min("pos"), F.max("pos")).collect()(0).toSeq === Seq(1L, n))
+    // md5 order must not be id order
+    assert(sh.filter(F.col("pos") === F.col("doc_id") + 1).count() < n / 2)
+  }
+}
