@@ -6,6 +6,7 @@ import graft.T
 import graft.ops.RelOps
 import graft.ops.RelOps._
 import graft.ops.Sampling
+import graft.ops.SeqOps._
 import graft.plans.TextExpressions
 import graft.text.{Decontam, PII, TextOps}
 
@@ -88,6 +89,49 @@ object CurationQueries {
         .select(F.col("lang"), F.col("n_orig"), F.col("rate"),
           (F.abs(F.coalesce(F.col("__kept"), F.lit(0L)).cast("double")
              / F.col("n_orig") - F.col("rate")) <= 0.12).as("rate_ok"))
+    },
+
+    // Mixture scheduling: interleave sources into one training order by
+    // stride scheduling — row p of source s sorts at key p / w_s, with
+    // sub-linear weights w_s = sqrt(n_s) (the standard multi-source
+    // mixing rule). Per-source positions are partitioned windows
+    // (scale-safe); the global rank is the range-partitioned
+    // globalRowNumber, not a single-task window. Key comparisons are
+    // IEEE doubles computed identically on both engines; ties broken
+    // totally by (source, ps).
+    "q39_mixture" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(F.count(F.lit(1)).as("__n"))
+      val p = docs
+        .rankBy("ps", Seq("source"), RelOps.Ordering("doc_id"))
+        .join(F.broadcast(counts), "source")
+        .withColumn("__key",
+          F.col("ps").cast("double") / F.sqrt(F.col("__n").cast("double")))
+      RelOps.globalRowNumber(p, "pos",
+          Seq(RelOps.Ordering("__key"), RelOps.Ordering("source"),
+            RelOps.Ordering("ps")))
+        .basedOn("doc_id" -> "doc_id", "source" -> "source", "pos" -> "pos")
+    },
+
+    // Vocabulary build: corpus token frequencies, top-100 by count with
+    // cumulative coverage — the tokenizer-training prep table. The
+    // full-vocab aggregate and the 1-row total are unbounded-safe
+    // (partial agg; TakeOrderedAndProject for the top-k); the
+    // rank+coverage window runs over at most k rows.
+    "q49_vocab" -> { (s, dir) =>
+      val ex = T.load(s, dir, "documents")
+        .withColumn("__t", TextExpressions.wordTokens(F.col("text")))
+        .select(F.explode(F.col("__t")).as("tok"))
+      val cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+      val tot = cnt.agg(F.sum("c").cast("double").as("__tot")) // 1 row
+      val top = cnt.orderBy(F.col("c").desc, F.col("tok").asc).limit(100)
+      val w = Window.orderBy(F.col("c").desc, F.col("tok").asc)
+      top.crossJoin(tot)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("coverage", F.round(
+          F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / F.col("__tot"), 6))
+        .select("tok", "c", "rank", "coverage")
     },
 
     // Benchmark decontamination: training docs sharing any 5-gram with
@@ -193,6 +237,26 @@ object CurationQueries {
             round(sqrt(CAST(mn AS DOUBLE) / n_orig), 6) AS rate,
             TRUE AS rate_ok
           FROM c CROSS JOIN m""",
+    "q39_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          p AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS ps
+          FROM documents)
+          SELECT doc_id, source,
+            row_number() OVER (
+              ORDER BY ps / sqrt(n::DOUBLE), source, ps) AS pos
+          FROM p JOIN c USING (source)""",
+    "q49_vocab" ->
+      s"""WITH ex AS (SELECT unnest($duckToks) AS tok FROM documents),
+          cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+          rk AS (SELECT tok, c,
+            row_number() OVER (ORDER BY c DESC, tok) AS rank FROM cnt)
+          SELECT tok, CAST(c AS BIGINT) AS c, rank,
+            round(sum(c) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
+              AS coverage
+          FROM rk CROSS JOIN tot WHERE rank <= 100""",
     "q54_decontam" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           sh AS (SELECT doc_id, $duckShingles5 AS s FROM toks),

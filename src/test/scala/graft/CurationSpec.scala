@@ -115,6 +115,31 @@ class CurationSpec extends SparkSpec {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-4, s"norm² $n"))
   }
 
+  test("mixture schedule interleaves sources, preserving per-source order") {
+    val s = spark
+    val mx = SparkEntry.queries("q39_mixture")(s, sf).cache()
+    val n = mx.count()
+    assert(mx.select("pos").distinct().count() === n) // permutation
+    // per-source order preserved: pos increases with doc_id inside a source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    assert(mx.withColumn("prev", F.lag("pos", 1).over(w))
+      .filter(F.col("prev") >= F.col("pos")).count() === 0)
+    // interleaved: the first 10% of the schedule draws from >1 source
+    assert(mx.filter(F.col("pos") <= n / 10)
+      .select("source").distinct().count() > 1)
+  }
+
+  test("vocabulary coverage is monotone and ranks are contiguous") {
+    val s = spark
+    val v = SparkEntry.queries("q49_vocab")(s, sf)
+      .orderBy("rank").collect()
+    assert(v.map(_.getInt(2)).toSeq === (1 to v.length))
+    val cov = v.map(_.getDouble(3))
+    cov.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+    assert(cov.last <= 1.0 + 1e-9 && cov.last > 0.99) // tiny corpus: full coverage
+  }
+
   test("shuffle produces a permutation of 1..n decorrelated from doc_id") {
     val s = spark
     val sh = SparkEntry.queries("q37_shuffle")(s, sf)
