@@ -70,6 +70,12 @@ object Bench {
           errors += name
           false
         }
+      // release blocks a query's ops left pinned (e.g. the final
+      // checkpointed state of iterative connected components) so one
+      // query's residue can't tax the next 60 — mirrors each query
+      // running in a fresh session
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The consumer captures only a bounded tail of stdout, so the JSON

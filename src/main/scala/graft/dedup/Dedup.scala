@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -171,13 +171,19 @@ object Dedup {
     // loop's parallel branches race the first materialization and
     // re-execute that upstream several times (measured 34s vs 9s at
     // sf0.1). Checkpointing runs it exactly once and truncates lineage.
-    val edges = pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
-      .union(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
-      .distinct()
-      .localCheckpoint()
+    // Superseded rounds are RELEASED as the loop advances — otherwise a
+    // long-lived session pins every round's blocks for its lifetime
+    // (measured: a 98-query benchmark JVM degraded ~2× from the
+    // accumulation). The final labels stay checkpointed for the caller.
+    val spark = pairs.sparkSession
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
+        .union(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
+        .distinct())
     var labels = edges.select(F.col("a").as("id"))
       .distinct()
       .withColumn("comp", F.col("id"))
+    var prevIds = Set.empty[Int]
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -189,17 +195,34 @@ object Dedup {
       // localCheckpoint TRUNCATES the lineage: without it the iterative
       // plan nests one join deeper per round and analysis/execution
       // blow up exponentially (measured OOM at ~8 rounds).
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(F.col("id"),
-          F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp")))
-            .as("comp"),
-          F.col("comp").as("old"))
-        .localCheckpoint()
+      val (updated, ids) = checkpointTracked(
+        labels.join(neighborMin, Seq("id"), "left_outer")
+          .select(F.col("id"),
+            F.least(F.col("comp"),
+              F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"),
+            F.col("comp").as("old")))
       changed = updated.filter(F.col("comp") =!= F.col("old")).count()
+      release(spark, prevIds) // previous round: superseded, now unreferenced
+      prevIds = ids
       labels = updated.drop("old")
       it += 1
     }
+    release(spark, edgeIds)
     labels
+  }
+
+  /** Eager localCheckpoint plus the block-manager RDD ids it pinned, so
+    * iterative ops can release superseded rounds. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint()
+    (ck, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    val m = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => m.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -224,14 +247,17 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame,
                               maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
     val nodes = pairs.select(F.col("id1").as("id"))
       .union(pairs.select(F.col("id2").as("id")))
       .distinct().localCheckpoint()
-    var edges = pairs
+    val e0 = checkpointTracked(pairs
       .select(F.least(F.col("id1"), F.col("id2")).as("lo"),
         F.greatest(F.col("id1"), F.col("id2")).as("hi"))
       .filter(F.col("lo") =!= F.col("hi"))
-      .distinct().localCheckpoint()
+      .distinct())
+    var edges = e0._1
+    var edgeIds = e0._2
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -253,9 +279,13 @@ object Dedup {
         .union(mins2.select(F.col("m").as("lo"), F.col("u").as("hi")))
         .filter(F.col("lo") =!= F.col("hi"))
         .distinct()
-        .localCheckpoint() // truncate per-round lineage growth
-      changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
-      edges = ss
+      // truncate per-round lineage growth; release the superseded round
+      // once the convergence counts no longer need it
+      val (ssCk, ids) = checkpointTracked(ss)
+      changed = ssCk.exceptAll(edges).count() + edges.exceptAll(ssCk).count()
+      release(spark, edgeIds)
+      edges = ssCk
+      edgeIds = ids
       it += 1
     }
     // fail LOUDLY on non-convergence: a mid-run edge set can hold two
