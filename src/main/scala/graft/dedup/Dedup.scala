@@ -211,6 +211,39 @@ object Dedup {
     labels
   }
 
+  /** Cross-group contamination matrix: Jaccard overlap of the distinct
+    * shingle sets of each pair of groups (sources, datasets, splits) —
+    * the corpus-level dedup report run before mixing datasets, where
+    * document-level dedup would miss systematic boilerplate shared
+    * between two crawls.
+    *
+    * Plan: explode to (group, shingle-hash) distinct — the only big
+    * shuffle, on compact keys — then a self-equi-join on the shingle
+    * hash restricted to g1 < g2 and one groupBy on the group PAIR.
+    * Output is O(groups²) rows, tiny by construction. Ultra-common
+    * shingles fan the self-join out by df² like [[jaccardPairs]] — at
+    * corpus scale pass the same style of df cap upstream if needed.
+    * Output: (g1, g2, common, n1, n2, jac).
+    */
+  def groupShingleOverlap(docs: DataFrame, groupCol: String,
+                          shCol: String): DataFrame = {
+    val gs = docs
+      .select(F.col(groupCol).as("g"), F.explode(F.col(shCol)).as("sh"))
+      .distinct()
+    val sizes = gs.groupBy("g").agg(F.count(F.lit(1)).as("n"))
+    val common = gs.select(F.col("g").as("g1"), F.col("sh"))
+      .join(gs.select(F.col("g").as("g2"), F.col("sh")), Seq("sh"))
+      .filter(F.col("g1") < F.col("g2"))
+      .groupBy("g1", "g2").agg(F.count(F.lit(1)).as("common"))
+    common
+      .join(sizes.select(F.col("g").as("g1"), F.col("n").as("n1")), "g1")
+      .join(sizes.select(F.col("g").as("g2"), F.col("n").as("n2")), "g2")
+      .select(F.col("g1"), F.col("g2"), F.col("common"),
+        F.col("n1"), F.col("n2"),
+        F.round(F.col("common").cast("double") /
+          (F.col("n1") + F.col("n2") - F.col("common")), 6).as("jac"))
+  }
+
   /** Eager localCheckpoint plus the block-manager RDD ids it pinned, so
     * iterative ops can release superseded rounds. */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -280,9 +313,15 @@ object Dedup {
         .filter(F.col("lo") =!= F.col("hi"))
         .distinct()
       // truncate per-round lineage growth; release the superseded round
-      // once the convergence counts no longer need it
+      // once the convergence count no longer needs it
       val (ssCk, ids) = checkpointTracked(ss)
-      changed = ssCk.exceptAll(edges).count() + edges.exceptAll(ssCk).count()
+      // symmetric multiset diff in ONE job (both sides are distinct
+      // edge sets, so ±1 tallies per key suffice): two exceptAll
+      // counts here doubled the per-round job tax
+      changed = ssCk.select(F.col("lo"), F.col("hi"), F.lit(1L).as("d"))
+        .union(edges.select(F.col("lo"), F.col("hi"), F.lit(-1L).as("d")))
+        .groupBy("lo", "hi").agg(F.sum("d").as("d"))
+        .filter(F.col("d") =!= 0L).count()
       release(spark, edgeIds)
       edges = ssCk
       edgeIds = ids

@@ -59,16 +59,26 @@ object Sampling {
     * keyCol. */
   def fixedSizePerGroup(df: DataFrame, groupCols: Seq[String],
                         keyCol: String, k: Int,
-                        seed: Long = 42L): DataFrame = {
-    val scored = df
-      .select((groupCols :+ keyCol).map(F.col): _*)
-      // negated hash as score: TopK keeps largest-score (desc) first,
-      // so the k hash-smallest rows = top-k of the negation
-      .withColumn("__score",
-        -F.pmod(F.xxhash64(F.col(keyCol), F.lit(seed)), F.lit(1L << 40))
-          .cast("double"))
-    graft.similarity.TopK
-      .perGroup[Long](scored, groupCols, "__score", keyCol, k, "rnk")
-      .drop("__score")
-  }
+                        seed: Long = 42L,
+                        scoreCol: Option[String] = None): DataFrame =
+    scoreCol match {
+      // caller-supplied score: keep the k LARGEST (score desc, key asc)
+      // per group and surface the score — eval-set carving by an
+      // explicit (and oracle-computable) priority instead of the hash
+      case Some(sc) =>
+        graft.similarity.TopK.perGroup[Long](
+          df.select((groupCols ++ Seq(keyCol, sc)).map(F.col): _*),
+          groupCols, sc, keyCol, k, "rnk")
+      case None =>
+        val scored = df
+          .select((groupCols :+ keyCol).map(F.col): _*)
+          // negated hash as score: TopK keeps largest-score (desc)
+          // first, so the k hash-smallest rows = top-k of the negation
+          .withColumn("__score",
+            -F.pmod(F.xxhash64(F.col(keyCol), F.lit(seed)), F.lit(1L << 40))
+              .cast("double"))
+        graft.similarity.TopK
+          .perGroup[Long](scored, groupCols, "__score", keyCol, k, "rnk")
+          .drop("__score")
+    }
 }

@@ -220,6 +220,35 @@ object CurationQueries {
         F.round(F.col("c"), 6).as("centroid"),
         F.round(F.col("c")
           / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)), 6).as("unit"))
+    },
+
+    // Overlapping token-window chunking (window 50, stride 40) — the
+    // long-document split before embedding/training. Scan-parallel
+    // generator, no shuffle.
+    "q100_chunk" -> { (s, dir) =>
+      TextOps.chunk(T.load(s, dir, "documents"), "doc_id", "text",
+        window = 50, stride = 40)
+    },
+
+    // Exactly-k-per-group eval-set carve by an explicit priority score
+    // (Knuth-hash of doc_id — portable integer arithmetic, so the
+    // oracle ranks identically). Runs on the bounded-memory TopK
+    // aggregator: the shuffle carries O(groups × k) rows.
+    "q103_eval_carve" -> { (s, dir) =>
+      Sampling.fixedSizePerGroup(
+        T.load(s, dir, "documents").withColumn("score",
+          F.expr("cast((doc_id * 2654435761) % 1000003 as double)")),
+        Seq("source"), "doc_id", k = 20, scoreCol = Some("score"))
+    },
+
+    // Cross-source contamination matrix: distinct-3-gram Jaccard
+    // between every source pair — the dataset-level overlap report run
+    // before mixing corpora.
+    "q105_source_overlap" -> { (s, dir) =>
+      graft.dedup.Dedup.groupShingleOverlap(
+        T.load(s, dir, "documents")
+          .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3)),
+        "source", "sh")
     }
   )
 
@@ -338,6 +367,45 @@ object CurationQueries {
             round(c, 6) + 0 AS centroid,
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
-          FROM c"""
+          FROM c""",
+    "q100_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          nz AS (SELECT doc_id, t, len(t) AS sz FROM toks
+                 WHERE len(t) > 0),
+          c AS (SELECT doc_id, t, sz,
+            unnest(generate_series(0,
+              cast(ceil(greatest(0, sz - 50) / 40.0) as BIGINT))) AS ci
+          FROM nz)
+          SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+            CAST(least(50, sz - ci * 40) AS INT) AS n_toks,
+            array_to_string(t[ci*40+1 : least(ci*40+50, sz)], ' ')
+              AS chunk_text
+          FROM c""",
+    "q103_eval_carve" ->
+      """SELECT source, doc_id, score, rnk FROM (
+           SELECT source, doc_id,
+             CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) AS score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 1000003 DESC, doc_id)
+               AS rnk
+           FROM documents) t
+         WHERE rnk <= 20""",
+    "q105_source_overlap" ->
+      s"""WITH toks AS (SELECT source, $duckToks AS t FROM documents),
+          sh3 AS (SELECT source,
+            list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]) AS s
+          FROM toks),
+          gs AS (SELECT DISTINCT source AS g, unnest(s) AS sh FROM sh3),
+          sizes AS (SELECT g, count(*) AS n FROM gs GROUP BY 1),
+          com AS (SELECT a.g AS g1, b.g AS g2, count(*) AS common
+                  FROM gs a JOIN gs b ON a.sh = b.sh AND a.g < b.g
+                  GROUP BY 1, 2)
+          SELECT g1, g2, CAST(common AS BIGINT) AS common,
+            CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+            round(common / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jac
+          FROM com
+          JOIN sizes s1 ON s1.g = com.g1
+          JOIN sizes s2 ON s2.g = com.g2"""
   )
 }

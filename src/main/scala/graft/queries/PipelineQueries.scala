@@ -29,6 +29,29 @@ object PipelineQueries {
   private val duckShingles3 =
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
+  /** Recursive-CTE connected components over the exact Jaccard >= 0.8
+    * pair graph — shared ground truth for q79 (min-label propagation)
+    * and q102 (large-star/small-star). */
+  private lazy val duckCcClusters =
+    s"""WITH RECURSIVE
+        toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+        sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+        jp AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            round(len(list_intersect(a.s, b.s)) /
+              CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                   AS DOUBLE), 3) AS jac
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS id, least(a, min(b)) AS comp
+        FROM reach GROUP BY a"""
+
   private def duckJaccardPairs(threshold: Double, sameLang: Boolean) = {
     val langCond = if (sameLang) "AND a.lang = b.lang" else ""
     s"""WITH toks AS (
@@ -198,6 +221,37 @@ object PipelineQueries {
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
       Dedup.connectedComponents(pairs.select("id1", "id2"))
+    },
+
+    // Same dup-cluster labels via alternating large-star/small-star —
+    // the O(log n)-round scale path for high-diameter graphs; shares
+    // q79's recursive-CTE oracle, so both CC algorithms are
+    // hash-checked against the same ground truth.
+    "q102_cc_star" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      Dedup.connectedComponentsStar(pairs.select("id1", "id2"))
+    },
+
+    // Semantic (embedding-cosine) dedup via signed-random-projection
+    // LSH, demonstrated at its design point: the corpus unioned with an
+    // exactly-colinear clone of itself (2×v — cosine 1.0 EXACTLY in
+    // both engines, and SRP signatures are scale-invariant by
+    // construction, so recall on these pairs is 1 regardless of
+    // banding). The natural corpus contributes no pairs (max pairwise
+    // cosine 0.51 at this SF); the oracle is the exact all-pairs
+    // cosine >= 0.95 set. Like q41, the equality check leans on the
+    // corpus: qualifying pairs sit at sim 1.0 where band-miss
+    // probability is 0.
+    "q101_srp_semantic" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val cloned = emb.select(F.col("vec_id"), F.col("embedding"))
+        .union(emb.select(F.col("vec_id") + 100000L,
+          F.expr("transform(embedding, x -> x * cast(2.0 as float))")))
+      graft.similarity.Srp.cosineNearDups(
+        cloned, "vec_id", "embedding", dim = 64,
+        threshold = 0.95, nBands = 4)
     },
 
     // End-to-end corpus curation: quality filter → exact-dup removal →
@@ -393,25 +447,22 @@ object PipelineQueries {
            CAST(least(octet_length(encode(text)), 128) AS BIGINT)
              AS n_bytes
          FROM documents""",
-    "q79_dedup_clusters" ->
-      s"""WITH RECURSIVE
-          toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
-          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
-          jp AS (
-            SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(len(list_intersect(a.s, b.s)) /
-                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                     AS DOUBLE), 3) AS jac
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
-          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                    UNION SELECT id2, id1 FROM pairs),
-          reach(a, b) AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-          SELECT a AS id, least(a, min(b)) AS comp
-          FROM reach GROUP BY a""",
+    "q79_dedup_clusters" -> duckCcClusters,
+    // same ground truth as q79 — the star algorithm must produce
+    // identical labels
+    "q102_cc_star" -> duckCcClusters,
+    "q101_srp_semantic" ->
+      """WITH u AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[], x -> x * 2.0)
+           FROM embeddings)
+         SELECT id1, id2, sim FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+           FROM u a JOIN u b ON a.vec_id < b.vec_id) t
+         WHERE sim >= 0.95""",
     "q90_curation" ->
       s"""WITH RECURSIVE
           toks AS (SELECT doc_id, $duckToks AS t FROM documents),

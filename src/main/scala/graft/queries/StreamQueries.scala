@@ -91,6 +91,28 @@ object StreamQueries {
         graft.T.load(s, dir, "events"), 1800L)
     },
 
+    // Stream-stream interval join: each click joined to the same
+    // user's purchases within the following 12 hours — watermarked on
+    // both sides, so join state is evicted as event time advances
+    // (bounded state on unbounded streams). The joined pairs land in
+    // the sink; the per-user rollup is batch over the sink table (an
+    // unwindowed agg downstream of a stream-stream join has no
+    // append-mode emission point).
+    "q104_interval_join" -> { (s, dir) =>
+      val clicks = eventsStream(s, dir)
+        .filter(F.col("event_type") === "click")
+      val buys = eventsStream(s, dir)
+        .filter(F.col("event_type") === "purchase")
+      val joined = DataStream.intervalJoin(
+        clicks, buys, "user_id", "ts",
+        bound = "12 hours", watermark = "60 days")
+      runStateful(s, joined, uniq("interval_join"), mode = "append")
+        .groupBy(F.col("l_user_id").as("user_id"))
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.round(F.sum("r_value"), 2).as("sum_value"))
+        .select("user_id", "n_pairs", "sum_value")
+    },
+
     // Streaming exact dedup at the door: dropDuplicates on the 8-byte
     // text hash as documents stream in, then kept-docs per lang (exact
     // dup groups are single-lang in this corpus, so the projection is
@@ -150,6 +172,20 @@ object StreamQueries {
          FROM events GROUP BY 1, 2""",
     "q96_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_docs
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+    // epoch_us on both sides: the engine compares micros-rebuilt
+    // timestamps, the oracle the parquet nanos truncated to micros
+    // (the generated data has no sub-micro component, so identical)
+    "q104_interval_join" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+                    WHERE event_type = 'click'),
+            r AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events
+                  WHERE event_type = 'purchase')
+         SELECT l.user_id AS user_id,
+           count(*) AS n_pairs,
+           round(sum(r.value), 2) AS sum_value
+         FROM l JOIN r ON l.user_id = r.user_id
+           AND r.tus >= l.tus AND r.tus <= l.tus + 43200000000
+         GROUP BY 1"""
   )
 }

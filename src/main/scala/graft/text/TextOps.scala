@@ -77,6 +77,39 @@ object TextOps {
         F.coalesce(F.col("top_tok_frac"), F.lit(0.0)).as("top_tok_frac"))
   }
 
+  /** Overlapping token-window chunking — how long documents are split
+    * into model-context-sized pieces before embedding or training.
+    * Windows of `window` tokens every `stride` tokens (overlap =
+    * window - stride); the last window is short rather than dropped,
+    * so every token lands in >= 1 chunk. Empty documents emit no
+    * chunks.
+    *
+    * Scan-parallel: one projection + one generator (posexplode) per
+    * document, no shuffle — chunking 100 TB costs exactly the scan.
+    * Output: (idCol, chunk_idx, n_toks, chunk_text).
+    */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, window: Int,
+            stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(F.col(idCol),
+        graft.plans.TextExpressions.wordTokens(F.col(textCol)).as("__t"))
+      .filter(F.size(F.col("__t")) > 0)
+      // chunk count: 1 + ceil((len - window) / stride) when len > window
+      .select(F.col(idCol),
+        F.posexplode(F.expr(
+          s"""transform(
+                sequence(0, cast(ceil(greatest(0, size(__t) - $window)
+                                      / cast($stride as double)) as int)),
+                i -> slice(__t, i * $stride + 1, $window))"""))
+          .as(Seq("chunk_idx", "__c")))
+      .select(F.col(idCol), F.col("chunk_idx"),
+        F.size(F.col("__c")).as("n_toks"),
+        F.concat_ws(" ", F.col("__c")).as("chunk_text"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, individual symbols —
     * the shape of a byte-pair-style pre-tokenizer. */
   def bpeCountExpr(col: String): String =

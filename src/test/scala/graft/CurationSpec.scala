@@ -140,6 +140,63 @@ class CurationSpec extends SparkSpec {
     assert(cov.last <= 1.0 + 1e-9 && cov.last > 0.99) // tiny corpus: full coverage
   }
 
+  test("chunk: windows tile the token stream with the configured overlap") {
+    val s = spark
+    import s.implicits._
+    val text130 = (1 to 130).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text130), (2L, (1 to 50).map(i => s"u$i").mkString(" ")),
+      (3L, "short doc"), (4L, "")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.chunk(docs, "doc_id", "text", 50, 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 4 is empty → no chunks; doc 2 fits one window; doc 3 short
+    assert(!out.exists(_._1 == 4L))
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    // doc 1: 130 toks → chunks at starts 0/40/80 (50 toks) per
+    // 1 + ceil((130-50)/40) = 3
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0, 50), (1, 50), (2, 50)))
+    assert(d1(0)._4.startsWith("t1 t2 ") && d1(0)._4.endsWith(" t50"))
+    assert(d1(1)._4.startsWith("t41 ") && d1(1)._4.endsWith(" t90"))
+    assert(d1(2)._4.startsWith("t81 ") && d1(2)._4.endsWith(" t130"))
+    // stride-trimmed reassembly: first 40 tokens of each chunk + the
+    // tail of the last one reconstruct the document
+    val rebuilt = d1.init.map(_._4.split(" ").take(40).mkString(" "))
+      .mkString(" ") + " " + d1.last._4
+    assert(rebuilt === text130)
+  }
+
+  test("groupShingleOverlap computes pairwise Jaccard over distinct shingles") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "one two three four"),     // shingles: {one two three, two three four}
+      ("b", "one two three"),          // {one two three}
+      ("c", "five six seven eight")    // disjoint
+    ).toDF("source", "text")
+      .withColumn("sh", graft.plans.TextExpressions.wordShingles(F.col("text"), 3))
+    val out = graft.dedup.Dedup.groupShingleOverlap(docs, "source", "sh")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only overlapping pairs appear (inner join on shared shingles)
+    assert(out.keySet === Set(("a", "b")))
+    assert(out(("a", "b")) === ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("fixedSizePerGroup with explicit score matches the window formulation") {
+    val s = spark
+    val docs = T.load(s, sf, "documents").withColumn("score",
+      F.expr("cast((doc_id * 2654435761) % 1000003 as double)"))
+    val topk = graft.ops.Sampling.fixedSizePerGroup(
+      docs, Seq("source"), "doc_id", 5, scoreCol = Some("score"))
+    val win = docs.select("source", "doc_id", "score")
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(F.col("score").desc, F.col("doc_id"))))
+      .filter(F.col("rnk") <= 5)
+    assert(topk.exceptAll(win.select(topk.columns.map(F.col): _*)).count() === 0)
+    assert(win.count() === topk.count())
+  }
+
   test("shuffle produces a permutation of 1..n decorrelated from doc_id") {
     val s = spark
     val sh = SparkEntry.queries("q37_shuffle")(s, sf)
