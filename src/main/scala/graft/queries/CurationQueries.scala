@@ -222,6 +222,17 @@ object CurationQueries {
           / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)), 6).as("unit"))
     },
 
+    // Bloom-filtered decontamination (broadcast 2^20-bit filter, k=5
+    // probes) with in-plan gates: per-doc no-false-negative + corpus
+    // FPR bound, asserted TRUE by the oracle. Exact counts come from
+    // the same plan, so a bloom bug fails the hash gate.
+    "q106_bloom_decontam" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 5))
+      Decontam.bloomOverlap(docs, "doc_id", "sh",
+        F.expr("doc_id % 17 = 0"))
+    },
+
     // Overlapping token-window chunking (window 50, stride 40) — the
     // long-document split before embedding/training. Scan-parallel
     // generator, no shuffle.
@@ -368,6 +379,22 @@ object CurationQueries {
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
           FROM c""",
+    "q106_bloom_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles5 AS s FROM toks),
+          bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 17 = 0),
+          train AS (SELECT doc_id, unnest(s) AS g FROM sh
+                    WHERE doc_id % 17 != 0),
+          hits AS (SELECT doc_id, count(*) AS n_hits
+                   FROM train JOIN bench USING (g) GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+            coalesce(h.n_hits, 0) > 0 AS contaminated,
+            TRUE AS bloom_no_fn,
+            TRUE AS fp_ok
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 17 != 0) d
+          LEFT JOIN hits h USING (doc_id)""",
     "q100_chunk" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           nz AS (SELECT doc_id, t, len(t) AS sz FROM toks

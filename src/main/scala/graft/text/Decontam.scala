@@ -46,6 +46,53 @@ object Decontam {
         (F.coalesce(F.col("n_hits"), F.lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-filtered decontamination with in-plan verification gates —
+    * the 100 TB path for [[overlap]]: the benchmark's shingles compress
+    * to a fixed-size bloom array ([[Bloom]]) that broadcasts to every
+    * executor, and the probe is a scan-parallel column expression over
+    * the training corpus — no join, no shuffle of (doc, shingle) pairs.
+    *
+    * Bloom error is one-sided (false positives only), so the exact
+    * per-doc hit counts from [[overlap]] are emitted alongside two
+    * deterministic gates the oracle asserts as literal TRUE:
+    *  - `bloom_no_fn`: bloom hits >= exact hits per doc (a false
+    *    NEGATIVE would break decontamination; structurally impossible,
+    *    and the gate proves it on real data);
+    *  - `fp_ok`: corpus false-positive rate (clean docs with >= 1 bloom
+    *    hit) <= `maxFpRate` — the sizing check on (numBits, numHashes).
+    * A bloom/hash-family bug flips a gate to false and fails the hash
+    * compare deterministically (the q58 sketch-gate pattern).
+    */
+  def bloomOverlap(docs: DataFrame, idCol: String, shCol: String,
+                   benchPred: Column, numBits: Int = 1 << 20,
+                   numHashes: Int = 5,
+                   maxFpRate: Double = 0.01): DataFrame = {
+    val bf = Bloom.build(docs.filter(benchPred), shCol, numBits, numHashes)
+    val probed = docs.filter(!benchPred)
+      .crossJoin(F.broadcast(bf))
+      .select(F.col(idCol),
+        F.expr(s"""cast(size(filter(
+            transform($shCol, s -> xxhash64(s)), h ->
+            ${Bloom.mightContainHashExpr("bf", "h", numBits, numHashes)}))
+          as bigint)""").as("n_bloom"))
+    // both the output and the corpus-level fp gate consume this join;
+    // without a cache the exact overlap + bloom probe execute twice
+    // (measured ~2× wall). Bench/Verify release leftover blocks
+    // between queries.
+    val joined = overlap(docs, idCol, shCol, benchPred)
+      .join(probed, Seq(idCol))
+      .persist()
+    val fp = joined.agg(
+      (F.sum(F.when(!F.col("contaminated") && F.col("n_bloom") > 0, 1.0)
+        .otherwise(0.0)) /
+        F.sum(F.when(!F.col("contaminated"), 1.0).otherwise(0.0)))
+        .as("__fp_rate"))
+    joined.crossJoin(F.broadcast(fp))
+      .select(F.col(idCol), F.col("n_hits"), F.col("contaminated"),
+        (F.col("n_bloom") >= F.col("n_hits")).as("bloom_no_fn"),
+        (F.col("__fp_rate") <= maxFpRate).as("fp_ok"))
+  }
+
   /** Fixed-k token chunks of a token-array column, joined by single
     * spaces — the deterministic "paragraph" unit for [[passageDedup]].
     * Same single-element-transform binding trick as

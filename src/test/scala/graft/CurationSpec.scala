@@ -140,6 +140,30 @@ class CurationSpec extends SparkSpec {
     assert(cov.last <= 1.0 + 1e-9 && cov.last > 0.99) // tiny corpus: full coverage
   }
 
+  test("bloom decontam: inserted shingles always hit; tiny filter still has no false negatives") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // benchmark
+      (2L, "alpha beta gamma delta epsilon zeta"), // shares a 5-gram
+      (3L, "one two three four five six seven")    // clean
+    ).toDF("doc_id", "text")
+      .withColumn("sh", graft.plans.TextExpressions.wordShingles(F.col("text"), 5))
+    // normal sizing: exact agreement on this corpus
+    val out = Decontam.bloomOverlap(docs, "doc_id", "sh",
+      F.col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(out === Set((2L, 1L, true, true, true),
+                       (3L, 0L, false, true, true)))
+    // pathologically small filter (64 bits, 5 hashes): false positives
+    // become likely but bloom_no_fn MUST still hold for every doc
+    val tiny = Decontam.bloomOverlap(docs, "doc_id", "sh",
+      F.col("doc_id") === 1L, numBits = 64, numHashes = 5,
+      maxFpRate = 1.0)
+    assert(tiny.filter(!F.col("bloom_no_fn")).count() === 0)
+  }
+
   test("chunk: windows tile the token stream with the configured overlap") {
     val s = spark
     import s.implicits._
