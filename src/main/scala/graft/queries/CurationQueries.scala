@@ -233,6 +233,33 @@ object CurationQueries {
         F.expr("doc_id % 17 = 0"))
     },
 
+    // Count-Min heavy hitters: top-50 tokens by exact count, each
+    // carrying two sketch gates the oracle asserts TRUE — est >= true
+    // (CMS is one-sided by construction) and est <= true + 20·N/width
+    // (the sizing bound; expected collision mass is N/width per cell).
+    // The 4×8192 sketch (256 KB) builds in one partial-agg'd scan.
+    "q107_heavy_hitters" -> { (s, dir) =>
+      import graft.sketch.CountMin
+      val W = 8192; val D = 4
+      val ex = T.load(s, dir, "documents")
+        .select(F.explode(
+          TextExpressions.wordTokens(F.col("text"))).as("tok"))
+      val cm = CountMin.build(
+        ex.select(F.xxhash64(F.col("tok")).as("__h")), "__h", W, D)
+      val cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+      val tot = cnt.agg(F.sum("c").as("__n"))
+      val top = cnt.orderBy(F.col("c").desc, F.col("tok").asc).limit(50)
+      val w = Window.orderBy(F.col("c").desc, F.col("tok").asc)
+      top.crossJoin(F.broadcast(cm)).crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("__est", F.expr(
+          CountMin.estimateExpr("cm", "xxhash64(tok)", W, D)))
+        .select(F.col("tok"), F.col("c"), F.col("rank"),
+          (F.col("__est") >= F.col("c")).as("cms_ge"),
+          (F.col("__est") <= F.col("c") + F.lit(20L) * F.col("__n")
+            / F.lit(W.toLong)).as("cms_close"))
+    },
+
     // Overlapping token-window chunking (window 50, stride 40) — the
     // long-document split before embedding/training. Scan-parallel
     // generator, no shuffle.
@@ -379,6 +406,14 @@ object CurationQueries {
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
           FROM c""",
+    "q107_heavy_hitters" ->
+      s"""WITH ex AS (SELECT unnest($duckToks) AS tok FROM documents),
+          cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+          rk AS (SELECT tok, c,
+            row_number() OVER (ORDER BY c DESC, tok) AS rank FROM cnt)
+          SELECT tok, CAST(c AS BIGINT) AS c, rank,
+            TRUE AS cms_ge, TRUE AS cms_close
+          FROM rk WHERE rank <= 50""",
     "q106_bloom_decontam" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           sh AS (SELECT doc_id, $duckShingles5 AS s FROM toks),

@@ -164,6 +164,28 @@ class CurationSpec extends SparkSpec {
     assert(tiny.filter(!F.col("bloom_no_fn")).count() === 0)
   }
 
+  test("count-min estimates dominate exact counts for EVERY token") {
+    val s = spark
+    import graft.sketch.CountMin
+    val ex = T.load(s, sf, "documents")
+      .select(F.explode(
+        graft.plans.TextExpressions.wordTokens(F.col("text"))).as("tok"))
+    val cm = CountMin.build(
+      ex.select(F.xxhash64(F.col("tok")).as("__h")), "__h", 1024, 4)
+    val checked = ex.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+      .crossJoin(F.broadcast(cm))
+      .withColumn("est",
+        F.expr(CountMin.estimateExpr("cm", "xxhash64(tok)", 1024, 4)))
+    assert(checked.filter(F.col("est") < F.col("c")).count() === 0)
+    // sketch mass conservation: every row of the sketch sums to N
+    val n = ex.count()
+    val rowSums = cm.select(F.expr(
+      """transform(sequence(0, 3), r ->
+           aggregate(slice(cm, r * 1024 + 1, 1024), 0L, (a, x) -> a + x))"""
+    ).as("s")).collect()(0).getSeq[Long](0)
+    assert(rowSums.forall(_ === n))
+  }
+
   test("chunk: windows tile the token stream with the configured overlap") {
     val s = spark
     import s.implicits._
