@@ -172,6 +172,22 @@ object CurationQueries {
           "off" -> "cast(start_tok % 512 as bigint)")
     },
 
+    // Curriculum packing: shortest-document-first ordering (easy→hard)
+    // packed into 512-token context bins — q57's distributed prefix
+    // sum over a COMPUTED, non-unique sort key (n_tok, doc_id
+    // tiebreak), i.e. range partitioning on the curriculum order, no
+    // single-task window.
+    "q108_curriculum" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .basedOn("doc_id" -> "doc_id",
+          "n_tok" -> "cast(size(split(trim(text), ' +')) as bigint)")
+      RelOps.globalPrefixSum(d, "n_tok", "start_tok",
+          Seq(RelOps.Ordering("n_tok"), RelOps.Ordering("doc_id")))
+        .basedOn("doc_id" -> "doc_id", "n_tok" -> "n_tok",
+          "bin" -> "cast(floor(start_tok / 512.0) as bigint)",
+          "off" -> "cast(start_tok % 512 as bigint)")
+    },
+
     // Sketch-based profiling with in-query accuracy gates: HLL distinct
     // users (rsd 2%, gated at ±5%) and approximate median (rank
     // accuracy 1e-4, gated at ±1% of the value range) vs their exact
@@ -406,6 +422,20 @@ object CurationQueries {
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
           FROM c""",
+    "q108_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+          ps AS (SELECT doc_id, n_tok,
+            coalesce(sum(n_tok) OVER (ORDER BY n_tok, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS start_tok
+          FROM d)
+          SELECT doc_id, n_tok,
+            CAST(floor(start_tok / 512.0) AS BIGINT) AS bin,
+            CAST(start_tok % 512 AS BIGINT) AS off
+          FROM ps""",
     "q107_heavy_hitters" ->
       s"""WITH ex AS (SELECT unnest($duckToks) AS tok FROM documents),
           cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),

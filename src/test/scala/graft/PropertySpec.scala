@@ -155,4 +155,40 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("property: bloom filter never false-negatives, any sizing") {
+    forAll(Gen.zip(
+      Gen.listOfN(30, Gen.alphaNumStr.suchThat(_.nonEmpty)),
+      Gen.oneOf(64, 256, 4096), Gen.choose(1, 7)), n = 6) {
+      case (words: List[String], bits: Int, k: Int) =>
+        whenever(words.nonEmpty) {
+          val df = words.map(w => Tuple1(Seq(w))).toDF("sh")
+          val bf = graft.text.Bloom.build(df, "sh", bits, k)
+          val misses = df.crossJoin(F.broadcast(bf))
+            .filter(!F.expr(graft.text.Bloom.mightContainExpr(
+              "bf", "element_at(sh, 1)", bits, k)))
+            .count()
+          assert(misses === 0)
+        }
+    }
+  }
+
+  test("property: count-min estimate dominates the exact count") {
+    forAll(Gen.zip(
+      Gen.listOfN(80, Gen.choose(1, 12)),
+      Gen.oneOf(16, 64, 512)), n = 6) {
+      case (xs: List[Int], width: Int) =>
+        whenever(xs.nonEmpty) {
+          val df = xs.map(x => Tuple1(s"tok$x")).toDF("t")
+            .select(F.col("t"), F.xxhash64(F.col("t")).as("h"))
+          val cm = graft.sketch.CountMin.build(df, "h", width, 4)
+          val bad = df.groupBy("t", "h").agg(F.count(F.lit(1)).as("c"))
+            .crossJoin(F.broadcast(cm))
+            .withColumn("est", F.expr(
+              graft.sketch.CountMin.estimateExpr("cm", "h", width, 4)))
+            .filter(F.col("est") < F.col("c")).count()
+          assert(bad === 0)
+        }
+    }
+  }
 }
