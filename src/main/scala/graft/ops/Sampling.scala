@@ -57,6 +57,30 @@ object Sampling {
     * promise per-group counts; eval-set carving wants exactly-k).
     * Output: groupCols + keyCol + "rnk". Per-id payloads join back on
     * keyCol. */
+  /** Weighted sampling WITHOUT replacement, exactly k per group
+    * (Efraimidis–Spirakis A-ES): key = u^(1/w) for uniform u, keep the
+    * k largest keys — inclusion probability proportional to weight,
+    * no sequential pass. Runs on the bounded-memory TopK aggregator
+    * (O(groups × k) shuffle rows, like [[fixedSizePerGroup]]).
+    *
+    * `uCol` supplies the uniform draw; pass a hash-derived column for
+    * reproducibility (and an oracle-computable one — e.g. a Knuth
+    * multiplicative hash of the id — when the selection must be
+    * verifiable outside Spark). Keys of distinct rows are separated
+    * far beyond float-rounding noise for any non-degenerate u, so the
+    * ranking is engine-portable; ties break on idCol.
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String,
+                             uCol: String, k: Int): DataFrame = {
+    val scored = df
+      .select((groupCols ++ Seq(idCol)).map(F.col) :+
+        F.expr(s"pow($uCol, 1.0d / $weightCol)").as("__key"): _*)
+    graft.similarity.TopK
+      .perGroup[Long](scored, groupCols, "__key", idCol, k, "rnk")
+      .drop("__key")
+  }
+
   def fixedSizePerGroup(df: DataFrame, groupCols: Seq[String],
                         keyCol: String, k: Int,
                         seed: Long = 42L,

@@ -172,6 +172,22 @@ object CurationQueries {
           "off" -> "cast(start_tok % 512 as bigint)")
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES keys u^(1/w)), 10 docs per source, weight = document
+    // length — longer docs proportionally likelier, selection
+    // reproducible AND oracle-computable because u is a Knuth hash of
+    // doc_id. Completes the sampling family: uniform, stratified,
+    // Bernoulli-by-rate, exactly-k, temperature, weighted.
+    "q109_weighted_sample" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .basedOn("source" -> "source", "doc_id" -> "doc_id",
+          "w" -> "cast(n_chars as double)",
+          "u" -> ("(cast((doc_id * 2654435761) % 1000003 as double) + 1.0)"
+            + " / 1000004.0"))
+      Sampling.weightedSamplePerGroup(
+        d, Seq("source"), "doc_id", "w", "u", k = 10)
+    },
+
     // Curriculum packing: shortest-document-first ordering (easy→hard)
     // packed into 512-token context bins — q57's distributed prefix
     // sum over a COMPUTED, non-unique sort key (n_tok, doc_id
@@ -422,6 +438,15 @@ object CurationQueries {
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
           FROM c""",
+    "q109_weighted_sample" ->
+      """SELECT source, doc_id, rnk FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY pow((CAST((doc_id * 2654435761) % 1000003
+                                  AS DOUBLE) + 1.0) / 1000004.0,
+                            1.0 / n_chars) DESC, doc_id) AS rnk
+           FROM documents) t
+         WHERE rnk <= 10""",
     "q108_curriculum" ->
       """WITH d AS (SELECT doc_id,
             CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)

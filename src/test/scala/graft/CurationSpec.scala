@@ -243,6 +243,31 @@ class CurationSpec extends SparkSpec {
     assert(win.count() === topk.count())
   }
 
+  test("weighted sample favors heavy rows and matches the window formulation") {
+    val s = spark
+    import s.implicits._
+    // two groups; weights: doc 1 huge, doc 2..4 tiny — doc 1 should
+    // essentially always rank first in its group
+    val df = Seq(
+      ("a", 1L, 1e6), ("a", 2L, 1e-3), ("a", 3L, 1e-3),
+      ("b", 4L, 5.0), ("b", 5L, 5.0)
+    ).toDF("g", "id", "w")
+      .withColumn("u",
+        F.expr("(cast((id * 2654435761) % 1000003 as double) + 1.0) / 1000004.0"))
+    val out = graft.ops.Sampling.weightedSamplePerGroup(
+      df, Seq("g"), "id", "w", "u", 2)
+    assert(out.filter(F.col("g") === "a" && F.col("rnk") === 1)
+      .select("id").collect()(0).getLong(0) === 1L)
+    val win = df
+      .withColumn("__key", F.expr("pow(u, 1.0d / w)"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(F.col("__key").desc, F.col("id"))))
+      .filter(F.col("rnk") <= 2).select("g", "id", "rnk")
+    assert(out.select("g", "id", "rnk").exceptAll(win).count() === 0)
+    assert(out.count() === win.count())
+  }
+
   test("shuffle produces a permutation of 1..n decorrelated from doc_id") {
     val s = spark
     val sh = SparkEntry.queries("q37_shuffle")(s, sf)
