@@ -144,6 +144,20 @@ object PipelineQueries {
         "vec_id", "embedding", "label", 10, 3)
     },
 
+    // Hard-negative mining: top-10 most-similar OTHER-label vectors
+    // per query — the contrastive-training counterpart of q45.
+    "q110_hard_negatives" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      Knn.hardNegatives(emb, emb.filterExpr("vec_id < 5"),
+        "vec_id", "embedding", "label", 10)
+    },
+
+    // Per-label embedding z-normalization (whitening) summary.
+    "q111_znorm" -> { (s, dir) =>
+      Knn.zNormalizeStats(T.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+    },
+
     // IVF at FULL probe must reproduce the exact top-k EXACTLY (recall
     // = 1.0 by construction): same oracle as q45, hash-checked — the
     // verification that the IVF routing/rank machinery is sound, with
@@ -395,6 +409,32 @@ object PipelineQueries {
            row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id) AS rank
          FROM sims QUALIFY rank <= 10""",
+    "q110_hard_negatives" ->
+      """WITH sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings q JOIN embeddings c ON c.label != q.label
+           WHERE q.vec_id < 5)
+         SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims QUALIFY rank <= 10""",
+    "q111_znorm" ->
+      """WITH ex AS (SELECT vec_id, label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e AS (SELECT vec_id, label, z[2]::BIGINT AS pos,
+                  z[1]::DOUBLE AS x FROM ex),
+          st AS (SELECT label, pos, avg(x) AS mu,
+                   stddev_samp(x) AS sd FROM e GROUP BY 1, 2),
+          zz AS (SELECT vec_id, (x - mu) / sd AS zv
+                 FROM e JOIN st USING (label, pos))
+         SELECT vec_id, round(sum(zv), 4) + 0 AS z_sum,
+           round(min(zv), 4) + 0 AS z_min,
+           round(max(zv), 4) + 0 AS z_max
+         FROM zz GROUP BY 1""",
     // q94: IVF at full probe == the exact top-k — oracle is q45's
     // exact-kNN SQL verbatim.
     "q94_ivf_fullprobe" ->

@@ -47,6 +47,53 @@ object Knn {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually teach the model. Same broadcast
+    * shape as [[bruteForceKnn]] (queries broadcast, corpus never
+    * shuffles); the label-mismatch predicate prunes inside the join.
+    * Output: (query_id, neighbor_id, sim, rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("qvec"), F.col(labelCol).as("__qlab"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(vecCol).as("cvec"), F.col(labelCol).as("__clab"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    c.join(F.broadcast(q), F.col("__clab") =!= F.col("__qlab"))
+      .withColumn("sim",
+        F.round(cosineF(F.col("qvec"), F.col("cvec")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Per-label (feature, dimension) z-normalization — the embedding
+    * whitening pass before similarity search or clustering when
+    * per-class feature scales differ. Two compact-key shuffles:
+    * posexplode → (label, pos) partial-agg'd moments, join back, and a
+    * per-vector summary aggregation. Output: (idCol, z_sum, z_min,
+    * z_max) — rounded at 4 digits because z sums are parallel float
+    * reductions (float policy).
+    */
+  def zNormalizeStats(corpus: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val ex = corpus.select(F.col(idCol), F.col(labelCol),
+      F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", F.col("x").cast("double"))
+    val st = ex.groupBy(labelCol, "pos").agg(
+      F.avg("x").as("mu"), F.stddev_samp(F.col("x")).as("sd"))
+    ex.join(st, Seq(labelCol, "pos"))
+      .withColumn("zv", (F.col("x") - F.col("mu")) / F.col("sd"))
+      .groupBy(idCol)
+      .agg(F.round(F.sum("zv"), 4).as("z_sum"),
+        F.round(F.min("zv"), 4).as("z_min"),
+        F.round(F.max("zv"), 4).as("z_max"))
+  }
+
   /** Per-label centroids (IVF coarse quantizer learned from the data):
     * posexplode embeddings → avg per (label, dim) → reassemble ordered.
     */

@@ -388,6 +388,44 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L)._1 == 0.0 && r(2L)._2 < 0.2)
   }
 
+  test("hard negatives exclude the query's label and rank by similarity") {
+    val e = emb
+    val qs = e.filterExpr("vec_id < 3")
+    val out = Knn.hardNegatives(e, qs, "vec_id", "embedding", "label", 5)
+    val labels = e.select(F.col("vec_id").as("neighbor_id"),
+      F.col("label").as("nlab"))
+    val qlabels = e.select(F.col("vec_id").as("query_id"),
+      F.col("label").as("qlab"))
+    // no neighbor shares its query's label
+    assert(out.join(labels, "neighbor_id").join(qlabels, "query_id")
+      .filter(F.col("nlab") === F.col("qlab")).count() === 0)
+    // sims are non-increasing in rank per query
+    val bad = out.withColumn("prev", F.lag("sim", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy("rank")))
+      .filter(F.col("prev").isNotNull && F.col("sim") > F.col("prev"))
+    assert(bad.count() === 0)
+  }
+
+  test("z-normalization: per-(label,pos) z values are centered") {
+    val e = emb
+    val ex = e.select(F.col("vec_id"), F.col("label"),
+      F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", F.col("x").cast("double"))
+    val st = ex.groupBy("label", "pos").agg(
+      F.avg("x").as("mu"), F.stddev_samp(F.col("x")).as("sd"))
+    val z = ex.join(st, Seq("label", "pos"))
+      .select(((F.col("x") - F.col("mu")) / F.col("sd")).as("zv"),
+        F.col("label"), F.col("pos"))
+    val offCenter = z.groupBy("label", "pos")
+      .agg(F.abs(F.avg("zv")).as("m"), F.stddev_samp(F.col("zv")).as("s"))
+      .filter(F.col("m") > 1e-9 || F.abs(F.col("s") - 1.0) > 1e-9)
+    assert(offCenter.count() === 0)
+    // the summary op covers every vector exactly once
+    assert(Knn.zNormalizeStats(e, "vec_id", "embedding", "label")
+      .count() === e.count())
+  }
+
   test("langid scoring is deterministic and total") {
     val out = T.load(spark, sf, "documents")
       .withColumn("t", TextOps.tokens("text"))
