@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * `numWords` 64-bit words).
   *
   * All hashing happens in the PLAN (xxhash64 column expressions — see
-  * [[graft.text.Bloom.positionsExpr]]), never in JVM-side code, so the
+  * [[graft.text.Bloom.positionsOfHashExpr]]), never in JVM-side code, so the
   * build and the probe share one hash definition by construction. The
   * aggregator itself only ORs bits: partial aggregation sets bits
   * map-side and the shuffle carries ONE array per task — the property

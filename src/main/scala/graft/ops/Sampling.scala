@@ -49,14 +49,6 @@ object Sampling {
         .cast("double") / buckets < F.col(rateCol))
   }
 
-  /** EXACTLY `k` rows per group (fewer if the group is smaller),
-    * deterministically: rank rows by xxhash64(key, seed) inside each
-    * group and keep the k smallest — a reproducible reservoir. Runs on
-    * the bounded-memory TopK aggregator, so the shuffle carries
-    * O(groups × k) rows, not the corpus (rate-based sampling can't
-    * promise per-group counts; eval-set carving wants exactly-k).
-    * Output: groupCols + keyCol + "rnk". Per-id payloads join back on
-    * keyCol. */
   /** Weighted sampling WITHOUT replacement, exactly k per group
     * (Efraimidis–Spirakis A-ES): key = u^(1/w) for uniform u, keep the
     * k largest keys — inclusion probability proportional to weight,
@@ -81,6 +73,17 @@ object Sampling {
       .drop("__key")
   }
 
+  /** EXACTLY `k` rows per group (fewer if the group is smaller),
+    * deterministically. Default: rank rows by xxhash64(key, seed)
+    * inside each group and keep the k smallest — a reproducible
+    * reservoir. With `scoreCol`, rank by THAT (desc, key asc) instead
+    * and surface the score — eval-set carving by an explicit (and
+    * oracle-computable) priority. Either way it runs on the
+    * bounded-memory TopK aggregator, so the shuffle carries
+    * O(groups × k) rows, not the corpus (rate-based sampling can't
+    * promise per-group counts; eval-set carving wants exactly-k).
+    * Output: groupCols (+ scoreCol) + keyCol + "rnk"; per-id payloads
+    * join back on keyCol. */
   def fixedSizePerGroup(df: DataFrame, groupCols: Seq[String],
                         keyCol: String, k: Int,
                         seed: Long = 42L,

@@ -182,7 +182,7 @@ object CurationQueries {
       val d = T.load(s, dir, "documents")
         .basedOn("source" -> "source", "doc_id" -> "doc_id",
           "w" -> "cast(n_chars as double)",
-          "u" -> ("(cast((doc_id * 2654435761) % 1000003 as double) + 1.0)"
+          "u" -> ("(cast(((doc_id % 1000003) * 2654435761) % 1000003 as double) + 1.0)"
             + " / 1000004.0"))
       Sampling.weightedSamplePerGroup(
         d, Seq("source"), "doc_id", "w", "u", k = 10)
@@ -307,7 +307,7 @@ object CurationQueries {
     "q103_eval_carve" -> { (s, dir) =>
       Sampling.fixedSizePerGroup(
         T.load(s, dir, "documents").withColumn("score",
-          F.expr("cast((doc_id * 2654435761) % 1000003 as double)")),
+          F.expr("cast(((doc_id % 1000003) * 2654435761) % 1000003 as double)")),
         Seq("source"), "doc_id", k = 20, scoreCol = Some("score"))
     },
 
@@ -442,7 +442,7 @@ object CurationQueries {
       """SELECT source, doc_id, rnk FROM (
            SELECT source, doc_id,
              row_number() OVER (PARTITION BY source
-               ORDER BY pow((CAST((doc_id * 2654435761) % 1000003
+               ORDER BY pow((CAST(((doc_id % 1000003) * 2654435761) % 1000003
                                   AS DOUBLE) + 1.0) / 1000004.0,
                             1.0 / n_chars) DESC, doc_id) AS rnk
            FROM documents) t
@@ -501,9 +501,9 @@ object CurationQueries {
     "q103_eval_carve" ->
       """SELECT source, doc_id, score, rnk FROM (
            SELECT source, doc_id,
-             CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) AS score,
+             CAST(((doc_id % 1000003) * 2654435761) % 1000003 AS DOUBLE) AS score,
              row_number() OVER (PARTITION BY source
-               ORDER BY (doc_id * 2654435761) % 1000003 DESC, doc_id)
+               ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003 DESC, doc_id)
                AS rnk
            FROM documents) t
          WHERE rnk <= 20""",

@@ -428,7 +428,7 @@ object PipelineQueries {
           e AS (SELECT vec_id, label, z[2]::BIGINT AS pos,
                   z[1]::DOUBLE AS x FROM ex),
           st AS (SELECT label, pos, avg(x) AS mu,
-                   stddev_samp(x) AS sd FROM e GROUP BY 1, 2),
+                   nullif(stddev_samp(x), 0) AS sd FROM e GROUP BY 1, 2),
           zz AS (SELECT vec_id, (x - mu) / sd AS zv
                  FROM e JOIN st USING (label, pos))
          SELECT vec_id, round(sum(zv), 4) + 0 AS z_sum,

@@ -86,8 +86,15 @@ object Knn {
       .withColumn("x", F.col("x").cast("double"))
     val st = ex.groupBy(labelCol, "pos").agg(
       F.avg("x").as("mu"), F.stddev_samp(F.col("x")).as("sd"))
+    // degenerate groups: Spark stddev_samp is NaN at n=1 where DuckDB
+    // returns NULL, and a constant dimension gives sd=0 (division by
+    // zero). Null the z value in BOTH cases — the oracle's
+    // nullif(sd, 0) plus its native n=1 NULL produce the same rows,
+    // and sum/min/max skip nulls identically on both engines.
     ex.join(st, Seq(labelCol, "pos"))
-      .withColumn("zv", (F.col("x") - F.col("mu")) / F.col("sd"))
+      .withColumn("__sd", F.when(F.isnan(F.col("sd"))
+        || F.col("sd") === 0.0, F.lit(null)).otherwise(F.col("sd")))
+      .withColumn("zv", (F.col("x") - F.col("mu")) / F.col("__sd"))
       .groupBy(idCol)
       .agg(F.round(F.sum("zv"), 4).as("z_sum"),
         F.round(F.min("zv"), 4).as("z_min"),

@@ -35,25 +35,20 @@ object Bloom {
     s"""transform(array(${consts(numHashes)}),
           c -> cast(pmod(xxhash64(($hExpr) ^ c), ${numBits}L) as int))"""
 
-  /** `array<int>` of the `numHashes` bit positions of a shingle
-    * expression. */
-  def positionsExpr(shExpr: String, numBits: Int, numHashes: Int): String =
-    positionsOfHashExpr(s"xxhash64($shExpr)", numBits, numHashes)
-
   /** Boolean: every probe bit of a pre-hashed (64-bit) element
     * expression is set in the bloom array column `bfCol` (1-indexed
-    * `element_at` words). Callers probing a string column should hash
-    * ONCE and pass the hash (`transform(sh, s -> xxhash64(s))`) so the
-    * string hash isn't recomputed per probe constant. */
+    * `element_at` words). The probe positions come from
+    * [[positionsOfHashExpr]] — the SAME expression the build explodes,
+    * so build/probe agreement is structural — and each position is
+    * computed once (Catalyst does not CSE inside HOF lambdas; an
+    * earlier form re-hashed per word/bit index and doubled the
+    * hot-path hashing). Callers probing a string column should hash
+    * ONCE and pass the hash (`transform(sh, s -> xxhash64(s))`). */
   def mightContainHashExpr(bfCol: String, hExpr: String, numBits: Int,
                            numHashes: Int): String =
-    s"""aggregate(array(${consts(numHashes)}), true, (acc, c) ->
-          acc AND (element_at($bfCol,
-                     cast(pmod(xxhash64(($hExpr) ^ c),
-                               ${numBits}L) div 64 as int) + 1)
-                   & shiftleft(1L,
-                       cast(pmod(xxhash64(($hExpr) ^ c),
-                                 ${numBits}L) % 64 as int))) != 0L)"""
+    s"""forall(${positionsOfHashExpr(hExpr, numBits, numHashes)},
+          p -> (element_at($bfCol, cast(p div 64 as int) + 1)
+                & shiftleft(1L, p % 64)) != 0L)"""
 
   /** Boolean: every probe bit of `shExpr` is set in the bloom array
     * column `bfCol`. */

@@ -77,20 +77,26 @@ object Decontam {
           as bigint)""").as("n_bloom"))
     // both the output and the corpus-level fp gate consume this join;
     // without a cache the exact overlap + bloom probe execute twice
-    // (measured ~2× wall). Bench/Verify release leftover blocks
-    // between queries.
+    // (measured ~2× wall). The block stays pinned for the plan's
+    // lifetime — long-lived sessions calling this repeatedly should
+    // sweep sparkContext.getPersistentRDDs between uses, as Bench and
+    // Verify do between queries.
     val joined = overlap(docs, idCol, shCol, benchPred)
       .join(probed, Seq(idCol))
       .persist()
+    // nullif guard: a fully-contaminated corpus has zero clean docs —
+    // 0/0 would throw under ANSI; the FPR gate is then vacuously true
     val fp = joined.agg(
       (F.sum(F.when(!F.col("contaminated") && F.col("n_bloom") > 0, 1.0)
         .otherwise(0.0)) /
-        F.sum(F.when(!F.col("contaminated"), 1.0).otherwise(0.0)))
+        F.nullif(F.sum(F.when(!F.col("contaminated"), 1.0).otherwise(0.0)),
+          F.lit(0.0)))
         .as("__fp_rate"))
     joined.crossJoin(F.broadcast(fp))
       .select(F.col(idCol), F.col("n_hits"), F.col("contaminated"),
         (F.col("n_bloom") >= F.col("n_hits")).as("bloom_no_fn"),
-        (F.col("__fp_rate") <= maxFpRate).as("fp_ok"))
+        F.coalesce(F.col("__fp_rate") <= maxFpRate, F.lit(true))
+          .as("fp_ok"))
   }
 
   /** Fixed-k token chunks of a token-array column, joined by single

@@ -231,7 +231,7 @@ class CurationSpec extends SparkSpec {
   test("fixedSizePerGroup with explicit score matches the window formulation") {
     val s = spark
     val docs = T.load(s, sf, "documents").withColumn("score",
-      F.expr("cast((doc_id * 2654435761) % 1000003 as double)"))
+      F.expr("cast(((doc_id % 1000003) * 2654435761) % 1000003 as double)"))
     val topk = graft.ops.Sampling.fixedSizePerGroup(
       docs, Seq("source"), "doc_id", 5, scoreCol = Some("score"))
     val win = docs.select("source", "doc_id", "score")
@@ -253,7 +253,7 @@ class CurationSpec extends SparkSpec {
       ("b", 4L, 5.0), ("b", 5L, 5.0)
     ).toDF("g", "id", "w")
       .withColumn("u",
-        F.expr("(cast((id * 2654435761) % 1000003 as double) + 1.0) / 1000004.0"))
+        F.expr("(cast(((id % 1000003) * 2654435761) % 1000003 as double) + 1.0) / 1000004.0"))
     val out = graft.ops.Sampling.weightedSamplePerGroup(
       df, Seq("g"), "id", "w", "u", 2)
     assert(out.filter(F.col("g") === "a" && F.col("rnk") === 1)
