@@ -204,6 +204,33 @@ object CurationQueries {
           "off" -> "cast(start_tok % 512 as bigint)")
     },
 
+    // Distribution drift per source: Kolmogorov–Smirnov statistic of
+    // each source's doc-length distribution against the corpus —
+    // the monitoring pass that catches a crawl whose length profile
+    // shifted. Distributed ECDF: the GLOBAL rank is range-partitioned
+    // (globalRowNumber, no single-task window); per-source ranks are
+    // partitioned windows. KS = max |F_src - F_corpus| over the
+    // source's points.
+    "q112_ks_drift" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .basedOn("doc_id" -> "doc_id", "source" -> "source",
+          "x" -> "n_chars")
+      val g = RelOps.globalRowNumber(d, "rg",
+        Seq(RelOps.Ordering("x"), RelOps.Ordering("doc_id")))
+      val n = g.agg(F.count(F.lit(1)).cast("double").as("__n"))
+      val ns = g.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").as("__sn"))
+      val w = Window.partitionBy("source")
+        .orderBy(F.col("x"), F.col("doc_id"))
+      g.withColumn("rs", F.row_number().over(w))
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(F.round(F.max(F.abs(
+          F.col("rs").cast("double") / F.col("__sn")
+            - F.col("rg").cast("double") / F.col("__n"))), 6).as("ks"))
+    },
+
     // Sketch-based profiling with in-query accuracy gates: HLL distinct
     // users (rsd 2%, gated at ±5%) and approximate median (rank
     // accuracy 1e-4, gated at ±1% of the value range) vs their exact
@@ -438,6 +465,20 @@ object CurationQueries {
             round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
               AS unit
           FROM c""",
+    "q112_ks_drift" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
+          g AS (SELECT doc_id, source, x,
+            row_number() OVER (ORDER BY x, doc_id) AS rg,
+            row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS rs
+          FROM d),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM d),
+          ns AS (SELECT source, CAST(count(*) AS DOUBLE) AS sn
+                 FROM d GROUP BY 1)
+         SELECT source,
+           round(max(abs(rs / sn - rg / nn)), 6) AS ks
+         FROM g JOIN ns USING (source) CROSS JOIN n
+         GROUP BY source""",
     "q109_weighted_sample" ->
       """SELECT source, doc_id, rnk FROM (
            SELECT source, doc_id,

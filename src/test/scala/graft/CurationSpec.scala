@@ -243,6 +243,37 @@ class CurationSpec extends SparkSpec {
     assert(win.count() === topk.count())
   }
 
+  test("KS drift: identical distribution scores near 0, shifted scores high") {
+    val s = spark
+    import s.implicits._
+    // sources a/b draw the same values; source c is shifted by +1000
+    val rows = (1L to 300L).map { i =>
+      val src = (i % 3) match { case 0 => "a"; case 1 => "b"; case _ => "c" }
+      val x = (i * 37) % 500 + (if (src == "c") 1000L else 0L)
+      (i, src, x)
+    }
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val d = df.basedOn("doc_id" -> "doc_id", "source" -> "source", "x" -> "n_chars")
+    val g = RelOps.globalRowNumber(d, "rg",
+      Seq(RelOps.Ordering("x"), RelOps.Ordering("doc_id")))
+    val n = g.agg(F.count(F.lit(1)).cast("double").as("__n"))
+    val ns = g.groupBy("source").agg(F.count(F.lit(1)).cast("double").as("__sn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(F.col("x"), F.col("doc_id"))
+    val out = g.withColumn("rs", F.row_number().over(w))
+      .join(F.broadcast(ns), "source").crossJoin(F.broadcast(n))
+      .groupBy("source")
+      .agg(F.max(F.abs(F.col("rs").cast("double") / F.col("__sn")
+        - F.col("rg").cast("double") / F.col("__n"))).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // c sits entirely above a/b: its ECDF diverges from the corpus by
+    // ~2/3 (the corpus is 2/3 done before c starts); a/b track the
+    // corpus closely
+    assert(out("c") > 0.5, s"shifted source ks=${out("c")}")
+    assert(out("a") < 0.4 && out("b") < 0.4, s"unshifted ks=$out")
+    out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("weighted sample favors heavy rows and matches the window formulation") {
     val s = spark
     import s.implicits._
