@@ -299,11 +299,14 @@ object Dedup {
         .union(edges.select(F.col("hi").as("u"), F.col("lo").as("v")))
       val mins = dir.groupBy("u").agg(F.min("v").as("mv"))
         .withColumn("m", F.least(F.col("u"), F.col("mv")))
+      // no distinct here: |ls| <= |edges| with or without duplicates
+      // (one row per v>u direction), small-star's groupBy and the
+      // final ss.distinct() absorb them — dropping the mid-round
+      // dedup saves one shuffle per round without unbounding anything
       val ls = dir.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").as("lo"), F.col("v").as("hi")) // m <= u < v
         .filter(F.col("lo") =!= F.col("hi"))
-        .distinct()
       // small-star on hi→lo orientation (every neighbor v < u)
       val dir2 = ls.select(F.col("hi").as("u"), F.col("lo").as("v"))
       val mins2 = dir2.groupBy("u").agg(F.min("v").as("m"))
