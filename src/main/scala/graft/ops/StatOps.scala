@@ -125,4 +125,54 @@ object StatOps {
         s"stack(${pairs.size}, $branches) as (col1, col2, cov)"))
     }
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic of each group's `valCol`
+    * distribution against the whole corpus — the drift monitor run when
+    * a new source lands. Output: (groupCol, ks) with ks rounded at 6.
+    *
+    * Correct under ties and on both sides of the sup: ECDFs are
+    * step functions of the VALUE (cumulative counts per distinct
+    * value, never a row rank — a row_number-based "ECDF" splits tie
+    * groups and reports drift between identical distributions), and
+    * |F_grp - F_corpus| is evaluated at EVERY distinct corpus value
+    * (both functions' jump points), which attains the sup for
+    * right-continuous steps — evaluating only at a group's own points
+    * misses the F_corpus > F_grp side entirely.
+    *
+    * Plan shape: two compact-key groupBys (value; group × value), a
+    * range-partitioned prefix sum over the DISTINCT-value table
+    * (globalPrefixSum — no single-task window), and per-group
+    * cumulative sums over the value grid with partitioned windows.
+    * Grid size is groups × distinct values — bounded by the value
+    * DOMAIN, not the corpus; quantize a continuous score first.
+    */
+  def ksPerGroup(df: DataFrame, groupCol: String,
+                 valCol: String): DataFrame = {
+    val d = df.select(F.col(groupCol), F.col(valCol).as("x"))
+    val n = d.agg(F.count(F.lit(1)).cast("double").as("__n"))
+    val ns = d.groupBy(groupCol)
+      .agg(F.count(F.lit(1)).cast("double").as("__sn"))
+    val dx = d.groupBy("x").agg(F.count(F.lit(1)).as("c"))
+    // inclusive cumulative corpus count at each distinct value
+    val cx = RelOps
+      .globalPrefixSum(dx, "c", "cum0", Seq(RelOps.Ordering("x")))
+      .withColumn("cum", F.col("cum0") + F.col("c"))
+      .select("x", "cum")
+    val sx = d.groupBy(groupCol, "x").agg(F.count(F.lit(1)).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(groupCol).distinct()
+      .crossJoin(cx)
+      .join(sx, Seq(groupCol, "x"), "left_outer")
+      .withColumn("scum",
+        F.sum(F.coalesce(F.col("sc"), F.lit(0L))).over(w))
+      .join(F.broadcast(ns), groupCol)
+      .crossJoin(F.broadcast(n))
+      .groupBy(groupCol)
+      .agg(F.round(F.max(F.abs(
+        F.col("scum").cast("double") / F.col("__sn")
+          - F.col("cum").cast("double") / F.col("__n"))), 6).as("ks"))
+  }
 }

@@ -204,31 +204,15 @@ object CurationQueries {
           "off" -> "cast(start_tok % 512 as bigint)")
     },
 
-    // Distribution drift per source: Kolmogorov–Smirnov statistic of
-    // each source's doc-length distribution against the corpus —
-    // the monitoring pass that catches a crawl whose length profile
-    // shifted. Distributed ECDF: the GLOBAL rank is range-partitioned
-    // (globalRowNumber, no single-task window); per-source ranks are
-    // partitioned windows. KS = max |F_src - F_corpus| over the
-    // source's points.
+    // Distribution drift per source: two-sample Kolmogorov–Smirnov
+    // statistic of each source's doc-length distribution against the
+    // corpus — the monitoring pass that catches a crawl whose length
+    // profile shifted. Value-based ECDFs evaluated over every distinct
+    // corpus value (tie-correct, both sides of the sup); see
+    // StatOps.ksPerGroup for the distributed shape.
     "q112_ks_drift" -> { (s, dir) =>
-      val d = T.load(s, dir, "documents")
-        .basedOn("doc_id" -> "doc_id", "source" -> "source",
-          "x" -> "n_chars")
-      val g = RelOps.globalRowNumber(d, "rg",
-        Seq(RelOps.Ordering("x"), RelOps.Ordering("doc_id")))
-      val n = g.agg(F.count(F.lit(1)).cast("double").as("__n"))
-      val ns = g.groupBy("source")
-        .agg(F.count(F.lit(1)).cast("double").as("__sn"))
-      val w = Window.partitionBy("source")
-        .orderBy(F.col("x"), F.col("doc_id"))
-      g.withColumn("rs", F.row_number().over(w))
-        .join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(n))
-        .groupBy("source")
-        .agg(F.round(F.max(F.abs(
-          F.col("rs").cast("double") / F.col("__sn")
-            - F.col("rg").cast("double") / F.col("__n"))), 6).as("ks"))
+      graft.ops.StatOps.ksPerGroup(
+        T.load(s, dir, "documents"), "source", "n_chars")
     },
 
     // Sketch-based profiling with in-query accuracy gates: HLL distinct
@@ -466,18 +450,22 @@ object CurationQueries {
               AS unit
           FROM c""",
     "q112_ks_drift" ->
-      """WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
-          g AS (SELECT doc_id, source, x,
-            row_number() OVER (ORDER BY x, doc_id) AS rg,
-            row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
-              AS rs
-          FROM d),
+      """WITH d AS (SELECT source, n_chars AS x FROM documents),
           n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM d),
           ns AS (SELECT source, CAST(count(*) AS DOUBLE) AS sn
-                 FROM d GROUP BY 1)
-         SELECT source,
-           round(max(abs(rs / sn - rg / nn)), 6) AS ks
-         FROM g JOIN ns USING (source) CROSS JOIN n
+                 FROM d GROUP BY 1),
+          dx AS (SELECT x, count(*) AS c FROM d GROUP BY 1),
+          cx AS (SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM dx),
+          sx AS (SELECT source, x, count(*) AS sc FROM d GROUP BY 1, 2),
+          grid AS (SELECT s.source, cx.x, cx.cum
+                   FROM (SELECT DISTINCT source FROM d) s CROSS JOIN cx),
+          gs AS (SELECT g.source, g.x, g.cum,
+                   sum(coalesce(sx.sc, 0)) OVER (PARTITION BY g.source
+                     ORDER BY g.x) AS scum
+                 FROM grid g LEFT JOIN sx
+                   ON sx.source = g.source AND sx.x = g.x)
+         SELECT source, round(max(abs(scum / sn - cum / nn)), 6) AS ks
+         FROM gs JOIN ns USING (source) CROSS JOIN n
          GROUP BY source""",
     "q109_weighted_sample" ->
       """SELECT source, doc_id, rnk FROM (

@@ -243,34 +243,33 @@ class CurationSpec extends SparkSpec {
     assert(win.count() === topk.count())
   }
 
-  test("KS drift: identical distribution scores near 0, shifted scores high") {
+  test("KS drift: tie-correct, two-sided, detects shift (shared op = the q112 plan)") {
     val s = spark
     import s.implicits._
-    // sources a/b draw the same values; source c is shifted by +1000
+    def ks(rows: Seq[(String, Long)]): Map[String, Double] =
+      graft.ops.StatOps.ksPerGroup(rows.toDF("source", "x"), "source", "x")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 1. TIES: every row has the same value; identical distributions
+    // must score EXACTLY 0 no matter how ids are grouped (a row-rank
+    // "ECDF" would report 0.5 here)
+    val tied = (1L to 200L).map(i => (if (i <= 100) "a" else "b", 5L))
+    assert(ks(tied) === Map("a" -> 0.0, "b" -> 0.0))
+    // 2. BOTH SIDES: one source holds only the corpus maximum; its
+    // ECDF is 0 until the top value, so true KS = (n-1)/n — a
+    // source-points-only evaluation would report 0
+    val oneHigh = (1L to 99L).map(i => ("a", i)) :+ ("b", 1000L)
+    val oh = ks(oneHigh)
+    assert(math.abs(oh("b") - 0.99) < 1e-9, s"one-high ks=$oh")
+    // 3. identical multisets score identically; a shifted source
+    // scores far higher
     val rows = (1L to 300L).map { i =>
       val src = (i % 3) match { case 0 => "a"; case 1 => "b"; case _ => "c" }
-      val x = (i * 37) % 500 + (if (src == "c") 1000L else 0L)
-      (i, src, x)
+      val x = ((i / 3) * 37) % 500 + (if (src == "c") 1000L else 0L)
+      (src, x)
     }
-    val df = rows.toDF("doc_id", "source", "n_chars")
-    val d = df.basedOn("doc_id" -> "doc_id", "source" -> "source", "x" -> "n_chars")
-    val g = RelOps.globalRowNumber(d, "rg",
-      Seq(RelOps.Ordering("x"), RelOps.Ordering("doc_id")))
-    val n = g.agg(F.count(F.lit(1)).cast("double").as("__n"))
-    val ns = g.groupBy("source").agg(F.count(F.lit(1)).cast("double").as("__sn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(F.col("x"), F.col("doc_id"))
-    val out = g.withColumn("rs", F.row_number().over(w))
-      .join(F.broadcast(ns), "source").crossJoin(F.broadcast(n))
-      .groupBy("source")
-      .agg(F.max(F.abs(F.col("rs").cast("double") / F.col("__sn")
-        - F.col("rg").cast("double") / F.col("__n"))).as("ks"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // c sits entirely above a/b: its ECDF diverges from the corpus by
-    // ~2/3 (the corpus is 2/3 done before c starts); a/b track the
-    // corpus closely
-    assert(out("c") > 0.5, s"shifted source ks=${out("c")}")
-    assert(out("a") < 0.4 && out("b") < 0.4, s"unshifted ks=$out")
+    val out = ks(rows)
+    assert(out("a") === out("b"), s"identical multisets differ: $out")
+    assert(out("c") > 0.5 && out("a") < 0.4, s"ks=$out")
     out.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
