@@ -91,6 +91,29 @@ object StreamQueries {
         graft.T.load(s, dir, "events"), 1800L)
     },
 
+    // Native Catalyst session windows — the THIRD implementation of
+    // gap-sessionization (q71 = declarative lag/window batch plan,
+    // StreamSpec = flatMapGroupsWithState), all against one oracle
+    // family. Timestamps are second-truncated first (q71's gap compares
+    // floor(epoch)); session_window merges INCLUSIVELY at the boundary
+    // (an event at exactly windowEnd extends the session — verified on
+    // a 1801-second-gap pair), so gap = 1800 s on whole-second stamps
+    // reproduces "diff <= 1800 → same session" exactly. Session end =
+    // window end - gap = the last event's second.
+    "q113_session_window" -> { (s, dir) =>
+      val ev = graft.T.load(s, dir, "events")
+        .withColumn("ts_sec",
+          F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+      ev.groupBy(F.col("user_id"),
+          F.session_window(F.col("ts_sec"), "1800 seconds").as("sw"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum("value"), 2).as("total"))
+        .select(F.col("user_id"),
+          F.unix_timestamp(F.col("sw.start")).as("session_start"),
+          (F.unix_timestamp(F.col("sw.end")) - 1800).as("session_end"),
+          F.col("n_events"), F.col("total"))
+    },
+
     // Stream-stream interval join: each click joined to the same
     // user's purchases within the following 12 hours — watermarked on
     // both sides, so join state is evicted as event time advances
@@ -173,6 +196,29 @@ object StreamQueries {
     "q96_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_docs
          FROM documents GROUP BY lang""",
+    // same session semantics as q71's oracle, aggregated to sessions
+    "q113_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total
+         FROM sess GROUP BY user_id, sid""",
     // epoch_us on both sides: the engine compares micros-rebuilt
     // timestamps, the oracle the parquet nanos truncated to micros
     // (the generated data has no sub-micro component, so identical)
