@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Give the forked run JVM sbt's real stdout instead of the logger's
+// [info]-prefixed pipe: the driver json-parses Bench's final stdout
+// line, and a "[info] " prefix (or `--error`-level suppression) breaks
+// that. With StdoutOutput the JSON line reaches the tail verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

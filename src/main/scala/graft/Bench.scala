@@ -103,6 +103,14 @@ object Bench {
     spark.stop()
     // print LAST (after spark.stop's log lines) so nothing but sbt's
     // one-line "[success]" trailer lands between the JSON and EOF.
+    // println goes through sbt's logger, which (a) prefixes the line
+    // with "[info] " — poison for a json.loads on the raw line — and
+    // (b) drops it entirely under `sbt --error`. Write the line to the
+    // REAL fd 1 as well, bypassing the logger's System.out swap, so an
+    // unprefixed copy always reaches the captured tail.
     println(line)
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write((line + "\n").getBytes("UTF-8"))
+    raw.flush()
   }
 }
