@@ -330,10 +330,78 @@ object CurationQueries {
         T.load(s, dir, "documents")
           .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3)),
         "source", "sh")
+    },
+
+    // Char-trigram conditional LM score — the KenLM-style fluency
+    // filter: train MLE counts on the corpus in-plan, score each doc by
+    // avg ln P(c₃ | c₁c₂) = avg(ln(c₃/c₂)) over its trigram positions.
+    // Shape: one generator pass emitting 3-char payloads (the text is
+    // never duplicated per position), two partial-agg count shuffles on
+    // BOUNDED keys (charset³ model vocabulary — unlike a word vocab the
+    // model table stays broadcastable at any corpus size; join left to
+    // AQE), final regroup by doc_id. Gibberish/boilerplate scores low;
+    // fluent text scores high — the standard pre-filter signal.
+    "q114_ngram_lm" -> { (s, dir) =>
+      val grams = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
+        .filter(F.length(F.col("t")) >= 3)
+        .select(F.col("doc_id"), F.explode(F.expr(
+          "transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))"))
+          .as("tri"))
+        .withColumn("big", F.expr("substr(tri, 1, 2)"))
+      val c3 = grams.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+      val c2 = grams.groupBy("big").agg(F.count(F.lit(1)).as("c2"))
+      grams.join(c3, "tri").join(c2, "big")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_grams"),
+          F.round(F.avg(F.log(F.col("c3").cast("double") / F.col("c2"))), 6)
+            .as("lm_score"))
+    },
+
+    // Token-budget mixture carve: within each source, order docs by a
+    // deterministic hash (unbiased) and keep while the running token
+    // count stays within 20% of the source's total — how a mixture
+    // spec's per-source token budgets are realized. Partitioned windows
+    // only (both windows share the `source` partitioning → ONE
+    // shuffle); token counts via the native codegen tokenizer.
+    "q116_budget_carve" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .withColumn("tok",
+          F.size(TextExpressions.wordTokens(F.col("text"))).cast("long"))
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+      val wRun = Window.partitionBy("source").orderBy("h", "doc_id")
+      val wAll = Window.partitionBy("source")
+      d.withColumn("cum", F.sum("tok").over(wRun))
+        .withColumn("__tot", F.sum("tok").over(wAll))
+        .filter(F.col("cum") <= F.col("__tot") * 0.2)
+        .select("source", "doc_id", "tok", "cum")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q114_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                    WHERE length(lower(text)) >= 3),
+          g AS (SELECT doc_id, substr(t, i, 3) AS tri, substr(t, i, 2) AS big
+                FROM (SELECT doc_id, t,
+                        unnest(range(1, length(t) - 1)) AS i FROM d)),
+          c3 AS (SELECT tri, count(*) AS c3 FROM g GROUP BY 1),
+          c2 AS (SELECT big, count(*) AS c2 FROM g GROUP BY 1)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+            round(avg(ln(c3::DOUBLE / c2)), 6) AS lm_score
+          FROM g JOIN c3 USING (tri) JOIN c2 USING (big)
+          GROUP BY 1""",
+    "q116_budget_carve" ->
+      s"""WITH d AS (SELECT source, doc_id,
+            CAST(len($duckToks) AS BIGINT) AS tok,
+            md5(doc_id::VARCHAR) AS h FROM documents)
+          SELECT source, doc_id, tok, CAST(cum AS BIGINT) AS cum
+          FROM (SELECT source, doc_id, tok,
+                  sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(tok) OVER (PARTITION BY source) AS tot FROM d)
+          WHERE cum <= tot * 0.2""",
     "q37_shuffle" ->
       """SELECT doc_id,
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)

@@ -214,10 +214,38 @@ object MiscQueries {
           Seq("o_orderkey"), "o_totalprice", 8)
         .basedOn("o_orderstatus" -> "o_orderstatus", "k" -> "k",
           "re" -> "round(re, 2)", "im" -> "round(im, 2)")
+    },
+
+    // Z-order clustering key: Morton interleave of two scan dimensions
+    // (codegen'd ZValue2) — the multi-dim layout key that keeps Parquet
+    // min/max pruning effective on BOTH columns at 100 TB (linear sort
+    // prunes only its leading column). ZOrderSpec measures the per-file
+    // range shrinkage; here the key itself is hash-gated bit-for-bit.
+    "q115_zorder" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .basedOn("l_orderkey" -> "l_orderkey",
+          "l_linenumber" -> "l_linenumber",
+          "x" -> "l_partkey % 65536", "y" -> "l_suppkey % 65536")
+        .withColumn("z", graft.plans.ZOrder.zvalue(
+          F.col("x").cast("long"), F.col("y").cast("long")))
     }
   )
 
+  /** 32-term arithmetic form of the 16+16-bit Morton interleave —
+    * portable to any SQL engine (the oracle twin of ZValue2). */
+  private def duckZ(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q115_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+          CAST(l_partkey % 65536 AS BIGINT) AS x,
+          CAST(l_suppkey % 65536 AS BIGINT) AS y,
+          CAST(${duckZ("(l_partkey % 65536)", "(l_suppkey % 65536)")}
+               AS BIGINT) AS z
+          FROM lineitem""",
     "q62_model_matrix" ->
       """SELECT round(o_totalprice / 1000.0, 6) AS label,
                 round(o_totalprice, 2) AS f0,
