@@ -281,14 +281,19 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame,
                               maxIter: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
-    val nodes = pairs.select(F.col("id1").as("id"))
-      .union(pairs.select(F.col("id2").as("id")))
+    // Materialize the pair graph ONCE before deriving nodes and edges:
+    // both need it, and the upstream is usually the expensive part
+    // (LSH + verify — measured ~2.5 s at sf0.1, previously paid twice).
+    val (p, pIds) = checkpointTracked(pairs)
+    val nodes = p.select(F.col("id1").as("id"))
+      .union(p.select(F.col("id2").as("id")))
       .distinct().localCheckpoint()
-    val e0 = checkpointTracked(pairs
+    val e0 = checkpointTracked(p
       .select(F.least(F.col("id1"), F.col("id2")).as("lo"),
         F.greatest(F.col("id1"), F.col("id2")).as("hi"))
       .filter(F.col("lo") =!= F.col("hi"))
       .distinct())
+    release(spark, pIds) // nodes + e0 are checkpointed; p is superseded
     var edges = e0._1
     var edgeIds = e0._2
     var it = 0

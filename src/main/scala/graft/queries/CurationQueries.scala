@@ -334,7 +334,12 @@ object CurationQueries {
 
     // Char-trigram conditional LM score — the KenLM-style fluency
     // filter: train MLE counts on the corpus in-plan, score each doc by
-    // avg ln P(c₃ | c₁c₂) = avg(ln(c₃/c₂)) over its trigram positions.
+    // avg ln P(c₃ | c₁c₂) = avg(ln(c₃/(c₂+α))) over its trigram
+    // positions, with α=5 additive context smoothing: an unsmoothed
+    // conditional MLE assigns P=1 to SINGLETON contexts, so unique
+    // gibberish would score as perfectly fluent; the α floor pushes
+    // rare-context trigrams toward ln(1/α) instead (CurationSpec pins
+    // the fluent-vs-noise ordering this buys).
     // Shape: one generator pass emitting 3-char payloads (the text is
     // never duplicated per position), two partial-agg count shuffles on
     // BOUNDED keys (charset³ model vocabulary — unlike a word vocab the
@@ -354,8 +359,36 @@ object CurationQueries {
       grams.join(c3, "tri").join(c2, "big")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).as("n_grams"),
-          F.round(F.avg(F.log(F.col("c3").cast("double") / F.col("c2"))), 6)
+          F.round(F.avg(F.log(
+            F.col("c3").cast("double") / (F.col("c2") + F.lit(5.0d)))), 6)
             .as("lm_score"))
+    },
+
+    // Mergeable HLL sketch profile: per-source distinct-token sketches
+    // (Datasketches HllSketch via hll_sketch_agg) UNIONED into a global
+    // estimate — the re-aggregatable profile pattern: at 100 TB the
+    // per-partition sketches are computed in one scan and any rollup
+    // (per source, per lang, global) is a cheap sketch-merge, never a
+    // rescan. Estimates are gated in-plan against exact distinct counts
+    // at ±5% (lgK=12 → σ≈1.6%); HLL state is insert-order-invariant,
+    // so the gate is deterministic.
+    "q118_hll_union" -> { (s, dir) =>
+      val toks = T.load(s, dir, "documents")
+        .select(F.col("source"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
+      val per = toks.groupBy("source").agg(
+        F.expr("hll_sketch_agg(tok, 12)").as("sk"),
+        F.count_distinct(F.col("tok")).as("n_exact"))
+      val perOut = per.select(F.col("source"), F.col("n_exact"),
+        (F.abs(F.expr("hll_sketch_estimate(sk)").cast("double")
+          - F.col("n_exact")) <= F.col("n_exact") * 0.05).as("hll_ok"))
+      val all = per.agg(
+          F.expr("hll_sketch_estimate(hll_union_agg(sk))").as("__uest"))
+        .crossJoin(toks.agg(F.count_distinct(F.col("tok")).as("n_exact")))
+        .select(F.lit("__ALL__").as("source"), F.col("n_exact"),
+          (F.abs(F.col("__uest").cast("double") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05).as("hll_ok"))
+      perOut.unionByName(all)
     },
 
     // Token-budget mixture carve: within each source, order docs by a
@@ -388,9 +421,20 @@ object CurationQueries {
           c3 AS (SELECT tri, count(*) AS c3 FROM g GROUP BY 1),
           c2 AS (SELECT big, count(*) AS c2 FROM g GROUP BY 1)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-            round(avg(ln(c3::DOUBLE / c2)), 6) AS lm_score
+            round(avg(ln(c3::DOUBLE / (c2 + 5.0))), 6) AS lm_score
           FROM g JOIN c3 USING (tri) JOIN c2 USING (big)
           GROUP BY 1""",
+    "q118_hll_union" ->
+      s"""WITH ex AS (SELECT source, unnest($duckToks) AS tok
+                      FROM documents),
+          per AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+                    AS n_exact FROM ex GROUP BY 1),
+          tot AS (SELECT '__ALL__' AS source,
+                    CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+                  FROM ex)
+          SELECT source, n_exact, TRUE AS hll_ok FROM per
+          UNION ALL
+          SELECT source, n_exact, TRUE AS hll_ok FROM tot""",
     "q116_budget_carve" ->
       s"""WITH d AS (SELECT source, doc_id,
             CAST(len($duckToks) AS BIGINT) AS tok,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import graft.T
 import graft.dedup.Dedup
 import graft.multimodal.{MediaRecord, Multimodal}
@@ -156,6 +157,32 @@ object PipelineQueries {
     "q111_znorm" -> { (s, dir) =>
       Knn.zNormalizeStats(T.load(s, dir, "embeddings"),
         "vec_id", "embedding", "label")
+    },
+
+    // Centroid-distance outlier pruning: drop the 5% of embeddings
+    // farthest from their label centroid — the noise filter run before
+    // contrastive training. Pure relational array math (posexplode →
+    // per-(label,dim) mean → rejoin → distance), so it shuffles compact
+    // (label, pos) keys, never whole vectors; the cut is an exact
+    // percent_rank per label (no approximate quantile), with distances
+    // rounded BEFORE ranking so cross-engine ulp noise cannot reorder
+    // the cut boundary.
+    "q119_centroid_prune" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("label"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val cent = ex.groupBy("label", "pos")
+        .agg(F.avg(F.col("x")).as("c"))
+      val dist = ex.join(cent, Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(
+          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6)
+          .as("dist"))
+      val w = Window.partitionBy("label").orderBy("dist", "vec_id")
+      dist.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= 0.95)
+        .select("vec_id", "label", "dist")
     },
 
     // IVF at FULL probe must reproduce the exact top-k EXACTLY (recall
@@ -377,6 +404,21 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q119_centroid_prune" ->
+      """WITH ex AS (SELECT vec_id, label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS (SELECT vec_id, label, z[2]::BIGINT AS pos,
+                   z[1]::DOUBLE AS x FROM ex),
+          c AS (SELECT label, pos, avg(x) AS c FROM e2 GROUP BY 1, 2),
+          d AS (SELECT vec_id, label,
+                  round(sqrt(sum((x - c) * (x - c))), 6) AS dist
+                FROM e2 JOIN c USING (label, pos) GROUP BY 1, 2),
+          r AS (SELECT vec_id, label, dist,
+                  percent_rank() OVER (PARTITION BY label
+                    ORDER BY dist, vec_id) AS pr FROM d)
+          SELECT vec_id, label, dist FROM r WHERE pr <= 0.95""",
     "q40_dedup_exact" ->
       """SELECT doc_id,
            min(doc_id) OVER (PARTITION BY text) AS keep_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
 import graft.streaming.DataStream
 
 /** Wave-4 streaming queries: micro-batch ingest + running aggregates
@@ -136,6 +137,23 @@ object StreamQueries {
         .select("user_id", "n_pairs", "sum_value")
     },
 
+    // Stream-static dimension enrichment: the standing stream joins a
+    // broadcast dim table (stateless — no join state, no watermark
+    // needed on the static side), then a running per-segment rollup.
+    // At scale the dim is either broadcast (small) or the join flips to
+    // a keyed shuffle automatically — the stream side never blocks.
+    "q117_stream_enrich" -> { (s, dir) =>
+      val cust = T.load(s, dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+      val agg = eventsStream(s, dir)
+        .join(F.broadcast(cust), F.col("user_id") === F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum("value"), 2).as("sum_value"))
+      runStateful(s, agg, uniq("stream_enrich"))
+        .select("c_mktsegment", "n_events", "sum_value")
+    },
+
     // Streaming exact dedup at the door: dropDuplicates on the 8-byte
     // text hash as documents stream in, then kept-docs per lang (exact
     // dup groups are single-lang in this corpus, so the projection is
@@ -157,6 +175,12 @@ object StreamQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q117_stream_enrich" ->
+      """SELECT c_mktsegment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
     "q71_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id, value,

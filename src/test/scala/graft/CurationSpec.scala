@@ -307,4 +307,59 @@ class CurationSpec extends SparkSpec {
     // md5 order must not be id order
     assert(sh.filter(F.col("pos") === F.col("doc_id") + 1).count() < n / 2)
   }
+
+  test("trigram LM scores fluent text above character noise") {
+    val s = spark
+    import s.implicits._
+    // corpus: many fluent near-identical sentences + one noise doc;
+    // the noise doc's trigrams are rare under the corpus model
+    val fluent = (1 to 40).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog $i"))
+    val noise = Seq((99L, "zqxv kjwp qzzt xvkk wqpj zzkt"))
+    (fluent ++ noise).toDF("doc_id", "text")
+      .createOrReplaceTempView("__lm_docs")
+    val grams = s.table("__lm_docs")
+      .select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))"))
+        .as("tri"))
+      .withColumn("big", F.expr("substr(tri, 1, 2)"))
+    val c3 = grams.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+    val c2 = grams.groupBy("big").agg(F.count(F.lit(1)).as("c2"))
+    val scored = grams.join(c3, "tri").join(c2, "big")
+      .groupBy("doc_id")
+      .agg(F.avg(F.log(
+        F.col("c3").cast("double") / (F.col("c2") + F.lit(5.0d))))
+        .as("lm_score"))
+    val rows = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fluentAvg = fluent.map(f => rows(f._1)).sum / fluent.size
+    assert(rows(99L) < fluentAvg - 0.5,
+      s"noise ${rows(99L)} should score well below fluent avg $fluentAvg")
+  }
+
+  test("budget carve keeps a prefix within 20% of each source's tokens") {
+    val s = spark
+    val out = SparkEntry.queries("q116_budget_carve")(s, sf)
+    val totals = T.load(s, sf, "documents")
+      .withColumn("tok", F.size(
+        graft.plans.TextExpressions.wordTokens(F.col("text"))).cast("long"))
+      .groupBy("source").agg(F.sum("tok").as("tot"))
+    val joined = out.groupBy("source")
+      .agg(F.max("cum").as("kept"), F.count(F.lit(1)).as("n"))
+      .join(totals, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val kept = r.getAs[Long]("kept"); val tot = r.getAs[Long]("tot")
+      assert(kept <= 0.2 * tot, s"source ${r.getString(0)}: $kept > 20% of $tot")
+    }
+  }
+
+  test("hll union gates hold and the union row dominates per-source counts") {
+    val s = spark
+    val out = SparkEntry.queries("q118_hll_union")(s, sf).collect()
+    assert(out.forall(_.getAs[Boolean]("hll_ok")))
+    val all = out.filter(_.getString(0) == "__ALL__").head.getAs[Long]("n_exact")
+    val per = out.filter(_.getString(0) != "__ALL__").map(_.getAs[Long]("n_exact"))
+    assert(per.nonEmpty && all >= per.max && all <= per.sum)
+  }
 }
