@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text kernels. The SQL-expression shingler
@@ -62,6 +62,35 @@ object TextKernels {
   def tokens(s: UTF8String): ArrayData =
     new GenericArrayData(
       tokenize(s).map(t => UTF8String.fromString(t): Any))
+
+  /** Character trigrams of the ROOT-lowercased text, each packed into a
+    * long as 3 × 21-bit codepoints (injective for all of Unicode) —
+    * 8-byte shuffle/agg keys for the q114 LM pipeline, one tight pass
+    * instead of per-position substring HOFs. Codepoint-based stepping
+    * matches SQL substr/length semantics beyond the BMP. */
+  def packedTrigrams(s: UTF8String): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val len = str.length
+    val n = str.codePointCount(0, len)
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Long](n - 2)
+    var j = 0
+    while (j < n - 2) {
+      out(j) = (cps(j).toLong << 42) | (cps(j + 1).toLong << 21) |
+        cps(j + 2).toLong
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles of a lowercase-tokenized text column. */
@@ -86,6 +115,17 @@ case class WordTokens(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Packed char-trigram longs of a text column (lowercased in-kernel). */
+case class PackedTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.packedTrigrams(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.packedTrigrams($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(
@@ -93,4 +133,7 @@ object TextExpressions {
   def wordTokens(text: Column): Column =
     GraftColumnBridge.column(
       WordTokens(GraftColumnBridge.expression(text)))
+  def packedTrigrams(text: Column): Column =
+    GraftColumnBridge.column(
+      PackedTrigrams(GraftColumnBridge.expression(text)))
 }

@@ -347,21 +347,65 @@ object CurationQueries {
     // AQE), final regroup by doc_id. Gibberish/boilerplate scores low;
     // fluent text scores high — the standard pre-filter signal.
     "q114_ngram_lm" -> { (s, dir) =>
+      // Trigrams are PACKED into longs by the native codegen'd kernel
+      // (3 × 21-bit codepoints — injective for all of Unicode), so
+      // every shuffle and hash-agg key is 8 bytes and the bigram
+      // context key is pure arithmetic (pack >> 21 drops the last
+      // char). One tight pass per document — the HOF formulation
+      // (substring lambdas per position) measured 1.5-3× slower.
       val grams = T.load(s, dir, "documents")
-        .select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
-        .filter(F.length(F.col("t")) >= 3)
-        .select(F.col("doc_id"), F.explode(F.expr(
-          "transform(sequence(1, length(t) - 2), i -> substr(t, i, 3))"))
-          .as("tri"))
-        .withColumn("big", F.expr("substr(tri, 1, 2)"))
-      val c3 = grams.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
-      val c2 = grams.groupBy("big").agg(F.count(F.lit(1)).as("c2"))
-      grams.join(c3, "tri").join(c2, "big")
+        .filter(F.length(F.col("text")) >= 3)
+        .select(F.col("doc_id"),
+          F.explode(TextExpressions.packedTrigrams(F.col("text"))).as("tri"))
+      // Pre-aggregate per-(doc, trigram) multiplicities BEFORE any join:
+      // the raw position relation is |corpus chars| rows and must cross
+      // the wire at most once (partial agg compacts it map-side); the
+      // model joins then hit the much smaller multiset, and AQE
+      // broadcasts the bounded model tables so neither join reshuffles
+      // it. avg over positions = Σ n·ln P / Σ n exactly.
+      val g2 = grams.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).as("n"))
+        .withColumn("big", F.expr("tri >> 21"))
+      val c3 = g2.groupBy("tri").agg(F.sum("n").as("c3"))
+      val c2 = g2.groupBy("big").agg(F.sum("n").as("c2"))
+      g2.join(c3, "tri").join(c2, "big")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).as("n_grams"),
-          F.round(F.avg(F.log(
-            F.col("c3").cast("double") / (F.col("c2") + F.lit(5.0d)))), 6)
+        .agg(F.sum("n").cast("long").as("n_grams"),
+          F.round(
+            F.sum(F.col("n") * F.log(
+              F.col("c3").cast("double") / (F.col("c2") + F.lit(5.0d))))
+              / F.sum("n"), 6)
             .as("lm_score"))
+    },
+
+    // Corpus snapshot diff — the incremental-ingestion primitive:
+    // classify every doc across two crawl snapshots as added / removed
+    // / changed by comparing content hashes under a full-outer join on
+    // the doc key. Hashes are computed map-side, so the single keyed
+    // shuffle carries (id, hash) — never document text (md5 here
+    // because the oracle must compute the identical digest; a
+    // production run would use 8-byte xxhash64). Snapshot B is derived
+    // deterministically in-plan: docs %31 dropped, %17 edited, %13
+    // cloned under new ids.
+    "q120_snapshot_diff" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val a = docs.select(F.col("doc_id"), F.md5(F.col("text")).as("h_old"))
+      val b = docs.filter(F.expr("doc_id % 31 != 0"))
+        .select(F.col("doc_id"), F.md5(
+          F.when(F.expr("doc_id % 17 = 0"),
+            F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))).as("h_new"))
+        .unionByName(docs.filter(F.expr("doc_id % 13 = 0"))
+          .select((F.col("doc_id") + 1000000L).as("doc_id"),
+            F.md5(F.concat(F.lit("new "), F.col("text"))).as("h_new")))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          F.when(F.col("h_old").isNull, "added")
+            .when(F.col("h_new").isNull, "removed")
+            .when(F.col("h_old") =!= F.col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .filter(F.col("status") =!= "unchanged")
+        .select("doc_id", "status")
     },
 
     // Mergeable HLL sketch profile: per-source distinct-token sketches
@@ -424,6 +468,22 @@ object CurationQueries {
             round(avg(ln(c3::DOUBLE / (c2 + 5.0))), 6) AS lm_score
           FROM g JOIN c3 USING (tri) JOIN c2 USING (big)
           GROUP BY 1""",
+    "q120_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+          b AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                       ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 31 != 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5('new ' || text)
+                FROM documents WHERE doc_id % 13 = 0)
+          , j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN h_old <> h_new THEN 'changed'
+                       ELSE 'unchanged' END AS status
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+          SELECT doc_id, status FROM j WHERE status <> 'unchanged'""",
     "q118_hll_union" ->
       s"""WITH ex AS (SELECT source, unnest($duckToks) AS tok
                       FROM documents),

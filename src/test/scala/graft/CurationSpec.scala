@@ -337,6 +337,25 @@ class CurationSpec extends SparkSpec {
       s"noise ${rows(99L)} should score well below fluent avg $fluentAvg")
   }
 
+  test("packedTrigrams kernel matches the per-position substring form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "The quick brown fox!"), (2L, "ab"), (3L, "αβγδε"),
+      (4L, "MIXED case WiTh 123")).toDF("doc_id", "text")
+    val kernel = df.select(F.col("doc_id"),
+      F.explode(graft.plans.TextExpressions.packedTrigrams(F.col("text")))
+        .as("tri"))
+    val sql = df.select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
+      .filter(F.length(F.col("t")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        """transform(sequence(1, length(t) - 2), i ->
+           (cast(ascii(substr(t, i, 1)) as bigint) << 42)
+           | (cast(ascii(substr(t, i + 1, 1)) as bigint) << 21)
+           | cast(ascii(substr(t, i + 2, 1)) as bigint))""")).as("tri"))
+    assert(kernel.exceptAll(sql).count() === 0)
+    assert(sql.exceptAll(kernel).count() === 0)
+  }
+
   test("budget carve keeps a prefix within 20% of each source's tokens") {
     val s = spark
     val out = SparkEntry.queries("q116_budget_carve")(s, sf)
