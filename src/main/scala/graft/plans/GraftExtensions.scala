@@ -48,6 +48,13 @@ object GraftExtensions {
       f(cast(args(0)), cast(args(1)))
     }
 
+  private def st(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.StringType) e
+    else Cast(e, org.apache.spark.sql.types.StringType)
+  private def lg(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.LongType) e
+    else Cast(e, org.apache.spark.sql.types.LongType)
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     unary("graft_erf", Erf, d),
     unary("graft_erfc", Erfc, d),
@@ -55,7 +62,17 @@ object GraftExtensions {
     unary("graft_lgamma", LogGamma, d),
     unary("graft_vec_norm", NormF, fa),
     binary("graft_cosine", CosineSimF, fa),
-    binary("graft_dot", DotProductF, fa))
+    binary("graft_dot", DotProductF, fa),
+    unary("graft_tokens", WordTokens, st),
+    unary("graft_packed_trigrams", PackedTrigrams, st),
+    binary("graft_zvalue", ZValue2, lg),
+    // graft_shingles(text, n): n must be a foldable int literal
+    "graft_shingles" -> { (args: Seq[Expression]) =>
+      require(args.length == 2 && args(1).foldable,
+        "graft_shingles takes (text, literal n)")
+      WordShingles(st(args(0)),
+        args(1).eval().asInstanceOf[Number].intValue())
+    })
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

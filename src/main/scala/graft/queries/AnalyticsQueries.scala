@@ -58,6 +58,33 @@ object AnalyticsQueries {
           "rolling_1h" -> "rolling_1h")
     },
 
+    // Hourly resample + forward fill — the time-series regularization
+    // op (upsample an irregular event stream to a fixed grid, carry the
+    // last observation forward). Grid generation is a scan-parallel
+    // per-user generator off a 1-shuffle bounds agg; the observation
+    // join is keyed on (user, hour); the fill is one partitioned
+    // window. Hours emitted as epoch seconds (exact on both engines).
+    "q121_resample_ffill" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+      val grid = ev.groupBy("user_id").agg(
+          F.date_trunc("hour", F.min("ts")).as("h0"),
+          F.date_trunc("hour", F.max("ts")).as("h1"))
+        .select(F.col("user_id"),
+          F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val wOb = Window.partitionBy("user_id", "h")
+        .orderBy(F.col("ts").desc, F.col("event_id").desc)
+      val obs = ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        .withColumn("__rn", F.row_number().over(wOb))
+        .filter(F.col("__rn") === 1)
+        .select("user_id", "h", "value")
+      val wFf = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left_outer")
+        .withColumn("v", F.last("value", ignoreNulls = true).over(wFf))
+        .select(F.col("user_id"), F.col("h").cast("long").as("h"),
+          F.col("v"))
+    },
+
     // Edit distance (fuzzy matching for dedup pipelines): most-similar
     // part-name pair per brand via levenshtein.
     "q77_edit_distance" -> { (s, dir) =>
@@ -125,6 +152,26 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q121_resample_ffill" ->
+      """WITH b AS (SELECT user_id,
+            date_trunc('hour', min(ts))::TIMESTAMP AS h0,
+            date_trunc('hour', max(ts))::TIMESTAMP AS h1
+          FROM events GROUP BY 1),
+          grid AS (SELECT user_id,
+            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM b),
+          obs AS (SELECT user_id, h, value FROM (
+            SELECT user_id, date_trunc('hour', ts) AS h, value,
+              row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+          SELECT g.user_id AS user_id,
+            CAST(floor(epoch(g.h)) AS BIGINT) AS h,
+            last_value(o.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+              ORDER BY g.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM grid g LEFT JOIN obs o
+            ON g.user_id = o.user_id AND g.h = o.h""",
     "q74_shipping_priority" ->
       """SELECT l_orderkey,
                 round(sum(l_extendedprice * (1 - l_discount)), 2)

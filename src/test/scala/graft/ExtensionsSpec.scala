@@ -21,6 +21,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("n") - 5.0) < 1e-12)
   }
 
+  test("text + zorder SQL functions plan and evaluate") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_tokens('The quick  fox!') AS t,
+                graft_shingles('a b c d', 2) AS sh,
+                graft_packed_trigrams('abc') AS tri,
+                graft_zvalue(3L, 1L) AS z""").first()
+    assert(r.getSeq[String](0) == Seq("the", "quick", "fox"))
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    val packed = (('a'.toLong << 42) | ('b'.toLong << 21) | 'c'.toLong)
+    assert(r.getSeq[Long](2) == Seq(packed))
+    // interleave(3, 1): a bits at even positions (1|4), b bit0 at pos 1
+    assert(r.getLong(3) == ((1L | 4L) | 2L))
+  }
+
   test("functions work inside a whole query plan over a table") {
     GraftExtensions.register(spark)
     T.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
