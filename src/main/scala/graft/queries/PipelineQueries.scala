@@ -254,6 +254,28 @@ object PipelineQueries {
         nFrames = 4)
     },
 
+    // Leakage-free train/val/test split: near-dup CLUSTERS (not docs)
+    // are the assignment unit, so a document can never share a near
+    // duplicate across the split boundary — the subtle eval-leak bug
+    // this op exists to kill. Cluster ids from min-label CC; singleton
+    // docs are their own cluster; the 8/1/1 bucket comes from the
+    // portable Knuth-hash arithmetic (oracle ranks identically).
+    "q122_leakfree_split" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      val comp = Dedup.connectedComponents(pairs.select("id1", "id2"))
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(comp, Seq("doc_id"), "left_outer")
+        .withColumn("cluster", F.coalesce(F.col("comp"), F.col("doc_id")))
+        .withColumn("__b", F.expr(
+          "((cluster % 1000003) * 2654435761) % 1000003 % 10"))
+        .select(F.col("doc_id"), F.col("cluster"),
+          F.when(F.col("__b") < 8, "train")
+            .when(F.col("__b") === 8, "val")
+            .otherwise("test").as("split"))
+    },
+
     // Pair graph → dup clusters via iterative min-label propagation
     // (connected components); oracle = recursive-CTE reachability.
     "q79_dedup_clusters" -> { (s, dir) =>
@@ -530,6 +552,35 @@ object PipelineQueries {
              AS n_bytes
          FROM documents""",
     "q79_dedup_clusters" -> duckCcClusters,
+    "q122_leakfree_split" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+          jp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                     AS DOUBLE), 3) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp
+                   FROM reach GROUP BY a),
+          lab AS (SELECT d.doc_id,
+                    coalesce(c.comp, d.doc_id) AS cluster
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+          SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+            CASE WHEN ((cluster % 1000003) * 2654435761)
+                      % 1000003 % 10 < 8 THEN 'train'
+                 WHEN ((cluster % 1000003) * 2654435761)
+                      % 1000003 % 10 = 8 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM lab""",
     // same ground truth as q79 — the star algorithm must produce
     // identical labels
     "q102_cc_star" -> duckCcClusters,

@@ -17,6 +17,44 @@ object StatQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Welch's t-statistic of each source's doc length against the REST
+    // of the corpus — the distribution-shift significance test beside
+    // q112's KS distance. Everything derives from three integer sums
+    // per source (n, Σx, Σx²) + the 1-row corpus totals (rest-of-corpus
+    // moments by exact subtraction), so the plan is one partial-agg'd
+    // scan + a broadcast of one row — and because the sums are exact
+    // integers, the statistic is bit-deterministic across engines.
+    "q123_welch_t" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents").select(
+        F.col("source"), F.col("n_chars"))
+      val per = d.groupBy("source").agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("n_chars").as("sm"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).as("sq"))
+      val tot = d.agg(
+        F.count(F.lit(1)).as("tn"), F.sum("n_chars").as("tsm"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).as("tsq"))
+      per.crossJoin(tot)
+        .withColumn("m1", F.col("sm").cast("double") / F.col("n"))
+        .withColumn("v1",
+          (F.col("sq").cast("double")
+            - F.col("sm").cast("double") * F.col("sm") / F.col("n"))
+            / (F.col("n") - 1))
+        .withColumn("n2", F.col("tn") - F.col("n"))
+        .withColumn("m2",
+          (F.col("tsm") - F.col("sm")).cast("double") / F.col("n2"))
+        .withColumn("v2",
+          ((F.col("tsq") - F.col("sq")).cast("double")
+            - (F.col("tsm") - F.col("sm")).cast("double")
+              * (F.col("tsm") - F.col("sm")) / F.col("n2"))
+            / (F.col("n2") - 1))
+        .select(F.col("source"), F.col("n"),
+          F.round(F.col("m1"), 6).as("mean_len"),
+          F.round((F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n") + F.col("v2") / F.col("n2")),
+            6).as("t_stat"))
+    },
+
     // stack/melt wide→long (reference src/reshape.jl:16-27).
     "q17_stack" -> { (s, dir) =>
       T.load(s, dir, "lineitem")
@@ -182,6 +220,20 @@ object StatQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q123_welch_t" ->
+      """WITH per AS (SELECT source, count(*) AS n,
+            sum(n_chars) AS sm, sum(n_chars * n_chars) AS sq
+          FROM documents GROUP BY 1),
+          tot AS (SELECT count(*) AS tn, sum(n_chars) AS tsm,
+            sum(n_chars * n_chars) AS tsq FROM documents)
+          SELECT source, CAST(n AS BIGINT) AS n,
+            round(sm::DOUBLE / n, 6) AS mean_len,
+            round((sm::DOUBLE / n - (tsm - sm)::DOUBLE / (tn - n))
+              / sqrt(((sq::DOUBLE - sm::DOUBLE * sm / n) / (n - 1)) / n
+                + (((tsq - sq)::DOUBLE
+                    - (tsm - sm)::DOUBLE * (tsm - sm) / (tn - n))
+                   / (tn - n - 1)) / (tn - n)), 6) AS t_stat
+          FROM per CROSS JOIN tot""",
     "q17_stack" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
                 l_quantity AS value FROM lineitem
