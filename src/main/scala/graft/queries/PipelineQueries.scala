@@ -159,6 +159,33 @@ object PipelineQueries {
         "vec_id", "embedding", "label")
     },
 
+    // Embedding dimension covariance matrix (whitening / PCA prep —
+    // the matrix q111's per-dim stats can't give you). One posexplode
+    // + a vec_id self-join fans each vector into its dim² products;
+    // the shuffle key is vec_id (compact), the fan-out is dim²-bounded
+    // per vector, and the final (i, j) aggregate is dim²-bounded
+    // total — corpus size only enters through the partial-agg'd sums.
+    "q124_embed_cov" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val a = ex.toDF("vec_id", "i", "xi")
+      val b = ex.toDF("vec_id", "j", "xj")
+      val n = T.load(s, dir, "embeddings")
+        .agg(F.count(F.lit(1)).as("n"))
+      a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).as("sxy"),
+          F.sum("xi").as("sx"), F.sum("xj").as("sy"))
+        .crossJoin(n)
+        .select(F.col("i"), F.col("j"),
+          // + 0 folds -0.0 → 0.0 (a near-zero covariance rounds to a
+          // sign-noise zero on one engine and not the other otherwise)
+          (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1), 6) + F.lit(0)).as("cov"))
+    },
+
     // Centroid-distance outlier pruning: drop the 5% of embeddings
     // farthest from their label centroid — the noise filter run before
     // contrastive training. Pure relational array math (posexplode →
@@ -426,6 +453,19 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q124_embed_cov" ->
+      """WITH ex AS (SELECT vec_id,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS (SELECT vec_id, z[2]::BIGINT - 1 AS pos,
+                   z[1]::DOUBLE AS x FROM ex),
+          n AS (SELECT count(*) AS n FROM embeddings)
+          SELECT a.pos AS i, b.pos AS j,
+            round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
+              / (any_value(n.n) - 1), 6) + 0 AS cov
+          FROM e2 a JOIN e2 b USING (vec_id) CROSS JOIN n
+          GROUP BY 1, 2""",
     "q119_centroid_prune" ->
       """WITH ex AS (SELECT vec_id, label,
             unnest(list_zip(embedding::DOUBLE[],

@@ -84,6 +84,20 @@ object StreamQueries {
       runStateful(s, win, uniq("stream_win"))
     },
 
+    // Append-mode watermarked windows — the PRODUCTION emission
+    // semantics (q61 is complete-mode): a window row is emitted
+    // exactly once, when the watermark (max event time − 1 h, tracked
+    // in ms) passes its end, and its state is evicted. On a bounded
+    // run the emitted set is every window that closed before the final
+    // watermark — which the batch oracle reproduces arithmetically.
+    // State is bounded by open windows × keys regardless of stream
+    // length.
+    "q125_stream_append_window" -> { (s, dir) =>
+      val win = DataStream.windowedAggLate(
+        eventsStream(s, dir), "ts", "event_type", "1 hour", "1 hour")
+      runStateful(s, win, uniq("stream_append"), mode = "append")
+    },
+
     // Gap-based sessionization, batch path (30-minute gap); the
     // stateful-streaming twin (flatMapGroupsWithState) is exercised in
     // StreamSpec.
@@ -220,6 +234,18 @@ object StreamQueries {
     "q96_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_docs
          FROM documents GROUP BY lang""",
+    // emitted set = windows whose END precedes the final watermark
+    // (max event time truncated to ms, minus the 1 h delay)
+    "q125_stream_append_window" ->
+      """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms
+                     FROM events)
+         SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                  AS window_start,
+                event_type, count(*) AS n,
+                round(sum(value), 2) AS total
+         FROM events CROSS JOIN wm
+         WHERE (floor(epoch(ts) / 3600) * 3600 + 3600) * 1000 <= wm_ms
+         GROUP BY 1, 2, wm_ms""",
     // same session semantics as q71's oracle, aggregated to sessions
     "q113_session_window" ->
       """WITH flagged AS (

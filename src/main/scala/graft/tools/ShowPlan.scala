@@ -1,0 +1,19 @@
+package graft.tools
+
+/** Scratch tool (not part of the library surface): print the AQE-final
+  * executed plan of one registered query — `runMain graft.tools.ShowPlan
+  * <queryName> [sfDir]`. */
+object ShowPlan {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q01_agg_tpch1")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.Session.local(8, 8)
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE
+    // raw fd write: survives any sbt log level (see Bench.scala)
+    val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    out.write(df.queryExecution.executedPlan.toString().getBytes("UTF-8"))
+    out.flush()
+    spark.stop()
+  }
+}

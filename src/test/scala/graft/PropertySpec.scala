@@ -191,4 +191,55 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("property: Morton interleave round-trips and orders aligned quads") {
+    import graft.plans.ZOrderKernels
+    def extractEven(z: Long): Long = {
+      var v = z & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+      v
+    }
+    forAll(Gen.zip(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)),
+      n = 40) { case (a: Long, b: Long) =>
+      val z = ZOrderKernels.interleave(a, b)
+      assert(extractEven(z) === a, s"a round-trip for ($a,$b)")
+      assert(extractEven(z >> 1) === b, s"b round-trip for ($a,$b)")
+    }
+    // quadrant order: if BOTH coords of p are strictly below a power-of-2
+    // boundary that q's coords meet or exceed, z(p) < z(q)
+    forAll(Gen.zip(Gen.choose(1, 30), Gen.choose(0L, 0xFFFFL),
+      Gen.choose(0L, 0xFFFFL)), n = 25) { case ((k: Int, a: Long, b: Long)) =>
+      val bound = 1L << k
+      val lo = ZOrderKernels.interleave(a % bound, b % bound)
+      val hi = ZOrderKernels.interleave(bound + (a % bound),
+        bound + (b % bound))
+      assert(lo < hi)
+    }
+  }
+
+  test("property: packedTrigrams agrees with string trigrams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(
+      ' ', '!', 'α', 'β', 'É', 'ü'))
+    forAll(Gen.listOfN(24, charGen), n = 25) { cs: List[Char] =>
+      val s = cs.mkString
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      val packed = graft.plans.TextKernels
+        .packedTrigrams(UTF8String.fromString(s))
+      val n = lower.codePointCount(0, lower.length)
+      val expected =
+        if (n < 3) Seq.empty
+        else {
+          val cps = lower.codePoints().toArray
+          (0 until n - 2).map(i =>
+            (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) |
+              cps(i + 2).toLong)
+        }
+      assert(packed.toLongArray().toSeq === expected)
+    }
+  }
 }
