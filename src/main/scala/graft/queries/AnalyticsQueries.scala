@@ -85,6 +85,37 @@ object AnalyticsQueries {
           F.col("v"))
     },
 
+    // Per-user OLS trend (slope/intercept of value over event time) —
+    // grouped linear regression from closed-form sums. Time is CENTERED
+    // on the global minimum and scaled to hours BEFORE summing: raw
+    // epoch seconds (~1.7e9) would make n·Σx² − (Σx)² a catastrophic
+    // cancellation of ~1e22 magnitudes where float noise lands in the
+    // leading digits; centered x ∈ [0, ~720] keeps the denominator
+    // well-conditioned so round(·,4) absorbs summation-order noise.
+    // One partial-agg'd shuffle on user_id + a broadcast 1-row origin.
+    "q127_group_trend" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("value"),
+          F.expr("unix_timestamp(ts)").as("sec"))
+      val d = ev.crossJoin(F.broadcast(ev.agg(F.min("sec").as("x0"))))
+        .withColumn("xh", (F.col("sec") - F.col("x0")) / 3600.0)
+      val agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("xh").as("sx"), F.sum("value").as("sy"),
+        F.sum(F.col("xh") * F.col("value")).as("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).as("sxx"))
+      agg.filter(F.col("n") >= 2 &&
+          F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") =!= 0.0)
+        .select(F.col("user_id"), F.col("n"),
+          F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 4)
+            .as("slope"),
+          F.round((F.col("sy")
+            - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+              / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+              * F.col("sx")) / F.col("n"), 4).as("intercept"))
+    },
+
     // Edit distance (fuzzy matching for dedup pipelines): most-similar
     // part-name pair per brand via levenshtein.
     "q77_edit_distance" -> { (s, dir) =>
@@ -152,6 +183,22 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q127_group_trend" ->
+      """WITH x0 AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS x0
+                     FROM events),
+          d AS (SELECT user_id, value,
+                  (CAST(floor(epoch(ts)) AS BIGINT) - x0) / 3600.0 AS xh
+                FROM events CROSS JOIN x0),
+          a AS (SELECT user_id, count(*) AS n, sum(xh) AS sx,
+                  sum(value) AS sy, sum(xh * value) AS sxy,
+                  sum(xh * xh) AS sxx
+                FROM d GROUP BY 1)
+          SELECT user_id, CAST(n AS BIGINT) AS n,
+            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+              / n, 4) AS intercept
+          FROM a
+          WHERE n >= 2 AND n * sxx - sx * sx != 0""",
     "q121_resample_ffill" ->
       """WITH b AS (SELECT user_id,
             date_trunc('hour', min(ts))::TIMESTAMP AS h0,

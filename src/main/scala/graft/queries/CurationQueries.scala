@@ -378,6 +378,37 @@ object CurationQueries {
             .as("lm_score"))
     },
 
+    // Neyman-allocated stratified sample: a fixed total budget (100)
+    // split across sources ∝ n_s·σ_s (the variance-optimal survey
+    // allocation), then a deterministic hash-ranked carve of exactly
+    // k_s docs per source. Allocation derives from the same exact
+    // integer sums as q123; the rank window is per-source partitioned
+    // (and at scale the rank filter gets Spark's partial
+    // WindowGroupLimit only for constant k — dynamic k_s keeps the
+    // plain window, one shuffle on source).
+    "q126_neyman_sample" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .select(F.col("source"), F.col("doc_id"), F.col("n_chars"))
+      val per = d.groupBy("source").agg(
+        F.count(F.lit(1)).as("n"), F.sum("n_chars").as("sm"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).as("sq"))
+        .withColumn("w", F.col("n") * F.sqrt(
+          (F.col("sq").cast("double")
+            - F.col("sm").cast("double") * F.col("sm") / F.col("n"))
+            / (F.col("n") - 1)))
+      val alloc = per.crossJoin(per.agg(F.sum("w").as("tw")))
+        .select(F.col("source"), F.greatest(F.lit(1L),
+          F.round(F.lit(100) * F.col("w") / F.col("tw"))
+            .cast("long")).as("k"))
+      val ranked = d.withColumn("r", F.row_number().over(
+        Window.partitionBy("source").orderBy(
+          F.expr("((doc_id % 1000003) * 2654435761) % 1000003"),
+          F.col("doc_id"))))
+      ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("r") <= F.col("k"))
+        .select("source", "doc_id", "r", "k")
+    },
+
     // Corpus snapshot diff — the incremental-ingestion primitive:
     // classify every doc across two crawl snapshots as added / removed
     // / changed by comparing content hashes under a full-outer join on
@@ -468,6 +499,23 @@ object CurationQueries {
             round(avg(ln(c3::DOUBLE / (c2 + 5.0))), 6) AS lm_score
           FROM g JOIN c3 USING (tri) JOIN c2 USING (big)
           GROUP BY 1""",
+    "q126_neyman_sample" ->
+      """WITH per AS (SELECT source, count(*) AS n, sum(n_chars) AS sm,
+            sum(n_chars * n_chars) AS sq FROM documents GROUP BY 1),
+          a AS (SELECT source,
+            n * sqrt((sq::DOUBLE - sm::DOUBLE * sm / n) / (n - 1)) AS w
+          FROM per),
+          tw AS (SELECT sum(w) AS tw FROM a),
+          alloc AS (SELECT source,
+            greatest(1, CAST(round(100 * w / tw) AS BIGINT)) AS k
+          FROM a CROSS JOIN tw),
+          r AS (SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source
+              ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003,
+                doc_id) AS r
+          FROM documents)
+          SELECT source, doc_id, r, k
+          FROM r JOIN alloc USING (source) WHERE r <= k""",
     "q120_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
           b AS (SELECT doc_id,
