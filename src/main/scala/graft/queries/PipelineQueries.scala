@@ -256,8 +256,9 @@ object PipelineQueries {
           "n_bytes" -> "n_bytes")
     },
 
-    // Multimodal: stub decode through the typed Dataset boundary
-    // (rows-only: features come from the stub kernel).
+    // Multimodal: stub decode through the typed Dataset boundary.
+    // Hash-checked: the stub features are pure byte arithmetic, so the
+    // oracle recomputes them in SQL over hex(encode(text)).
     "q48_decode_stub" -> { (s, dir) =>
       Multimodal.extractFeatures(s, T.load(s, dir, "documents"))
     },
@@ -272,8 +273,8 @@ object PipelineQueries {
         .toDF().basedOn("doc_id" -> "doc_id", "n_bytes" -> "n_bytes")
     },
 
-    // Multimodal: stub frame sampling — one-to-many flatMap boundary
-    // (rows-only: frame checksums come from the stub kernel).
+    // Multimodal: stub frame sampling — one-to-many flatMap boundary.
+    // Hash-checked: the oracle mirrors the slice/checksum byte math.
     "q86_frames_stub" -> { (s, dir) =>
       import s.implicits._
       Multimodal.frameSampleStub(
@@ -591,6 +592,56 @@ object PipelineQueries {
            CAST(least(octet_length(encode(text)), 128) AS BIGINT)
              AS n_bytes
          FROM documents""",
+    // Stub-kernel features are pure byte arithmetic (fold (a*31+b) mod
+    // 1e9+7 over the UTF-8 payload), so the oracle recomputes them in
+    // SQL: bytes come from hex(encode(text)) two-nibble slices (DuckDB
+    // 1.0 has no get_byte), the fold is list_reduce with a prepended 0
+    // accumulator (mirrors Scala foldLeft(0L)).
+    "q48_decode_stub" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         f AS (
+           SELECT doc_id, n::BIGINT AS n_bytes,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(range(0, n),
+                   i -> (16*(strpos('0123456789ABCDEF',
+                                    substr(h, 2*i+1, 1))-1)
+                         + (strpos('0123456789ABCDEF',
+                                   substr(h, 2*i+2, 1))-1))::BIGINT)),
+               (a, x) -> (a*31 + x) % 1000000007) AS checksum
+           FROM b)
+         SELECT doc_id, n_bytes, checksum,
+           (64 + checksum % 512)::INT AS width,
+           (64 + (checksum // 512) % 512)::INT AS height
+         FROM f""",
+    // Frame slicing mirrors StubMediaKernel.sampleFrames: frame f of
+    // min(4, n) starts at (f*n)//4 with length min(start+max(1,n//4),n)
+    // minus start; checksum folds the slice bytes like q48.
+    "q86_frames_stub" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+         fr AS (
+           SELECT doc_id, h, n, unnest(range(0, least(4, n))) AS f
+           FROM b),
+         s AS (
+           SELECT doc_id, f, h,
+             (f * n) // 4 AS st,
+             least((f*n)//4 + greatest(1, n//4), n) - (f*n)//4 AS sl
+           FROM fr)
+         SELECT doc_id, f::INT AS frame_idx, sl::INT AS frame_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(0, sl),
+               i -> (16*(strpos('0123456789ABCDEF',
+                                substr(h, 2*(st+i)+1, 1))-1)
+                     + (strpos('0123456789ABCDEF',
+                               substr(h, 2*(st+i)+2, 1))-1))::BIGINT)),
+             (a,x) -> (a*31+x) % 1000000007) AS checksum
+         FROM s""",
     "q79_dedup_clusters" -> duckCcClusters,
     "q122_leakfree_split" ->
       s"""WITH RECURSIVE
