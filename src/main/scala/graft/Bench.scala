@@ -103,12 +103,13 @@ object Bench {
     spark.stop()
     // print LAST (after spark.stop's log lines) so nothing but sbt's
     // one-line "[success]" trailer lands between the JSON and EOF.
-    // println goes through sbt's logger, which (a) prefixes the line
-    // with "[info] " — poison for a json.loads on the raw line — and
-    // (b) drops it entirely under `sbt --error`. Write the line to the
-    // REAL fd 1 as well, bypassing the logger's System.out swap, so an
-    // unprefixed copy always reaches the captured tail.
-    println(line)
+    // Write to the REAL fd 1 (not println): under run/fork := true +
+    // StdoutOutput the child's fd 1 reaches sbt's stdout unprefixed,
+    // and this keeps working in-process too (bypasses the logger's
+    // System.out swap, which would prefix "[info] " — poison for a
+    // json.loads on the raw line). Exactly ONE copy of the line: with
+    // fork, System.out and FileDescriptor.out are the same fd, so
+    // println + raw write emitted the line twice.
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((line + "\n").getBytes("UTF-8"))
     raw.flush()

@@ -119,14 +119,24 @@ object AnalyticsQueries {
     // Edit distance (fuzzy matching for dedup pipelines): most-similar
     // part-name pair per brand via levenshtein.
     "q77_edit_distance" -> { (s, dir) =>
+      // Blocking key = (brand, type, length-bucket). (brand, type) alone
+      // is FIXED-cardinality (~25x150), so its block sizes grow linearly
+      // with data and candidate pairs quadratically. Adding the length
+      // bucket floor(len/4) to the equi-key makes the levenshtein
+      // precondition |len1-len2| <= 3 prune BEFORE pair materialization:
+      // a qualifying partner's bucket can only be b-1, b, or b+1, so side
+      // a probes those three buckets (3x row replication, not pair
+      // growth) and the join never pairs rows of dissimilar length.
       val p = T.load(s, dir, "part")
         .select("p_partkey", "p_brand", "p_type", "p_name")
-      val a = p.toDF("k1", "p_brand", "p_type", "n1")
-      val b = p.toDF("k2", "p_brand", "p_type", "n2")
-      a.join(b, Seq("p_brand", "p_type"))
+        .withColumn("lb", F.floor(F.length(F.col("p_name")) / 4))
+      val a = p.toDF("k1", "p_brand", "p_type", "n1", "lb1")
+        .withColumn("probe", F.explode(F.array(
+          F.col("lb1") - 1, F.col("lb1"), F.col("lb1") + 1)))
+      val b = p.toDF("k2", "p_brand", "p_type", "n2", "probe")
+      a.join(b, Seq("p_brand", "p_type", "probe"))
         .filter(F.col("k1") < F.col("k2"))
-        // length prefilter: levenshtein >= |len difference|, so this
-        // prunes most pairs before the O(len^2) DP runs — same results
+        // exact prune inside the bucket pair (levenshtein >= |Δlen|)
         .filter(F.abs(F.length(F.col("n1")) - F.length(F.col("n2"))) <= 3)
         .withColumn("dist", F.levenshtein(F.col("n1"), F.col("n2")))
         .filterExpr("dist <= 3")

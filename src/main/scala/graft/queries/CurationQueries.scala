@@ -353,6 +353,12 @@ object CurationQueries {
       // context key is pure arithmetic (pack >> 21 drops the last
       // char). One tight pass per document — the HOF formulation
       // (substring lambdas per position) measured 1.5-3× slower.
+      // The length prefilter is on the RAW text (codepoint count — the
+      // one length both engines compute identically; lowercasing can
+      // change length, e.g. 'İ' → "i̇"). Inclusion past the filter is
+      // driven by the kernel's n<3 → empty-array path on both sides:
+      // explode drops gram-less docs here, the empty range() drops them
+      // in the oracle.
       val grams = T.load(s, dir, "documents")
         .filter(F.length(F.col("text")) >= 3)
         .select(F.col("doc_id"),
@@ -389,9 +395,14 @@ object CurationQueries {
     "q126_neyman_sample" -> { (s, dir) =>
       val d = T.load(s, dir, "documents")
         .select(F.col("source"), F.col("doc_id"), F.col("n_chars"))
+      // n >= 2 guard: a singleton source has (n-1) = 0, and n*sqrt(0/0)
+      // = NaN would poison tw = sum(w) and thus EVERY source's
+      // allocation (and DuckDB's 0/0 yields NULL, not NaN, so the
+      // engines would even disagree about how it breaks).
       val per = d.groupBy("source").agg(
         F.count(F.lit(1)).as("n"), F.sum("n_chars").as("sm"),
         F.sum(F.col("n_chars") * F.col("n_chars")).as("sq"))
+        .filter(F.col("n") >= 2)
         .withColumn("w", F.col("n") * F.sqrt(
           (F.col("sq").cast("double")
             - F.col("sm").cast("double") * F.col("sm") / F.col("n"))
@@ -421,13 +432,19 @@ object CurationQueries {
     "q120_snapshot_diff" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
       val a = docs.select(F.col("doc_id"), F.md5(F.col("text")).as("h_old"))
+      // Clone ids live in a namespace strictly above the corpus max
+      // doc_id (broadcast max + 1): a fixed +1e6 offset would collide
+      // with real ids once the corpus exceeds 1e6 docs, silently
+      // producing duplicate keys in the full-outer diff.
+      val mx = docs.agg((F.max("doc_id") + 1L).as("__off"))
       val b = docs.filter(F.expr("doc_id % 31 != 0"))
         .select(F.col("doc_id"), F.md5(
           F.when(F.expr("doc_id % 17 = 0"),
             F.concat(F.col("text"), F.lit(" v2")))
             .otherwise(F.col("text"))).as("h_new"))
         .unionByName(docs.filter(F.expr("doc_id % 13 = 0"))
-          .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          .crossJoin(F.broadcast(mx))
+          .select((F.col("doc_id") + F.col("__off")).as("doc_id"),
             F.md5(F.concat(F.lit("new "), F.col("text"))).as("h_new")))
       a.join(b, Seq("doc_id"), "full_outer")
         .withColumn("status",
@@ -489,7 +506,7 @@ object CurationQueries {
   def oracleSql: Map[String, String] = Map(
     "q114_ngram_lm" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
-                    WHERE length(lower(text)) >= 3),
+                    WHERE length(text) >= 3),
           g AS (SELECT doc_id, substr(t, i, 3) AS tri, substr(t, i, 2) AS big
                 FROM (SELECT doc_id, t,
                         unnest(range(1, length(t) - 1)) AS i FROM d)),
@@ -504,7 +521,7 @@ object CurationQueries {
             sum(n_chars * n_chars) AS sq FROM documents GROUP BY 1),
           a AS (SELECT source,
             n * sqrt((sq::DOUBLE - sm::DOUBLE * sm / n) / (n - 1)) AS w
-          FROM per),
+          FROM per WHERE n >= 2),
           tw AS (SELECT sum(w) AS tw FROM a),
           alloc AS (SELECT source,
             greatest(1, CAST(round(100 * w / tw) AS BIGINT)) AS k
@@ -523,7 +540,8 @@ object CurationQueries {
                        ELSE text END) AS h_new
                 FROM documents WHERE doc_id % 31 != 0
                 UNION ALL
-                SELECT doc_id + 1000000, md5('new ' || text)
+                SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+                  md5('new ' || text)
                 FROM documents WHERE doc_id % 13 = 0)
           , j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                   CASE WHEN a.doc_id IS NULL THEN 'added'

@@ -30,9 +30,24 @@ object PipelineQueries {
   private val duckShingles3 =
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
-  /** Recursive-CTE connected components over the exact Jaccard >= 0.8
-    * pair graph — shared ground truth for q79 (min-label propagation)
-    * and q102 (large-star/small-star). */
+  /** Near-dup Jaccard threshold for every MinHash-LSH-backed query
+    * (q41/q79/q90/q102/q122) AND its exact all-pairs oracle.
+    *
+    * Why 0.85 and not 0.8: the engine is probabilistic (16 bands x 4
+    * rows), so a qualifying pair can miss every band. The miss
+    * probability at the threshold is (1-J^4)^16: at J=0.80 that is
+    * ~2.2e-4 — large enough that a regenerated corpus with a pair
+    * sitting exactly at threshold could legitimately fail the
+    * equality gate — while at J=0.85 it is ~7e-6, and this corpus's
+    * qualifying pairs all sit at J >= 0.95 (miss ~2e-12, DedupSpec).
+    * Raising the shared threshold to 0.85 keeps LSH recall
+    * effectively 1 for any corpus whose near-dups are genuine
+    * near-dups, instead of relying on this corpus's pair-J profile. */
+  private val NearDupJ = 0.85
+
+  /** Recursive-CTE connected components over the exact Jaccard >=
+    * [[NearDupJ]] pair graph — shared ground truth for q79 (min-label
+    * propagation) and q102 (large-star/small-star). */
   private lazy val duckCcClusters =
     s"""WITH RECURSIVE
         toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
@@ -43,7 +58,7 @@ object PipelineQueries {
               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
                    AS DOUBLE), 3) AS jac
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+        pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
                   UNION SELECT id2, id1 FROM pairs),
         reach(a, b) AS (
@@ -95,15 +110,14 @@ object PipelineQueries {
           "is_dup" -> "is_dup")
     },
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard verified at >= 0.8.
-    // Oracle is the EXACT all-pairs computation; LSH recall at J>=0.8
-    // is 1-(1-0.8^4)^16 ≈ 0.9998 so the sets agree on this corpus
-    // (whose near-dup pairs all sit at J >= 0.95).
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified at NearDupJ.
+    // Oracle is the EXACT all-pairs computation; see the NearDupJ
+    // scaladoc for the band-miss analysis that sets the threshold.
     "q41_minhash_neardup" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
-      Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
     },
 
     // SimHash signatures (rows-only: signature bits depend on Spark's
@@ -291,7 +305,7 @@ object PipelineQueries {
     "q122_leakfree_split" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
       val comp = Dedup.connectedComponents(pairs.select("id1", "id2"))
         .withColumnRenamed("id", "doc_id")
       docs.select("doc_id").join(comp, Seq("doc_id"), "left_outer")
@@ -310,7 +324,7 @@ object PipelineQueries {
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
       Dedup.connectedComponents(pairs.select("id1", "id2"))
     },
 
@@ -321,7 +335,7 @@ object PipelineQueries {
     "q102_cc_star" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
       Dedup.connectedComponentsStar(pairs.select("id1", "id2"))
     },
 
@@ -363,7 +377,7 @@ object PipelineQueries {
       val shingled = docs
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       val comps = Dedup.connectedComponents(
-        Dedup.minhashNearDups(shingled, "doc_id", "sh", 0.8)
+        Dedup.minhashNearDups(shingled, "doc_id", "sh", NearDupJ)
           .select("id1", "id2"))
       val nonReps = comps.filter(F.col("id") =!= F.col("comp"))
         .select(F.col("id").as("doc_id"))
@@ -488,12 +502,11 @@ object PipelineQueries {
            doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
          FROM documents""",
     // NOTE the oracle is the EXACT all-pairs Jaccard set; the engine is
-    // probabilistic (16 bands × 4 rows → a pair at J barely ≥ 0.8 is
-    // missed w.p. ≈ 2e-4). The gate holds because this corpus's
-    // qualifying pairs all sit at J ≥ 0.95 (miss ≈ 2e-12, checked in
-    // DedupSpec); on a corpus with near-threshold pairs this equality
-    // check would need a superset compare or more bands instead.
-    "q41_minhash_neardup" -> duckJaccardPairs(0.8, sameLang = false),
+    // probabilistic. NearDupJ = 0.85 keeps the band-miss probability at
+    // the threshold ~7e-6 (vs ~2e-4 at 0.80), so the equality gate
+    // cannot realistically flake even on a regenerated corpus with
+    // near-threshold pairs; see the NearDupJ scaladoc.
+    "q41_minhash_neardup" -> duckJaccardPairs(NearDupJ, sameLang = false),
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q44_embed_neardup" ->
       """SELECT id1, id2, sim FROM (
@@ -653,7 +666,7 @@ object PipelineQueries {
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
                      AS DOUBLE), 3) AS jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
           edges AS (SELECT id1 AS a, id2 AS b FROM pairs
                     UNION SELECT id2, id1 FROM pairs),
           reach(a, b) AS (
@@ -697,7 +710,7 @@ object PipelineQueries {
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
                      AS DOUBLE), 3) AS jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.8),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
           edges AS (SELECT id1 AS a, id2 AS b FROM pairs
                     UNION SELECT id2, id1 FROM pairs),
           reach(a, b) AS (
