@@ -27,7 +27,7 @@ object Rda {
   // SEXPTYPE codes (R Internals §1.8)
   private val SYM = 1; private val PAIRLIST = 2; private val CHAR = 9
   private val LGL = 10; private val INT = 13; private val REAL = 14
-  private val STR = 16; private val VEC = 19
+  private val CPLX = 15; private val STR = 16; private val VEC = 19
   private val NILVALUE = 254; private val REF = 255
 
   private val NaInt = Int.MinValue
@@ -106,6 +106,14 @@ object Rda {
         case REAL =>
           val n = readLengthPrefixed()
           val vals = IndexedSeq.tabulate[Any](n)(_ => in.readLong())
+          RVector(tpe, vals, if (hasAttr) readAttrs() else Map.empty)
+        case CPLX =>
+          // CPLXSXP: n (re, im) double pairs — reference RComplex
+          // (src/RDA.jl:209-213); kept as raw bit pairs so the NA
+          // pattern survives until column decoding.
+          val n = readLengthPrefixed()
+          val vals = IndexedSeq.tabulate[Any](n)(_ =>
+            (in.readLong(), in.readLong()))
           RVector(tpe, vals, if (hasAttr) readAttrs() else Map.empty)
         case STR =>
           val n = readLengthPrefixed()
@@ -203,6 +211,18 @@ object Rda {
       })
     case RVector(STR, vals, _) =>
       (StringType, vals.map { case RChar(s) => s; case _ => null })
+    case RVector(CPLX, vals, _) =>
+      // Complex128 → struct<re double, im double> (Spark has no complex
+      // type). The whole cell is NA when either part carries the NA
+      // bit pattern — reference data(rc::RComplex) (src/RDA.jl:304).
+      (StructType(Seq(StructField("re", DoubleType, nullable = false),
+        StructField("im", DoubleType, nullable = false))),
+        vals.map { x =>
+          val (re, im) = x.asInstanceOf[(Long, Long)]
+          if (re == NaRealBits || im == NaRealBits) null
+          else Row(java.lang.Double.longBitsToDouble(re),
+            java.lang.Double.longBitsToDouble(im))
+        })
     case other => sys.error(s"read_rda: unsupported column object $other")
   }
 

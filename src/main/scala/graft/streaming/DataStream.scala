@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession, functions => F}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -133,6 +133,37 @@ object DataStream {
       s"""l_$keyCol = r_$keyCol AND
           r_$tsCol >= l_$tsCol AND
           r_$tsCol <= l_$tsCol + INTERVAL $bound"""))
+  }
+
+  /** Probe the nth row (1-based, stream order) by iterating
+    * micro-batches — reference Base.select(ds, query)
+    * (src/datastream.jl:448-458): count rows per batch, materialize
+    * only the batch that contains the target row, index into it.
+    * Driver-local by design (an interactive probe, not a pipeline
+    * op), like the reference's loop over minibatch frames; batches
+    * after the hit are skipped without materializing.
+    */
+  def selectRow(spark: SparkSession, dir: String, schema: StructType,
+                n: Long, format: String = "parquet"): Row = {
+    require(n >= 1, s"row index must be >= 1, got $n")
+    var seen = 0L
+    var found: Option[Row] = None
+    val q = openStream(spark, dir, schema, format).writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (found.isEmpty) {
+          val u = batch.count()
+          if (seen + u >= n) {
+            // rows come back in batch (file) order: partition index
+            // follows file offset for a single-file micro-batch
+            found = Some(batch.collect()((n - seen - 1).toInt))
+          } else seen += u
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    found.getOrElse(sys.error(s"Did not find requested row $n " +
+      s"(stream has ${seen} rows)")) // reference's error, with context
   }
 
   /** Drive a streaming DataFrame to completion into a memory sink and

@@ -75,6 +75,60 @@ class RdaSpec extends SparkSpec {
     }
   }
 
+  // CPLXSXP fixture: a data.frame with one complex column (re+im
+  // pairs, one cell NA via the NA bit pattern in the real part) —
+  // reference RComplex reader parity (src/RDA.jl:209-213,304).
+  private def buildComplexRda(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    def str(flags: Int, s: String): Unit = {
+      o.writeInt(flags); o.writeInt(s.length)
+      o.write(s.getBytes("UTF-8"))
+    }
+    o.write("RDX2\nX\n".getBytes("US-ASCII"))
+    o.writeInt(2); o.writeInt(0x030001); o.writeInt(0x020300)
+    o.writeInt(0x402)
+    o.writeInt(1); str(0x40009, "df")
+    o.writeInt(0x313)           // VECSXP | object | attrs
+    o.writeInt(2)               // 2 columns
+    o.writeInt(15); o.writeInt(3) // CPLXSXP: 1.5+2.5i, NA, -3+0i
+    o.writeLong(java.lang.Double.doubleToLongBits(1.5))
+    o.writeLong(java.lang.Double.doubleToLongBits(2.5))
+    o.writeLong(0x7FF00000000007A2L) // NA_real_ in the real part
+    o.writeLong(java.lang.Double.doubleToLongBits(0.0))
+    o.writeLong(java.lang.Double.doubleToLongBits(-3.0))
+    o.writeLong(java.lang.Double.doubleToLongBits(0.0))
+    o.writeInt(13); o.writeInt(3) // INTSXP key: 1, 2, 3
+    o.writeInt(1); o.writeInt(2); o.writeInt(3)
+    o.writeInt(0x402); o.writeInt(1); str(0x40009, "names")
+    o.writeInt(16); o.writeInt(2)
+    str(0x40009, "z"); str(0x40009, "i")
+    o.writeInt(0x402); o.writeInt(1); str(0x40009, "class")
+    o.writeInt(16); o.writeInt(1); str(0x40009, "data.frame")
+    o.writeInt(0xfe)
+    o.writeInt(0xfe)
+    o.flush()
+    bos.toByteArray
+  }
+
+  test("parses a CPLXSXP column to struct<re,im>, NA part nulls the cell") {
+    val df = Rda.readRda(spark, writeTmp(buildComplexRda()))("df")
+    assert(df.columns.toSeq == Seq("z", "i"))
+    assert(df.schema("z").dataType.simpleString == "struct<re:double,im:double>")
+    val rows = df.orderBy("i").collect()
+    assert(rows.length == 3)
+    val z1 = rows(0).getStruct(0)
+    assert(z1.getDouble(0) == 1.5 && z1.getDouble(1) == 2.5)
+    assert(rows(1).isNullAt(0)) // NA real part → whole cell null
+    val z3 = rows(2).getStruct(0)
+    assert(z3.getDouble(0) == -3.0 && z3.getDouble(1) == 0.0)
+    // complex arithmetic downstream is ordinary struct-field math
+    val sums = df.filter("z IS NOT NULL")
+      .selectExpr("round(sum(z.re), 6) AS sre", "round(sum(z.im), 6) AS sim")
+      .head()
+    assert(sums.getDouble(0) == -1.5 && sums.getDouble(1) == 2.5)
+  }
+
   // Reference-generated fixtures (R scripts in the reference's RDA
   // test): behavior parity with the reference's expected frames.
   private val refDir = "/root/reference/test/data/RDA"

@@ -28,6 +28,40 @@ class Wave4Spec extends SparkSpec {
     assert(total == T.load(spark, sf, "events").count())
   }
 
+  test("selectRow probes the nth stream row (reference select(ds, n))") {
+    import spark.implicits._
+    import java.io.File
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_probe").toFile
+    dir.deleteOnExit()
+    // three single-row-group files with pinned mtimes: FileStreamSource
+    // drains them oldest-first, one per micro-batch
+    def writeOne(rows: Seq[(Long, String)], name: String, ts: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_probe_tmp").toFile
+      rows.toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new File(dir, name)
+      Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(ts))
+    }
+    writeOne(Seq((1L, "a"), (2L, "b")), "f1.parquet", 1000000L)
+    writeOne(Seq((3L, "c"), (4L, "d")), "f2.parquet", 2000000L)
+    writeOne(Seq((5L, "e")), "f3.parquet", 3000000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")
+    // row 3 lives in the SECOND micro-batch (cross-batch counting)
+    val r3 = DataStream.selectRow(spark, dir.getPath, schema, 3)
+    assert(r3.getLong(0) == 3L && r3.getString(1) == "c")
+    // last row, last single-row batch
+    val r5 = DataStream.selectRow(spark, dir.getPath, schema, 5)
+    assert(r5.getLong(0) == 5L && r5.getString(1) == "e")
+    // past-the-end errors like the reference's select
+    val err = intercept[RuntimeException](
+      DataStream.selectRow(spark, dir.getPath, schema, 6))
+    assert(err.getMessage.contains("Did not find requested row"))
+  }
+
   test("erf against known values") {
     // erf(0)=0, erf(1)≈0.8427007929, erf(-1)=-erf(1), erf(∞)→1
     assert(math.abs(SpecialMath.erf(0.0)) < 1.5e-7) // A&S 7.1.26 |ε| bound
