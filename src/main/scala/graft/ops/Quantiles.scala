@@ -36,8 +36,18 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Quantiles {
 
-  private val K = 8192 // histogram bins per refinement round
-  private val CollectLimit = 65536L // max values rank-selected on driver
+  /** Default histogram bins per refinement round. Each round shrinks a
+    * target's candidate interval ~K×, so rounds ≈ log_K(n/collectLimit)
+    * — 8192 gives ≤2 rounds up to ~4e12 rows. Larger K = fewer rounds
+    * but a bigger (K × targets)-row histogram shuffle per pass. */
+  val DefaultK = 8192
+  /** Default max candidate values rank-selected driver-side. Bounds the
+    * ONE driver collect at 64k doubles (~512 KB) per target group.
+    * The duplicate-heavy worst case needs no special limit: a bin whose
+    * min == max resolves its ranks exactly in-plan (never collected),
+    * so a 10⁶-row constant column resolves in the FIRST pass —
+    * adversarial test in OpsSpec. */
+  val DefaultCollectLimit = 65536L
   private val MaxRounds = 64 // safety valve; ~2 rounds in practice
 
   /** Exact interpolated quantiles of one numeric column. */
@@ -68,7 +78,9 @@ object Quantiles {
     * supply precomputed (min, max, non-null count) per column to skip
     * the first pass (describe already has them). */
   def exactMulti(df: DataFrame, cols: Seq[String], qs: Seq[Double],
-                 stats: Map[String, (Double, Double, Long)] = Map.empty)
+                 stats: Map[String, (Double, Double, Long)] = Map.empty,
+                 k: Int = DefaultK,
+                 collectLimit: Long = DefaultCollectLimit)
       : Map[String, Seq[Double]] = {
     require(cols.nonEmpty && qs.nonEmpty)
     val st: Map[String, (Double, Double, Long)] =
@@ -146,10 +158,10 @@ object Quantiles {
     }
 
     var rounds = 0
-    while (states.exists(s => !s.resolved && s.count > CollectLimit)
+    while (states.exists(s => !s.resolved && s.count > collectLimit)
       && rounds < MaxRounds) {
       rounds += 1
-      states = refine(df, states)
+      states = refine(df, states, k, collectLimit)
     }
     states = collectResolve(df, states)
     cols.map { c =>
@@ -160,8 +172,10 @@ object Quantiles {
 
   /** One histogram pass for every unresolved-and-too-big target.
     * Identical (col, interval) states share a histogram. */
-  private def refine(df: DataFrame, states: Seq[TState]): Seq[TState] = {
-    val active = states.filter(s => !s.resolved && s.count > CollectLimit)
+  private def refine(df: DataFrame, states: Seq[TState],
+                     k: Int, collectLimit: Long): Seq[TState] = {
+    val K = k
+    val active = states.filter(s => !s.resolved && s.count > collectLimit)
     if (active.isEmpty) return states
     val groups = active
       .groupBy(s =>
@@ -259,7 +273,7 @@ object Quantiles {
   }
 
   /** Fetch every remaining target's candidate values (bounded by
-    * CollectLimit each) in one pass and rank-select driver-side. */
+    * the collect limit each) in one pass and rank-select driver-side. */
   private def collectResolve(df: DataFrame,
                              states: Seq[TState]): Seq[TState] = {
     val pending = states.filterNot(_.resolved)

@@ -189,6 +189,24 @@ object AnalyticsQueries {
       T.load(s, dir, "documents")
         .filterExpr("doc_id % 10 = 3")
         .basedOn("doc_id" -> "doc_id", "lang" -> "lang")
+    },
+
+    // Salted two-stage aggregation — the hot-key mitigation pattern,
+    // HASH-CHECKED equal to the direct GROUP BY: stage 1 groups on
+    // (key, salt) so a pathological key spreads over 16 reducers;
+    // stage 2 merges the 16 partials per key. The partial-stage
+    // shuffle carries O(keys × 16) rows regardless of skew — this is
+    // what you reach for when AQE's skew split can't help (skew INSIDE
+    // one aggregation key, not a join). Library form:
+    // graft.ops.Skew.saltedBy.
+    "q132_salted_agg" -> { (s, dir) =>
+      val partial = T.load(s, dir, "events")
+        .withColumn("__salt", F.pmod(F.col("user_id"), F.lit(16)))
+        .groupBy("event_type", "__salt")
+        .agg(F.count(F.lit(1)).as("pn"), F.sum("value").as("pv"))
+      partial.groupBy("event_type")
+        .agg(F.sum("pn").cast("long").as("n"),
+          F.round(F.sum("pv"), 2).as("total"))
     }
   )
 
@@ -285,6 +303,10 @@ object AnalyticsQueries {
       """SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
              x -> x * x))), 6) AS l2
-         FROM embeddings"""
+         FROM embeddings""",
+    "q132_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+         FROM events GROUP BY 1"""
   )
 }

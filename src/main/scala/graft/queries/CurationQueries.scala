@@ -500,6 +500,116 @@ object CurationQueries {
         .withColumn("__tot", F.sum("tok").over(wAll))
         .filter(F.col("cum") <= F.col("__tot") * 0.2)
         .select("source", "doc_id", "tok", "cum")
+    },
+
+    // Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1): word
+    // count bounds, mean word length band, alphabetic-word fraction,
+    // stopword floor → one keep decision per doc. All per-document
+    // Column expressions — embarrassingly parallel with the scan, zero
+    // shuffle; the rule set that usually runs FIRST in a curation
+    // pipeline because it deletes the most bytes per cycle.
+    "q128_gopher_rules" -> { (s, dir) =>
+      val stop = TextOps.markers.toMap.apply("en")
+      T.load(s, dir, "documents")
+        .withColumn("t", TextOps.tokens("text"))
+        .withColumn("n_words", F.expr("size(t)"))
+        .withColumn("mean_word_len", F.expr(
+          "round(aggregate(t, 0L, (a, x) -> a + length(x)) " +
+            "/ cast(size(t) as double), 6)"))
+        .withColumn("alpha_frac", F.expr(
+          "round(size(filter(t, x -> x rlike '[a-z]')) " +
+            "/ cast(size(t) as double), 6)"))
+        .withColumn("stop_hits",
+          F.expr(TextOps.markerScoreExpr("t", stop)).cast("long"))
+        .withColumn("keep", F.expr(
+          "n_words BETWEEN 50 AND 100000 AND " +
+            "mean_word_len BETWEEN 3 AND 10 AND " +
+            "alpha_frac >= 0.8 AND stop_hits >= 2"))
+        .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+          "stop_hits", "keep")
+    },
+
+    // Per-source Zipf slope: OLS of ln(freq) on ln(rank) over the top
+    // 200 tokens — the distributional-health profile (natural text
+    // sits near slope -1; generated/boilerplate corpora drift). Ranks
+    // come from a per-source window with a constant limit, so Spark's
+    // InferWindowGroupLimit bounds the shuffle to ~200 rows per source;
+    // the OLS is closed-form over 200-term sums.
+    "q129_zipf" -> { (s, dir) =>
+      val toks = T.load(s, dir, "documents")
+        .select(F.col("source"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
+      val freq = toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).as("f"))
+      val ranked = freq.withColumn("r", F.row_number().over(
+        Window.partitionBy("source")
+          .orderBy(F.col("f").desc, F.col("tok"))))
+        .filter(F.col("r") <= 200)
+      ranked.groupBy("source").agg(
+          F.count(F.lit(1)).as("n_top"),
+          F.round(
+            (F.count(F.lit(1)) * F.sum(F.log("r") * F.log("f"))
+              - F.sum(F.log("r")) * F.sum(F.log("f"))) /
+            (F.count(F.lit(1)) * F.sum(F.log("r") * F.log("r"))
+              - F.sum(F.log("r")) * F.sum(F.log("r"))), 4)
+            .as("zipf_slope"))
+        // singleton-vocab guard: n_top = 1 makes the OLS denominator 0
+        .filter(F.col("n_top") >= 2)
+    },
+
+    // DSIR-style importance weights (Xie et al. 2023): per-doc
+    // log-likelihood ratio between a TARGET distribution (here the
+    // lang='en' subset) and the raw corpus over hashed unigram
+    // features. The feature table is HASH-BUCKETED (256 buckets,
+    // portable md5-prefix hash), so unlike a vocabulary join it is
+    // broadcastable at ANY corpus size — the shuffles carry (doc_id,
+    // bucket) pairs; add-1 smoothing keeps unseen buckets finite.
+    "q130_dsir" -> { (s, dir) =>
+      val toks = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), F.col("lang"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
+        .withColumn("b", F.expr(
+          "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 256"))
+      val buckets = toks.groupBy("b").agg(
+        F.count(F.lit(1)).as("cr"),
+        F.count(F.when(F.col("lang") === "en", 1)).as("ct"))
+      val tots = buckets.agg(F.sum("cr").as("nr"), F.sum("ct").as("nt"))
+      val lw = buckets.crossJoin(F.broadcast(tots))
+        .select(F.col("b"),
+          (F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + 256))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + 256)))
+            .as("lw"))
+      toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("n"))
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").as("n_toks"),
+          F.round(F.sum(F.col("n") * F.col("lw")), 6).as("dsir_logweight"))
+    },
+
+    // Mergeable quantile-sketch profile: per-source percentile_approx
+    // (GK sketch, mergeable partial-agg state — the rollup never
+    // rescans, like q118's HLL) gated in-plan against the exact
+    // percentile at ±max(5%, 50 chars). accuracy=1000 bounds rank error
+    // at n/1000, orders of magnitude inside the gate at any sf; the
+    // oracle emits the exact values and literal TRUE (q118 pattern).
+    "q131_quantile_sketch" -> { (s, dir) =>
+      T.load(s, dir, "documents")
+        .groupBy("source").agg(
+          F.count(F.lit(1)).as("n"),
+          F.round(F.expr("percentile(n_chars, 0.5)"), 6).as("p50_exact"),
+          F.round(F.expr("percentile(n_chars, 0.9)"), 6).as("p90_exact"),
+          F.expr("percentile_approx(n_chars, 0.5, 1000)").as("__a50"),
+          F.expr("percentile_approx(n_chars, 0.9, 1000)").as("__a90"),
+          F.expr("percentile(n_chars, 0.5)").as("__e50"),
+          F.expr("percentile(n_chars, 0.9)").as("__e90"))
+        .select(F.col("source"), F.col("n"),
+          F.col("p50_exact"), F.col("p90_exact"),
+          (F.abs(F.col("__a50") - F.col("__e50")) <=
+            F.greatest(F.col("__e50") * 0.05, F.lit(50.0)))
+            .as("sketch_ok_p50"),
+          (F.abs(F.col("__a90") - F.col("__e90")) <=
+            F.greatest(F.col("__e90") * 0.05, F.lit(50.0)))
+            .as("sketch_ok_p90"))
     }
   )
 
@@ -572,6 +682,63 @@ object CurationQueries {
                     AS cum,
                   sum(tok) OVER (PARTITION BY source) AS tot FROM d)
           WHERE cum <= tot * 0.2""",
+    "q128_gopher_rules" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          m AS (SELECT doc_id,
+            len(t) AS n_words,
+            round(list_sum(list_transform(t, x -> length(x)))
+                  / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
+            round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  / CAST(len(t) AS DOUBLE), 6) AS alpha_frac,
+            CAST(len(list_filter(t, x -> list_contains(
+              ['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT)
+              AS stop_hits
+          FROM toks)
+          SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+            (n_words BETWEEN 50 AND 100000 AND
+             mean_word_len BETWEEN 3 AND 10 AND
+             alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+          FROM m""",
+    "q129_zipf" ->
+      s"""WITH toks AS (SELECT source, unnest($duckToks) AS tok
+                        FROM documents),
+          f AS (SELECT source, tok, count(*) AS f
+                FROM toks GROUP BY 1, 2),
+          r AS (SELECT source, f,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY f DESC, tok) AS r
+                FROM f)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+            round((count(*) * sum(ln(r) * ln(f))
+                   - sum(ln(r)) * sum(ln(f))) /
+                  (count(*) * sum(ln(r) * ln(r))
+                   - sum(ln(r)) * sum(ln(r))), 4) AS zipf_slope
+          FROM r WHERE r <= 200
+          GROUP BY 1 HAVING count(*) >= 2""",
+    "q130_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($duckToks) AS tok
+                        FROM documents),
+          tb AS (SELECT doc_id, lang,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+                 FROM toks),
+          bk AS (SELECT b, count(*) AS cr,
+                   count(*) FILTER (WHERE lang = 'en') AS ct
+                 FROM tb GROUP BY 1),
+          tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bk),
+          lp AS (SELECT b,
+                   ln((ct + 1)::DOUBLE / (nt + 256))
+                     - ln((cr + 1)::DOUBLE / (nr + 256)) AS lw
+                 FROM bk CROSS JOIN tot),
+          dn AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+            round(sum(n * lw), 6) AS dsir_logweight
+          FROM dn JOIN lp USING (b) GROUP BY 1""",
+    "q131_quantile_sketch" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_exact,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_exact,
+           TRUE AS sketch_ok_p50, TRUE AS sketch_ok_p90
+         FROM documents GROUP BY 1""",
     "q37_shuffle" ->
       """SELECT doc_id,
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)

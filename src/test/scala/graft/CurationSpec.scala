@@ -381,4 +381,53 @@ class CurationSpec extends SparkSpec {
     val per = out.filter(_.getString(0) != "__ALL__").map(_.getAs[Long]("n_exact"))
     assert(per.nonEmpty && all >= per.max && all <= per.sum)
   }
+
+  test("gopher rules: keep is exactly the conjunction of its components") {
+    val out = SparkEntry.queries("q128_gopher_rules")(spark, sf)
+    val bad = out.filter(
+      F.col("keep") =!= (F.col("n_words").between(50, 100000) &&
+        F.col("mean_word_len").between(3, 10) &&
+        F.col("alpha_frac") >= 0.8 && F.col("stop_hits") >= 2))
+    assert(bad.isEmpty)
+    // the corpus exercises both branches
+    val keeps = out.groupBy("keep").count().collect()
+    assert(keeps.length == 2, s"only one keep value: ${keeps.toSeq}")
+  }
+
+  test("zipf slope is negative (freq decreases with rank) per source") {
+    val out = SparkEntry.queries("q129_zipf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0,
+        s"source ${r.getString(0)} slope not negative")
+    }
+  }
+
+  test("dsir weights favor the target subset (en docs score higher)") {
+    val s = spark
+    val w = SparkEntry.queries("q130_dsir")(s, sf)
+      .join(T.load(s, sf, "documents").select("doc_id", "lang"), "doc_id")
+    val m = w.groupBy(F.col("lang") === "en")
+      .agg(F.avg("dsir_logweight").as("mw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) > m(false),
+      s"en mean ${m(true)} not above non-en ${m(false)}")
+  }
+
+  test("salted two-stage aggregation equals the direct groupBy") {
+    val s = spark
+    val salted = SparkEntry.queries("q132_salted_agg")(s, sf)
+    val direct = T.load(s, sf, "events").groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum("value"), 2).as("total"))
+    assert(salted.exceptAll(direct).isEmpty &&
+      direct.exceptAll(salted).isEmpty)
+  }
+
+  test("quantile sketch gates hold per source") {
+    val out = SparkEntry.queries("q131_quantile_sketch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Boolean]("sketch_ok_p50") &&
+      r.getAs[Boolean]("sketch_ok_p90")))
+  }
 }

@@ -106,6 +106,33 @@ class OpsSpec extends SparkSpec {
       qi(1) == Double.PositiveInfinity)
   }
 
+  test("adversarial duplicate-heavy 10^6-row quantiles: min==max bins " +
+    "resolve exactly with a tiny collect limit") {
+    import spark.implicits._
+    // 10^6 rows: 90% a single constant (7.0), the rest spread — the
+    // duplicate-heavy case where rank-selection by sorting would fetch
+    // everything. A bin whose min == max resolves its ranks IN-PLAN, so
+    // even a 1k collect limit (1000x smaller than the mass) finishes
+    // inside the round budget and agrees with percentile() exactly.
+    val n = 1000000
+    val df = spark.range(n.toLong).select(
+      F.when(F.col("id") % 10 =!= 0, F.lit(7.0))
+        .otherwise(F.col("id").cast("double") / n).as("x"))
+    val got = graft.ops.Quantiles.exactMulti(df, Seq("x"),
+      Seq(0.05, 0.25, 0.5, 0.9, 0.99),
+      k = 64, collectLimit = 1000L)("x")
+    val exp = df.selectExpr(
+      "percentile(x, array(0.05, 0.25, 0.5, 0.9, 0.99))")
+      .first().getSeq[Double](0)
+    got.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"$a != $b")
+    }
+    // the pure-constant column resolves with zero refinement rounds
+    val const = spark.range(n.toLong).select(F.lit(3.25).as("x"))
+    assert(graft.ops.Quantiles.exactMulti(const, Seq("x"), Seq(0.5),
+      k = 64, collectLimit = 1000L)("x") == Seq(3.25))
+  }
+
   test("sort-based exact quantiles equal percentile()") {
     val li = T.load(spark, sf, "lineitem")
     val viaSort = graft.ops.Quantiles.exact(li, "l_extendedprice",
