@@ -49,12 +49,13 @@ object Dedup {
     ex.groupBy(F.col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded LSH candidate pairs: hash each band of the signature,
-    * group docs by (band, bandHash), emit intra-bucket pairs (id1<id2).
-    * Bucket lists are bounded in practice; enormous buckets mean
-    * near-identical boilerplate docs — exactly what dedup must find.
-    */
-  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+  /** (id, band, bandHash) rows of a signature frame — the LSH index
+    * relation both the self-join candidates ([[lshCandidates]]) and the
+    * incremental batch-vs-corpus join ([[minhashNearDupsAgainst]])
+    * build on. At 100 TB this IS the materialized dedup index: persist
+    * it partitioned by (band, bh) and every new batch joins against it
+    * without touching the corpus text. */
+  def bandHashes(sigs: DataFrame, idCol: String): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
         .map(r => s"mh_${b * RowsPerBand + r}").mkString(", ")
@@ -63,6 +64,15 @@ object Dedup {
     sigs
       .select(F.col(idCol),
         F.explode(F.expr(s"array($bandStructs)")).as("band"))
+  }
+
+  /** Banded LSH candidate pairs: hash each band of the signature,
+    * group docs by (band, bandHash), emit intra-bucket pairs (id1<id2).
+    * Bucket lists are bounded in practice; enormous buckets mean
+    * near-identical boilerplate docs — exactly what dedup must find.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
+    bandHashes(sigs, idCol)
       .groupBy(F.col("band.band"), F.col("band.bh"))
       .agg(F.sort_array(F.collect_list(F.col(idCol))).as("ids"))
       .filter(F.size(F.col("ids")) > 1)
@@ -101,6 +111,35 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, shCol)
     val cands = lshCandidates(sigs, idCol)
     verifiedJaccard(cands, docs, idCol, shCol)
+      .filter(F.col("jac") >= threshold)
+  }
+
+  /** Incremental-ingest near-dup: pairs between an INCOMING batch
+    * (id1) and an EXISTING corpus (id2) only — never existing×existing.
+    * The candidate step is a plain equi-join of the two sides' band
+    * relations on (band, bandHash), so daily ingest pays for the
+    * batch's band matches, not a corpus self-join; at scale the
+    * existing side's [[bandHashes]] is a persisted index the batch
+    * joins against (partition by (band, bh) → co-located probe).
+    * Same 16×4 banding and exact-Jaccard verify as [[minhashNearDups]].
+    */
+  def minhashNearDupsAgainst(incoming: DataFrame, existing: DataFrame,
+                             idCol: String, shCol: String,
+                             threshold: Double): DataFrame = {
+    def side(df: DataFrame, as: String) =
+      bandHashes(minhashSignatures(df, idCol, shCol), idCol)
+        .select(F.col(idCol).as(as), F.col("band.band").as("band"),
+          F.col("band.bh").as("bh"))
+    val cands = side(incoming, "id1")
+      .join(side(existing, "id2"), Seq("band", "bh"))
+      .select("id1", "id2").distinct()
+    val a = incoming.select(F.col(idCol).as("id1"), F.col(shCol).as("sh1"))
+    val b = existing.select(F.col(idCol).as("id2"), F.col(shCol).as("sh2"))
+    cands.join(a, "id1").join(b, "id2")
+      .withColumn("jac",
+        F.expr("""size(array_intersect(sh1, sh2)) /
+                  cast(size(array_union(sh1, sh2)) as double)"""))
+      .select(F.col("id1"), F.col("id2"), F.round(F.col("jac"), 3).as("jac"))
       .filter(F.col("jac") >= threshold)
   }
 

@@ -191,6 +191,41 @@ object AnalyticsQueries {
         .basedOn("doc_id" -> "doc_id", "lang" -> "lang")
     },
 
+    // TPC-H Q8 shape (national market share): NATION_1's share of
+    // AMERICA-region ECONOMY-part revenue per order year. Seven-table
+    // composition — the plan-quality showcase: part/nation/region dims
+    // broadcast, customer/supplier/orders keyed joins with AQE free to
+    // flip small sides, ONE final groupBy(year) whose conditional sum
+    // runs partial-agg'd map-side.
+    "q135_market_share" -> { (s, dir) =>
+      val region = T.load(s, dir, "region").filterExpr("r_name = 'AMERICA'")
+      val n1 = T.load(s, dir, "nation").as("n1") // customer nation
+      val n2 = T.load(s, dir, "nation").as("n2") // supplier nation
+      val part = T.load(s, dir, "part").filterExpr("p_type = 'ECONOMY'")
+      val li = T.load(s, dir, "lineitem")
+      val ord = T.load(s, dir, "orders")
+      val cust = T.load(s, dir, "customer")
+      val supp = T.load(s, dir, "supplier")
+      li.join(F.broadcast(part), F.col("l_partkey") === F.col("p_partkey"))
+        .join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(n1),
+          F.col("c_nationkey") === F.col("n1.n_nationkey"))
+        .join(F.broadcast(region),
+          F.col("n1.n_regionkey") === F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") === F.col("s_suppkey"))
+        .join(F.broadcast(n2),
+          F.col("s_nationkey") === F.col("n2.n_nationkey"))
+        .withColumn("vol",
+          F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .groupBy(F.year(F.col("o_orderdate")).as("yr"))
+        .agg(
+          F.count(F.lit(1)).as("n_lines"),
+          F.round(F.sum(F.when(F.col("n2.n_name") === "NATION_1",
+            F.col("vol")).otherwise(0.0)) / F.sum("vol"), 6)
+            .as("mkt_share"))
+    },
+
     // Salted two-stage aggregation — the hot-key mitigation pattern,
     // HASH-CHECKED equal to the direct GROUP BY: stage 1 groups on
     // (key, salt) so a pathological key spreads over 16 reducers;
@@ -307,6 +342,24 @@ object AnalyticsQueries {
     "q132_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q135_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END)
+                 / sum(l_extendedprice * (1.0 - l_discount)), 6)
+             AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+           AND r_name = 'AMERICA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1"""
   )
 }

@@ -142,6 +142,18 @@ object CurationQueries {
       Decontam.overlap(docs, "doc_id", "sh", F.expr("doc_id % 17 = 0"))
     },
 
+    // Benchmark-overlap FRACTION (GPT-3/PaLM contamination metric):
+    // share of each training doc's 5-gram shingles found in the
+    // benchmark set, classed clean/partial/dirty — separates incidental
+    // idiom overlap from real leakage where q54's any-hit boolean
+    // over-flags. Benchmark shingles broadcast; corpus never shuffles.
+    "q134_overlap_frac" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 5))
+      Decontam.overlapFraction(docs, "doc_id", "sh",
+        F.expr("doc_id % 17 = 0"))
+    },
+
     // Passage-level exact dedup + reassembly over 8-token chunks.
     "q55_passage_dedup" -> { (s, dir) =>
       Decontam.passageDedup(T.load(s, dir, "documents"),
@@ -682,6 +694,28 @@ object CurationQueries {
                     AS cum,
                   sum(tok) OVER (PARTITION BY source) AS tot FROM d)
           WHERE cum <= tot * 0.2""",
+    "q134_overlap_frac" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles5 AS s FROM toks),
+          bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 17 = 0),
+          tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 17 != 0),
+          h AS (SELECT doc_id, count(*) AS n_hits
+                FROM (SELECT doc_id, unnest(s) AS g FROM tr) t
+                JOIN bench USING (g) GROUP BY 1),
+          m AS (SELECT tr.doc_id,
+                  CAST(len(tr.s) AS BIGINT) AS n_grams,
+                  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                  CASE WHEN len(tr.s) = 0 THEN 0.0
+                       ELSE round(coalesce(h.n_hits, 0)
+                                  / CAST(len(tr.s) AS DOUBLE), 6)
+                  END AS overlap_frac
+                FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id)
+          SELECT doc_id, n_grams, n_hits, overlap_frac,
+            CASE WHEN overlap_frac >= 0.5 THEN 'dirty'
+                 WHEN overlap_frac >= 0.05 THEN 'partial'
+                 ELSE 'clean' END AS severity
+          FROM m""",
     "q128_gopher_rules" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           m AS (SELECT doc_id,

@@ -120,6 +120,20 @@ object PipelineQueries {
       Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
     },
 
+    // Incremental-ingest near-dup: an incoming batch (doc_id % 5 = 0)
+    // deduped AGAINST the existing corpus — band tables equi-joined
+    // across sides, so the candidate cost is the batch's band matches,
+    // never an existing×existing self-join. This is the daily-ingest
+    // shape: at 100 TB the existing band relation is a persisted index.
+    "q133_incremental_dedup" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      Dedup.minhashNearDupsAgainst(
+        docs.filter(F.expr("doc_id % 5 = 0")),
+        docs.filter(F.expr("doc_id % 5 != 0")),
+        "doc_id", "sh", NearDupJ)
+    },
+
     // SimHash signatures (rows-only: signature bits depend on Spark's
     // xxhash64, not expressible in the oracle).
     "q42_simhash" -> { (s, dir) =>
@@ -507,6 +521,18 @@ object PipelineQueries {
     // cannot realistically flake even on a regenerated corpus with
     // near-threshold pairs; see the NearDupJ scaladoc.
     "q41_minhash_neardup" -> duckJaccardPairs(NearDupJ, sameLang = false),
+    // exact cross-side pair set: incoming (id1) × existing (id2) only
+    "q133_incremental_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+          pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                     AS DOUBLE), 3) AS jac
+            FROM sh a JOIN sh b
+              ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+          SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q44_embed_neardup" ->
       """SELECT id1, id2, sim FROM (

@@ -46,6 +46,39 @@ object Decontam {
         (F.coalesce(F.col("n_hits"), F.lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Benchmark-overlap FRACTION — the GPT-3/PaLM-style contamination
+    * metric: share of a training doc's distinct n-grams that appear in
+    * ANY benchmark doc, with a severity class (clean < `partialAt` <=
+    * partial < `dirtyAt` <= dirty). [[overlap]]'s boolean "any hit"
+    * over-flags long documents that share one idiom with a benchmark;
+    * the fraction separates incidental overlap from real leakage.
+    * Same scale shape as [[overlap]]: benchmark shingles broadcast,
+    * training corpus never shuffles.
+    */
+  def overlapFraction(docs: DataFrame, idCol: String, shCol: String,
+                      benchPred: Column, partialAt: Double = 0.05,
+                      dirtyAt: Double = 0.5): DataFrame = {
+    val bench = docs.filter(benchPred)
+      .select(F.explode(F.col(shCol)).as("__g")).distinct()
+    val train = docs.filter(!benchPred)
+    val hits = train
+      .select(F.col(idCol), F.explode(F.col(shCol)).as("__g"))
+      .join(F.broadcast(bench), "__g")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_hits"))
+    train.select(F.col(idCol), F.size(F.col(shCol)).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left_outer")
+      .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0L)))
+      .withColumn("overlap_frac", F.when(F.col("n_grams") === 0, 0.0)
+        .otherwise(F.round(
+          F.col("n_hits") / F.col("n_grams").cast("double"), 6)))
+      .select(F.col(idCol), F.col("n_grams"), F.col("n_hits"),
+        F.col("overlap_frac"),
+        F.when(F.col("overlap_frac") >= dirtyAt, "dirty")
+          .when(F.col("overlap_frac") >= partialAt, "partial")
+          .otherwise("clean").as("severity"))
+  }
+
   /** Bloom-filtered decontamination with in-plan verification gates —
     * the 100 TB path for [[overlap]]: the benchmark's shingles compress
     * to a fixed-size bloom array ([[Bloom]]) that broadcasts to every

@@ -435,4 +435,66 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("p").distinct().collect()
       .forall(r => langs.contains(r.getString(0))))
   }
+
+  test("incremental dedup equals the cross-side slice of the full pair set") {
+    import graft.dedup.Dedup
+    val docs = T.load(spark, sf, "documents")
+      .withColumn("sh",
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 3))
+    val inc = Dedup.minhashNearDupsAgainst(
+      docs.filter(F.expr("doc_id % 5 = 0")),
+      docs.filter(F.expr("doc_id % 5 != 0")),
+      "doc_id", "sh", 0.85)
+    // direction: id1 always from the incoming batch, id2 from existing
+    assert(inc.filter(F.expr("id1 % 5 != 0 OR id2 % 5 = 0")).isEmpty)
+    // equals the full self-join pair set restricted to cross pairs
+    // (normalized to unordered pairs)
+    val full = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.85)
+      .filter(F.expr("(id1 % 5 = 0) != (id2 % 5 = 0)"))
+      .selectExpr("least(id1, id2) AS a", "greatest(id1, id2) AS b", "jac")
+    val incN = inc
+      .selectExpr("least(id1, id2) AS a", "greatest(id1, id2) AS b", "jac")
+    assert(incN.exceptAll(full).isEmpty && full.exceptAll(incN).isEmpty)
+  }
+
+  test("overlap fraction agrees with q54's hit counts and class bounds") {
+    val s = spark
+    val frac = SparkEntry.queries("q134_overlap_frac")(s, sf)
+    // hits never exceed the doc's shingle count; severity matches frac
+    assert(frac.filter(F.col("n_hits") > F.col("n_grams")).isEmpty)
+    assert(frac.filter(
+      F.col("severity") =!= F.when(F.col("overlap_frac") >= 0.5, "dirty")
+        .when(F.col("overlap_frac") >= 0.05, "partial")
+        .otherwise("clean")).isEmpty)
+    // same n_hits as the any-hit decontamination op (q54, same 5-gram
+    // shingles and benchmark predicate)
+    val q54 = SparkEntry.queries("q54_decontam")(s, sf)
+      .select(F.col("doc_id"), F.col("n_hits").as("h54"))
+    assert(frac.join(q54, "doc_id")
+      .filter(F.col("n_hits") =!= F.col("h54")).isEmpty)
+  }
+
+  test("market share is a fraction over every order year in scope") {
+    val s = spark
+    val out = SparkEntry.queries("q135_market_share")(s, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sh = r.getAs[Double]("mkt_share")
+      assert(sh >= 0.0 && sh <= 1.0, s"share $sh outside [0,1]")
+    }
+    // line counts reconcile with an independent join count
+    val expect = T.load(s, sf, "lineitem")
+      .join(T.load(s, sf, "part").filter(F.col("p_type") === "ECONOMY"),
+        F.col("l_partkey") === F.col("p_partkey"))
+      .join(T.load(s, sf, "orders"),
+        F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(T.load(s, sf, "customer"),
+        F.col("o_custkey") === F.col("c_custkey"))
+      .join(T.load(s, sf, "nation"),
+        F.col("c_nationkey") === F.col("n_nationkey"))
+      .join(T.load(s, sf, "region").filter(F.col("r_name") === "AMERICA"),
+        F.col("n_regionkey") === F.col("r_regionkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == expect)
+  }
 }
