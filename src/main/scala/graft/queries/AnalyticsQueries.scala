@@ -191,6 +191,57 @@ object AnalyticsQueries {
         .basedOn("doc_id" -> "doc_id", "lang" -> "lang")
     },
 
+    // Ordered conversion funnel with a 24 h conversion window at each
+    // step (view → click within 24 h → purchase within 24 h): per-user
+    // stage timestamps are three sequential min-aggregates over the
+    // SAME user_id partitioning (exchange-reused shuffles), then a
+    // stage histogram. All integer epoch seconds — bit-deterministic
+    // across engines.
+    "q136_funnel" -> { (s, dir) =>
+      val win = 86400L
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"),
+          F.unix_timestamp(F.col("ts")).as("sec"))
+      val t1 = ev.filter(F.col("event_type") === "view")
+        .groupBy("user_id").agg(F.min("sec").as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .filter(F.col("event_type") === "click" &&
+          F.col("sec") >= F.col("t1") && F.col("sec") <= F.col("t1") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .filter(F.col("event_type") === "purchase" &&
+          F.col("sec") >= F.col("t2") && F.col("sec") <= F.col("t2") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t3"))
+      ev.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left_outer")
+        .join(t2, Seq("user_id"), "left_outer")
+        .join(t3, Seq("user_id"), "left_outer")
+        .select(F.when(F.col("t3").isNotNull, 3)
+          .when(F.col("t2").isNotNull, 2)
+          .when(F.col("t1").isNotNull, 1)
+          .otherwise(0).as("stage"))
+        .groupBy("stage").agg(F.count(F.lit(1)).as("n_users"))
+    },
+
+    // Weekly retention cohorts: cohort = a user's first active week
+    // (since corpus start), one row per (cohort, weeks-since-cohort)
+    // with active-user counts — the classic retention triangle. Pure
+    // integer arithmetic (epoch-second floor division), one distinct
+    // and two keyed shuffles.
+    "q137_cohort" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.unix_timestamp(F.col("ts")).as("sec"))
+      val t0 = ev.agg(F.min("sec").as("t0"))
+      val wk = ev.crossJoin(F.broadcast(t0))
+        .select(F.col("user_id"),
+          F.expr("(sec - t0) div 604800").as("wk"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(F.min("wk").as("cohort"))
+      wk.join(cohort, "user_id")
+        .groupBy(F.col("cohort"), (F.col("wk") - F.col("cohort")).as("week_k"))
+        .agg(F.count(F.lit(1)).as("n_users"))
+    },
+
     // TPC-H Q8 shape (national market share): NATION_1's share of
     // AMERICA-region ECONOMY-part revenue per order year. Seven-table
     // composition — the plan-quality showcase: part/nation/region dims
@@ -343,6 +394,43 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total
          FROM events GROUP BY 1""",
+    "q136_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events),
+          t1 AS (SELECT user_id, min(sec) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(sec) AS t2
+                 FROM e JOIN t1 USING (user_id)
+                 WHERE event_type = 'click' AND sec >= t1
+                   AND sec <= t1 + 86400 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(sec) AS t3
+                 FROM e JOIN t2 USING (user_id)
+                 WHERE event_type = 'purchase' AND sec >= t2
+                   AND sec <= t2 + 86400 GROUP BY 1),
+          u AS (SELECT DISTINCT user_id FROM e)
+          SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                      WHEN t2.user_id IS NOT NULL THEN 2
+                      WHEN t1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS stage,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM u LEFT JOIN t1 USING (user_id)
+                 LEFT JOIN t2 USING (user_id)
+                 LEFT JOIN t3 USING (user_id)
+          GROUP BY 1""",
+    "q137_cohort" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events),
+          t0 AS (SELECT min(sec) AS t0 FROM e),
+          wk AS (SELECT DISTINCT user_id, (sec - t0) // 604800 AS wk
+                 FROM e CROSS JOIN t0),
+          c AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+          SELECT CAST(cohort AS BIGINT) AS cohort,
+                 CAST(wk - cohort AS BIGINT) AS week_k,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM wk JOIN c USING (user_id)
+          GROUP BY 1, 2""",
     "q135_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(count(*) AS BIGINT) AS n_lines,

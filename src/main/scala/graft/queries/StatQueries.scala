@@ -55,6 +55,33 @@ object StatQueries {
             6).as("t_stat"))
     },
 
+    // Per-group winsorization summary: clip event values at the exact
+    // p05/p95 of their event_type, report clip thresholds, clipped-row
+    // counts and the post-clip mean. Thresholds come from exact
+    // interpolated percentiles — the identical (n-1)·q linear
+    // interpolation in both engines, so the strict </> comparisons
+    // agree bit-for-bit; clip counts are integers. Two aggregates over
+    // the same event_type key (exchange reuse), thresholds broadcast.
+    "q138_winsorize" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_type"), F.col("value"))
+      val th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").as("lo"),
+        F.expr("percentile(value, 0.95)").as("hi"))
+      ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type").agg(
+          F.count(F.lit(1)).as("n"),
+          F.round(F.min("lo"), 6).as("lo"),
+          F.round(F.min("hi"), 6).as("hi"),
+          F.sum(F.when(F.col("value") < F.col("lo"), 1L).otherwise(0L))
+            .as("n_lo"),
+          F.sum(F.when(F.col("value") > F.col("hi"), 1L).otherwise(0L))
+            .as("n_hi"),
+          F.round(F.avg(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))),
+            4).as("mean_winsorized"))
+    },
+
     // stack/melt wide→long (reference src/reshape.jl:16-27).
     "q17_stack" -> { (s, dir) =>
       T.load(s, dir, "lineitem")
@@ -220,6 +247,20 @@ object StatQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q138_winsorize" ->
+      """WITH th AS (SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                     FROM events GROUP BY 1)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           round(avg(greatest(lo, least(hi, value))), 4)
+             AS mean_winsorized
+         FROM events e JOIN th USING (event_type) GROUP BY 1""",
     "q123_welch_t" ->
       """WITH per AS (SELECT source, count(*) AS n,
             sum(n_chars) AS sm, sum(n_chars * n_chars) AS sq

@@ -474,6 +474,40 @@ class PipelineSpec extends SparkSpec {
       .filter(F.col("n_hits") =!= F.col("h54")).isEmpty)
   }
 
+  test("funnel stages partition the user base; cohort triangle is monotone") {
+    val s = spark
+    val funnel = SparkEntry.queries("q136_funnel")(s, sf).collect()
+    val users = T.load(s, sf, "events")
+      .select("user_id").distinct().count()
+    assert(funnel.map(_.getAs[Long]("n_users")).sum == users)
+    assert(funnel.forall(r =>
+      r.getAs[Int]("stage") >= 0 && r.getAs[Int]("stage") <= 3))
+    val cohort = SparkEntry.queries("q137_cohort")(s, sf)
+    // every user is active in their cohort week, so week_k = 0 rows
+    // cover the whole user base
+    val wk0 = cohort.filter(F.col("week_k") === 0)
+      .agg(F.sum("n_users")).first().getLong(0)
+    assert(wk0 == users)
+    // retention never exceeds the cohort's own size
+    val base = cohort.filter(F.col("week_k") === 0)
+      .select(F.col("cohort"), F.col("n_users").as("base"))
+    assert(cohort.join(base, "cohort")
+      .filter(F.col("n_users") > F.col("base")).isEmpty)
+  }
+
+  test("winsorize clips at most the tail mass on each side") {
+    val out = SparkEntry.queries("q138_winsorize")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // strict < p05 (interpolated) bounds the clipped mass at 5%
+      assert(r.getAs[Long]("n_lo") <= 0.05 * n + 1)
+      assert(r.getAs[Long]("n_hi") <= 0.05 * n + 1)
+      val m = r.getAs[Double]("mean_winsorized")
+      assert(m >= r.getAs[Double]("lo") && m <= r.getAs[Double]("hi"))
+    }
+  }
+
   test("market share is a fraction over every order year in scope") {
     val s = spark
     val out = SparkEntry.queries("q135_market_share")(s, sf).collect()
