@@ -293,6 +293,158 @@ object AnalyticsQueries {
       partial.groupBy("event_type")
         .agg(F.sum("pn").cast("long").as("n"),
           F.round(F.sum("pv"), 2).as("total"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers keep a 0 row, then a second aggregation over
+    // the counts. The filter lives in the JOIN (orders pre-filtered
+    // before the left join — same semantics as an ON-clause predicate);
+    // the histogram re-agg is O(distinct counts), trivially small, so
+    // the plan cost is one keyed shuffle of each side.
+    "q139_cust_orders_dist" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer").select("c_custkey")
+      val o = T.load(s, dir, "orders")
+        .filterExpr("o_orderpriority <> '1-URGENT'")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").as("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q17 shape (small-quantity revenue): the classic CORRELATED
+    // scalar subquery `l_quantity < 0.2 * (SELECT avg(l_quantity) ...
+    // WHERE l_partkey = p_partkey)`, decorrelated into a per-part
+    // average joined back. The brand filter broadcasts FIRST so the
+    // per-part average aggregates only the ~1/25 of lineitem that can
+    // matter — at 100 TB the difference between aggregating 4 TB and
+    // 100 TB. The tiny per-part threshold table then AQE-broadcasts
+    // back onto the same restricted slice.
+    "q140_small_qty_rev" -> { (s, dir) =>
+      val p = T.load(s, dir, "part")
+        .filterExpr("p_brand = 'Brand#7'").select("p_partkey")
+      val lb = T.load(s, dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") === F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thresh = lb.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).as("qty_thresh"))
+      lb.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // TPC-H Q18 shape (large-volume orders): GROUP BY + HAVING on the
+    // fact, then join the survivors back to the dims. The HAVING
+    // filter runs on the aggregate BEFORE any join — the join input is
+    // the ~1% of orders that qualify, not the full fact table.
+    "q141_big_orders" -> { (s, dir) =>
+      val big = T.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").as("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+      val o = T.load(s, dir, "orders")
+      val c = T.load(s, dir, "customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(c("c_name"), c("c_custkey"), o("o_orderkey"),
+          o("o_orderdate"), o("o_totalprice"), F.col("total_qty"))
+        .topK(100, Ordering("o_totalprice", desc = true),
+          Ordering("o_orderkey"))
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT EXISTS double self-join on lineitem, decorrelated
+    // into ONE aggregation pass — per (order, supplier) any-late, then
+    // per order (n_suppliers, n_late_suppliers); the waiting supplier
+    // is a late supplier in a multi-supplier order where they are the
+    // ONLY late one. perSupp feeds both its own filter and the
+    // per-order rollup, so the l_orderkey exchange is planned once and
+    // reused. "Late" = shipped > 365 days after the order date,
+    // finalized orders only.
+    "q142_late_supplier" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+        .filterExpr("o_orderstatus = 'F'")
+        .select("o_orderkey", "o_orderdate")
+      val perSupp = T.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") === F.col("o_orderkey"))
+        .withColumn("late",
+          F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            > 365, 1).otherwise(0))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").as("supp_late"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).as("n_supps"),
+          F.sum("supp_late").as("n_late"))
+      perSupp.filter(F.col("supp_late") === 1)
+        .join(perOrder.filter(F.col("n_supps") > 1 &&
+          F.col("n_late") === 1), "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).as("numwait"))
+    },
+
+    // TPC-H Q22 shape (rich idle customers): global scalar threshold
+    // (avg positive balance) CROSS-joined in-plan as a broadcast 1-row
+    // aggregate — never a driver-side collect — and a LEFT ANTI join
+    // against urgent orders standing in for NOT EXISTS. Output is the
+    // per-nation count/balance rollup.
+    "q143_idle_rich_cust" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer")
+      val abar = c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").as("abar"))
+      val urgent = T.load(s, dir, "orders")
+        .filterExpr("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+      c.crossJoin(F.broadcast(abar))
+        .filter(F.col("c_acctbal") > F.col("abar"))
+        .join(urgent, F.col("c_custkey") === F.col("o_custkey"),
+          "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).as("numcust"),
+          F.round(F.sum("c_acctbal"), 2).as("totacctbal"))
+    },
+
+    // DAU/WAU stickiness per day. The trailing-7-day distinct-user
+    // count cannot be a window (no COUNT(DISTINCT) over RANGE frames)
+    // and must not be a per-day self-join (O(days × corpus)): instead
+    // each (day, user) activity row CONTRIBUTES itself forward to the
+    // 7 days it covers (explode of a 7-element date sequence), and WAU
+    // falls out of a plain distinct + count. Shuffle volume is a flat
+    // 7× the distinct activity pairs — scan-parallel, skew-free, and
+    // independent of the window length's interaction with corpus size.
+    "q144_stickiness" -> { (s, dir) =>
+      val du = T.load(s, dir, "events")
+        .select(F.to_date(F.col("ts")).as("day"), F.col("user_id"))
+        .distinct()
+      val dau = du.groupBy("day").agg(F.count(F.lit(1)).as("dau"))
+      val wau = du
+        .select(F.explode(F.expr(
+          "sequence(day, date_add(day, 6))")).as("day"), F.col("user_id"))
+        .distinct()
+        .groupBy("day").agg(F.count(F.lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(F.col("day"), F.col("dau"), F.col("wau"),
+          F.round(F.col("dau") / F.col("wau"), 4).as("stickiness"))
+    },
+
+    // Inter-event-time profile per event type: per-user event-sequence
+    // gaps (one partitioned lag window) rolled up to exact interpolated
+    // p50/p90 + mean. Integer epoch gaps in, so the only float work is
+    // the final percentile interpolation.
+    "q145_gap_stats" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("sec", "event_id")
+      T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"), F.col("event_id"),
+          F.unix_timestamp(F.col("ts")).as("sec"))
+        .withColumn("gap", F.col("sec") - F.lag("sec", 1).over(w))
+        .filter(F.col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n_gaps"),
+          F.round(F.avg("gap"), 2).as("mean_gap"),
+          F.round(F.expr("percentile(gap, 0.5)"), 2).as("p50"),
+          F.round(F.expr("percentile(gap, 0.9)"), 2).as("p90"))
     }
   )
 
@@ -448,6 +600,87 @@ object AnalyticsQueries {
            AND r_name = 'AMERICA'
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY 1""",
+    "q139_cust_orders_dist" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM customer LEFT JOIN orders
+                       ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+                     GROUP BY 1)
+         SELECT CAST(c_count AS BIGINT) AS c_count,
+                CAST(count(*) AS BIGINT) AS custdist
+         FROM co GROUP BY 1""",
+    "q140_small_qty_rev" ->
+      """WITH lb AS (SELECT l_partkey, l_quantity, l_extendedprice
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand = 'Brand#7'),
+          a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+                FROM lb GROUP BY 1)
+         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lb JOIN a USING (l_partkey)
+         WHERE l_quantity < qty_thresh""",
+    "q141_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING sum(l_quantity) > 250.0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                o_totalprice, total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q142_late_supplier" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN datediff('day', o_orderdate,
+                                              l_shipdate) > 365
+                                THEN 1 ELSE 0 END) AS supp_late
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     WHERE o_orderstatus = 'F'
+                     GROUP BY 1, 2),
+          po AS (SELECT l_orderkey, count(*) AS n_supps,
+                        sum(supp_late) AS n_late
+                 FROM ps GROUP BY 1)
+         SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+         FROM ps JOIN po USING (l_orderkey)
+         WHERE supp_late = 1 AND n_supps > 1 AND n_late = 1
+         GROUP BY 1""",
+    "q143_idle_rich_cust" ->
+      """WITH abar AS (SELECT avg(c_acctbal) AS abar FROM customer
+                       WHERE c_acctbal > 0.0)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer CROSS JOIN abar
+         WHERE c_acctbal > abar
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
+    "q144_stickiness" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                  FROM du GROUP BY 1),
+          wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+                    SELECT DISTINCT
+                      CAST(unnest(generate_series(day::TIMESTAMP,
+                        (day + 6)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE)
+                        AS day,
+                      user_id
+                    FROM du) GROUP BY 1)
+         SELECT day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+         FROM dau JOIN wau USING (day)""",
+    "q145_gap_stats" ->
+      """WITH g AS (SELECT event_type,
+                      sec - lag(sec) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY sec, event_id) AS gap
+                    FROM (SELECT user_id, event_type, event_id,
+                            CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                          FROM events))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                round(avg(gap), 2) AS mean_gap,
+                round(quantile_cont(gap, 0.5), 2) AS p50,
+                round(quantile_cont(gap, 0.9), 2) AS p90
+         FROM g WHERE gap IS NOT NULL
          GROUP BY 1"""
   )
 }

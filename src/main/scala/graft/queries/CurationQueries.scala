@@ -622,10 +622,46 @@ object CurationQueries {
           (F.abs(F.col("__a90") - F.col("__e90")) <=
             F.greatest(F.col("__e90") * 0.05, F.lit(50.0)))
             .as("sketch_ok_p90"))
+    },
+
+    // Per-document lexical-diversity signals: unigram Shannon entropy
+    // (ln N − (Σ c·ln c)/N over within-doc term frequencies) and
+    // type-token ratio. The standard "low-entropy = boilerplate/spam"
+    // quality gate alongside q97's repetition fractions. Two shuffles
+    // on compact (doc_id, token) keys, both partial-agg'd map-side;
+    // everything downstream of the term-frequency groupBy is
+    // O(types), not O(tokens).
+    "q146_token_entropy" -> { (s, dir) =>
+      val tf = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), F.explode(F.expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+          .as("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("c"))
+      tf.groupBy("doc_id").agg(
+          F.sum("c").as("n_tok"),
+          F.count(F.lit(1)).as("n_types"),
+          F.sum(F.expr("c * ln(c)")).as("__sclnc"))
+        .select(F.col("doc_id"), F.col("n_tok"), F.col("n_types"),
+          F.round(F.log(F.col("n_tok"))
+            - F.col("__sclnc") / F.col("n_tok"), 6).as("entropy"),
+          F.round(F.col("n_types") / F.col("n_tok"), 6).as("ttr"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q146_token_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS c
+                 FROM toks GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                CAST(count(*) AS BIGINT) AS n_types,
+                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+                round(count(*) * 1.0 / sum(c), 6) AS ttr
+         FROM tf GROUP BY 1""",
     "q114_ngram_lm" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
                     WHERE length(text) >= 3),
