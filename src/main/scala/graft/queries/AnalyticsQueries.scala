@@ -445,6 +445,121 @@ object AnalyticsQueries {
           F.round(F.avg("gap"), 2).as("mean_gap"),
           F.round(F.expr("percentile(gap, 0.5)"), 2).as("p50"),
           F.round(F.expr("percentile(gap, 0.9)"), 2).as("p90"))
+    },
+
+    // TPC-H Q15 shape (top supplier): the `WHERE total_revenue =
+    // (SELECT max(total_revenue) ...)` scalar subquery as an in-plan
+    // broadcast 1-row max cross-joined back onto the aggregate — the
+    // rev aggregate is planned once and feeds both the max and the
+    // filter (exchange reuse), never a driver-side collect. Equality
+    // on round(2) values is exact on both engines.
+    "q147_top_supplier" -> { (s, dir) =>
+      val rev = T.load(s, dir, "lineitem")
+        .filterExpr("l_shipdate >= date '1998-01-01'")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+          * (F.lit(1.0) - F.col("l_discount"))), 2).as("total_revenue"))
+      val mx = rev.agg(F.max("total_revenue").as("__mx"))
+      rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") === F.col("__mx"))
+        .join(F.broadcast(T.load(s, dir, "supplier")),
+          F.col("l_suppkey") === F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"),
+          F.col("total_revenue"))
+    },
+
+    // Revenue concentration per nation: Gini coefficient of customer
+    // order totals — the distributional-health metric a curation
+    // pipeline runs per source (a source where 1% of producers carry
+    // 99% of mass needs different sampling). Closed form over ranked
+    // values G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n needs ONE partitioned
+    // rank window + one aggregate; ties broken by customer key so the
+    // rank (and hence G) is identical across engines.
+    "q148_revenue_gini" -> { (s, dir) =>
+      val custRev = T.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).as("rev"))
+      val cust = T.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy("rev", "o_custkey")
+      custRev.join(cust, F.col("o_custkey") === F.col("c_custkey"))
+        .withColumn("i", F.row_number().over(w))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).as("n_cust"),
+          F.round(F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+              / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)), 6)
+            .as("gini"))
+    },
+
+    // Equi-depth histogram (10 buckets) of event values per type:
+    // ntile over a deterministically tie-broken order, then per-bucket
+    // bounds + mass. The profiling op behind range-partition planning:
+    // the bucket bounds ARE the range splits that balance a 100 TB
+    // sort/repartition on this column.
+    "q149_equidepth_hist" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+      T.load(s, dir, "events")
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.min("value"), 6).as("lo"),
+          F.round(F.max("value"), 6).as("hi"))
+    },
+
+    // PageRank (3 fixed iterations, d = 0.85) over the bipartite
+    // customer↔supplier purchase graph — the iterative join-agg
+    // pattern beyond q79/q102's connected components. Edges build
+    // once (distinct pairs, both directions) and every iteration is
+    // edges ⋈ ranks → groupBy(dst): rank state stays (node, pr) —
+    // O(nodes) — while the edge relation is the reusable big side a
+    // cluster would bucket by src. Emitted as N·PR (scale-free),
+    // suppliers only, rounded.
+    "q150_pagerank" -> { (s, dir) =>
+      val d = 0.85
+      val cs = T.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(T.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).as("c"),
+          F.concat(F.lit("s"), F.col("l_suppkey")).as("s"))
+        .distinct()
+      // eager localCheckpoint (the CC/kmeans pattern): the edge build
+      // (fact join + distinct) runs ONCE; without it every iteration —
+      // and both the deg and contrib branches within one — re-executes
+      // the whole upstream, and the plan nests one join deeper per
+      // round. Pre-joining deg onto edges bakes the outflow weight in,
+      // so each iteration is exactly join + groupBy on O(edges) rows.
+      val edges = cs.select(F.col("c").as("src"), F.col("s").as("dst"))
+        .unionAll(cs.select(F.col("s").as("src"), F.col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+      val wedges = edges.join(deg, "src")
+        .select(F.col("src"), F.col("dst"), F.col("deg"))
+        .localCheckpoint()
+      val nodes = wedges.select(F.col("src").as("node")).distinct()
+      val nN = nodes.agg(F.count(F.lit(1)).cast("double").as("n"))
+      // init: PR = 1/N for every node (N carried in-plan, no collect)
+      var pr = nodes.crossJoin(F.broadcast(nN))
+        .select(F.col("node"), (F.lit(1.0) / F.col("n")).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = wedges
+          .join(pr, F.col("src") === F.col("node"))
+          .select(F.col("dst"), (F.col("pr") / F.col("deg")).as("w"))
+          .groupBy("dst").agg(F.sum("w").as("inflow"))
+        pr = nodes.crossJoin(F.broadcast(nN))
+          .join(contrib, F.col("node") === F.col("dst"), "left_outer")
+          .select(F.col("node"),
+            ((F.lit(1.0) - d) / F.col("n")
+              + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0)))
+              .as("pr"))
+          .localCheckpoint()
+      }
+      pr.crossJoin(F.broadcast(nN))
+        .filter(F.col("node").startsWith("s"))
+        .select(F.col("node"),
+          F.round(F.col("pr") * F.col("n"), 6).as("pr_scaled"))
     }
   )
 
@@ -681,6 +796,65 @@ object AnalyticsQueries {
                 round(quantile_cont(gap, 0.5), 2) AS p50,
                 round(quantile_cont(gap, 0.9), 2) AS p90
          FROM g WHERE gap IS NOT NULL
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q147_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS total_revenue
+              FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+              GROUP BY 1),
+          mx AS (SELECT max(total_revenue) AS mx FROM rev)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev CROSS JOIN mx
+              JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = mx""",
+    "q148_revenue_gini" ->
+      """WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+                     FROM orders GROUP BY 1),
+          r AS (SELECT c_nationkey, rev,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY rev, o_custkey) AS i
+                FROM cr JOIN customer ON o_custkey = c_custkey)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+         FROM r GROUP BY 1""",
+    "q149_equidepth_hist" ->
+      """SELECT event_type, CAST(bucket AS INT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(value), 6) AS lo, round(max(value), 6) AS hi
+         FROM (SELECT event_type, value, event_id,
+                 ntile(10) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS bucket
+               FROM events)
+         GROUP BY 1, 2""",
+    "q150_pagerank" ->
+      """WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+                       's' || l_suppkey AS s
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (SELECT c AS src, s AS dst FROM cs
+                    UNION ALL SELECT s, c FROM cs),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          nodes AS (SELECT src AS node FROM deg),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+          c1 AS (SELECT dst, sum(pr / deg) AS inflow FROM edges
+                 JOIN deg USING (src) JOIN p0 ON src = node GROUP BY 1),
+          p1 AS (SELECT node, (1 - 0.85) / n
+                   + 0.85 * coalesce(inflow, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = dst),
+          c2 AS (SELECT dst, sum(pr / deg) AS inflow FROM edges
+                 JOIN deg USING (src) JOIN p1 ON src = node GROUP BY 1),
+          p2 AS (SELECT node, (1 - 0.85) / n
+                   + 0.85 * coalesce(inflow, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = dst),
+          c3 AS (SELECT dst, sum(pr / deg) AS inflow FROM edges
+                 JOIN deg USING (src) JOIN p2 ON src = node GROUP BY 1),
+          p3 AS (SELECT node, (1 - 0.85) / n
+                   + 0.85 * coalesce(inflow, 0) AS pr
+                 FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
+         SELECT node, round(pr * n, 6) AS pr_scaled
+         FROM p3 CROSS JOIN nn
+         WHERE node LIKE 's%'"""
   )
 }
