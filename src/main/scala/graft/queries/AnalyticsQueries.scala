@@ -519,47 +519,130 @@ object AnalyticsQueries {
     // suppliers only, rounded.
     "q150_pagerank" -> { (s, dir) =>
       val d = 0.85
+      // Node identity is the INTEGER pair (type, key) — 0=customer,
+      // 1=supplier — for every shuffle/join/distinct in the loop; the
+      // oracle's "c123"/"s7" string form is materialized only in the
+      // final projection. String keys measured ~2× on the hot edge
+      // distinct at sf0.1.
       val cs = T.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .join(T.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           F.col("l_orderkey") === F.col("o_orderkey"))
-        .select(F.concat(F.lit("c"), F.col("o_custkey")).as("c"),
-          F.concat(F.lit("s"), F.col("l_suppkey")).as("s"))
+        .select(F.col("o_custkey").as("ck"), F.col("l_suppkey").as("sk"))
         .distinct()
-      // eager localCheckpoint (the CC/kmeans pattern): the edge build
-      // (fact join + distinct) runs ONCE; without it every iteration —
-      // and both the deg and contrib branches within one — re-executes
-      // the whole upstream, and the plan nests one join deeper per
-      // round. Pre-joining deg onto edges bakes the outflow weight in,
-      // so each iteration is exactly join + groupBy on O(edges) rows.
-      val edges = cs.select(F.col("c").as("src"), F.col("s").as("dst"))
-        .unionAll(cs.select(F.col("s").as("src"), F.col("c").as("dst")))
-      val deg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-      val wedges = edges.join(deg, "src")
-        .select(F.col("src"), F.col("dst"), F.col("deg"))
+        // eager localCheckpoint (the CC/kmeans pattern) ON THE PAIR
+        // SET: cs fans out into four consumers (both union branches,
+        // then both again under deg) — un-checkpointed, the fact join
+        // + distinct re-executes 4× (measured: the weighted edge build
+        // alone was 8 s of q150's 17 s at sf0.1).
         .localCheckpoint()
-      val nodes = wedges.select(F.col("src").as("node")).distinct()
-      val nN = nodes.agg(F.count(F.lit(1)).cast("double").as("n"))
-      // init: PR = 1/N for every node (N carried in-plan, no collect)
-      var pr = nodes.crossJoin(F.broadcast(nN))
-        .select(F.col("node"), (F.lit(1.0) / F.col("n")).as("pr"))
+      val edges = cs.select(F.lit(0).as("src_t"), F.col("ck").as("src_k"),
+          F.lit(1).as("dst_t"), F.col("sk").as("dst_k"))
+        .unionAll(
+          cs.select(F.lit(1).as("src_t"), F.col("sk").as("src_k"),
+            F.lit(0).as("dst_t"), F.col("ck").as("dst_k")))
+      val deg = edges.groupBy("src_t", "src_k")
+        .agg(F.count(F.lit(1)).as("deg"))
+      // deg baked onto edges once → each iteration is exactly one join
+      // + one groupBy over O(edges) rows; checkpointed so iterations
+      // start from materialized blocks, not the join lineage.
+      val wedges = edges.join(deg, Seq("src_t", "src_k"))
+        .localCheckpoint()
+      // nodes checkpoints too — every iteration's left join re-reads
+      // it. N is ONE driver-side scalar off the checkpointed nodes —
+      // the same bounded-state exception as CC's convergence count;
+      // everything per-row stays distributed.
+      val nodes = wedges
+        .select(F.col("src_t").as("t"), F.col("src_k").as("k"))
+        .distinct()
+        .localCheckpoint()
+      val n = nodes.count().toDouble
+      var pr = nodes.select(F.col("t"), F.col("k"),
+        (F.lit(1.0) / F.lit(n)).as("pr"))
       for (_ <- 1 to 3) {
         val contrib = wedges
-          .join(pr, F.col("src") === F.col("node"))
-          .select(F.col("dst"), (F.col("pr") / F.col("deg")).as("w"))
-          .groupBy("dst").agg(F.sum("w").as("inflow"))
-        pr = nodes.crossJoin(F.broadcast(nN))
-          .join(contrib, F.col("node") === F.col("dst"), "left_outer")
-          .select(F.col("node"),
-            ((F.lit(1.0) - d) / F.col("n")
+          .join(pr, F.col("src_t") === F.col("t")
+            && F.col("src_k") === F.col("k"))
+          .select(F.col("dst_t"), F.col("dst_k"),
+            (F.col("pr") / F.col("deg")).as("w"))
+          .groupBy("dst_t", "dst_k").agg(F.sum("w").as("inflow"))
+        pr = nodes
+          .join(contrib, F.col("t") === F.col("dst_t")
+            && F.col("k") === F.col("dst_k"), "left_outer")
+          .select(F.col("t"), F.col("k"),
+            ((F.lit(1.0) - d) / F.lit(n)
               + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0)))
               .as("pr"))
           .localCheckpoint()
       }
-      pr.crossJoin(F.broadcast(nN))
-        .filter(F.col("node").startsWith("s"))
-        .select(F.col("node"),
-          F.round(F.col("pr") * F.col("n"), 6).as("pr_scaled"))
+      pr.filter(F.col("t") === 1)
+        .select(F.concat(F.lit("s"), F.col("k")).as("node"),
+          F.round(F.col("pr") * F.lit(n), 6).as("pr_scaled"))
+    },
+
+    // Daily new-vs-returning users (the acquisition curve): a user's
+    // first active day via one keyed min-agg, joined back onto the
+    // distinct (day, user) activity — two compact shuffles, no window
+    // over the full event log.
+    "q151_new_users" -> { (s, dir) =>
+      val du = T.load(s, dir, "events")
+        .select(F.to_date(F.col("ts")).as("day"), F.col("user_id"))
+        .distinct()
+      val first = du.groupBy("user_id").agg(F.min("day").as("d0"))
+      du.join(first, "user_id")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).as("n_active"),
+          F.sum(F.when(F.col("day") === F.col("d0"), 1).otherwise(0))
+            .as("n_new"))
+        .select(F.col("day"), F.col("n_active"), F.col("n_new"),
+          (F.col("n_active") - F.col("n_new")).as("n_returning"))
+    },
+
+    // Per-supplier weighted median sale price (weight = quantity) —
+    // the exact weighted-quantile op: cumulative weight along the
+    // price order vs half the total. Both windows share ONE
+    // (l_suppkey) partitioning, so the exchange is planned once; the
+    // order key is made unique (orderkey, linenumber) so the RANGE
+    // cumulative frame equals ROWS on both engines. Groups (suppliers)
+    // grow with the data — no fixed-cardinality partition funnel.
+    "q153_weighted_median" -> { (s, dir) =>
+      val byPrice = Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      val bySupp = Window.partitionBy("l_suppkey")
+      T.load(s, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_quantity",
+          "l_orderkey", "l_linenumber")
+        .withColumn("cumw", F.sum("l_quantity").over(byPrice))
+        .withColumn("totw", F.sum("l_quantity").over(bySupp))
+        .filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.min("l_extendedprice"), 2).as("wmedian"),
+          F.round(F.min("totw"), 2).as("total_weight"))
+    },
+
+    // Benford first-digit profile of order totals per priority class —
+    // the bulk-data fraud/corruption diagnostic. The leading digit is
+    // derived through INTEGER cents and a string length, never
+    // log10(value) (whose 1-ulp libm differences at exact powers of 10
+    // would diverge across engines). One partial-agg'd shuffle on
+    // (priority, digit) + a broadcast 1-row-per-priority total.
+    "q154_benford" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .withColumn("c",
+          F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .withColumn("d", F.floor(F.col("c")
+          / F.pow(F.lit(10.0),
+            F.length(F.col("c").cast("string")) - 1)).cast("int"))
+      val counts = o.groupBy("o_orderpriority", "d")
+        .agg(F.count(F.lit(1)).as("n"))
+      val tot = counts.groupBy("o_orderpriority")
+        .agg(F.sum("n").as("nt"))
+      counts.join(F.broadcast(tot), "o_orderpriority")
+        .select(F.col("o_orderpriority"), F.col("d"), F.col("n"),
+          F.round(F.col("n") / F.col("nt"), 6).as("freq"),
+          F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
+            .as("benford"))
     }
   )
 
@@ -855,6 +938,45 @@ object AnalyticsQueries {
                  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
          SELECT node, round(pr * n, 6) AS pr_scaled
          FROM p3 CROSS JOIN nn
-         WHERE node LIKE 's%'"""
+         WHERE node LIKE 's%'""",
+    "q151_new_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+          f AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY 1)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new,
+                CAST(count(*)
+                  - sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_returning
+         FROM du JOIN f USING (user_id)
+         GROUP BY 1""",
+    "q153_weighted_median" ->
+      """WITH w AS (SELECT l_suppkey, l_extendedprice, l_quantity,
+                sum(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                  AS cumw,
+                sum(l_quantity) OVER (PARTITION BY l_suppkey) AS totw
+              FROM lineitem)
+         SELECT l_suppkey, round(min(l_extendedprice), 2) AS wmedian,
+                round(min(totw), 2) AS total_weight
+         FROM w WHERE cumw >= totw / 2
+         GROUP BY 1""",
+    "q154_benford" ->
+      """WITH o AS (SELECT o_orderpriority,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+              FROM orders WHERE o_totalprice > 0),
+          d AS (SELECT o_orderpriority,
+                CAST(floor(c / pow(10, length(CAST(c AS VARCHAR)) - 1))
+                  AS INT) AS d
+              FROM o),
+          counts AS (SELECT o_orderpriority, d, count(*) AS n
+                     FROM d GROUP BY 1, 2),
+          tot AS (SELECT o_orderpriority, sum(n) AS nt
+                  FROM counts GROUP BY 1)
+         SELECT o_orderpriority, d, CAST(n AS BIGINT) AS n,
+                round(n / nt, 6) AS freq,
+                round(log10(1.0 + 1.0 / d), 6) AS benford
+         FROM counts JOIN tot USING (o_orderpriority)"""
   )
 }

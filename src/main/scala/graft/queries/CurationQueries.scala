@@ -645,6 +645,29 @@ object CurationQueries {
           F.round(F.log(F.col("n_tok"))
             - F.col("__sclnc") / F.col("n_tok"), 6).as("entropy"),
           F.round(F.col("n_types") / F.col("n_tok"), 6).as("ttr"))
+    },
+
+    // Mutual information between two categorical metadata columns
+    // (lang × source) — the dataset-composition diagnostic: MI ≈ 0
+    // means language mix is uniform across sources, high MI flags
+    // sources that are language silos (matters for mixture design).
+    // MI = Σ (c/n)·ln(c·n / (c_lang·c_source)) over the contingency
+    // table: ONE shuffle on the (lang, source) cell key, then
+    // cell-count-sized margins broadcast back. Everything after the
+    // first groupBy is O(cells), independent of corpus size.
+    "q152_mutual_info" -> { (s, dir) =>
+      val joint = T.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(F.count(F.lit(1)).as("c"))
+      val tot = joint.agg(F.sum("c").cast("double").as("n"))
+      val ml = joint.groupBy("lang").agg(F.sum("c").as("cl"))
+      val ms = joint.groupBy("source").agg(F.sum("c").as("cs"))
+      joint.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.count(F.lit(1)).as("n_cells"),
+          F.round(F.sum((F.col("c") / F.col("n"))
+            * F.log(F.col("c") * F.col("n")
+              / (F.col("cl") * F.col("cs")))), 6).as("mi"))
     }
   )
 
@@ -662,6 +685,16 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q152_mutual_info" ->
+      """WITH joint AS (SELECT lang, source, count(*) AS c
+                        FROM documents GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM joint),
+          ml AS (SELECT lang, sum(c) AS cl FROM joint GROUP BY 1),
+          ms AS (SELECT source, sum(c) AS cs FROM joint GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                round(sum((c / n) * ln(c * n / (cl * cs))), 6) AS mi
+         FROM joint JOIN ml USING (lang) JOIN ms USING (source)
+              CROSS JOIN tot""",
     "q114_ngram_lm" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
                     WHERE length(text) >= 3),
