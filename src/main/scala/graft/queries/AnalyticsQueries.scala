@@ -518,65 +518,28 @@ object AnalyticsQueries {
     // cluster would bucket by src. Emitted as N·PR (scale-free),
     // suppliers only, rounded.
     "q150_pagerank" -> { (s, dir) =>
-      val d = 0.85
-      // Node identity is the INTEGER pair (type, key) — 0=customer,
-      // 1=supplier — for every shuffle/join/distinct in the loop; the
-      // oracle's "c123"/"s7" string form is materialized only in the
-      // final projection. String keys measured ~2× on the hot edge
-      // distinct at sf0.1.
+      // Node identity is a single INTEGER id (2·custkey for customers,
+      // 2·suppkey+1 for suppliers) through every shuffle in the loop;
+      // the oracle's "c123"/"s7" string form materializes only in the
+      // final projection (string keys measured ~2× on the hot edge
+      // distinct at sf0.1). The distinct pair set checkpoints BEFORE
+      // fanning out into both union branches — un-checkpointed, the
+      // fact join + distinct re-executed 4× (8 s of q150's 17 s).
       val cs = T.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .join(T.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           F.col("l_orderkey") === F.col("o_orderkey"))
-        .select(F.col("o_custkey").as("ck"), F.col("l_suppkey").as("sk"))
-        .distinct()
-        // eager localCheckpoint (the CC/kmeans pattern) ON THE PAIR
-        // SET: cs fans out into four consumers (both union branches,
-        // then both again under deg) — un-checkpointed, the fact join
-        // + distinct re-executes 4× (measured: the weighted edge build
-        // alone was 8 s of q150's 17 s at sf0.1).
-        .localCheckpoint()
-      val edges = cs.select(F.lit(0).as("src_t"), F.col("ck").as("src_k"),
-          F.lit(1).as("dst_t"), F.col("sk").as("dst_k"))
-        .unionAll(
-          cs.select(F.lit(1).as("src_t"), F.col("sk").as("src_k"),
-            F.lit(0).as("dst_t"), F.col("ck").as("dst_k")))
-      val deg = edges.groupBy("src_t", "src_k")
-        .agg(F.count(F.lit(1)).as("deg"))
-      // deg baked onto edges once → each iteration is exactly one join
-      // + one groupBy over O(edges) rows; checkpointed so iterations
-      // start from materialized blocks, not the join lineage.
-      val wedges = edges.join(deg, Seq("src_t", "src_k"))
-        .localCheckpoint()
-      // nodes checkpoints too — every iteration's left join re-reads
-      // it. N is ONE driver-side scalar off the checkpointed nodes —
-      // the same bounded-state exception as CC's convergence count;
-      // everything per-row stays distributed.
-      val nodes = wedges
-        .select(F.col("src_t").as("t"), F.col("src_k").as("k"))
+        .select((F.col("o_custkey") * 2).as("c"),
+          (F.col("l_suppkey") * 2 + 1).as("sv"))
         .distinct()
         .localCheckpoint()
-      val n = nodes.count().toDouble
-      var pr = nodes.select(F.col("t"), F.col("k"),
-        (F.lit(1.0) / F.lit(n)).as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = wedges
-          .join(pr, F.col("src_t") === F.col("t")
-            && F.col("src_k") === F.col("k"))
-          .select(F.col("dst_t"), F.col("dst_k"),
-            (F.col("pr") / F.col("deg")).as("w"))
-          .groupBy("dst_t", "dst_k").agg(F.sum("w").as("inflow"))
-        pr = nodes
-          .join(contrib, F.col("t") === F.col("dst_t")
-            && F.col("k") === F.col("dst_k"), "left_outer")
-          .select(F.col("t"), F.col("k"),
-            ((F.lit(1.0) - d) / F.lit(n)
-              + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0)))
-              .as("pr"))
-          .localCheckpoint()
-      }
-      pr.filter(F.col("t") === 1)
-        .select(F.concat(F.lit("s"), F.col("k")).as("node"),
+      val edges = cs.select(F.col("c").as("src"), F.col("sv").as("dst"))
+        .unionAll(cs.select(F.col("sv").as("src"), F.col("c").as("dst")))
+      val pr = graft.ops.Graph.pageRank(edges, iters = 3, damping = 0.85)
+      val n = pr.count().toDouble // checkpointed O(|V|) frame — cheap
+      pr.filter(F.col("node") % 2 === 1)
+        .select(
+          F.concat(F.lit("s"), F.expr("(node - 1) div 2")).as("node"),
           F.round(F.col("pr") * F.lit(n), 6).as("pr_scaled"))
     },
 

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.ops.Graph
+
+/** Equivalence/property tests for the analytics-family operators
+  * (decorrelated TPC-H shapes, engagement curves, weighted quantiles,
+  * PageRank) — each checked against an independent formulation, the
+  * reference's cross-implementation-agreement test style.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches dense driver-side iteration on a hand graph") {
+    // undirected star 1—2, 1—3, 1—4 plus chain 4—5 (both directions)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // dense reference computation
+    val nodes = (1L to 5L).toSeq
+    val n = nodes.size
+    val out = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var pr = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val inflow = nodes.map { v =>
+        v -> nodes.filter(u => out(u).contains(v))
+          .map(u => pr(u) / out(u).size).sum
+      }.toMap
+      pr = nodes.map(v => v -> (0.15 / n + 0.85 * inflow(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - pr(v)) < 1e-12,
+        s"node $v: got ${got(v)}, want ${pr(v)}")
+    }
+    // no dangling nodes → total mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank handles dangling nodes (rank received, none emitted)") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 1, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.15 / 2) < 1e-12)
+    assert(math.abs(got(2L) - (0.15 / 2 + 0.85 * 0.5)) < 1e-12)
+  }
+
+  test("q142 decorrelated late-supplier equals the EXISTS formulation") {
+    val dir = sf
+    val got = SparkEntry.queries("q142_late_supplier")(spark, dir)
+    T.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    T.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    // direct translation of TPC-H Q21's correlated EXISTS / NOT EXISTS
+    val want = spark.sql(
+      """WITH j AS (SELECT l_orderkey, l_suppkey,
+                      datediff(l_shipdate, o_orderdate) > 365 AS late
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    WHERE o_orderstatus = 'F')
+         SELECT l_suppkey, count(*) AS numwait
+         FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM j l1
+               WHERE late
+                 AND EXISTS (SELECT 1 FROM j l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM j l3
+                                 WHERE l3.l_orderkey = l1.l_orderkey
+                                   AND l3.l_suppkey <> l1.l_suppkey
+                                   AND l3.late))
+         GROUP BY 1""")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("q144 contribute-forward WAU equals naive per-day rescan") {
+    val dir = sf
+    val got = SparkEntry.queries("q144_stickiness")(spark, dir)
+      .select("day", "wau")
+    val du = T.load(spark, dir, "events")
+      .select(F.to_date(F.col("ts")).as("day"), F.col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    // naive: for each day, count distinct users over the trailing week
+    val want = days.as("d").join(du.as("a"),
+        F.col("a.day").between(F.date_sub(F.col("d.day"), 6),
+          F.col("d.day")))
+      .groupBy(F.col("d.day").as("day"))
+      .agg(F.countDistinct("user_id").as("wau"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("q153 weighted median equals driver-side brute force") {
+    val dir = sf
+    val got = SparkEntry.queries("q153_weighted_median")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = T.load(spark, dir, "lineitem")
+      .select("l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (supp, xs) =>
+      val sorted = xs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0.0
+      val med = sorted.find { x => cum += x._3; cum >= tot / 2 }.get._2
+      val want = BigDecimal(med)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(supp) - want) < 1e-9, s"supplier $supp")
+    }
+  }
+}
