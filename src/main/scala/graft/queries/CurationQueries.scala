@@ -668,6 +668,40 @@ object CurationQueries {
           F.round(F.sum((F.col("c") / F.col("n"))
             * F.log(F.col("c") * F.col("n")
               / (F.col("cl") * F.col("cs")))), 6).as("mi"))
+    },
+
+    // Boilerplate detection (header/footer/template scrubbing): a
+    // 5-gram shingle appearing in ≥ 30% of a source's documents is
+    // that source's boilerplate; each doc reports how much of it is
+    // template text. Shingling is scan-parallel (the q41/q54 kernel);
+    // the per-(source, shingle) doc-frequency shuffle carries distinct
+    // shingles only, and the per-source doc totals are a broadcast
+    // O(sources) relation. The boilerplate join key is (source,
+    // shingle) — the df table is corpus-frequency-bounded, never
+    // per-doc.
+    "q156_boilerplate" -> { (s, dir) =>
+      import graft.text.TextOps
+      val docs = T.load(s, dir, "documents")
+      val sh = docs.select(F.col("doc_id"), F.col("source"),
+        F.explode(F.expr(
+          TextOps.shinglesExpr(TextOps.tokensExpr("text"), 5)))
+          .as("sh"))
+      val nd = docs.groupBy("source")
+        .agg(F.count(F.lit(1)).as("n_docs"))
+      val dfreq = sh.groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).as("df"))
+      val boiler = dfreq.join(F.broadcast(nd), "source")
+        .filter(F.col("df") * F.lit(10) >= F.col("n_docs") * F.lit(3))
+        .select("source", "sh")
+      sh.join(boiler, Seq("source", "sh"), "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_boiler"))
+        .join(sh.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).as("n_shingles")), Seq("doc_id"),
+          "right_outer")
+        .select(F.col("doc_id"), F.col("n_shingles"),
+          F.coalesce(F.col("n_boiler"), F.lit(0L)).as("n_boiler"),
+          F.round(F.coalesce(F.col("n_boiler"), F.lit(0L))
+            / F.col("n_shingles"), 6).as("boiler_frac"))
     }
   )
 
@@ -685,6 +719,33 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q156_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS tk
+            FROM documents),
+          sh AS (SELECT DISTINCT doc_id, source,
+                   concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                     tk[i+4]) AS sh
+                 FROM (SELECT doc_id, source, tk,
+                         unnest(range(1, len(tk) - 3)) AS i
+                       FROM toks WHERE len(tk) >= 5)),
+          nd AS (SELECT source, count(*) AS n_docs
+                 FROM documents GROUP BY 1),
+          dfq AS (SELECT source, sh, count(*) AS df
+                  FROM sh GROUP BY 1, 2),
+          boiler AS (SELECT source, sh FROM dfq JOIN nd USING (source)
+                     WHERE df * 10 >= n_docs * 3),
+          per AS (SELECT s.doc_id, count(*) AS n_shingles,
+                    sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS n_boiler
+                  FROM sh s LEFT JOIN boiler b
+                    ON s.source = b.source AND s.sh = b.sh
+                  GROUP BY 1)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                CAST(n_boiler AS BIGINT) AS n_boiler,
+                round(n_boiler * 1.0 / n_shingles, 6) AS boiler_frac
+         FROM per""",
     "q152_mutual_info" ->
       """WITH joint AS (SELECT lang, source, count(*) AS c
                         FROM documents GROUP BY 1, 2),

@@ -164,6 +164,34 @@ object StreamQueries {
         .select("user_id", "n_pairs", "sum_value")
     },
 
+    // Stream-stream LEFT OUTER interval join: q104's pairing plus the
+    // abandonment signal — clicks with NO purchase inside 12 h emit
+    // once the watermark closes their join window (right columns
+    // null). Unlike the inner join, the watermark here is part of the
+    // RESULT contract, not just a state bound: a click can only be
+    // declared unmatched once event time has provably passed its
+    // window, so this query pins a 1 h delay rather than the corpus-
+    // driven 60-day default (under which nothing would ever resolve
+    // on a bounded corpus). The oracle reproduces exactly that
+    // emission rule: pairs, plus clicks whose window end precedes the
+    // final watermark = min(max click ts, max purchase ts) − 1 h.
+    "q155_stream_outer_join" -> { (s, dir) =>
+      val ev = eventsStream(s, dir)
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val buys = ev.filter(F.col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val joined = DataStream.intervalJoin(
+        clicks, buys, "user_id", "ts",
+        bound = "12 hours", watermark = "1 hour", joinType = "left_outer")
+      runStateful(s, joined, uniq("outer_join"), mode = "append")
+        .groupBy(F.col("l_user_id").as("user_id"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.count(F.col("r_value")).as("n_pairs"),
+          F.round(F.sum(F.coalesce(F.col("r_value"), F.lit(0.0))), 2)
+            .as("sum_value"))
+    },
+
     // Stream-static dimension enrichment: the standing stream joins a
     // broadcast dim table (stateless — no join state, no watermark
     // needed on the static side), then a running per-segment rollup.
@@ -295,6 +323,35 @@ object StreamQueries {
            round(sum(r.value), 2) AS sum_value
          FROM l JOIN r ON l.user_id = r.user_id
            AND r.tus >= l.tus AND r.tus <= l.tus + 43200000000
+         GROUP BY 1""",
+    // pairs emit unconditionally; a click emits unmatched (value NULL)
+    // only once evicted — its 12 h window END strictly precedes the
+    // final watermark, where the watermark is min over both sides' max
+    // event time (ms-truncated, Spark's event-time stats unit) − 1 h
+    "q155_stream_outer_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                    FROM events WHERE event_type = 'click'),
+          r AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events
+                WHERE event_type = 'purchase'),
+          wm AS (SELECT least(
+                   (SELECT epoch_us(max(ts)) // 1000 FROM events
+                    WHERE event_type = 'click'),
+                   (SELECT epoch_us(max(ts)) // 1000 FROM events
+                    WHERE event_type = 'purchase')) - 3600000 AS wm_ms),
+          p AS (SELECT l.event_id, l.user_id, r.value
+                FROM l JOIN r ON l.user_id = r.user_id
+                  AND r.tus >= l.tus AND r.tus <= l.tus + 43200000000),
+          um AS (SELECT l.event_id, l.user_id,
+                   CAST(NULL AS DOUBLE) AS value
+                 FROM l CROSS JOIN wm
+                 WHERE l.tus + 43200000000 < wm_ms * 1000
+                   AND NOT EXISTS (SELECT 1 FROM p
+                                   WHERE p.event_id = l.event_id))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(value) AS BIGINT) AS n_pairs,
+                round(sum(coalesce(value, 0.0)), 2) AS sum_value
+         FROM (SELECT user_id, value FROM p
+               UNION ALL SELECT user_id, value FROM um)
          GROUP BY 1"""
   )
 }

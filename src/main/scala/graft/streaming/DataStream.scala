@@ -124,15 +124,19 @@ object DataStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, bound: String,
-                   watermark: String): DataFrame = {
+                   watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
       .select(left.columns.map(c => F.col(c).as(s"l_$c")): _*)
     val r = right.withWatermark(tsCol, watermark)
       .select(right.columns.map(c => F.col(c).as(s"r_$c")): _*)
+    // outer kinds: an unmatched left/right row is emitted (right/left
+    // columns null) once the watermark closes its join window —
+    // event-time-bounded state, late emission by construction.
     l.join(r, F.expr(
       s"""l_$keyCol = r_$keyCol AND
           r_$tsCol >= l_$tsCol AND
-          r_$tsCol <= l_$tsCol + INTERVAL $bound"""))
+          r_$tsCol <= l_$tsCol + INTERVAL $bound"""), joinType)
   }
 
   /** Probe the nth row (1-based, stream order) by iterating
