@@ -190,6 +190,64 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  /** All pairs with Jaccard >= tauNum/tauDen, computed EXACTLY via
+    * PREFIX FILTERING (the AllPairs/PPJoin family: Chaudhuri et al.
+    * ICDE'06, Bayardo et al. WWW'07). Same output contract as
+    * [[jaccardPairs]], different — and strictly better at scale —
+    * candidate generation:
+    *
+    * Every doc's shingles are ranked by GLOBAL RARITY (ascending df,
+    * hash tiebreak). For J(A,B) >= τ the intersection has >= ⌈τ·|A|⌉
+    * elements, so A's first p = |A| − ⌈τ·|A|⌉ + 1 rarest shingles must
+    * hit the intersection (pigeonhole on the suffix) — joining A's
+    * PREFIX against B's FULL posting list is therefore complete, with
+    * candidate volume Σ_t df_prefix(t)·df(t) instead of Σ_t df(t)²:
+    * stop-shingles survive only on the probe side, where the prefix
+    * side almost never carries them. The length filter
+    * min·den >= max·num prunes before pair normalization. Unlike
+    * `dfCap` this loses NOTHING — no one-sided undercount — which is
+    * why it is the default scale path for unblocked corpora.
+    *
+    * The threshold is a RATIONAL (num/den): prefix lengths need exact
+    * integer ceilings — ceil(0.8·10) through doubles is ceil(8.000…2)
+    * = 9, silently shortening the prefix below completeness.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, shCol: String,
+                         tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold $tauNum/$tauDen outside (0, 1]")
+    val base = docs.select(F.col(idCol).as("id"), F.col(shCol).as("sh"))
+      .withColumn("sz", F.size(F.col("sh")))
+      .filter(F.col("sz") > 0)
+    val ex = base.select(F.col("id"), F.col("sz"),
+        F.explode(F.col("sh")).as("shv"))
+      .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
+    val dfreq = ex.groupBy("shh").agg(F.count(F.lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "shh")
+      .withColumn("rn", F.row_number().over(
+        Window.partitionBy("id").orderBy("df", "shh")))
+    val prefix = ranked.filter(F.col("rn") <= F.col("sz")
+      - F.expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+    val cands = prefix
+      .select(F.col("id").as("ida"), F.col("sz").as("sza"), F.col("shh"))
+      .join(ex.select(F.col("id").as("idb"), F.col("sz").as("szb"),
+        F.col("shh")), "shh")
+      .filter(F.col("ida") =!= F.col("idb"))
+      .filter(F.least(F.col("sza"), F.col("szb")) * tauDen >=
+        F.greatest(F.col("sza"), F.col("szb")) * tauNum)
+      .select(F.least(F.col("ida"), F.col("idb")).as("id1"),
+        F.greatest(F.col("ida"), F.col("idb")).as("id2"))
+      .distinct()
+    val a = base.select(F.col("id").as("id1"), F.col("sh").as("sh1"))
+    val b = base.select(F.col("id").as("id2"), F.col("sh").as("sh2"))
+    cands.join(a, "id1").join(b, "id2")
+      .withColumn("jac", F.round(
+        F.expr("""size(array_intersect(sh1, sh2)) /
+                  cast(size(array_union(sh1, sh2)) as double)"""), 3))
+      .filter(F.col("jac") >= F.lit(tauNum.toDouble / tauDen))
+      .select("id1", "id2", "jac")
+  }
+
   // ---- Connected components (pair graph → dup clusters) --------------
 
   /** Connected components over an undirected pair graph — dedup ships

@@ -151,6 +151,17 @@ object PipelineQueries {
       Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, blockCols = Seq("lang"))
     },
 
+    // Exact n-gram Jaccard >= 0.5, UNBLOCKED, via prefix filtering
+    // (AllPairs/PPJoin): q43's semantics without the lang blocking and
+    // without dfCap's one-sided undercount — rarity-ordered prefixes
+    // keep stop-shingles off the index side entirely. Same DuckDB
+    // all-pairs oracle family as q43.
+    "q157_prefix_jaccard" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", 1, 2)
+    },
+
     // Embedding-cosine near-dup pairs within label blocks.
     "q44_embed_neardup" -> { (s, dir) =>
       Knn.embeddingNearDups(T.load(s, dir, "embeddings"),
@@ -534,6 +545,7 @@ object PipelineQueries {
               ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
           SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
+    "q157_prefix_jaccard" -> duckJaccardPairs(0.5, sameLang = false),
     "q44_embed_neardup" ->
       """SELECT id1, id2, sim FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -97,6 +97,34 @@ class PipelineSpec extends SparkSpec {
       val w = r.getAs[Int]("width"); w >= 64 && w < 576 })
   }
 
+  test("prefix-filtered Jaccard join equals the full inverted index") {
+    // completeness (no false negatives from the prefix) + precision
+    // (exact verify) == bit-identical pair sets, at two thresholds
+    for ((num, den) <- Seq((1, 2), (4, 5))) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "sh",
+        num.toDouble / den)
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", num, den)
+      assert(pref.exceptAll(full).isEmpty && full.exceptAll(pref).isEmpty,
+        s"mismatch at tau=$num/$den")
+    }
+  }
+
+  test("prefix Jaccard finds planted near-identical pairs") {
+    import spark.implicits._
+    // doc 101 = doc 100 with one word changed; doc 102 unrelated
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val alt = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (31 to 60).map(i => s"tok$i").mkString(" ")
+    val planted = Seq((100L, base), (101L, alt), (102L, other))
+      .toDF("doc_id", "text")
+      .withColumn("sh",
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 3))
+    val got = Dedup.jaccardPairsPrefix(planted, "doc_id", "sh", 1, 2)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((100L, 101L)))
+  }
+
   test("jaccardPairs df-cap above observed max df is a no-op") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
       blockCols = Seq("lang"))
