@@ -670,6 +670,38 @@ object CurationQueries {
               / (F.col("cl") * F.col("cs")))), 6).as("mi"))
     },
 
+    // Quantile normalization across sources (the batch-effect
+    // correction genomics calls quantile normalization; for corpora:
+    // map every source's length distribution onto the GLOBAL one so
+    // downstream length-keyed logic treats sources uniformly). Per-doc
+    // source-local percent_rank (one partitioned window) is
+    // re-expressed as the global distribution's interpolated quantile
+    // at that rank: the global sorted positions come from
+    // globalRowNumber (range-partitioned sort — never a single-task
+    // window), and the interpolation endpoints arrive by TWO keyed
+    // joins against the rank relation, not a per-doc array broadcast.
+    "q158_quantile_norm" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+      val ranked = RelOps.globalRowNumber(docs, "grn",
+        Seq(Ordering("n_chars"), Ordering("doc_id")))
+        .select(F.col("grn"), F.col("n_chars").as("v"))
+      val nTot = docs.agg(F.count(F.lit(1)).as("n"))
+      val pr = docs.withColumn("r", F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars")))
+      val x = pr.crossJoin(F.broadcast(nTot))
+        .withColumn("pos", F.col("r") * (F.col("n") - 1))
+        .withColumn("k", F.floor(F.col("pos")).cast("long"))
+      x.join(ranked, x("k") + 1 === ranked("grn"))
+        .withColumnRenamed("v", "v1").drop("grn")
+        .join(ranked, x("k") + 2 === ranked("grn"), "left_outer")
+        .withColumnRenamed("v", "v2").drop("grn")
+        .select(F.col("doc_id"), F.col("n_chars"),
+          F.round(F.col("v1") + (F.col("pos") - F.col("k"))
+            * (F.coalesce(F.col("v2"), F.col("v1")) - F.col("v1")), 4)
+            .as("qnorm"))
+    },
+
     // Boilerplate detection (header/footer/template scrubbing): a
     // 5-gram shingle appearing in ≥ 30% of a source's documents is
     // that source's boilerplate; each doc reports how much of it is
@@ -719,6 +751,24 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q158_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+          nt AS (SELECT count(*) AS n FROM d),
+          g AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS grn
+                FROM d),
+          pr AS (SELECT doc_id, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                     ORDER BY n_chars) AS r
+                 FROM d),
+          x AS (SELECT doc_id, n_chars, r * (n - 1) AS pos,
+                  CAST(floor(r * (n - 1)) AS BIGINT) AS k
+                FROM pr CROSS JOIN nt)
+         SELECT x.doc_id AS doc_id, x.n_chars AS n_chars,
+                round(v1.v + (x.pos - x.k)
+                  * (coalesce(v2.v, v1.v) - v1.v), 4) AS qnorm
+         FROM x JOIN g v1 ON v1.grn = x.k + 1
+                LEFT JOIN g v2 ON v2.grn = x.k + 2""",
     "q156_boilerplate" ->
       """WITH toks AS (SELECT doc_id, source,
               list_filter(string_split_regex(lower(text),

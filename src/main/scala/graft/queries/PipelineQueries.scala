@@ -151,6 +151,32 @@ object PipelineQueries {
       Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, blockCols = Seq("lang"))
     },
 
+    // MinHash estimator accuracy gate: on every verified near-dup pair,
+    // the 64-hash signature agreement fraction must sit within 0.25 of
+    // the exact Jaccard (4σ for k=64; σ = √(J(1−J)/64) ≤ 0.0625). The
+    // q118/q131 gate pattern: the sketch quantity itself is
+    // hash-family-dependent (not oracle-expressible), so the oracle
+    // emits the exact pairs + literal TRUE and the hash check proves
+    // the gate held. This is the estimator a 100 TB dedup TRUSTS when
+    // it skips exact verification on low-stakes tiers.
+    "q159_minhash_estimate" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh")
+      val s1 = sigs.toDF(sigs.columns.map(c =>
+        if (c == "doc_id") "id1" else s"a_$c"): _*)
+      val s2 = sigs.toDF(sigs.columns.map(c =>
+        if (c == "doc_id") "id2" else s"b_$c"): _*)
+      val agree = (0 until Dedup.NumHashes).map(i =>
+        F.when(F.col(s"a_mh_$i") === F.col(s"b_mh_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("est", agree / F.lit(Dedup.NumHashes.toDouble))
+        .select(F.col("id1"), F.col("id2"), F.col("jac"),
+          (F.abs(F.col("est") - F.col("jac")) <= 0.25).as("est_ok"))
+    },
+
     // Exact n-gram Jaccard >= 0.5, UNBLOCKED, via prefix filtering
     // (AllPairs/PPJoin): q43's semantics without the lang blocking and
     // without dfCap's one-sided undercount — rarity-ordered prefixes
@@ -546,6 +572,19 @@ object PipelineQueries {
           SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q157_prefix_jaccard" -> duckJaccardPairs(0.5, sameLang = false),
+    "q159_minhash_estimate" -> s"""
+      WITH toks AS (
+        SELECT doc_id, $duckToks AS t FROM documents),
+      sh AS (
+        SELECT doc_id, $duckShingles3 AS s FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          round(len(list_intersect(a.s, b.s)) /
+            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE), 3) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id1, id2, jac, TRUE AS est_ok
+      FROM pairs WHERE jac >= $NearDupJ""",
     "q44_embed_neardup" ->
       """SELECT id1, id2, sim FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
