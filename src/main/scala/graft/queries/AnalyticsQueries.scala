@@ -606,6 +606,59 @@ object AnalyticsQueries {
           F.round(F.col("n") / F.col("nt"), 6).as("freq"),
           F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
             .as("benford"))
+    },
+
+    // Burst detection (bot/abuse screening): users whose trailing-hour
+    // event count ever hits 3 — one RANGE-frame window on integer
+    // epoch seconds per user, then a per-user rollup. The frame is
+    // time-bounded, so window state is O(events-in-hour) regardless of
+    // stream length.
+    "q160_burst_detect" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3600, 0)
+      T.load(s, dir, "events")
+        .select(F.col("user_id"), F.unix_timestamp(F.col("ts")).as("sec"))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").as("max_rate"),
+          F.sum(F.when(F.col("c") >= 3, 1).otherwise(0)).as("n_bursts"))
+        .filter(F.col("n_bursts") >= 1)
+    },
+
+    // Poisson-bootstrap confidence interval for the per-type mean
+    // event value (Chamandy et al., "Estimating Uncertainty for
+    // Massive Data Streams" — the bootstrap that works in ONE pass
+    // over distributed data: replica weights are iid Poisson(1), so no
+    // replica ever needs a global resample). Weights are DETERMINISTIC
+    // from integer arithmetic on (event_id, replica) — both engines
+    // compute the identical lattice, so the oracle reproduces the CI
+    // bit-for-bit. 32 replicas → a flat 32× explode into a partial-
+    // agg'd (type, replica) groupBy; the percentile runs over 32
+    // replica means per type.
+    "q161_bootstrap_ci" -> { (s, dir) =>
+      val B = 32
+      // u in [0,1) from a 20-bit integer lattice; w = Poisson(1)
+      // inverse-CDF thresholds (cumulative e^{-1}·Σ 1/k!), capped at 5
+      val wExpr =
+        """CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+                WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+                WHEN u < 0.996340 THEN 4 ELSE 5 END"""
+      val rep = T.load(s, dir, "events")
+        .select(F.col("event_id"), F.col("event_type"), F.col("value"))
+        .withColumn("b", F.explode(F.expr(
+          s"sequence(0, ${B - 1})")))
+        .withColumn("u", F.expr(
+          "((event_id * 2654435761 + b * 40503) % 1048576) / 1048576.0"))
+        .withColumn("w", F.expr(wExpr))
+      val repMeans = rep.groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).as("m"))
+      val base = T.load(s, dir, "events").groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).as("mean_value"))
+      repMeans.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+          F.round(F.expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+        .join(base, "event_type")
+        .select("event_type", "mean_value", "ci_lo", "ci_hi")
     }
   )
 
@@ -940,6 +993,41 @@ object AnalyticsQueries {
          SELECT o_orderpriority, d, CAST(n AS BIGINT) AS n,
                 round(n / nt, 6) AS freq,
                 round(log10(1.0 + 1.0 / d), 6) AS benford
-         FROM counts JOIN tot USING (o_orderpriority)"""
+         FROM counts JOIN tot USING (o_orderpriority)""",
+    "q160_burst_detect" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events),
+          c AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+                  ORDER BY sec RANGE BETWEEN 3600 PRECEDING
+                  AND CURRENT ROW) AS c
+                FROM e)
+         SELECT user_id, CAST(max(c) AS BIGINT) AS max_rate,
+                CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bursts
+         FROM c GROUP BY 1
+         HAVING sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) >= 1""",
+    "q161_bootstrap_ci" ->
+      """WITH rep AS (SELECT event_type, b,
+                ((event_id * 2654435761 + b * 40503) % 1048576)
+                  / 1048576.0 AS u, value
+              FROM events CROSS JOIN
+                (SELECT unnest(range(0, 32)) AS b)),
+          w AS (SELECT event_type, b, value,
+                  CASE WHEN u < 0.367879 THEN 0
+                       WHEN u < 0.735759 THEN 1
+                       WHEN u < 0.919699 THEN 2
+                       WHEN u < 0.981012 THEN 3
+                       WHEN u < 0.996340 THEN 4 ELSE 5 END AS w
+                FROM rep),
+          m AS (SELECT event_type, b, sum(w * value) / sum(w) AS m
+                FROM w GROUP BY 1, 2),
+          base AS (SELECT event_type, round(avg(value), 4) AS mean_value
+                   FROM events GROUP BY 1)
+         SELECT event_type, mean_value,
+                round(quantile_cont(m, 0.025), 4) AS ci_lo,
+                round(quantile_cont(m, 0.975), 4) AS ci_hi
+         FROM m JOIN base USING (event_type)
+         GROUP BY 1, 2"""
   )
 }
