@@ -670,6 +670,42 @@ object CurationQueries {
               / (F.col("cl") * F.col("cs")))), 6).as("mi"))
     },
 
+    // Collocation extraction: corpus-level bigram PMI
+    // ln(p_xy / (p_x·p_y)) — the lexical-association score that
+    // separates multiword expressions from chance adjacency (tokenizer
+    // merge-rule mining, stop-phrase lists). Bigram pairs bind the
+    // token array ONCE (the shinglesExpr lambda trick — projection
+    // collapse would otherwise re-run the tokenizer per element);
+    // unigram/bigram totals are in-plan broadcast 1-row aggregates;
+    // count tables are vocabulary-bounded, corpus-size-independent
+    // after their partial-agg'd groupBys.
+    "q162_bigram_pmi" -> { (s, dir) =>
+      val bigramsExpr =
+        s"""element_at(transform(array(${TextOps.tokensExpr("text")}),
+              t -> transform(sequence(0, size(t) - 2),
+                i -> struct(element_at(t, i + 1) AS x,
+                            element_at(t, i + 2) AS y))), 1)"""
+      val docs = T.load(s, dir, "documents")
+      val uni = docs.select(F.explode(TextOps.tokens("text")).as("x"))
+        .groupBy("x").agg(F.count(F.lit(1)).as("cx"))
+      val n1 = uni.agg(F.sum("cx").cast("double").as("n1"))
+      val big = docs
+        .filter(F.size(TextOps.tokens("text")) >= 2)
+        .select(F.explode(F.expr(bigramsExpr)).as("p"))
+        .select(F.col("p.x").as("x"), F.col("p.y").as("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).as("cxy"))
+      val n2 = big.agg(F.sum("cxy").cast("double").as("n2"))
+      big.filter(F.col("cxy") >= 5)
+        .join(uni, "x")
+        .join(uni.toDF("y", "cy"), "y")
+        .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .select(F.col("x"), F.col("y"), F.col("cxy"),
+          F.round(F.log(F.col("cxy") * F.col("n1") * F.col("n1")
+            / (F.col("n2") * F.col("cx") * F.col("cy"))), 6).as("pmi"))
+        .topK(20, Ordering("pmi", desc = true), Ordering("x"),
+          Ordering("y"))
+    },
+
     // Quantile normalization across sources (the batch-effect
     // correction genomics calls quantile normalization; for corpora:
     // map every source's length distribution onto the GLOBAL one so
@@ -751,6 +787,29 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q162_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), x -> x <> '') AS tk
+            FROM documents),
+          uni AS (SELECT x, count(*) AS cx FROM
+                    (SELECT unnest(tk) AS x FROM toks) GROUP BY 1),
+          n1 AS (SELECT CAST(sum(cx) AS DOUBLE) AS n1 FROM uni),
+          big AS (SELECT x, y, count(*) AS cxy FROM
+                    (SELECT tk[i] AS x, tk[i + 1] AS y
+                     FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                           FROM toks WHERE len(tk) >= 2))
+                  GROUP BY 1, 2),
+          n2 AS (SELECT CAST(sum(cxy) AS DOUBLE) AS n2 FROM big)
+         SELECT b.x AS x, b.y AS y, b.cxy AS cxy,
+                round(ln(b.cxy * n1 * n1 / (n2 * ux.cx * uy.cy)), 6)
+                  AS pmi
+         FROM big b
+              JOIN uni ux ON b.x = ux.x
+              JOIN (SELECT x AS y, cx AS cy FROM uni) uy ON b.y = uy.y
+              CROSS JOIN n1 CROSS JOIN n2
+         WHERE b.cxy >= 5
+         ORDER BY pmi DESC, x, y LIMIT 20""",
     "q158_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
           nt AS (SELECT count(*) AS n FROM d),

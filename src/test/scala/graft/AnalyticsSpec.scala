@@ -89,6 +89,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("q139 two-level aggregation equals the correlated-left-join SQL") {
+    val dir = sf
+    val got = SparkEntry.queries("q139_cust_orders_dist")(spark, dir)
+    T.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    T.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    val want = spark.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey,
+             (SELECT count(*) FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority <> '1-URGENT') AS c_count
+           FROM customer)
+         GROUP BY 1""")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("q140 decorrelated threshold join equals the scalar-subquery SQL") {
+    val dir = sf
+    val got = SparkEntry.queries("q140_small_qty_rev")(spark, dir)
+    T.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    T.load(spark, dir, "part").createOrReplaceTempView("part")
+    val want = spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#7'
+           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = lineitem.l_partkey)""")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("q153 weighted median equals driver-side brute force") {
     val dir = sf
     val got = SparkEntry.queries("q153_weighted_median")(spark, dir)
