@@ -659,6 +659,22 @@ object AnalyticsQueries {
           F.round(F.expr("percentile(m, 0.975)"), 4).as("ci_hi"))
         .join(base, "event_type")
         .select("event_type", "mean_value", "ci_lo", "ci_hi")
+    },
+
+    // Hopping (sliding) windows: 1 h windows advancing every 15 min —
+    // Catalyst's native `window()` table function (each event expands
+    // into its 4 covering windows map-side; q61's tumbling window is
+    // the slide==width special case). The 4× row expansion happens
+    // inside the scan stage and partial-aggregates before the ONE
+    // (window, type) shuffle.
+    "q164_hopping_window" -> { (s, dir) =>
+      T.load(s, dir, "events")
+        .groupBy(F.window(F.col("ts"), "1 hour", "15 minutes").as("w"),
+          F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("value"), 2).as("total"))
+        .select(F.unix_timestamp(F.col("w.start")).as("ws"),
+          F.col("event_type"), F.col("n"), F.col("total"))
     }
   )
 
@@ -1028,6 +1044,17 @@ object AnalyticsQueries {
                 round(quantile_cont(m, 0.025), 4) AS ci_lo,
                 round(quantile_cont(m, 0.975), 4) AS ci_hi
          FROM m JOIN base USING (event_type)
+         GROUP BY 1, 2""",
+    // every event covers exactly the 4 slide-aligned windows ending
+    // after it: start = floor(sec/900)·900 − j·900, j ∈ 0..3
+    "q164_hopping_window" ->
+      """SELECT ws, event_type, count(*) AS n,
+                round(sum(value), 2) AS total
+         FROM (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
+                        - j * 900 AS ws,
+                      event_type, value
+               FROM events CROSS JOIN
+                 (SELECT unnest(range(0, 4)) AS j))
          GROUP BY 1, 2"""
   )
 }

@@ -670,6 +670,52 @@ object CurationQueries {
               / (F.col("cl") * F.col("cs")))), 6).as("mi"))
     },
 
+    // SCD2 dimension merge (slowly-changing-dimension type 2): fold a
+    // new corpus snapshot into a versioned history — unchanged rows
+    // stay open, changed content closes the old version and opens a
+    // new one, removals close, additions open. q120's diff machinery
+    // (content hashes map-side, the full-outer join shuffles (id,
+    // hash) only) extended to EMIT the versioned rows: the CASE
+    // builds each doc's 1-2 history rows as an array of structs, so
+    // the whole merge is one keyed join + a scan-parallel explode —
+    // the incremental-ingest pattern for a 100 TB dimension update.
+    "q163_scd2" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val a = docs.select(F.col("doc_id"), F.md5(F.col("text")).as("h_old"))
+      val mx = docs.agg((F.max("doc_id") + 1L).as("__off"))
+      val b = docs.filter(F.expr("doc_id % 31 != 0"))
+        .select(F.col("doc_id"), F.md5(
+          F.when(F.expr("doc_id % 17 = 0"),
+            F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))).as("h_new"))
+        .unionByName(docs.filter(F.expr("doc_id % 13 = 0"))
+          .crossJoin(F.broadcast(mx))
+          .select((F.col("doc_id") + F.col("__off")).as("doc_id"),
+            F.md5(F.concat(F.lit("new "), F.col("text"))).as("h_new")))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(F.col("doc_id"), F.explode(F.expr(
+          """CASE
+               WHEN h_old IS NULL THEN array(
+                 struct(h_new AS h, 2 AS valid_from,
+                        CAST(NULL AS INT) AS valid_to, true AS is_current))
+               WHEN h_new IS NULL THEN array(
+                 struct(h_old AS h, 1 AS valid_from,
+                        2 AS valid_to, false AS is_current))
+               WHEN h_old = h_new THEN array(
+                 struct(h_old AS h, 1 AS valid_from,
+                        CAST(NULL AS INT) AS valid_to, true AS is_current))
+               ELSE array(
+                 struct(h_old AS h, 1 AS valid_from,
+                        2 AS valid_to, false AS is_current),
+                 struct(h_new AS h, 2 AS valid_from,
+                        CAST(NULL AS INT) AS valid_to, true AS is_current))
+             END""")).as("r"))
+        .select(F.col("doc_id"), F.col("r.h").as("h"),
+          F.col("r.valid_from").as("valid_from"),
+          F.col("r.valid_to").as("valid_to"),
+          F.col("r.is_current").as("is_current"))
+    },
+
     // Collocation extraction: corpus-level bigram PMI
     // ln(p_xy / (p_x·p_y)) — the lexical-association score that
     // separates multiword expressions from chance adjacency (tokenizer
@@ -787,6 +833,36 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q163_scd2" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+          mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+          b AS (SELECT doc_id,
+                  md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                           ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 31 != 0
+                UNION ALL
+                SELECT doc_id + off AS doc_id,
+                  md5('new ' || text) AS h_new
+                FROM documents CROSS JOIN mx WHERE doc_id % 13 = 0),
+          j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  h_old, h_new
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT doc_id, h_new AS h, 2 AS valid_from,
+                CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+         FROM j WHERE h_old IS NULL
+         UNION ALL
+         SELECT doc_id, h_old, 1, 2, FALSE FROM j WHERE h_new IS NULL
+         UNION ALL
+         SELECT doc_id, h_old, 1, CAST(NULL AS INT), TRUE
+         FROM j WHERE h_old = h_new
+         UNION ALL
+         SELECT doc_id, h_old, 1, 2, FALSE
+         FROM j WHERE h_old IS NOT NULL AND h_new IS NOT NULL
+           AND h_old <> h_new
+         UNION ALL
+         SELECT doc_id, h_new, 2, CAST(NULL AS INT), TRUE
+         FROM j WHERE h_old IS NOT NULL AND h_new IS NOT NULL
+           AND h_old <> h_new""",
     "q162_bigram_pmi" ->
       """WITH toks AS (SELECT doc_id,
               list_filter(string_split_regex(lower(text),
