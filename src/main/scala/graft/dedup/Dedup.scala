@@ -197,20 +197,28 @@ object Dedup {
     * candidate generation:
     *
     * Every doc's shingles are ranked by GLOBAL RARITY (ascending df,
-    * hash tiebreak). For J(A,B) >= τ the intersection has >= ⌈τ·|A|⌉
-    * elements, so A's first p = |A| − ⌈τ·|A|⌉ + 1 rarest shingles must
-    * hit the intersection (pigeonhole on the suffix) — joining A's
-    * PREFIX against B's FULL posting list is therefore complete, with
-    * candidate volume Σ_t df_prefix(t)·df(t) instead of Σ_t df(t)²:
-    * stop-shingles survive only on the probe side, where the prefix
-    * side almost never carries them. The length filter
-    * min·den >= max·num prunes before pair normalization. Unlike
+    * hash tiebreak). For J(A,B) >= τ the intersection has o >=
+    * ⌈τ·max(|A|,|B|)⌉ elements; take t = the FIRST common shingle in
+    * the global order. All o common shingles sit at t's rank or later
+    * in BOTH docs, so rank(t in A) <= |A| − o + 1 <= |A| − ⌈τ·|A|⌉ + 1
+    * = p_A (and symmetrically for B): every qualifying pair collides
+    * inside the two PREFIXES, and the candidate join is prefix ×
+    * prefix — Σ_t df_prefix(t)² volume, with stop-shingles (large df,
+    * so far beyond any prefix) never entering the index at all. Two
+    * further prunes run inside the join: the length filter
+    * min·den >= max·num, and PPJoin's positional filter — at the
+    * colliding ranks (i, j) the overlap can be at most
+    * min(|A|−i, |B|−j)+1, which must reach the pair's overlap bound
+    * ⌈τ/(1+τ)·(|A|+|B|)⌉ (valid for t = the first common shingle,
+    * where it prunes nothing real; it only kills collisions that
+    * cannot be a first common shingle of a qualifying pair). Unlike
     * `dfCap` this loses NOTHING — no one-sided undercount — which is
     * why it is the default scale path for unblocked corpora.
     *
-    * The threshold is a RATIONAL (num/den): prefix lengths need exact
-    * integer ceilings — ceil(0.8·10) through doubles is ceil(8.000…2)
-    * = 9, silently shortening the prefix below completeness.
+    * The threshold is a RATIONAL (num/den): prefix lengths and overlap
+    * bounds need exact integer ceilings — ceil(0.8·10) through doubles
+    * is ceil(8.000…2) = 9, silently shortening the prefix below
+    * completeness.
     */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, shCol: String,
                          tauNum: Int, tauDen: Int): DataFrame = {
@@ -229,14 +237,21 @@ object Dedup {
     val prefix = ranked.filter(F.col("rn") <= F.col("sz")
       - F.expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
     val cands = prefix
-      .select(F.col("id").as("ida"), F.col("sz").as("sza"), F.col("shh"))
-      .join(ex.select(F.col("id").as("idb"), F.col("sz").as("szb"),
-        F.col("shh")), "shh")
-      .filter(F.col("ida") =!= F.col("idb"))
+      .select(F.col("id").as("ida"), F.col("sz").as("sza"),
+        F.col("rn").as("rna"), F.col("shh"))
+      .join(prefix.select(F.col("id").as("idb"), F.col("sz").as("szb"),
+        F.col("rn").as("rnb"), F.col("shh")), "shh")
+      .filter(F.col("ida") < F.col("idb"))
       .filter(F.least(F.col("sza"), F.col("szb")) * tauDen >=
         F.greatest(F.col("sza"), F.col("szb")) * tauNum)
-      .select(F.least(F.col("ida"), F.col("idb")).as("id1"),
-        F.greatest(F.col("ida"), F.col("idb")).as("id2"))
+      // positional filter: remaining capacity at the colliding ranks
+      // must reach the pair overlap bound ⌈τ/(1+τ)·(szA+szB)⌉
+      .filter(
+        F.least(F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb"))
+          + 1 >=
+        F.expr(s"""(($tauNum * (sza + szb)) + ${tauNum + tauDen} - 1)
+                   div ${tauNum + tauDen}"""))
+      .select(F.col("ida").as("id1"), F.col("idb").as("id2"))
       .distinct()
     val a = base.select(F.col("id").as("id1"), F.col("sh").as("sh1"))
     val b = base.select(F.col("id").as("id2"), F.col("sh").as("sh2"))
