@@ -33,6 +33,35 @@ trait MediaKernel extends Serializable {
   def resize(r: MediaRecord, targetBytes: Int): MediaRecord
   /** One-to-many frame extraction: (frame_idx, frame_bytes, checksum). */
   def sampleFrames(r: MediaRecord, nFrames: Int): Seq[(Int, Int, Long)]
+
+  /** 64-bit perceptual fingerprint of the payload — the dedup key a
+    * real kernel derives from decoded content (aHash/pHash over
+    * pixels); the stub's analog is an average-hash over raw bytes:
+    * 64 stride buckets, bit k = bucket-k mean byte > global mean
+    * (integer cross-multiplied — no float in the fingerprint).
+    * Near-dup = small Hamming distance, so the banded-LSH machinery
+    * ([[graft.dedup.Dedup.simhashNearDupsBanded]]) applies unchanged.
+    */
+  def fingerprint(r: MediaRecord): Long = {
+    val bytes = r.payload
+    val n = bytes.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(i) & 0xff).toLong
+      sums(i % 64) += v; cnts(i % 64) += 1; tot += v
+      i += 1
+    }
+    var ph = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) * n > tot * cnts(k)) ph |= (1L << k)
+      k += 1
+    }
+    ph
+  }
 }
 
 /** Deterministic STUB kernel (default): derives pseudo-features from
@@ -117,6 +146,17 @@ object Multimodal {
       it.flatMap(r => kernel.sampleFrames(r, nFrames)
         .map { case (f, n, cs) => (r.doc_id, f, n, cs) })
     }.toDF("doc_id", "frame_idx", "frame_bytes", "checksum")
+  }
+
+  /** Per-record 64-bit perceptual fingerprints through the kernel
+    * boundary: (doc_id, phash). */
+  def fingerprints(media: Dataset[MediaRecord],
+                   kernel: MediaKernel = StubMediaKernel): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      kernel.init()
+      it.map(r => (r.doc_id, kernel.fingerprint(r)))
+    }.toDF("doc_id", "phash")
   }
 
   // Stub-named aliases kept for the registered queries (q48/q85/q86):

@@ -151,6 +151,23 @@ object PipelineQueries {
       Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5, blockCols = Seq("lang"))
     },
 
+    // Multimodal near-dup via perceptual fingerprint: the stub
+    // kernel's 64-bit byte-average hash stands in for a real
+    // image/audio pHash, and the SimHash banded-LSH machinery applies
+    // unchanged to it (hamming <= 3 = pigeonhole-complete with 4
+    // bands) — demonstrating that media dedup at 100 TB is the same
+    // banded plan as text dedup once the kernel emits a fingerprint.
+    // Hash-checked: the stub fingerprint is pure byte arithmetic, so
+    // the oracle rebuilds each doc's 64 bucket-bits from
+    // hex(encode(text)) and counts differing bits per pair.
+    "q166_phash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ph = Multimodal.fingerprints(
+        Multimodal.asMedia(T.load(s, dir, "documents")).as[MediaRecord])
+      Dedup.simhashNearDupsBanded(
+        ph.withColumnRenamed("phash", "simhash"), "doc_id", maxDist = 3)
+    },
+
     // MinHash estimator accuracy gate: on every verified near-dup pair,
     // the 64-hash signature agreement fraction must sit within 0.25 of
     // the exact Jaccard (4σ for k=64; σ = √(J(1−J)/64) ≤ 0.0625). The
@@ -572,6 +589,37 @@ object PipelineQueries {
           SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q157_prefix_jaccard" -> duckJaccardPairs(0.5, sameLang = false),
+    "q166_phash_dedup" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+                    FROM documents),
+          by AS (SELECT doc_id, i % 64 AS k,
+                   (16*(strpos('0123456789ABCDEF',
+                               substr(h, 2*i+1, 1))-1)
+                    + (strpos('0123456789ABCDEF',
+                              substr(h, 2*i+2, 1))-1))::BIGINT AS v
+                 FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS i
+                       FROM b)),
+          bk AS (SELECT doc_id, k, sum(v) AS sk, count(*) AS ck
+                 FROM by GROUP BY 1, 2),
+          tot AS (SELECT doc_id, sum(v) AS tv, count(*) AS tn
+                  FROM by GROUP BY 1),
+          grid AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM b),
+          bits AS (SELECT g.doc_id, g.k,
+                     CASE WHEN coalesce(bk.sk, 0) * tot.tn
+                            > tot.tv * coalesce(bk.ck, 0)
+                          THEN 1 ELSE 0 END AS bit
+                   FROM grid g
+                   JOIN tot ON g.doc_id = tot.doc_id
+                   LEFT JOIN bk ON g.doc_id = bk.doc_id AND g.k = bk.k),
+          ham AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+                    sum(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END)
+                      AS dist
+                  FROM bits a JOIN bits c
+                    ON a.k = c.k AND a.doc_id < c.doc_id
+                  GROUP BY 1, 2)
+         SELECT id1, id2, CAST(dist AS INT) AS dist
+         FROM ham WHERE dist <= 3""",
     "q159_minhash_estimate" -> s"""
       WITH toks AS (
         SELECT doc_id, $duckToks AS t FROM documents),

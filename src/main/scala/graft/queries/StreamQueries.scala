@@ -109,6 +109,30 @@ object StreamQueries {
       runStateful(s, win, uniq("stream_append"), mode = "append")
     },
 
+    // STREAMING session windows, append mode: q113's native Catalyst
+    // session_window on the standing stream, watermarked so merged
+    // sessions EMIT once event time provably passes their close (and
+    // their state is evicted — bounded memory on an unbounded stream).
+    // Second-truncated timestamps like q113, so the oracle's
+    // lag-based session reconstruction is exact; the emission rule is
+    // q125's: a session emits iff its window end (last event + gap)
+    // precedes the final watermark (max event-time ms − 1 h).
+    "q165_stream_sessions" -> { (s, dir) =>
+      val ev = eventsStream(s, dir)
+        .withColumn("ts_sec",
+          F.timestamp_seconds(F.unix_timestamp(F.col("ts"))))
+        .withWatermark("ts_sec", "1 hour")
+      val agg = ev.groupBy(F.col("user_id"),
+          F.session_window(F.col("ts_sec"), "1800 seconds").as("sw"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.round(F.sum("value"), 2).as("total"))
+        .select(F.col("user_id"),
+          F.unix_timestamp(F.col("sw.start")).as("session_start"),
+          (F.unix_timestamp(F.col("sw.end")) - 1800).as("session_end"),
+          F.col("n_events"), F.col("total"))
+      runStateful(s, agg, uniq("stream_sessions"), mode = "append")
+    },
+
     // Gap-based sessionization, batch path (30-minute gap); the
     // stateful-streaming twin (flatMapGroupsWithState) is exercised in
     // StreamSpec.
@@ -287,6 +311,37 @@ object StreamQueries {
          FROM events CROSS JOIN wm
          WHERE (floor(epoch(ts) / 3600) * 3600 + 3600) * 1000 <= wm_ms
          GROUP BY 1, 2, wm_ms""",
+    // q113's session reconstruction + q125's emission rule: sessions
+    // whose window end (last event second + 1800) precedes the final
+    // watermark (max second-truncated event time in ms − 1 h)
+    "q165_stream_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         wm AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) * 1000
+                  - 3600000 AS wm_ms
+                FROM events)
+         SELECT user_id,
+           min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total
+         FROM sess CROSS JOIN wm
+         GROUP BY user_id, sid, wm_ms
+         HAVING (max(CAST(floor(epoch(ts)) AS BIGINT)) + 1800) * 1000
+                < wm_ms""",
     // same session semantics as q71's oracle, aggregated to sessions
     "q113_session_window" ->
       """WITH flagged AS (
