@@ -670,6 +670,30 @@ object CurationQueries {
               / (F.col("cl") * F.col("cs")))), 6).as("mi"))
     },
 
+    // Dataset card: the one-row corpus profile every release ships
+    // with — size, diversity, length, token mass, exact-dup rate. All
+    // global aggregates run as partial-agg'd 1-row finals (the
+    // `scalar=` pattern: one partial row per map task over the wire);
+    // dup rate hashes text map-side so the distinct runs on 8-byte
+    // keys.
+    "q167_dataset_card" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val base = docs.agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.col("source")).as("n_sources"),
+        F.countDistinct(F.col("lang")).as("n_langs"),
+        F.round(F.avg("n_chars"), 2).as("mean_chars"),
+        F.countDistinct(F.md5(F.col("text"))).as("__uniq"))
+      val toks = docs
+        .select(F.size(TextOps.tokens("text")).cast("long").as("nt"))
+        .agg(F.sum("nt").as("total_tokens"))
+      base.crossJoin(F.broadcast(toks))
+        .select(F.col("n_docs"), F.col("n_sources"), F.col("n_langs"),
+          F.col("mean_chars"), F.col("total_tokens"),
+          F.round(F.lit(1.0) - F.col("__uniq") / F.col("n_docs"), 6)
+            .as("dup_frac"))
+    },
+
     // SCD2 dimension merge (slowly-changing-dimension type 2): fold a
     // new corpus snapshot into a versioned history — unchanged rows
     // stay open, changed content closes the old version and opens a
@@ -833,6 +857,18 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q167_dataset_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                round(avg(n_chars), 2) AS mean_chars,
+                (SELECT CAST(sum(len(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> ''))) AS BIGINT)
+                 FROM documents) AS total_tokens,
+                round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*),
+                      6) AS dup_frac
+         FROM documents""",
     "q163_scd2" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
           mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
