@@ -675,6 +675,268 @@ object AnalyticsQueries {
           F.round(F.sum("value"), 2).as("total"))
         .select(F.unix_timestamp(F.col("w.start")).as("ws"),
           F.col("event_type"), F.col("n"), F.col("total"))
+    },
+
+    // TPC-H Q6 shape: single-scan filter + one-row agg. The whole
+    // predicate (date range, discount band, quantity cap) reaches the
+    // parquet reader as PushedFilters — zero joins, zero wide shuffles,
+    // the canonical pushdown showcase.
+    "q168_forecast_revenue" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .filterExpr("""l_shipdate >= timestamp'1996-01-01'
+          and l_shipdate < timestamp'1997-01-01'
+          and l_discount between 0.05 and 0.07 and l_quantity < 24""")
+        // price (2dp) x discount (2dp) is exact at 4dp: sum in
+        // 1e-4 units as BIGINT (order-independent), divide once
+        .within("m4" ->
+          "cast(round(l_extendedprice * l_discount * 10000) as bigint)")
+        .agg((F.sum("m4") / 10000.0).as("revenue"))
+    },
+
+    // TPC-H Q2 shape: cheapest supplier per part. No partsupp table in
+    // this schema, so the supply relation is DERIVED from lineitem
+    // (min observed unit price per (part, supplier), rounded to cents
+    // so the min is bit-identical across engines). The correlated
+    // "cost = min cost over suppliers of this part" subquery
+    // decorrelates to one window-min over the derived relation —
+    // a single shuffle on p_partkey, dims broadcast.
+    "q169_min_cost_supp" -> { (s, dir) =>
+      val eligible = T.load(s, dir, "supplier")
+        .join(F.broadcast(T.load(s, dir, "nation")),
+          F.col("s_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(T.load(s, dir, "region")
+            .filterExpr("r_name = 'EUROPE'")),
+          F.col("n_regionkey") === F.col("r_regionkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"))
+      val ps = T.load(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.expr("l_extendedprice / l_quantity"), 2))
+          .as("cost"))
+      val p = T.load(s, dir, "part").filterExpr("p_size = 15")
+        .select("p_partkey")
+      val cand = ps
+        .join(F.broadcast(p), ps("l_partkey") === F.col("p_partkey"))
+        .join(F.broadcast(eligible),
+          ps("l_suppkey") === F.col("s_suppkey"))
+      val w = Window.partitionBy("p_partkey")
+      cand.withColumn("mn", F.min("cost").over(w))
+        .filter(F.col("cost") === F.col("mn"))
+        .select(F.col("p_partkey"), F.col("s_name"), F.col("cost"))
+    },
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer in
+    // one quarter, top 20. Facts shuffle once on custkey; customer and
+    // nation dims broadcast.
+    "q170_returned_items" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+        .filterExpr("""o_orderdate >= timestamp'1996-07-01'
+          and o_orderdate < timestamp'1996-10-01'""")
+      val l = T.load(s, dir, "lineitem").filterExpr("l_returnflag = 'R'")
+      val c = T.load(s, dir, "customer")
+      val n = T.load(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(F.broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .within("m4" -> // exact 1e-4-unit revenue (see q168)
+          "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
+        .by(Seq("c_custkey", "c_name", "n_name"), "m4" -> "sum(m4)")
+        .within("revenue" -> "m4 / 10000.0").without("m4")
+        .topK(20, Ordering("revenue", desc = true), Ordering("c_custkey"))
+    },
+
+    // TPC-H Q7 shape: bilateral trade volume between the nations of
+    // two regions (ASIA suppliers shipping to EUROPE customers) by
+    // ship year. Both nation+region dim stacks resolve as broadcasts
+    // with the region filter applied pre-broadcast; facts shuffle once
+    // on the 3-part group key.
+    "q171_volume_shipping" -> { (s, dir) =>
+      def natOf(region: String, nk: String, out: String) =
+        T.load(s, dir, "nation")
+          .join(F.broadcast(T.load(s, dir, "region")
+              .filterExpr(s"r_name = '$region'")),
+            F.col("n_regionkey") === F.col("r_regionkey"))
+          .select(F.col("n_nationkey").as(nk), F.col("n_name").as(out))
+      val n1 = natOf("ASIA", "snk", "supp_nation")
+      val n2 = natOf("EUROPE", "cnk", "cust_nation")
+      T.load(s, dir, "lineitem")
+        .join(T.load(s, dir, "orders"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(T.load(s, dir, "customer"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(T.load(s, dir, "supplier")),
+          F.col("l_suppkey") === F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") === F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") === F.col("cnk"))
+        .within("l_year" -> "year(l_shipdate)",
+          // integer cents: the summed volume is exact (order-independent),
+          // so the final /100.0 cannot land on a different cent per engine
+          "cents" ->
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .by(Seq("supp_nation", "cust_nation", "l_year"),
+          "vol_c" -> "sum(cents)")
+        .within("volume" -> "vol_c / 100.0")
+        .without("vol_c")
+    },
+
+    // TPC-H Q9 shape: profit per supplier nation and year for one part
+    // family. No partsupp cost column, so cost is proxied as 60% of
+    // retail price x quantity — the plan shape (fact ⋈ 2 broadcast
+    // dims, expression-heavy profit arithmetic inside the scan stage,
+    // one group-by shuffle) is the point.
+    "q172_product_profit" -> { (s, dir) =>
+      val p = T.load(s, dir, "part").filterExpr("p_name like '%widget%'")
+        .select("p_partkey", "p_retailprice")
+      val sn = T.load(s, dir, "supplier")
+        .join(F.broadcast(T.load(s, dir, "nation")),
+          F.col("s_nationkey") === F.col("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name"))
+      T.load(s, dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") === F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") === F.col("s_suppkey"))
+        // revenue is exact at 4dp; the cost proxy (0.6 x 2dp x int
+        // quantity) at 3dp — sum both in 1e-4 units as BIGINT so the
+        // profit difference is exact despite cancellation
+        .within("l_year" -> "year(l_shipdate)",
+          "m4" -> """cast(round(l_extendedprice * (1 - l_discount) * 10000)
+              as bigint)
+            - cast(round(0.6 * p_retailprice * l_quantity * 10000)
+              as bigint)""")
+        .by(Seq("n_name", "l_year"), "m4" -> "sum(m4)")
+        .within("profit" -> "m4 / 10000.0").without("m4")
+    },
+
+    // TPC-H Q11 shape: parts whose stock value (derived from lineitem
+    // of one nation's suppliers) exceeds 0.1% of the total — the
+    // scalar-subquery threshold decorrelates to a broadcast 1-row agg.
+    // All value arithmetic is integer CENTS (exact, order-independent
+    // sums) so the threshold comparison cannot flip between engines.
+    "q173_stock_value" -> { (s, dir) =>
+      val sn = T.load(s, dir, "supplier")
+        .join(F.broadcast(T.load(s, dir, "nation")
+            .filterExpr("n_name = 'NATION_3'")),
+          F.col("s_nationkey") === F.col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = T.load(s, dir, "lineitem")
+        .join(F.broadcast(sn), F.col("l_suppkey") === F.col("s_suppkey"))
+        .within("cents" ->
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .by(Seq("l_partkey"), "val_c" -> "sum(cents)")
+      vals.crossJoin(F.broadcast(
+          vals.agg(F.sum("val_c").as("tot_c"))))
+        .filter(F.col("val_c") * 1000 > F.col("tot_c"))
+        .select(F.col("l_partkey"),
+          (F.col("val_c") / 100.0).as("stock_value"))
+    },
+
+    // TPC-H Q12 shape: late-shipment order-priority split per line
+    // status — conditional aggregation (sum-of-CASE) over one
+    // fact-fact join, group key is 2 values so AQE coalesces the
+    // post-shuffle side to nothing.
+    "q174_priority_class" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .join(T.load(s, dir, "orders"),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .filterExpr("""l_shipdate >= o_orderdate + interval 90 days
+          and year(l_shipdate) = 1997""")
+        .by(Seq("l_linestatus"),
+          "high_line_count" -> """sum(case when o_orderpriority in
+            ('1-URGENT', '2-HIGH') then 1 else 0 end)""",
+          "low_line_count" -> """sum(case when o_orderpriority in
+            ('1-URGENT', '2-HIGH') then 0 else 1 end)""")
+    },
+
+    // TPC-H Q14 shape: promo revenue share in one month. Both the
+    // promo and total revenue accumulate as integer cents, so the
+    // final ratio divides two exact BIGINTs — identical across
+    // engines before the round.
+    "q175_promo_share" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .filterExpr("""l_shipdate >= timestamp'1996-03-01'
+          and l_shipdate < timestamp'1996-04-01'""")
+        .join(F.broadcast(T.load(s, dir, "part")),
+          F.col("l_partkey") === F.col("p_partkey"))
+        .within("cents" ->
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .agg(
+          F.sum(F.expr("case when p_type = 'PROMO' then cents else 0 end"))
+            .as("promo_c"),
+          F.sum("cents").as("tot_c"))
+        .select(F.round(F.expr("100.0 * promo_c / tot_c"), 4)
+          .as("promo_share"))
+    },
+
+    // TPC-H Q16 shape: how many distinct suppliers stock each
+    // (brand, type, size) — supply relation derived from lineitem
+    // pairs, one excluded brand/type family, complaint suppliers
+    // (proxy: deeply negative balance) removed by ANTI-join before
+    // the count-distinct shuffle.
+    "q176_supplier_parts" -> { (s, dir) =>
+      val bad = T.load(s, dir, "supplier")
+        .filterExpr("s_acctbal < -500").select("s_suppkey")
+      val ps = T.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad),
+          F.col("l_suppkey") === F.col("s_suppkey"), "left_anti")
+      ps.join(F.broadcast(T.load(s, dir, "part")
+            .filterExpr("not (p_brand = 'Brand#9' and p_type = 'PROMO')")),
+          F.col("l_partkey") === F.col("p_partkey"))
+        .by(Seq("p_brand", "p_type", "p_size"),
+          "supplier_cnt" -> "count(distinct l_suppkey)")
+    },
+
+    // TPC-H Q19 shape: disjunction of brand/size/quantity bands.
+    // The OR-of-ANDs references both join sides, so it evaluates as a
+    // post-join filter inside one codegen stage; the part side still
+    // broadcasts.
+    "q177_disjunctive" -> { (s, dir) =>
+      T.load(s, dir, "lineitem")
+        .join(F.broadcast(T.load(s, dir, "part")),
+          F.col("l_partkey") === F.col("p_partkey"))
+        .filterExpr("""
+          (p_brand = 'Brand#1' and p_size between 1 and 5
+            and l_quantity between 1 and 11)
+          or (p_brand = 'Brand#2' and p_size between 1 and 10
+            and l_quantity between 10 and 20)
+          or (p_brand = 'Brand#3' and p_size between 1 and 15
+            and l_quantity between 20 and 30)""")
+        .within("m4" -> // exact 1e-4-unit revenue (see q168)
+          "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
+        .agg((F.sum("m4") / 10000.0).as("revenue"))
+    },
+
+    // TPC-H Q20 shape: suppliers whose 1996 shipments of some part
+    // exceed 40% of their all-time volume for it — the correlated
+    // half-sum decorrelates to one conditional aggregation per
+    // (part, supplier) pair (quantities are small integers stored as
+    // doubles, so the sums are exact in both engines). The nation dim
+    // broadcasts onto the qualifying-supplier semi-join result.
+    "q178_part_promo_supp" -> { (s, dir) =>
+      val pairs = T.load(s, dir, "lineitem")
+        .by(Seq("l_partkey", "l_suppkey"),
+          "q96" -> "sum(case when year(l_shipdate) = 1996 then l_quantity else 0.0 end)",
+          "qtot" -> "sum(l_quantity)")
+        .filter(F.col("q96") > F.col("qtot") * 0.4)
+        .select("l_suppkey").distinct()
+      T.load(s, dir, "supplier")
+        .join(pairs, F.col("s_suppkey") === F.col("l_suppkey"),
+          "left_semi")
+        .join(F.broadcast(T.load(s, dir, "nation")),
+          F.col("s_nationkey") === F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    },
+
+    // TPC-H Q4 shape: order-priority census over orders with at least
+    // one late line — EXISTS decorrelates to a left-semi join with a
+    // non-equi residual (shipdate vs orderdate + 45 days).
+    "q179_order_priority_exists" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+        .filterExpr("""o_orderdate >= timestamp'1996-01-01'
+          and o_orderdate < timestamp'1996-04-01'""")
+      val l = T.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > F.expr("o_orderdate + interval 45 days"),
+          "left_semi")
+        .by(Seq("o_orderpriority"), "order_count" -> "count(*)")
     }
   )
 
@@ -1055,6 +1317,141 @@ object AnalyticsQueries {
                       event_type, value
                FROM events CROSS JOIN
                  (SELECT unnest(range(0, 4)) AS j))
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q168_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                  AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q169_min_cost_supp" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                min(round(l_extendedprice / l_quantity, 2)) AS cost
+              FROM lineitem GROUP BY 1, 2),
+          cand AS (SELECT p_partkey, s_name, cost
+              FROM ps
+              JOIN part ON l_partkey = p_partkey AND p_size = 15
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE')
+          SELECT p_partkey, s_name, cost FROM (
+            SELECT p_partkey, s_name, cost,
+              min(cost) OVER (PARTITION BY p_partkey) AS mn
+            FROM cand) WHERE cost = mn""",
+    "q170_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                  * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o_orderdate < TIMESTAMP '1996-10-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q171_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                  * 100) AS BIGINT)) AS BIGINT) / 100.0 AS volume
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+         WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+         GROUP BY 1, 2, 3""",
+    "q172_product_profit" ->
+      """SELECT n_name, year(l_shipdate) AS l_year,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)
+                  - CAST(round(0.6 * p_retailprice * l_quantity * 10000)
+                    AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+    "q173_stock_value" ->
+      """WITH vals AS (SELECT l_partkey,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS val_c
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1)
+          SELECT l_partkey, val_c / 100.0 AS stock_value
+          FROM vals CROSS JOIN
+            (SELECT CAST(sum(val_c) AS BIGINT) AS tot_c FROM vals)
+          WHERE val_c * 1000 > tot_c""",
+    "q174_priority_class" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+           AND year(l_shipdate) = 1997
+         GROUP BY 1""",
+    "q175_promo_share" ->
+      """WITH c AS (SELECT p_type,
+              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01')
+          SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+              THEN cents ELSE 0 END) AS BIGINT)
+            / CAST(sum(cents) AS BIGINT), 4) AS promo_share
+          FROM c""",
+    "q176_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         JOIN part ON l_partkey = p_partkey
+         WHERE NOT (p_brand = 'Brand#9' AND p_type = 'PROMO')
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < -500)
+         GROUP BY 1, 2, 3""",
+    "q177_disjunctive" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                  * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
+    "q178_part_promo_supp" ->
+      """WITH pairs AS (SELECT l_partkey, l_suppkey,
+              sum(CASE WHEN year(l_shipdate) = 1996
+                THEN l_quantity ELSE 0.0 END) AS q96,
+              sum(l_quantity) AS qtot
+            FROM lineitem GROUP BY 1, 2)
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey IN
+            (SELECT l_suppkey FROM pairs WHERE q96 > qtot * 0.4)""",
+    "q179_order_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+         GROUP BY 1"""
   )
 }

@@ -138,4 +138,51 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(got(supp) - want) < 1e-9, s"supplier $supp")
     }
   }
+
+  test("q169 window-min decorrelation equals correlated-subquery SQL") {
+    val dir = sf
+    val got = SparkEntry.queries("q169_min_cost_supp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    Seq("lineitem", "part", "supplier", "nation", "region").foreach { t =>
+      T.load(spark, dir, t).createOrReplaceTempView(t) }
+    // literal TPC-H Q2 form: correlated scalar subquery over the same
+    // derived supply relation — Catalyst decorrelates it independently
+    val want = spark.sql(
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+               min(round(l_extendedprice / l_quantity, 2)) AS cost
+             FROM lineitem GROUP BY 1, 2),
+          elig AS (SELECT s_suppkey, s_name FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+          cand AS (SELECT p_partkey, s_name, cost FROM ps
+             JOIN part ON l_partkey = p_partkey AND p_size = 15
+             JOIN elig ON l_suppkey = s_suppkey)
+          SELECT p_partkey, s_name, cost FROM cand c
+          WHERE cost = (SELECT min(cost) FROM cand c2
+                        WHERE c2.p_partkey = c.p_partkey)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q179 semi-join EXISTS equals distinct-late-order count") {
+    val dir = sf
+    val got = SparkEntry.queries("q179_order_priority_exists")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = T.load(spark, dir, "orders")
+      .filter(F.expr("""o_orderdate >= timestamp'1996-01-01'
+        and o_orderdate < timestamp'1996-04-01'"""))
+    val l = T.load(spark, dir, "lineitem")
+    // independent formulation: inner-join, dedup order keys, then count
+    val want = o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > F.expr("o_orderdate + interval 45 days"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.sum > 0)
+  }
 }
