@@ -937,6 +937,116 @@ object AnalyticsQueries {
           l("l_shipdate") > F.expr("o_orderdate + interval 45 days"),
           "left_semi")
         .by(Seq("o_orderpriority"), "order_count" -> "count(*)")
+    },
+
+    // Global triangle count + clustering coefficient over the part
+    // co-purchase graph — edges are pairs co-purchased in >= 2 orders
+    // (q181's support threshold; the raw >= 1 graph is DENSE — avg
+    // degree ~120 at sf0.1 — and exact triangle counting on it is
+    // inherently Σoutdeg² wedge rows, measured 29 s; the support
+    // filter is both the semantic denoiser and the scale guard).
+    // Edges are ORIENTED by (degree, id) before wedge generation —
+    // each triangle is counted exactly once at its minimum-order
+    // vertex and the max out-degree is O(sqrt(E)), so wedge count is
+    // O(E^1.5) instead of Σdeg² (the classic skew killer: one hub
+    // part would otherwise generate deg² wedge rows). The
+    // closing-edge check is a semi-join against the oriented edge
+    // set. Oracle uses the naive a<b<c 3-way self-join — same count,
+    // only viable at oracle scale.
+    "q180_triangle_count" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      // the edge set fans out 4 ways (deg ×2, orientation, closing-edge
+      // probe) — localCheckpoint ONCE so the co-occurrence self-join
+      // isn't re-executed per consumer (Graph.pageRank's pattern)
+      val edges = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+        .select("a", "b").localCheckpoint()
+      val deg = edges.select(F.col("a").as("n"))
+        .unionAll(edges.select(F.col("b").as("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).as("d"))
+      // total order (deg, id) packed into one long: ids are < 2^31
+      val packed = edges
+        .join(deg.toDF("n", "da"), F.col("a") === F.col("n")).drop("n")
+        .join(deg.toDF("n2", "db"), F.col("b") === F.col("n2")).drop("n2")
+        .select(F.col("a"), F.col("b"),
+          (F.col("da") * F.lit(4294967296L) + F.col("a")).as("oa"),
+          (F.col("db") * F.lit(4294967296L) + F.col("b")).as("ob"))
+      val oriented = packed.select(
+        F.when(F.col("oa") < F.col("ob"), F.col("a")).otherwise(F.col("b"))
+          .as("src"),
+        F.when(F.col("oa") < F.col("ob"), F.col("b")).otherwise(F.col("a"))
+          .as("dst"),
+        F.greatest(F.col("oa"), F.col("ob")).as("odst"))
+        .localCheckpoint() // consumed by both wedge sides + the probe
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), F.col("e1.src") === F.col("e2.src") &&
+          F.col("e1.odst") < F.col("e2.odst"))
+        .select(F.col("e1.dst").as("x"), F.col("e2.dst").as("y"))
+      val tri = wedges.join(
+          oriented.select(F.col("src").as("x"), F.col("dst").as("y")),
+          Seq("x", "y"), "left_semi")
+        .agg(F.count(F.lit(1)).as("n_triangles"))
+      val wtot = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long").as("n_wedges"))
+      tri.crossJoin(wtot)
+        .select(F.col("n_triangles"), F.col("n_wedges"),
+          F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
+            .as("clustering_coef"))
+    },
+
+    // Market-basket association rules over the same co-purchase
+    // relation: support / lift for part pairs from pure integer counts
+    // (exact rationals, so the round can't flip). Per-order pair
+    // fan-out is bounded by lines-per-order², never corpus size; the
+    // part-frequency table joins back by key (no broadcast hint —
+    // part cardinality grows with scale, AQE decides).
+    "q181_market_basket" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = ol.select("o").distinct()
+        .agg(F.count(F.lit(1)).as("n_orders"))
+      val na = ol.groupBy("p").agg(F.count(F.lit(1)).as("np"))
+      val pairs = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+      pairs
+        .join(na.toDF("p1", "n_a"), F.col("a") === F.col("p1")).drop("p1")
+        .join(na.toDF("p2", "n_b"), F.col("b") === F.col("p2")).drop("p2")
+        .crossJoin(F.broadcast(nOrders))
+        .select(F.col("a"), F.col("b"), F.col("nab"),
+          F.round(F.col("nab") * F.col("n_orders") /
+            (F.col("n_a") * F.col("n_b")), 4).as("lift"),
+          F.round(F.col("nab") / F.col("n_orders"), 6).as("support"))
+    },
+
+    // Last-touch attribution: each purchase credits the most recent
+    // click/view by the same user within 72 h — the backward as-of
+    // join (q73's op) with a window bound. Touches dedup to one per
+    // (user, ts) first so the carried payload is deterministic.
+    "q183_last_touch" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+      val touches = ev.filterExpr("event_type in ('click', 'view')")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").as("touch_id"))
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("touch_id"), F.col("ts").as("touch_ts"))
+      val purchases = ev.filterExpr("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOfJoin.backward(purchases, touches,
+          Seq("user_id"), "ts", Seq("touch_id", "touch_ts"))
+        .filter(F.col("asof_touch_ts") >=
+          F.expr("ts - interval 72 hours"))
+        .select(F.col("event_id"), F.col("asof_touch_id").as("touch_id"),
+          (F.unix_timestamp(F.col("ts")) -
+            F.unix_timestamp(F.col("asof_touch_ts"))).as("gap_sec"))
     }
   )
 
@@ -1452,6 +1562,54 @@ object AnalyticsQueries {
            AND EXISTS (SELECT 1 FROM lineitem
              WHERE l_orderkey = o_orderkey
                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q180_triangle_count" ->
+      """WITH ol AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+          e AS (SELECT a.p AS a, b.p AS b
+              FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+          tri AS (SELECT count(*) AS c
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          deg AS (SELECT n, count(*) AS d FROM
+              (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+          w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS wedges
+              FROM deg)
+          SELECT CAST(tri.c AS BIGINT) AS n_triangles,
+                 w.wedges AS n_wedges,
+                 round(3.0 * tri.c / w.wedges, 6) AS clustering_coef
+          FROM tri CROSS JOIN w""",
+    "q181_market_basket" ->
+      """WITH ol AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+          n AS (SELECT count(DISTINCT o) AS n_orders FROM ol),
+          na AS (SELECT p, count(*) AS np FROM ol GROUP BY 1),
+          pairs AS (SELECT a.p AS a, b.p AS b, count(*) AS nab
+              FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT a, b, CAST(nab AS BIGINT) AS nab,
+                 round(1.0 * nab * n_orders / (x.np * y.np), 4) AS lift,
+                 round(1.0 * nab / n_orders, 6) AS support
+          FROM pairs
+          JOIN na x ON pairs.a = x.p
+          JOIN na y ON pairs.b = y.p
+          CROSS JOIN n""",
+    "q183_last_touch" ->
+      """WITH t AS (SELECT user_id, ts, max(event_id) AS touch_id
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1, 2),
+          p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+          j AS (SELECT p.event_id, t.touch_id, t.ts AS tts, p.ts AS pts,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY t.ts DESC, t.touch_id DESC) AS rn
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 72 HOUR)
+          SELECT event_id, touch_id,
+                 CAST(floor(epoch(pts)) AS BIGINT)
+                   - CAST(floor(epoch(tts)) AS BIGINT) AS gap_sec
+          FROM j WHERE rn = 1"""
   )
 }
