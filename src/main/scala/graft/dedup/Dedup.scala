@@ -263,6 +263,71 @@ object Dedup {
       .select("id1", "id2", "jac")
   }
 
+  /** Containment join: pairs where C(A,B) = |A∩B| / |A| >= τ with
+    * |A| <= |B| — the SUBSET/SUPERSET near-dup detector (a passage or
+    * doc wholly absorbed into a larger one), which Jaccard misses
+    * because the size-ratio filter kills small-in-big pairs by
+    * construction.
+    *
+    * Candidate generation is AllPairs-style prefix filtering adapted
+    * to the asymmetric threshold: the overlap bound o >= ⌈τ·|A|⌉
+    * depends on the SMALLER side only, so A (probe) contributes its
+    * rarity-ordered prefix of |A| − ⌈τ·|A|⌉ + 1 shingles while B
+    * (index) must carry full rarity-ranked postings — B's prefix
+    * cannot be bounded without knowing its partner's size. The volume
+    * guard is the rarity order itself: candidates = Σ_{probe-prefix
+    * shingles} df, and probe prefixes hold each doc's RAREST shingles,
+    * so stop-shingles never probe. PPJoin's positional filter applies
+    * on both ranks: at colliding ranks (i, j) the extendable overlap
+    * min(|A|−i, |B|−j)+1 must reach ⌈τ·|A|⌉.
+    *
+    * Output: (inner_id, outer_id, cont) — inner contained in outer; pairs
+    * with |A| = |B| emit once with inner = smaller id. Threshold is a
+    * rational num/den for exact integer ceilings (see
+    * [[jaccardPairsPrefix]]).
+    */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String,
+                             shCol: String, tauNum: Int,
+                             tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold $tauNum/$tauDen outside (0, 1]")
+    val base = docs.select(F.col(idCol).as("id"), F.col(shCol).as("sh"))
+      .withColumn("sz", F.size(F.col("sh")))
+      .filter(F.col("sz") > 0)
+    val ex = base.select(F.col("id"), F.col("sz"),
+        F.explode(F.col("sh")).as("shv"))
+      .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
+    val dfreq = ex.groupBy("shh").agg(F.count(F.lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "shh")
+      .withColumn("rn", F.row_number().over(
+        Window.partitionBy("id").orderBy("df", "shh")))
+    // probe side: prefix only; index side: full postings (rank kept
+    // for the positional filter)
+    val probe = ranked.filter(F.col("rn") <= F.col("sz")
+      - F.expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+    val cands = probe
+      .select(F.col("id").as("ida"), F.col("sz").as("sza"),
+        F.col("rn").as("rna"), F.col("shh"))
+      .join(ranked.select(F.col("id").as("idb"), F.col("sz").as("szb"),
+        F.col("rn").as("rnb"), F.col("shh")), "shh")
+      .filter(F.col("sza") < F.col("szb") ||
+        (F.col("sza") === F.col("szb") && F.col("ida") < F.col("idb")))
+      .filter(
+        F.least(F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb"))
+          + 1 >=
+        F.expr(s"(sza * $tauNum + ${tauDen - 1}) div $tauDen"))
+      .select(F.col("ida").as("inner_id"), F.col("idb").as("outer_id"))
+      .distinct()
+    val a = base.select(F.col("id").as("inner_id"), F.col("sh").as("sh1"))
+    val b = base.select(F.col("id").as("outer_id"), F.col("sh").as("sh2"))
+    cands.join(a, "inner_id").join(b, "outer_id")
+      .withColumn("cont", F.round(
+        F.expr("""size(array_intersect(sh1, sh2)) /
+                  cast(size(sh1) as double)"""), 3))
+      .filter(F.col("cont") >= F.lit(tauNum.toDouble / tauDen))
+      .select("inner_id", "outer_id", "cont")
+  }
+
   // ---- Connected components (pair graph → dup clusters) --------------
 
   /** Connected components over an undirected pair graph — dedup ships

@@ -205,6 +205,18 @@ object PipelineQueries {
       Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", 1, 2)
     },
 
+    // Containment join (C(A,B) = |A∩B|/|A| >= 0.8, smaller-in-larger):
+    // the subset/superset detector Jaccard structurally misses —
+    // a passage absorbed into a larger doc has high containment but
+    // low Jaccard. Prefix filtering with the asymmetric bound: probe
+    // prefixes only (rarest shingles), full postings on the index
+    // side, PPJoin positional filter on both ranks.
+    "q182_containment" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      Dedup.containmentPairsPrefix(docs, "doc_id", "sh", 4, 5)
+    },
+
     // Embedding-cosine near-dup pairs within label blocks.
     "q44_embed_neardup" -> { (s, dir) =>
       Knn.embeddingNearDups(T.load(s, dir, "embeddings"),
@@ -266,6 +278,50 @@ object PipelineQueries {
           // sign-noise zero on one engine and not the other otherwise)
           (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
             / (F.col("n") - 1), 6) + F.lit(0)).as("cov"))
+    },
+
+    // Top principal component of the embedding covariance by POWER
+    // ITERATION, entirely in-plan: the dim²-bounded covariance matrix
+    // (q124's computation, entries rounded to 6dp so both engines
+    // iterate from the IDENTICAL matrix) localCheckpoints once, then
+    // three matvec+normalize rounds chain as joins — each one is
+    // O(dim²) rows with the current vector broadcast, so corpus size
+    // only enters the initial moment sums. Sign fixed by making the
+    // max-|loading| component positive (eigenvectors are sign-
+    // ambiguous). This is the whitening/PCA-projection prep step a
+    // training pipeline runs before dimensionality reduction.
+    "q184_pca_power" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val a0 = ex.toDF("vec_id", "i", "xi")
+      val b0 = ex.toDF("vec_id", "j", "xj")
+      val n = T.load(s, dir, "embeddings")
+        .agg(F.count(F.lit(1)).as("n"))
+      val cov = a0.join(b0, "vec_id").groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).as("sxy"),
+          F.sum("xi").as("sx"), F.sum("xj").as("sy"))
+        .crossJoin(F.broadcast(n))
+        .select(F.col("i"), F.col("j"),
+          (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1), 6) + F.lit(0)).as("cov"))
+        .localCheckpoint() // consumed by all 3 iterations + v0
+      def matvec(v: DataFrame): DataFrame = {
+        val m = cov.join(F.broadcast(v), "j").groupBy("i")
+          .agg(F.sum(F.col("cov") * F.col("v")).as("s"))
+        val nm = m.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).as("nm"))
+        m.crossJoin(F.broadcast(nm))
+          .select(F.col("i").as("j"), (F.col("s") / F.col("nm")).as("v"))
+      }
+      val v0 = cov.select(F.col("i").as("j")).distinct()
+        .withColumn("v", F.lit(1.0))
+      val v3 = (1 to 3).foldLeft(v0)((v, _) => matvec(v))
+      val sgn = v3.orderBy(F.abs(F.col("v")).desc, F.col("j")).limit(1)
+        .select(F.when(F.col("v") >= 0, 1.0).otherwise(-1.0).as("sgn"))
+      v3.crossJoin(F.broadcast(sgn))
+        .select(F.col("j").as("pos"),
+          (F.round(F.col("v") * F.col("sgn"), 5) + F.lit(0)).as("loading"))
     },
 
     // Centroid-distance outlier pruning: drop the 5% of embeddings
@@ -549,6 +605,36 @@ object PipelineQueries {
               / (any_value(n.n) - 1), 6) + 0 AS cov
           FROM e2 a JOIN e2 b USING (vec_id) CROSS JOIN n
           GROUP BY 1, 2""",
+    "q184_pca_power" ->
+      """WITH ex AS (SELECT vec_id,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS (SELECT vec_id, z[2]::BIGINT - 1 AS pos,
+                   z[1]::DOUBLE AS x FROM ex),
+          n AS (SELECT count(*) AS n FROM embeddings),
+          a AS (SELECT a.pos AS i, b.pos AS j,
+              round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
+                / (any_value(n.n) - 1), 6) + 0 AS cov
+            FROM e2 a JOIN e2 b USING (vec_id) CROSS JOIN n
+            GROUP BY 1, 2),
+          v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM a),
+          m1 AS (SELECT a.i, sum(a.cov * v0.v) AS s
+                 FROM a JOIN v0 ON a.j = v0.j GROUP BY 1),
+          v1 AS (SELECT i AS j, s / sqrt((SELECT sum(s*s) FROM m1)) AS v
+                 FROM m1),
+          m2 AS (SELECT a.i, sum(a.cov * v1.v) AS s
+                 FROM a JOIN v1 ON a.j = v1.j GROUP BY 1),
+          v2 AS (SELECT i AS j, s / sqrt((SELECT sum(s*s) FROM m2)) AS v
+                 FROM m2),
+          m3 AS (SELECT a.i, sum(a.cov * v2.v) AS s
+                 FROM a JOIN v2 ON a.j = v2.j GROUP BY 1),
+          v3 AS (SELECT i AS j, s / sqrt((SELECT sum(s*s) FROM m3)) AS v
+                 FROM m3),
+          sg AS (SELECT CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END AS sgn
+                 FROM v3 ORDER BY abs(v) DESC, j LIMIT 1)
+          SELECT v3.j AS pos, round(v3.v * sg.sgn, 5) + 0 AS loading
+          FROM v3 CROSS JOIN sg""",
     "q119_centroid_prune" ->
       """WITH ex AS (SELECT vec_id, label,
             unnest(list_zip(embedding::DOUBLE[],
@@ -589,6 +675,20 @@ object PipelineQueries {
           SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
     "q43_ngram_jaccard" -> duckJaccardPairs(0.5, sameLang = true),
     "q157_prefix_jaccard" -> duckJaccardPairs(0.5, sameLang = false),
+    "q182_containment" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (
+            SELECT doc_id, $duckShingles3 AS s FROM toks
+            WHERE len(t) >= 3),
+          pairs AS (
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) AS DOUBLE), 3) AS cont
+            FROM sh a JOIN sh b
+              ON ((len(a.s) < len(b.s)) OR
+                  (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)))
+          SELECT inner_id, outer_id, cont FROM pairs WHERE cont >= 0.8""",
     "q166_phash_dedup" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
                       octet_length(encode(text)) AS n

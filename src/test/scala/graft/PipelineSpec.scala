@@ -125,6 +125,68 @@ class PipelineSpec extends SparkSpec {
       == Set((100L, 101L)))
   }
 
+  test("containment join equals the brute-force all-pairs computation") {
+    // completeness of the asymmetric prefix bound (probe prefix ×
+    // full postings + positional filter) against naive O(n²)
+    val sh = docs.select(F.col("doc_id"), F.col("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+    val a = sh.toDF("ia", "sa")
+    val b = sh.toDF("ib", "sb")
+    val brute = a.crossJoin(b)
+      .filter(F.size(F.col("sa")) < F.size(F.col("sb")) ||
+        (F.size(F.col("sa")) === F.size(F.col("sb")) &&
+          F.col("ia") < F.col("ib")))
+      .withColumn("cont", F.round(F.expr(
+        "size(array_intersect(sa, sb)) / cast(size(sa) as double)"), 3))
+      .filter(F.col("cont") >= 0.8)
+      .select(F.col("ia").as("inner_id"), F.col("ib").as("outer_id"),
+        F.col("cont"))
+    val got = Dedup.containmentPairsPrefix(docs, "doc_id", "sh", 4, 5)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("containment finds a planted passage-in-document pair") {
+    import spark.implicits._
+    // doc 201 is a strict prefix-passage of doc 200: containment = 1,
+    // Jaccard well under 0.5 — the pair Jaccard dedup cannot see
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val passage = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val planted = Seq((200L, big), (201L, passage), (202L, "x y z"))
+      .toDF("doc_id", "text")
+      .withColumn("sh",
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 3))
+    val got = Dedup.containmentPairsPrefix(planted, "doc_id", "sh", 4, 5)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((201L, 200L)))
+    val jac = Dedup.jaccardPairsPrefix(planted, "doc_id", "sh", 1, 2)
+      .collect()
+    assert(!jac.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((201L, 200L)))
+  }
+
+  test("q184 in-plan power iteration equals dense driver-side iteration") {
+    val got = SparkEntry.queries("q184_pca_power")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // dense reference: same rounded covariance, same 3 iterations
+    val cov = SparkEntry.queries("q124_embed_cov")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val d = got.size
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 3) {
+      val m = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov((i, j)) * v(j)).sum)
+      val nm = math.sqrt(m.map(x => x * x).sum)
+      v = m.map(_ / nm)
+    }
+    val k = (0 until d).maxBy(i => (math.abs(v(i)), -i))
+    val sgn = if (v(k) >= 0) 1.0 else -1.0
+    (0 until d).foreach { i =>
+      assert(math.abs(got(i) - sgn * v(i)) < 1e-4, s"pos $i")
+    }
+  }
+
   test("jaccardPairs df-cap above observed max df is a no-op") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
       blockCols = Seq("lang"))
