@@ -144,6 +144,55 @@ object AnalyticsQueries {
           "k1" -> "k1", "k2" -> "k2", "dist" -> "dist")
     },
 
+    // Jaro-Winkler record linkage (fuzzy entity matching): part-name
+    // pairs within (brand, type) blocks scoring >= 0.9. The scorer is a
+    // native codegen'd Expression (StringSimilarity.scala) pinned to the
+    // textbook definition the DuckDB oracle implements.
+    "q185_jaro_linkage" -> { (s, dir) =>
+      // The blocking DEFINITION is (brand, type) only — the oracle has
+      // no length logic. The log2-length bucket is a provably LOSSLESS
+      // candidate prune: jw >= τ (τ >= 0.88) forces jaro >= (τ-.4)/.6
+      // (max Winkler boost is 0.4(1-jaro)), and jaro <= (2 + r)/3 with
+      // r = len_min/len_max, so r >= 5τ-4 >= 0.5 — partners' lengths are
+      // within 2x, hence their ⌊log2 len⌋ buckets within ±1. Probing 3
+      // buckets replicates ROWS 3x; it never grows pair count, and block
+      // sizes stop scaling with corpus growth in the length dimension.
+      val p = T.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_name")
+        .withColumn("lb", F.floor(F.log2(F.length(F.col("p_name")))))
+      val a = p.toDF("k1", "p_brand", "p_type", "n1", "lb1")
+        .withColumn("probe", F.explode(F.array(
+          F.col("lb1") - 1, F.col("lb1"), F.col("lb1") + 1)))
+      val b = p.toDF("k2", "p_brand", "p_type", "n2", "probe")
+      a.join(b, Seq("p_brand", "p_type", "probe"))
+        .filter(F.col("k1") < F.col("k2"))
+        .withColumn("jw",
+          graft.plans.StringSimilarity.jaroWinkler(F.col("n1"), F.col("n2")))
+        .filter(F.col("jw") >= 0.9)
+        .basedOn("p_brand" -> "p_brand", "p_type" -> "p_type",
+          "k1" -> "k1", "k2" -> "k2", "jw" -> "round(jw, 4)")
+    },
+
+    // k-core decomposition (k=3) of the co-purchase graph — the "dense
+    // cohesive subgraph" extractor (spam-ring / community detection on
+    // host-link graphs in a curation pipeline). Spark peels to the
+    // FIXPOINT; the oracle unrolls 16 simultaneous-peel rounds — peeling
+    // is monotone, so post-convergence rounds are no-ops and the two
+    // agree whenever convergence takes <= 16 rounds (measured: 10 at
+    // sf0.01, 2 at sf0.1; corpus-dependent, see duckKCore).
+    "q186_kcore" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      val edges = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+        .select("a", "b")
+      graft.ops.Graph.kCore(edges, 3)
+    },
+
     // Null-safe join: the reference's pooled key encoding gives NA keys
     // a real group that matches across sides (src/merge.jl:75-97 "+1
     // shift reserves 0/NA") — Spark equi-join drops null keys, so the
@@ -625,6 +674,30 @@ object AnalyticsQueries {
         .filter(F.col("n_bursts") >= 1)
     },
 
+    // EWMA smoothing of the daily event-count series per type (the
+    // trend/anomaly baseline; pandas ewm(alpha=0.1, adjust=True) over a
+    // trailing 24-day horizon). The frame is row-bounded, so window
+    // state is O(24) per key regardless of history length. Float
+    // determinism: the weighted sum is a LEFT FOLD over the frame array
+    // (aggregate(zip_with(...))) and the weight total is the closed-form
+    // geometric sum — both engines fold the identical element order, so
+    // no parallel-reduction reordering can perturb the low bits.
+    "q187_ewma" -> { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-23, 0)
+      T.load(s, dir, "events")
+        .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
+        .agg(F.count(F.lit(1)).cast("double").as("n"))
+        .withColumn("vals", F.collect_list("n").over(w))
+        .select(F.col("event_type"), F.col("day"),
+          F.round(F.expr(
+            """aggregate(
+                 zip_with(vals, sequence(size(vals) - 1, 0, -1),
+                          (v, i) -> v * pow(0.9D, i)),
+                 0D, (a, x) -> a + x)
+               / ((1 - pow(0.9D, size(vals))) / 0.1D)"""), 6).as("ewma"))
+    },
+
     // Poisson-bootstrap confidence interval for the per-type mean
     // event value (Chamandy et al., "Estimating Uncertainty for
     // Massive Data Streams" — the bootstrap that works in ONE pass
@@ -1050,7 +1123,40 @@ object AnalyticsQueries {
     }
   )
 
+  /** Unrolled simultaneous-peel k-core oracle. The round count must
+    * cover the Spark side's convergence on the verify corpus (fixpoint
+    * rounds are no-ops, so over-provisioning is free correctness-wise);
+    * 16 is a wide margin over the measured peel depth (10 at sf0.01).
+    * MATERIALIZED is load-bearing: DuckDB inlines a CTE per reference,
+    * and each round references its predecessor ~5×, so the un-hinted
+    * unroll expands 5^16 scans and dies on file handles.
+    */
+  private def duckKCore(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH ol AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+          e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b
+              FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2)""")
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+          d$i AS MATERIALIZED (SELECT n, count(*) AS deg FROM
+              (SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i)
+              GROUP BY 1),
+          e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+              WHERE a IN (SELECT n FROM d$i WHERE deg >= $k)
+                AND b IN (SELECT n FROM d$i WHERE deg >= $k))""")
+    }
+    sb.append(s""",
+          df AS (SELECT n, count(*) AS deg FROM
+              (SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+              GROUP BY 1)
+          SELECT n AS node, deg FROM df WHERE deg >= $k""")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q186_kcore" -> duckKCore(3, 16),
     "q127_group_trend" ->
       """WITH x0 AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS x0
                      FROM events),
@@ -1123,6 +1229,14 @@ object AnalyticsQueries {
            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
           AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    "q185_jaro_linkage" ->
+      """SELECT a.p_brand, a.p_type, a.p_partkey AS k1,
+                b.p_partkey AS k2,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+          AND a.p_partkey < b.p_partkey
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""",
     "q78_sample" ->
       "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3",
     "q81_nullsafe_join" ->
@@ -1395,6 +1509,19 @@ object AnalyticsQueries {
                   AS n_bursts
          FROM c GROUP BY 1
          HAVING sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) >= 1""",
+    "q187_ewma" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS n
+             FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, day, n,
+               list(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
+             FROM d)
+          SELECT event_type, day,
+            round(list_sum(list_transform(vals,
+                    (x, i) -> x * pow(0.9, len(vals) - i)))
+                  / ((1 - pow(0.9, len(vals))) / 0.1), 6) AS ewma
+          FROM w""",
     "q161_bootstrap_ci" ->
       """WITH rep AS (SELECT event_type, b,
                 ((event_id * 2654435761 + b * 40503) % 1048576)

@@ -647,6 +647,33 @@ object CurationQueries {
           F.round(F.col("n_types") / F.col("n_tok"), 6).as("ttr"))
     },
 
+    // Per-doc surprisal under the corpus unigram LM (mean bits/token,
+    // -Σ c·log2(cg/N) / L): the cheap "perplexity-ish" quality filter
+    // run before the trigram LM (q114) is worth its cost — gibberish
+    // and boilerplate land at the distribution's tails. No vocab
+    // broadcast: term frequencies join corpus counts on the token key
+    // (the TF-IDF shuffle shape); only the 1-row total crosses as a
+    // broadcast. tf is recomputed for the unigram agg rather than
+    // materialized — at cluster scale tf would persist to a bucketed
+    // table, here the extra scan is cheaper than caching O(corpus).
+    "q188_surprisal" -> { (s, dir) =>
+      val tf = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), F.explode(F.expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"))
+          .as("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("c"))
+      val uni = tf.groupBy("tok").agg(F.sum("c").as("cg"))
+      val n = uni.agg(F.sum("cg").cast("double").as("nn"))
+      tf.join(uni, "tok")
+        .groupBy("doc_id").agg(
+          F.sum("c").as("n_tok"),
+          F.sum(F.expr("c * ln(cg)")).as("__s"))
+        .crossJoin(F.broadcast(n))
+        .select(F.col("doc_id"), F.col("n_tok"),
+          F.round((F.log(F.col("nn")) * F.col("n_tok") - F.col("__s"))
+            / (F.col("n_tok") * F.expr("ln(2)")), 6).as("bits_per_tok"))
+    },
+
     // Mutual information between two categorical metadata columns
     // (lang × source) — the dataset-composition diagnostic: MI ≈ 0
     // means language mix is uniform across sources, high MI flags
@@ -857,6 +884,22 @@ object CurationQueries {
                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
                 round(count(*) * 1.0 / sum(c), 6) AS ttr
          FROM tf GROUP BY 1""",
+    "q188_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'),
+                  t -> t <> '')) AS tok
+              FROM documents),
+          tf AS (SELECT doc_id, tok, count(*) AS c
+                 FROM toks GROUP BY 1, 2),
+          uni AS (SELECT tok, sum(c) AS cg FROM tf GROUP BY 1),
+          n AS (SELECT CAST(sum(cg) AS DOUBLE) AS nn FROM uni)
+         SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tok,
+                round((ln(any_value(n.nn)) * sum(tf.c)
+                       - sum(tf.c * ln(uni.cg)))
+                      / (sum(tf.c) * ln(2)), 6) AS bits_per_tok
+         FROM tf JOIN uni USING (tok) CROSS JOIN n
+         GROUP BY 1""",
     "q167_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

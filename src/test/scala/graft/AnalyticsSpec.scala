@@ -185,4 +185,120 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.sum > 0)
   }
+
+  test("kCore peels a hand graph to its known core") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4—1 + isolated-ish chain 5—6:
+    // 2-core = the triangle, every core degree = 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = graft.ops.Graph.kCore(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree → empty core
+    assert(graft.ops.Graph.kCore(edges, 4).count() == 0)
+  }
+
+  test("q186 distributed peel equals driver-side simultaneous peeling") {
+    val ol = T.load(spark, sf, "lineitem")
+      .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+      .distinct()
+    val edges = ol.toDF("o", "a")
+      .join(ol.toDF("o2", "b"),
+        F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+      .filter(F.col("nab") >= 2).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side reference: delete ALL deg<k nodes each round
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, scala.collection.mutable.Set.empty) += y
+      adj.getOrElseUpdate(y, scala.collection.mutable.Set.empty) += x
+    }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, s) if s.size < 3 => n }.toSet
+      changed = drop.nonEmpty
+      drop.foreach { n =>
+        adj(n).foreach(m => adj.get(m).foreach(_ -= n))
+        adj -= n
+      }
+    }
+    val want = adj.map { case (n, s) => n -> s.size.toLong }.toMap
+    val got = SparkEntry.queries("q186_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q187 EWMA equals driver-side pandas-style adjust=true smoothing") {
+    val counts = T.load(spark, sf, "events")
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
+      .agg(F.count(F.lit(1)).cast("double").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val want = counts.groupBy(_._1).flatMap { case (t, rows) =>
+      val series = rows.sortBy(_._2)
+      series.indices.map { i =>
+        val frame = series.slice(math.max(0, i - 23), i + 1).map(_._3)
+        val k = frame.length
+        // left fold in frame order, farthest-first weights — the same
+        // association the in-plan aggregate() uses
+        val num = frame.zipWithIndex
+          .map { case (v, j) => v * math.pow(0.9, k - 1 - j) }
+          .foldLeft(0.0)(_ + _)
+        val den = (1 - math.pow(0.9, k)) / 0.1
+        (t, series(i)._2) -> BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = SparkEntry.queries("q187_ewma")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(2))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (key, v) =>
+      assert(math.abs(got(key) - v) < 1e-9, s"$key: ${got(key)} vs $v")
+    }
+  }
+
+  test("jaroWinkler expression pins the textbook/DuckDB values") {
+    import graft.plans.StringSimilarityKernels.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // classic published pairs + boost-threshold and empty edges
+    assert(math.abs(jw(u("MARTHA"), u("MARHTA")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw(u("DIXON"), u("DICKSONX")) - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw(u("JELLYFISH"), u("SMELLYFISH")) - 0.8962962962962964) < 1e-15)
+    // jaro = 0.6 <= 0.7: Winkler boost NOT applied despite 4-char prefix
+    assert(math.abs(jw(u("abcdxxxxxx"), u("abcdyyyyyy")) - 0.6) < 1e-15)
+    assert(jw(u(""), u("abc")) == 0.0)
+    assert(jw(u("a"), u("b")) == 0.0)
+    assert(jw(u("abc"), u("abc")) == 1.0)
+    // codegen path evaluates identically to the interpreted path
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE")).toDF("a", "b")
+      .select(graft.plans.StringSimilarity.jaroWinkler(
+        F.col("a"), F.col("b")).as("jw"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(got(1) - 0.7333333333333334) < 1e-15)
+  }
+
+  test("q185 log2-length-bucket prune is lossless vs unbucketed blocking") {
+    // the oracle's definition: all (brand, type) pairs, jw >= 0.9 —
+    // the length-bucket probe must change nothing
+    val p = T.load(spark, sf, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_name")
+    val a = p.toDF("k1", "p_brand", "p_type", "n1")
+    val b = p.toDF("k2", "p_brand", "p_type", "n2")
+    val brute = a.join(b, Seq("p_brand", "p_type"))
+      .filter(F.col("k1") < F.col("k2"))
+      .withColumn("jw0", graft.plans.StringSimilarity.jaroWinkler(
+        F.col("n1"), F.col("n2")))
+      .filter(F.col("jw0") >= 0.9)
+      .select(F.col("p_brand"), F.col("p_type"), F.col("k1"), F.col("k2"),
+        F.round(F.col("jw0"), 4).as("jw"))
+    val got = SparkEntry.queries("q185_jaro_linkage")(spark, sf)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
 }

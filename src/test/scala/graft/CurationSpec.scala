@@ -430,4 +430,32 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Boolean]("sketch_ok_p50") &&
       r.getAs[Boolean]("sketch_ok_p90")))
   }
+
+  test("q188 surprisal equals driver-side unigram cross-entropy") {
+    val toks = T.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')")
+          .as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val uni = toks.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val want = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val l = ts.length
+      val s = ts.groupBy(identity)
+        .map { case (t, xs) => xs.length * math.log(uni(t)) }.sum
+      id -> (-(s - l * math.log(n)) / (l * math.log(2)))
+    }.toMap
+    val got = SparkEntry.queries("q188_surprisal")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) < 1e-5, s"doc $id: ${got(id)} vs $v")
+    }
+    // rare-token docs must out-surprise common-token docs on average:
+    // sanity that the score orders as an LM filter expects
+    assert(got.values.max > got.values.min)
+  }
 }
