@@ -324,6 +324,34 @@ object PipelineQueries {
           (F.round(F.col("v") * F.col("sgn"), 5) + F.lit(0)).as("loading"))
     },
 
+    // Label-centroid cosine confusion matrix: pairwise similarity of
+    // class centroids — the "which labels blur together" diagnostic
+    // read before merging/splitting taxonomy classes. Centroid
+    // components round to 6dp FIRST (both engines then run the dot
+    // product over identical inputs); everything after the one grouped
+    // avg is O(labels² × dim), independent of corpus size.
+    "q191_centroid_confusion" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("label"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val cent = ex.groupBy("label", "pos")
+        .agg((F.round(F.avg("x"), 6) + F.lit(0)).as("c"))
+      val nrm = cent.groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).as("nrm"))
+      val a = cent.toDF("label_a", "pos", "ca")
+      val b = cent.toDF("label_b", "pos", "cb")
+      a.join(b, Seq("pos"))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).as("dot"))
+        .join(F.broadcast(nrm.toDF("label_a", "na")), "label_a")
+        .join(F.broadcast(nrm.toDF("label_b", "nb")), "label_b")
+        .select(F.col("label_a"), F.col("label_b"),
+          (F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            + F.lit(0)).as("cos"))
+    },
+
     // Centroid-distance outlier pruning: drop the 5% of embeddings
     // farthest from their label centroid — the noise filter run before
     // contrastive training. Pure relational array math (posexplode →
@@ -635,6 +663,25 @@ object PipelineQueries {
                  FROM v3 ORDER BY abs(v) DESC, j LIMIT 1)
           SELECT v3.j AS pos, round(v3.v * sg.sgn, 5) + 0 AS loading
           FROM v3 CROSS JOIN sg""",
+    "q191_centroid_confusion" ->
+      """WITH ex AS (SELECT label,
+              unnest(list_zip(embedding::DOUBLE[],
+                generate_series(1, len(embedding)))) AS z
+            FROM embeddings),
+          e2 AS (SELECT label, z[2]::BIGINT - 1 AS pos, z[1]::DOUBLE AS x
+                 FROM ex),
+          cent AS (SELECT label, pos, round(avg(x), 6) + 0 AS c
+                   FROM e2 GROUP BY 1, 2),
+          nrm AS (SELECT label, sqrt(sum(c * c)) AS nrm
+                  FROM cent GROUP BY 1),
+          p AS (SELECT a.label AS label_a, b.label AS label_b,
+                  sum(a.c * b.c) AS dot
+                FROM cent a JOIN cent b USING (pos)
+                WHERE a.label < b.label GROUP BY 1, 2)
+         SELECT label_a, label_b,
+                round(dot / (na.nrm * nb.nrm), 6) + 0 AS cos
+         FROM p JOIN nrm na ON na.label = p.label_a
+                JOIN nrm nb ON nb.label = p.label_b""",
     "q119_centroid_prune" ->
       """WITH ex AS (SELECT vec_id, label,
             unnest(list_zip(embedding::DOUBLE[],

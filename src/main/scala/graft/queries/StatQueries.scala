@@ -17,6 +17,33 @@ object StatQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Robust per-group outliers via median/MAD (the heavy-tail-safe
+    // alternative to q82's mean/stddev z-score — one corrupted decade
+    // of values moves a mean, not a median). Exact per-group medians:
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // (1-g)·a[k] + g·a[k+1] interpolation, so both engines derive the
+    // identical med/MAD and the flag threshold cannot diverge. Two
+    // grouped aggs + a broadcast of the O(groups) med/MAD table; the
+    // fact table never shuffles (q123's moment-broadcast shape).
+    "q190_mad_outliers" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5D)").as("med"))
+      val mad = ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.any_value(F.col("med")).as("med"),
+          F.expr("percentile(abs(value - med), 0.5D)").as("mad"))
+        .filter(F.col("mad") > 0)
+      ev.join(F.broadcast(mad), "event_type")
+        .withColumn("rz",
+          (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")))
+        .filter(F.abs(F.col("rz")) > 3)
+        .select(F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value"), 2).as("value"),
+          F.round(F.col("rz"), 4).as("robust_z"))
+    },
+
     // Welch's t-statistic of each source's doc length against the REST
     // of the corpus — the distribution-shift significance test beside
     // q112's KS distance. Everything derives from three integer sums
@@ -247,6 +274,18 @@ object StatQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q190_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+          mad AS (SELECT e.event_type, any_value(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             FROM events e JOIN med m USING (event_type)
+             GROUP BY 1 HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0)
+         SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+                round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+         FROM events e JOIN mad m USING (event_type)
+         WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 3""",
     "q138_winsorize" ->
       """WITH th AS (SELECT event_type,
                        quantile_cont(value, 0.05) AS lo,

@@ -233,6 +233,20 @@ object StreamQueries {
         .select("c_mktsegment", "n_events", "sum_value")
     },
 
+    // Per-(user, hour) ingest throttle: keep the 2 earliest events per
+    // key-window via flatMapGroupsWithState (O(n) state per open
+    // group), emitted when the watermark closes the window. Emission
+    // rule mirrors q125: only windows the FINAL watermark strictly
+    // passed ever fire their timeout.
+    "q189_stream_throttle" -> { (s, dir) =>
+      val kept = DataStream.throttleStream(eventsStream(s, dir),
+        "ts", "user_id", "event_id", windowSec = 3600L, n = 2,
+        delay = "1 hour")
+      runStateful(s, kept, uniq("stream_throttle"), mode = "append")
+        .select(F.col("k").as("user_id"), F.col("wstart"),
+          F.col("id").as("event_id"))
+    },
+
     // Streaming exact dedup at the door: dropDuplicates on the 8-byte
     // text hash as documents stream in, then kept-docs per lang (exact
     // dup groups are single-lang in this corpus, so the projection is
@@ -299,6 +313,21 @@ object StreamQueries {
     "q96_stream_dedup" ->
       """SELECT lang, count(DISTINCT text) AS n_docs
          FROM documents GROUP BY lang""",
+    // EventTimeTimeout fires strictly AFTER the timeout timestamp, so
+    // the emitted set is windows with end < final watermark (vs <= for
+    // append-mode window aggs in q125)
+    "q189_stream_throttle" ->
+      """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms
+                     FROM events),
+          r AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
+                  event_id,
+                  row_number() OVER (
+                    PARTITION BY user_id, floor(epoch(ts) / 3600)
+                    ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events)
+         SELECT user_id, wstart, event_id FROM r CROSS JOIN wm
+         WHERE rn <= 2 AND (wstart + 3600) * 1000 < wm_ms""",
     // emitted set = windows whose END precedes the final watermark
     // (max event time truncated to ms, minus the 1 h delay)
     "q125_stream_append_window" ->

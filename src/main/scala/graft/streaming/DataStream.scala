@@ -114,6 +114,57 @@ object DataStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-key-window throttle (rate limit at the door): of all events a
+    * (key, event-time window) receives, keep only the `n` EARLIEST by
+    * (event time, id) — the ingest limiter that caps any one key's
+    * contribution per window before downstream processing pays for it.
+    *
+    * flatMapGroupsWithState with EventTimeTimeout: state per open
+    * (key, window) group is the current top-n only — O(n), not
+    * O(events) — merged order-insensitively as batches arrive, so the
+    * result is deterministic for any arrival order; the group emits
+    * exactly once, when the watermark passes the window end (Spark
+    * fires EventTimeTimeout strictly AFTER the timeout timestamp).
+    * Groups the final watermark never passes stay unemitted — the
+    * append-mode contract (q125's emission rule).
+    */
+  def throttleStream(stream: DataFrame, tsCol: String, keyCol: String,
+                     idCol: String, windowSec: Long, n: Int,
+                     delay: String): DataFrame = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .withWatermark(tsCol, delay)
+      .select(F.col(keyCol).cast("long").as("k"),
+        F.expr(s"unix_micros($tsCol) div 1000000 div $windowSec"
+          + s" * $windowSec").as("wstart"),
+        F.expr(s"unix_micros($tsCol)").as("ts_us"),
+        F.col(idCol).cast("long").as("id"),
+        F.col(tsCol).as("__ts"))
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(e => (e._1, e._2))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long),
+         it: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val kept = state.get
+            state.remove()
+            kept.iterator.map { case (_, id) => (key._1, key._2, id) }
+          } else {
+            val merged = (state.getOption.getOrElse(Nil) ++
+              it.map(e => (e._3, e._4))).sorted.take(n)
+            state.update(merged)
+            // fire once the watermark passes the window end
+            state.setTimeoutTimestamp((key._2 + windowSec) * 1000L)
+            Iterator.empty
+          }
+      }
+      .toDF("k", "wstart", "id")
+  }
+
   /** Stream-stream interval join — the Spark superset completing
     * §2.10: left events matched to right events with the same key
     * whose event time falls in [left.ts, left.ts + bound]. BOTH sides

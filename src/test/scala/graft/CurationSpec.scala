@@ -431,6 +431,37 @@ class CurationSpec extends SparkSpec {
       r.getAs[Boolean]("sketch_ok_p90")))
   }
 
+  test("q190 MAD outliers equal driver-side exact median arithmetic") {
+    def interp(sorted: Array[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val k = pos.toInt
+      val g = pos - k
+      if (k + 1 < sorted.length) (1 - g) * sorted(k) + g * sorted(k + 1)
+      else sorted(k)
+    }
+    val vals = T.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = vals.groupBy(_._1).flatMap { case (t, rows) =>
+      val xs = rows.map(_._3).sorted
+      val med = interp(xs, 0.5)
+      val mad = interp(rows.map(r => math.abs(r._3 - med)).sorted, 0.5)
+      if (mad <= 0) Seq.empty[(Long, Double)]
+      else rows.toSeq.collect {
+        case (_, id, v) if math.abs((v - med) / (1.4826 * mad)) > 3 =>
+          (id, BigDecimal((v - med) / (1.4826 * mad))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+    val got = SparkEntry.queries("q190_mad_outliers")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, z) =>
+      assert(math.abs(got(id) - z) < 1e-9, s"event $id") }
+  }
+
   test("q188 surprisal equals driver-side unigram cross-entropy") {
     val toks = T.load(spark, sf, "documents")
       .select(org.apache.spark.sql.functions.col("doc_id"),

@@ -187,6 +187,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q191 centroid confusion equals driver-side centroid cosines") {
+    val emb = T.load(spark, sf, "embeddings")
+      .collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = emb.groupBy(_._1).map { case (l, vs) =>
+      val d = vs.head._2.length
+      l -> Array.tabulate(d) { i =>
+        val m = vs.map(_._2(i)).sum / vs.length
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val want = (for {
+      (la, ca) <- cents; (lb, cb) <- cents if la < lb
+      dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(ca.map(x => x * x).sum)
+      nb = math.sqrt(cb.map(x => x * x).sum)
+    } yield (la, lb) -> dot / (na * nb)).toMap
+    val got = SparkEntry.queries("q191_centroid_confusion")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-5, s"pair $k") }
+    assert(got.values.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("jaccardPairs df-cap above observed max df is a no-op") {
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "sh", 0.5,
       blockCols = Seq("lang"))

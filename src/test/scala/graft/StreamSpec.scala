@@ -101,4 +101,48 @@ class StreamSpec extends SparkSpec {
     assert(kept.select("user_id").distinct().count() == 3)
     assert(kept.count() == 3)
   }
+
+  test("throttleStream keeps earliest-n and times out strictly after window end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, sec: Long, id: Long) =
+      SessEvent(u, new Timestamp(sec * 1000), id.toDouble) // value = id
+    val stream = MemoryStream[SessEvent]
+    val thr = graft.streaming.DataStream.throttleStream(
+      stream.toDS().toDF()
+        .select(F.col("user_id"), F.col("ts"),
+          F.col("value").cast("long").as("event_id")),
+      "ts", "user_id", "event_id", windowSec = 3600L, n = 2,
+      delay = "0 seconds")
+    val q = thr.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("throttle_test").start()
+    def rows() = spark.table("throttle_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hour-aligned base well above epoch 0 (rows at ts <= the initial
+    // watermark 0 would be dropped as late)
+    val b = 1700000000L / 3600 * 3600
+    // batch 1: 4 events in window [b, b+3600) — ids 1..4, earliest 2 =
+    // 1,2 (id 4 arrives "first" in the seq to prove arrival-order
+    // immunity) and 2 events in window [b+3600, b+7200).
+    // processAllAvailable runs a trailing NO-DATA batch, so the
+    // watermark ((b+3601)s, delay 0) already fires window 0's timeout.
+    stream.addData(Seq(
+      ev(1, b + 3, 4), ev(1, b, 1), ev(1, b + 1, 2), ev(1, b + 2, 3),
+      ev(1, b + 3600, 5), ev(1, b + 3601, 6)))
+    q.processAllAvailable()
+    assert(rows() == Set((1L, b, 1L), (1L, b, 2L)),
+      "first window fired with its 2 earliest ids; second still open")
+    // batch 2: max event time = b+7200 → wm lands EXACTLY on window
+    // [b+3600, b+7200)'s end. EventTimeTimeout is strict — no fire.
+    stream.addData(Seq(ev(2, b + 7200, 10)))
+    q.processAllAvailable()
+    assert(rows() == Set((1L, b, 1L), (1L, b, 2L)),
+      "window ending exactly at the watermark must not fire")
+    // batch 3: wm moves 1 s past the boundary → the window fires
+    stream.addData(Seq(ev(2, b + 7201, 11)))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, b, 1L), (1L, b, 2L),
+      (1L, b + 3600L, 5L), (1L, b + 3600L, 6L)))
+  }
 }
