@@ -674,6 +674,73 @@ object AnalyticsQueries {
         .filter(F.col("n_bursts") >= 1)
     },
 
+    // Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    // slopes — a 29% breakdown point where q127's OLS slope has 0 (one
+    // bad decade drags the fit). Pair fan-out is per-user-events², the
+    // q181 bound: group size is a per-entity constant, not a corpus
+    // fraction, so pairs grow linearly with users. Slopes are exact
+    // doubles from integer second deltas; the median interpolation is
+    // the same (1-g)a[k]+g·a[k+1] both engines (q190).
+    "q192_theilsen" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_timestamp(F.col("ts")).as("x"), F.col("value").as("y"))
+      val a = ev.toDF("user_id", "id1", "x1", "y1")
+      val b = ev.toDF("user_id", "id2", "x2", "y2")
+      a.join(b, Seq("user_id"))
+        .filter(F.col("id1") < F.col("id2") && F.col("x1") =!= F.col("x2"))
+        .withColumn("slope",
+          (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.expr("percentile(slope, 0.5D)").as("m"))
+        .filter(F.col("n_pairs") >= 10)
+        .select(F.col("user_id"), F.col("n_pairs"),
+          F.round(F.col("m") * 3600, 6).as("slope_per_hour"))
+    },
+
+    // Weight-of-evidence encoding (the credit-scoring categorical→
+    // numeric transform): value buckets vs the binary "is purchase"
+    // target, woe = ln(smoothed pos-share / smoothed neg-share), plus
+    // each bucket's information-value contribution. All integer counts
+    // + one 1-row total broadcast → bit-deterministic; O(buckets)
+    // after a single partial-agg'd scan.
+    "q194_woe" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.floor(F.col("value") / 50).cast("long").as("bucket"),
+          (F.col("event_type") === "purchase").cast("long").as("y"))
+      val per = ev.groupBy("bucket")
+        .agg(F.sum("y").as("pos"), F.sum(F.lit(1) - F.col("y")).as("neg"))
+      val tot = per.agg(F.sum("pos").as("tp"), F.sum("neg").as("tn"))
+      per.crossJoin(F.broadcast(tot))
+        .withColumn("woe", F.log(
+          ((F.col("pos") + 0.5) / F.col("tp"))
+            / ((F.col("neg") + 0.5) / F.col("tn"))))
+        .select(F.col("bucket"), F.col("pos"), F.col("neg"),
+          F.round(F.col("woe"), 6).as("woe"),
+          F.round((F.col("pos").cast("double") / F.col("tp")
+            - F.col("neg").cast("double") / F.col("tn"))
+            * F.col("woe"), 6).as("iv_part"))
+    },
+
+    // First-order Markov transition matrix over per-user event-type
+    // sequences (the behavioral fingerprint: what follows what). One
+    // lag window per user + an O(types²) count table; transition
+    // probabilities are exact integer-count rationals.
+    "q195_markov" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = T.load(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type", 1).over(w))
+        .filter(F.col("nxt").isNotNull)
+        .groupBy(F.col("event_type").as("cur"), F.col("nxt"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val tot = tr.groupBy("cur").agg(F.sum("n").as("tot"))
+      tr.join(F.broadcast(tot), "cur")
+        .select(F.col("cur"), F.col("nxt"), F.col("n"),
+          F.round(F.col("n").cast("double") / F.col("tot"), 6).as("p"))
+    },
+
     // EWMA smoothing of the daily event-count series per type (the
     // trend/anomaly baseline; pandas ewm(alpha=0.1, adjust=True) over a
     // trailing 24-day horizon). The frame is row-bounded, so window
@@ -1509,6 +1576,43 @@ object AnalyticsQueries {
                   AS n_bursts
          FROM c GROUP BY 1
          HAVING sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) >= 1""",
+    "q192_theilsen" ->
+      """WITH e AS (SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS x, value AS y
+             FROM events),
+          p AS (SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS slope
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id AND a.event_id < b.event_id
+                 AND a.x <> b.x)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                round(quantile_cont(slope, 0.5) * 3600, 6)
+                  AS slope_per_hour
+         FROM p GROUP BY 1 HAVING count(*) >= 10""",
+    "q194_woe" ->
+      """WITH ev AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events),
+          per AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+                  FROM ev GROUP BY 1),
+          tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM per)
+         SELECT bucket, CAST(pos AS BIGINT) AS pos,
+                CAST(neg AS BIGINT) AS neg,
+                round(ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6)
+                  AS woe,
+                round((pos::DOUBLE / tp - neg::DOUBLE / tn)
+                  * ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6)
+                  AS iv_part
+         FROM per CROSS JOIN tot""",
+    "q195_markov" ->
+      """WITH o AS (SELECT event_type, lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+               FROM events),
+          tr AS (SELECT event_type AS cur, nxt, count(*) AS n
+                 FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT cur, sum(n) AS tot FROM tr GROUP BY 1)
+         SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+                round(n::DOUBLE / tot, 6) AS p
+         FROM tr JOIN tot USING (cur)""",
     "q187_ewma" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(count(*) AS DOUBLE) AS n

@@ -562,6 +562,39 @@ object PipelineQueries {
         .select("doc_id", "tok", "bm25", "rn")
     },
 
+    // Reciprocal-rank fusion of two retrieval rankings (hybrid search:
+    // BM25 ∪ TF-IDF here, lexical ∪ dense in production — the fusion
+    // math is ranking-agnostic). Each ranking is truncated to its top
+    // 100 via the bounded-memory TopK aggregator (O(k) per map task, no
+    // global sort), ranks fuse through the standard 1/(60+r) kernel on
+    // a full-outer join, and absent ranks contribute 0 — all integer
+    // rank arithmetic, so the fused score is bit-deterministic.
+    "q193_rrf_fusion" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
+      val qt = Seq("hash", "join")
+      val bm = TextOps.bm25(docs, "doc_id", "toks")
+        .filter(F.col("tok").isin(qt: _*))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.round(F.col("bm25"), 6)), 6).as("s1"))
+      val ti = TextOps.tfidf(docs, "doc_id", "toks")
+        .filter(F.col("tok").isin(qt: _*))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.round(F.col("tfidf"), 6)), 6).as("s2"))
+      val r1 = graft.similarity.TopK
+        .perGroup[Long](bm, Seq(), "s1", "doc_id", 100, "r1")
+        .select("doc_id", "r1")
+      val r2 = graft.similarity.TopK
+        .perGroup[Long](ti, Seq(), "s2", "doc_id", 100, "r2")
+        .select("doc_id", "r2")
+      r1.join(r2, Seq("doc_id"), "full_outer")
+        .select(F.col("doc_id"), F.col("r1"), F.col("r2"),
+          F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
+              + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")),
+                F.lit(0.0)), 6).as("rrf"))
+    },
+
     // Content flags (emails/urls/digit runs/digit ratio) — standard
     // pretraining-quality scan.
     "q88_content_flags" -> { (s, dir) =>
@@ -1049,6 +1082,39 @@ object PipelineQueries {
               ORDER BY bm25 DESC, tok) AS rn
             FROM scored) t
           WHERE rn <= 3""",
+    "q193_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          wl AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+          stats AS (SELECT avg(dl) AS avgdl,
+                           CAST(count(*) AS DOUBLE) AS n FROM wl),
+          nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                 FROM documents),
+          ex AS (SELECT doc_id, dl, unnest(t) AS tok FROM wl),
+          tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+                 FROM ex GROUP BY 1, 2),
+          dft AS (SELECT tok, count(*) AS df FROM
+                    (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY 1),
+          s1 AS (SELECT doc_id, round(sum(round(
+                   ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+                   6)), 6) AS s1
+                 FROM tf JOIN dft USING (tok) CROSS JOIN stats
+                 WHERE tok IN ('hash', 'join') GROUP BY 1),
+          s2 AS (SELECT doc_id, round(sum(round(
+                   tf.tf * ln(nn.n / dft.df), 6)), 6) AS s2
+                 FROM tf JOIN dft USING (tok) CROSS JOIN nn
+                 WHERE tok IN ('hash', 'join') GROUP BY 1),
+          r1 AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY s1 DESC, doc_id) AS r1
+                 FROM s1 QUALIFY r1 <= 100),
+          r2 AS (SELECT doc_id, row_number() OVER
+                   (ORDER BY s2 DESC, doc_id) AS r2
+                 FROM s2 QUALIFY r2 <= 100)
+          SELECT doc_id, r1, r2,
+            round(coalesce(1.0 / (60 + r1), 0)
+                  + coalesce(1.0 / (60 + r2), 0), 6) AS rrf
+          FROM r1 FULL OUTER JOIN r2 USING (doc_id)""",
     "q88_content_flags" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))

@@ -230,6 +230,69 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q192 Theil-Sen equals driver-side median-of-pairwise-slopes") {
+    val ev = T.load(spark, sf, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_timestamp(F.col("ts")).as("x"), F.col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def interp(s: Array[Double], q: Double): Double = {
+      val pos = q * (s.length - 1); val k = pos.toInt; val g = pos - k
+      if (k + 1 < s.length) (1 - g) * s(k) + g * s(k + 1) else s(k)
+    }
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val slopes = (for {
+        a <- rows; b <- rows
+        if a._2 < b._2 && a._3 != b._3
+      } yield (b._4 - a._4) / (b._3 - a._3)).sorted
+      if (slopes.length < 10) None
+      else Some(u -> BigDecimal(interp(slopes, 0.5) * 3600)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("q192_theilsen")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, v) =>
+      assert(math.abs(got(u) - v) < 1e-9, s"user $u") }
+  }
+
+  test("q194 WOE equals driver-side counts; IV contributions nonnegative") {
+    val ev = T.load(spark, sf, "events")
+      .select(F.floor(F.col("value") / 50).cast("long").as("b"),
+        (F.col("event_type") === "purchase").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val per = ev.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong) }
+    val tp = per.map(_._2).sum.toDouble
+    val tn = per.map(_._3).sum.toDouble
+    val want = per.map { case (b, pos, neg) =>
+      b -> math.log(((pos + 0.5) / tp) / ((neg + 0.5) / tn)) }.toMap
+    val got = SparkEntry.queries("q194_woe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (b, woe, iv) =>
+      assert(math.abs(woe - want(b)) < 1e-5, s"bucket $b")
+      // (posf - negf) and woe share sign up to the 0.5 smoothing, so a
+      // materially negative IV part would mean the formula is wrong
+      assert(iv > -1e-3, s"bucket $b iv=$iv")
+    }
+  }
+
+  test("q195 Markov rows: per-state probabilities sum to 1") {
+    val rows = SparkEntry.queries("q195_markov")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cur, ts) =>
+      val p = ts.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"state $cur sums to $p")
+      // probabilities are the count rationals they claim to be
+      val tot = ts.map(_._3).sum.toDouble
+      ts.foreach { case (_, _, n, pr) =>
+        assert(math.abs(pr - n / tot) < 1e-6) }
+    }
+  }
+
   test("q187 EWMA equals driver-side pandas-style adjust=true smoothing") {
     val counts = T.load(spark, sf, "events")
       .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
