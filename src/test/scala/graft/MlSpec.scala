@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.queries.MlQueries
+
+/** Edge-case tests for the wave-5 ML/feature-engineering operators —
+  * closed-form hand checks the sf oracle can't isolate (perfect/random
+  * AUC, singleton LOO category, SCD2 duplicate collapse, degenerate
+  * attribution journeys).
+  */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aucOf(rows: Seq[(Long, Long)]): Double = {
+    // replicate q196's engine on an in-memory frame: (score_cents, pos)
+    val g = rows.toDF("sc", "pos")
+      .groupBy("sc").agg(F.sum("pos").as("npos"),
+        F.sum(F.expr("1 - pos")).as("nneg"))
+    val pre = graft.ops.RelOps.globalPrefixSum(g, "nneg", "cumneg",
+      Seq(graft.ops.RelOps.Ordering("sc")))
+    val r = pre.agg(
+      F.sum("npos").as("np"), F.sum("nneg").as("nn"),
+      F.sum(F.expr("npos * cumneg")).as("a"),
+      F.sum(F.expr("npos * nneg")).as("b")).head()
+    (2.0 * r.getLong(2) + r.getLong(3)) /
+      (2.0 * r.getLong(0) * r.getLong(1))
+  }
+
+  test("AUC: perfect separation is 1, anti-separation is 0") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))
+    assert(aucOf(perfect) === 1.0)
+    assert(aucOf(perfect.map { case (s, p) => (s, 1L - p) }) === 0.0)
+  }
+
+  test("AUC: all scores tied gives exactly 0.5") {
+    assert(aucOf(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L))) === 0.5)
+  }
+
+  test("AUC: tie half-credit matches the closed form") {
+    // pos at {3, 2}, neg at {2, 1}: pairs = 4, wins = 3, tie = 1
+    // AUC = (3 + 0.5) / 4
+    assert(aucOf(Seq((3L, 1L), (2L, 1L), (2L, 0L), (1L, 0L))) === 0.875)
+  }
+
+  test("LOO target encoding: singleton category yields null") {
+    val o = Seq((1L, "A", 100.0), (2L, "A", 200.0), (3L, "B", 50.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("mlspec").toString
+    o.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = MlQueries.queries("q200_target_loo")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) === Some(200.0)) // leave-one-out of A's other row
+    assert(got(2L) === Some(100.0))
+    assert(got(3L) === None) // singleton B: no LOO mean exists
+  }
+
+  test("attribution credits: n=1 → 1.0, n=2 → 0.5 each, n=4 U-shape") {
+    // hand journey: 4 touches then purchase; interior split 0.2/2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("sec")
+    val t = Seq((1, 1), (1, 2), (1, 3), (1, 4)).toDF("u", "sec")
+      .withColumn("r", F.row_number().over(w))
+      .withColumn("n", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")))
+      .withColumn("credit",
+        F.when(F.col("n") === 1, 1.0d).when(F.col("n") === 2, 0.5d)
+          .when(F.col("r") === 1 || F.col("r") === F.col("n"), 0.4d)
+          .otherwise(F.lit(0.2d) / (F.col("n") - 2)))
+    val credits = t.orderBy("sec").select("credit")
+      .collect().map(_.getDouble(0))
+    assert(credits.toSeq === Seq(0.4, 0.1, 0.1, 0.4))
+    assert(math.abs(credits.sum - 1.0) < 1e-12)
+  }
+
+  test("SCD2 collapses consecutive duplicates and versions changes") {
+    val dir = java.nio.file.Files.createTempDirectory("mlspec2").toString
+    // ts as epoch NANOS long — the events.parquet physical layout that
+    // T.load rebuilds via timestamp_micros(ts div 1000)
+    def ns(day: Int): Long = (1704067200L + day * 86400L) * 1000000000L
+    val ev = Seq(
+      (1L, ns(0), 7L, "view", 1.0, """{"k": 1}"""),
+      (2L, ns(1), 7L, "view", 1.0, """{"k": 1}"""), // dup → collapsed
+      (3L, ns(2), 7L, "view", 1.0, """{"k": 2}""")  // change → new ver
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = MlQueries.queries("q204_scd2")(spark, dir)
+      .orderBy("version").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Int]("version") === 1 &&
+      got(0).getAs[Int]("k") === 1)
+    // v1 closed exactly at v2's valid_from
+    assert(got(0).getAs[Long]("valid_to") ===
+      got(1).getAs[Long]("valid_from"))
+    assert(got(1).getAs[Int]("version") === 2 &&
+      got(1).getAs[Int]("k") === 2 && got(1).isNullAt(4))
+  }
+}
