@@ -91,6 +91,48 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Rabin-Karp rolling polynomial hashes of every length-`n` codepoint
+    * window: h_p = Σ cp(p+i)·31^(n-1-i) mod 1000003, computed with the
+    * O(1)-per-position rolling update (one multiply, one subtract, one
+    * add — NOT an O(n) fold per position), normalized to [0, mod) so it
+    * equals the plain left fold an oracle computes. The exact-substring
+    * duplication detector (q206) winnows these; O(len) per document
+    * total, codepoint-stepped to match SQL substr/length semantics.
+    */
+  def rollingHashes(s: UTF8String, n: Int): ArrayData = {
+    val MOD = 1000003L
+    val str = s.toString
+    val len = str.length
+    val cnt = str.codePointCount(0, len)
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](cnt)
+    var i = 0
+    var k = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    // base^(n-1) mod m, for the outgoing character's contribution
+    var pow = 1L
+    var e = 0
+    while (e < n - 1) { pow = pow * 31 % MOD; e += 1 }
+    val out = new Array[Long](cnt - n + 1)
+    var h = 0L
+    var j = 0
+    while (j < n) { h = (h * 31 + cps(j) % MOD) % MOD; j += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= cnt - n) {
+      h = (h - (cps(p - 1) % MOD) * pow % MOD + MOD) % MOD
+      h = (h * 31 + cps(p + n - 1) % MOD) % MOD
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles of a lowercase-tokenized text column. */
@@ -126,6 +168,17 @@ case class PackedTrigrams(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Rolling Rabin-Karp hashes of all length-n codepoint windows. */
+case class RollingHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.rollingHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.rollingHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(
@@ -136,4 +189,7 @@ object TextExpressions {
   def packedTrigrams(text: Column): Column =
     GraftColumnBridge.column(
       PackedTrigrams(GraftColumnBridge.expression(text)))
+  def rollingHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      RollingHashes(GraftColumnBridge.expression(text), n))
 }

@@ -3,7 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import graft.T
+import graft.dedup.Dedup
 import graft.ops.RelOps
+import graft.plans.TextExpressions
+import graft.similarity.Knn
 
 /** Wave-5: model-evaluation / feature-engineering operators — the ML
   * side of a training-data platform (metrics, encodings, divergences,
@@ -290,6 +293,153 @@ object MlQueries {
         .groupBy(F.col("event_type").as("channel"))
         .agg(F.count(F.lit(1)).as("n_touches"),
           F.round(F.sum("credit"), 6).as("credit"))
+    },
+
+    // Exact-substring duplication (Lee et al. style train-dedup
+    // signal): documents sharing any identical 20-codepoint substring,
+    // detected via the codegen'd O(len) Rabin-Karp rolling-hash kernel
+    // + winnowing (keep hashes ≡ 0 mod 8 — content-defined, so shared
+    // substrings sample identically in both docs) + a doc-frequency
+    // cap (hashes in >100 docs are boilerplate, dropped before
+    // pairing — the stop-shingle skew guard). Pair generation is an
+    // equi-join on the 8-byte hash key: candidates only, never
+    // all-pairs, ~1/8 of positions ever leave the scan.
+    "q206_substring_dup" -> { (s, dir) =>
+      val h = T.load(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.explode(TextExpressions.rollingHashes(F.col("text"), 20))
+            .as("h"))
+        .filter(F.col("h") % 8 === 0)
+        .distinct()
+      val keep = h.groupBy("h").agg(F.count(F.lit(1)).as("df"))
+        .filter(F.col("df") <= 100).select("h")
+      val k = h.join(keep, "h")
+      k.as("a").join(k.as("b"),
+          F.col("a.h") === F.col("b.h") &&
+            F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").as("id1"), F.col("b.doc_id").as("id2"))
+        .agg(F.count(F.lit(1)).as("n_shared"))
+    },
+
+    // Mutual-kNN graph clustering over embeddings: an edge exists iff
+    // each vector is in the other's top-5 (the standard density-robust
+    // semantic-cluster graph), components via the log-round star CC.
+    // Ranks compare the ROUNDED similarity (6 dp) with id tiebreak so
+    // both engines order identically. Brute-force kNN here is the
+    // parity formulation; the scale path swaps in ivfKnnAuto (same
+    // output contract, centroid-routed candidates).
+    "q207_mutual_knn" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val knn = Knn.bruteForceKnn(emb, emb, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val edges = knn.as("e1").join(knn.as("e2"),
+          F.col("e1.query_id") === F.col("e2.neighbor_id") &&
+            F.col("e1.neighbor_id") === F.col("e2.query_id") &&
+            F.col("e1.query_id") < F.col("e1.neighbor_id"))
+        .select(F.col("e1.query_id").as("id1"),
+          F.col("e1.neighbor_id").as("id2"))
+      val comp = Dedup.connectedComponents(edges)
+      emb.select(F.col("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
+          "left_outer")
+        .select(F.col("vec_id"),
+          F.coalesce(F.col("comp"), F.col("vec_id")).as("cluster"))
+    },
+
+    // Session path mining: 30-min-gap sessionization, then the ordered
+    // first-3-event-type path per session (sort_array over (rank,
+    // type) structs — collect_list alone is order-nondeterministic),
+    // top 10 paths. The path alphabet is bounded (event types), so the
+    // final count table is tiny regardless of corpus size; everything
+    // before it is per-user windows.
+    "q208_session_paths" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(F.col("sec"), F.col("event_id"))
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+          F.unix_timestamp(F.col("ts")).as("sec"))
+        .withColumn("prev", F.lag("sec", 1).over(byUser))
+        .withColumn("ns", (F.col("prev").isNull ||
+          F.col("sec") - F.col("prev") > 1800).cast("int"))
+        .withColumn("sess", F.sum("ns").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "sess")
+        .orderBy(F.col("sec"), F.col("event_id"))
+      ev.withColumn("r", F.row_number().over(bySess))
+        .filter(F.col("r") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(F.concat_ws(">", F.expr(
+          "transform(array_sort(collect_list(struct(r, event_type))), x -> x.event_type)"))
+          .as("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).as("n_sessions"))
+        .orderBy(F.col("n_sessions").desc, F.col("path").asc)
+        .limit(10)
+    },
+
+    // Declarative data-quality audit (Deequ-style): five rule checks
+    // over the star schema — FK orphans, domain ranges, null/blank,
+    // duplicate keys — each a scan-bounded aggregate, unioned into one
+    // (rule, n_bad, n_total) report. The orphan check is a broadcast
+    // anti-join (dimension side small); nothing materializes bad ROWS,
+    // only counts — the shape that audits 100 TB without writing it.
+    "q209_dq_audit" -> { (s, dir) =>
+      val o = T.load(s, dir, "orders")
+      val li = T.load(s, dir, "lineitem")
+      val c = T.load(s, dir, "customer")
+      val orphans = o.join(F.broadcast(c),
+          o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).as("n_bad"))
+        .crossJoin(o.agg(F.count(F.lit(1)).as("n_total")))
+        .select(F.lit("fk_orphan_order").as("rule"), F.col("n_bad"),
+          F.col("n_total"))
+      val price = o.agg(
+          F.sum(F.when(F.col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("n_bad"),
+          F.count(F.lit(1)).as("n_total"))
+        .select(F.lit("nonpositive_price").as("rule"), F.col("n_bad"),
+          F.col("n_total"))
+      val qty = li.agg(
+          F.sum(F.when(F.col("l_quantity") < 1 || F.col("l_quantity") > 50,
+            1L).otherwise(0L)).as("n_bad"),
+          F.count(F.lit(1)).as("n_total"))
+        .select(F.lit("qty_out_of_range").as("rule"), F.col("n_bad"),
+          F.col("n_total"))
+      val nullPrio = o.agg(
+          F.sum(F.when(F.col("o_orderpriority").isNull ||
+            F.col("o_orderpriority") === "", 1L).otherwise(0L)).as("n_bad"),
+          F.count(F.lit(1)).as("n_total"))
+        .select(F.lit("blank_priority").as("rule"), F.col("n_bad"),
+          F.col("n_total"))
+      val dupLine = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).as("c"))
+        .agg(F.sum(F.col("c") - 1).as("n_bad"), F.sum("c").as("n_total"))
+        .select(F.lit("dup_line_key").as("rule"), F.col("n_bad"),
+          F.col("n_total"))
+      orphans.union(price).union(qty).union(nullPrio).union(dupLine)
+    },
+
+    // Time-weighted average event value per user (the feature-store
+    // temporal aggregate: each value weighted by how long it was
+    // current). Weights are integer second durations × integer cents —
+    // exact sums; single-event users have no interval at all and drop
+    // out, a user whose events are all simultaneous (total duration
+    // 0) yields NULL rather than /0.
+    "q210_time_weighted" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(F.col("sec"), F.col("event_id"))
+      T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_timestamp(F.col("ts")).as("sec"),
+          F.round(F.col("value") * 100).cast("long").as("c"))
+        .withColumn("nxt", F.lead("sec", 1).over(byUser))
+        .filter(F.col("nxt").isNotNull)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * (F.col("nxt") - F.col("sec"))).as("__n"),
+          F.sum(F.col("nxt") - F.col("sec")).as("__d"))
+        .select(F.col("user_id"),
+          F.when(F.col("__d") > 0,
+            F.round(F.col("__n").cast("double") / (F.col("__d") * 100), 6))
+            .as("twa"))
     }
   )
 
@@ -466,6 +616,118 @@ object MlQueries {
                            WHEN n = 2 THEN 0.5
                            WHEN r = 1 OR r = n THEN 0.4
                            ELSE 0.2 / (n - 2) END), 6) AS credit
-          FROM s GROUP BY 1"""
+          FROM s GROUP BY 1""",
+    // Non-rolling re-derivation of the Rabin-Karp windows: per position
+    // a 20-step fold — O(len·20) here vs the kernel's O(len), same
+    // values (codepoint mod folds commute with the polynomial mod).
+    "q206_substring_dup" ->
+      """WITH pos AS (SELECT doc_id, text,
+                unnest(range(1, length(text) - 18)) AS p
+              FROM documents),
+          h AS (SELECT DISTINCT doc_id,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(range(0, 20),
+                      i -> unicode(substr(text, (p+i)::INT, 1))::BIGINT)),
+                    (a, x) -> (a*31 + x) % 1000003) AS h
+                FROM pos),
+          k AS (SELECT doc_id, h FROM h WHERE h % 8 = 0),
+          keep AS (SELECT h FROM k GROUP BY h HAVING count(*) <= 100),
+          kk AS (SELECT k.doc_id, k.h FROM k JOIN keep USING (h))
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM kk a JOIN kk b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2""",
+    "q207_mutual_knn" ->
+      """WITH RECURSIVE sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id),
+          knn AS (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims QUALIFY rank <= 5),
+          mut AS (
+            SELECT a.query_id AS id1, a.neighbor_id AS id2
+            FROM knn a JOIN knn b
+              ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+            WHERE a.query_id < a.neighbor_id),
+          edges AS (SELECT id1 AS a, id2 AS b FROM mut
+                    UNION SELECT id2, id1 FROM mut),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp
+                   FROM reach GROUP BY a)
+          SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS cluster
+          FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id""",
+    "q208_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                    FROM events),
+          m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) AS prev
+                FROM e),
+          sess AS (SELECT *, sum(CASE WHEN prev IS NULL
+                        OR sec - prev > 1800 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY sec, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS sess
+                   FROM m),
+          rk AS (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, sess
+                    ORDER BY sec, event_id) AS r
+                 FROM sess),
+          paths AS (SELECT user_id, sess,
+                      string_agg(event_type, '>' ORDER BY r) AS path
+                    FROM rk WHERE r <= 3 GROUP BY 1, 2)
+          SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM paths GROUP BY 1
+          ORDER BY n_sessions DESC, path ASC LIMIT 10""",
+    "q209_dq_audit" ->
+      """SELECT 'fk_orphan_order' AS rule,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+             AS BIGINT) AS n_bad,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total
+         UNION ALL
+         SELECT 'nonpositive_price',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM orders
+         UNION ALL
+         SELECT 'qty_out_of_range',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT 'blank_priority',
+           CAST(sum(CASE WHEN o_orderpriority IS NULL
+                    OR o_orderpriority = '' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM orders
+         UNION ALL
+         SELECT 'dup_line_key', CAST(sum(c - 1) AS BIGINT),
+           CAST(sum(c) AS BIGINT)
+         FROM (SELECT count(*) AS c FROM lineitem
+               GROUP BY l_orderkey, l_linenumber)""",
+    "q210_time_weighted" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      CAST(round(value*100) AS BIGINT) AS c
+                    FROM events),
+          iv AS (SELECT user_id, c, sec,
+                   lead(sec) OVER (PARTITION BY user_id
+                     ORDER BY sec, event_id) AS nxt
+                 FROM e),
+          g AS (SELECT user_id,
+                  sum(c * (nxt - sec)) AS n, sum(nxt - sec) AS d
+                FROM iv WHERE nxt IS NOT NULL GROUP BY 1)
+          SELECT user_id,
+            CASE WHEN d > 0 THEN
+              round(CAST(n AS DOUBLE) / (d*100), 6) END AS twa
+          FROM g"""
   )
 }
