@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.StreamQueries.queries,
     _root_.graft.queries.MiscQueries.queries,
     _root_.graft.queries.AnalyticsQueries.queries,
-    _root_.graft.queries.MlQueries.queries
+    _root_.graft.queries.MlQueries.queries,
+    _root_.graft.queries.MiningQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -31,7 +32,8 @@ object SparkEntry {
     _root_.graft.queries.StreamQueries.oracleSql,
     _root_.graft.queries.MiscQueries.oracleSql,
     _root_.graft.queries.AnalyticsQueries.oracleSql,
-    _root_.graft.queries.MlQueries.oracleSql
+    _root_.graft.queries.MlQueries.oracleSql,
+    _root_.graft.queries.MiningQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -112,4 +112,50 @@ object Graph {
     deg.filter(F.col("deg") >= k)
       .select(F.col("n").as("node"), F.col("deg"))
   }
+
+  /** Multi-source BFS: minimum hop distance from any seed, frontier
+    * expansion bounded to `maxHops` rounds. Returns `(node, hop)` for
+    * every node reachable within the bound (seeds at hop 0).
+    *
+    * Input: directed edges `(src: long, dst: long)` (send both
+    * directions for undirected), seeds `(node: long)`.
+    *
+    * Scale shape: the textbook distributed BFS — each round joins the
+    * current FRONTIER (not the visited set, not the whole graph)
+    * against the edge list, then anti-joins the accumulated visited
+    * set so a node's first discovery wins (= min hop, no per-node min
+    * aggregation needed). Rounds are hop-bounded, each one keyed
+    * shuffle + one anti-join; both relations localCheckpoint per round
+    * so lineage stays flat and superseded blocks release. An early-out
+    * count on the frontier — O(1) driver rows — stops dead rounds.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int)
+      : DataFrame = {
+    val e = edges.select(F.col("src").cast("long").as("src"),
+      F.col("dst").cast("long").as("dst")).localCheckpoint()
+    var frontier = seeds.select(F.col("node").cast("long").as("node"))
+      .distinct().localCheckpoint()
+    var visited = frontier.select(F.col("node"), F.lit(0L).as("hop"))
+      .localCheckpoint()
+    var h = 1
+    var live = frontier.count() > 0
+    while (live && h <= maxHops) {
+      val next = e.join(frontier, F.col("src") === F.col("node"))
+        .select(F.col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      live = next.count() > 0
+      if (live) {
+        val prevV = visited
+        frontier.unpersist(blocking = false)
+        frontier = next
+        visited = visited
+          .unionAll(next.select(F.col("node"), F.lit(h.toLong).as("hop")))
+          .localCheckpoint()
+        prevV.unpersist(blocking = false)
+      }
+      h += 1
+    }
+    visited
+  }
 }

@@ -285,6 +285,46 @@ object RelOps {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Double-typed [[globalPrefixSum]] (exclusive, same two-phase scan).
+    * The per-partition accumulation is strictly left-to-right in the
+    * global sort order, so the float addition SEQUENCE is identical to
+    * a single-threaded window over the same ordering — an oracle
+    * engine running `sum(x) OVER (ORDER BY …)` adds the same values in
+    * the same order and lands on the same IEEE result. Used for
+    * running log-space products (Kaplan-Meier survival) where the
+    * summand is inherently fractional. */
+  def globalPrefixSumD(df: DataFrame, valCol: String, out: String,
+                       orderings: Seq[Ordering]): DataFrame = {
+    val sortCols = orderings.map(_.toColumn)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema
+      .add(out, org.apache.spark.sql.types.DoubleType, nullable = false)
+    val valIdx = ordered.schema.fieldIndex(valCol)
+    val rdd = ordered.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0.0
+        it.foreach(r => s += r.getDouble(valIdx))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    // NOTE the offsets are scanLeft sums of per-partition totals — the
+    // addition TREE differs from pure left-to-right by partition
+    // boundaries, so cross-partition results can differ from a serial
+    // window in the last ulp. Callers round their final projection.
+    val offsets = partSums.scanLeft(0.0)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val start = acc
+        acc += r.getDouble(valIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** reference `make_unique` (src/utils.jl:42-68): suffix `_k` until the
     * name is free. */
   def makeUnique(name: String, taken: Set[String]): String = {
