@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 218-query bench/verify runs accumulate shuffle
+  // + broadcast + codegen-cache footprint in ONE JVM; at 8g the later
+  // queries ran 2-3x their isolated times from GC pressure alone
+  // (round-4 verdict). The box has 128 GiB; local[32] is this JVM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -36,15 +36,26 @@ object Session {
   */
 object T {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    // rejects; read nanos as long and rebuild a (microsecond) timestamp.
-    // The generated data has no sub-microsecond component, so lossless.
+    // Older driver-generated events.parquet carried TIMESTAMP(NANOS),
+    // which the vectorized reader rejects; with nanosAsLong those files
+    // surface ts as LongType and we rebuild a microsecond timestamp
+    // (the data has no sub-microsecond component, so lossless). Newer
+    // generations write TIMESTAMP(MICROS) directly — detect by the
+    // loaded type so both layouts read identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is pinned UTC, so NTZ -> LTZ is the same instant;
+        // keeps the column type every query was written against
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   val tpch: Seq[String] = Seq("region", "nation", "customer", "supplier",

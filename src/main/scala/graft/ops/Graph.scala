@@ -153,9 +153,15 @@ object Graph {
           .unionAll(next.select(F.col("node"), F.lit(h.toLong).as("hop")))
           .localCheckpoint()
         prevV.unpersist(blocking = false)
+      } else {
+        next.unpersist(blocking = false) // dead round: nothing new found
       }
       h += 1
     }
+    // release everything except the returned `visited` checkpoint —
+    // the caller only needs that one (mirrors Dedup.connectedComponents)
+    e.unpersist(blocking = false)
+    frontier.unpersist(blocking = false)
     visited
   }
 }

@@ -19,10 +19,23 @@ object RelOps {
     * (reference src/dataframe.jl:1556-1562). NA placement follows the
     * reference: nulls first ascending, last descending
     * (reference src/dataframe.jl:1856, SURVEY §4.2.3).
+    *
+    * `by` emulates the reference's `order(col; by=f)` comparator
+    * transform (src/dataframe.jl:1556-1562) declaratively: a SQL
+    * expression (normally over `col`) used as the sort KEY while the
+    * row keeps its original columns — e.g.
+    * `Ordering("name", by = Some("length(name)"))`. An expression key
+    * stays inside whole-stage codegen and range-partitioned sort, so
+    * it scales exactly like a plain column sort (an opaque comparator
+    * closure would force row-at-a-time eval and kill TakeOrdered
+    * rewrites).
     */
-  final case class Ordering(col: String, desc: Boolean = false) {
+  final case class Ordering(col: String, desc: Boolean = false,
+                            by: Option[String] = None) {
+    /** The sort key: `col` itself, or the `by` transform of it. */
+    def key: Column = by.map(F.expr).getOrElse(F.col(col))
     def toColumn: Column =
-      if (desc) F.col(col).desc_nulls_last else F.col(col).asc_nulls_first
+      if (desc) key.desc_nulls_last else key.asc_nulls_first
   }
 
   implicit class DataFrameOps(val df: DataFrame) extends AnyVal {
@@ -99,7 +112,7 @@ object RelOps {
       */
     def issorted(orderings: Ordering*): Boolean = {
       require(orderings.nonEmpty, "issorted needs an explicit ordering")
-      val keyed = df.select(orderings.map(o => F.col(o.col)): _*)
+      val keyed = df.select(orderings.map(_.key): _*)
       val descs = orderings.map(_.desc).toArray
       val parts = keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
         if (!it.hasNext) Iterator.empty
@@ -286,13 +299,15 @@ object RelOps {
   }
 
   /** Double-typed [[globalPrefixSum]] (exclusive, same two-phase scan).
-    * The per-partition accumulation is strictly left-to-right in the
-    * global sort order, so the float addition SEQUENCE is identical to
-    * a single-threaded window over the same ordering — an oracle
-    * engine running `sum(x) OVER (ORDER BY …)` adds the same values in
-    * the same order and lands on the same IEEE result. Used for
-    * running log-space products (Kaplan-Meier survival) where the
-    * summand is inherently fractional. */
+    * Within a partition the accumulation is strictly left-to-right in
+    * the global sort order, but the cross-partition offsets are a
+    * scanLeft over per-partition totals — a DIFFERENT addition tree
+    * than a serial window, so results can differ from a single-thread
+    * oracle in the last ulp. The parity guarantee is therefore the
+    * rounded projection (callers round their final output, the repo
+    * float policy), not bit-exactness. Used for running log-space
+    * products (Kaplan-Meier survival, q219) where the summand is
+    * inherently fractional. */
   def globalPrefixSumD(df: DataFrame, valCol: String, out: String,
                        orderings: Seq[Ordering]): DataFrame = {
     val sortCols = orderings.map(_.toColumn)

@@ -880,7 +880,9 @@ object AnalyticsQueries {
         .within("m4" -> // exact 1e-4-unit revenue (see q168)
           "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
         .by(Seq("c_custkey", "c_name", "n_name"), "m4" -> "sum(m4)")
-        .within("revenue" -> "m4 / 10000.0").without("m4")
+        // cast: SQL literal 10000.0 parses as DECIMAL in Spark, DOUBLE in
+        // DuckDB — force DOUBLE so the hash matches (see q173's DSL form)
+        .within("revenue" -> "cast(m4 / 10000.0 as double)").without("m4")
         .topK(20, Ordering("revenue", desc = true), Ordering("c_custkey"))
     },
 
@@ -914,7 +916,7 @@ object AnalyticsQueries {
             "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
         .by(Seq("supp_nation", "cust_nation", "l_year"),
           "vol_c" -> "sum(cents)")
-        .within("volume" -> "vol_c / 100.0")
+        .within("volume" -> "cast(vol_c / 100.0 as double)")
         .without("vol_c")
     },
 
@@ -942,7 +944,7 @@ object AnalyticsQueries {
             - cast(round(0.6 * p_retailprice * l_quantity * 10000)
               as bigint)""")
         .by(Seq("n_name", "l_year"), "m4" -> "sum(m4)")
-        .within("profit" -> "m4 / 10000.0").without("m4")
+        .within("profit" -> "cast(m4 / 10000.0 as double)").without("m4")
     },
 
     // TPC-H Q11 shape: parts whose stock value (derived from lineitem

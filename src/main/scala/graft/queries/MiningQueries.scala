@@ -56,13 +56,17 @@ object MiningQueries {
     // sums, and the S_a/S_b density ratios are exact until the single
     // final division. LOF(a) = S(a)/k · Σ_{b∈N(a)} 1/S(b): the lrd
     // normalization cancels, so no unit conversion ever happens.
-    // Brute-force kNN is the parity formulation (queries broadcast,
-    // corpus never shuffles); the 100 TB path swaps in ivfKnnAuto.
+    // kNN runs on Knn.exactKnnBnB — exact branch-and-bound IVF, same
+    // top-5 as brute force (hash parity) with no n² window shuffle
+    // and no corpus broadcast.
     "q212_lof" -> { (s, dir) =>
       val emb = T.load(s, dir, "embeddings")
-      val knn = Knn.bruteForceKnn(emb, emb, "vec_id", "embedding", 5)
+      val knn = Knn.exactKnnBnB(emb, emb, "vec_id", "embedding", 5)
         .withColumn("di",
           F.round((F.lit(1.0) - F.col("sim")) * 1e6).cast("long"))
+        // n x k rows consumed by kd AND reach — pin so the BnB
+        // pipeline runs once (Bench/Verify sweep blocks post-query)
+        .localCheckpoint()
       val kd = knn.groupBy("query_id").agg(F.max("di").as("kdist"))
       val reach = knn
         .join(kd.withColumnRenamed("query_id", "neighbor_id"),
@@ -95,12 +99,21 @@ object MiningQueries {
         .localCheckpoint()
       val edges = cs.select(F.col("c").as("src"), F.col("sv").as("dst"))
         .unionAll(cs.select(F.col("sv").as("src"), F.col("c").as("dst")))
+      // seed nation derived from data (nation of the min supplier key)
+      // so the frontier is non-empty at every scale factor
+      val seedNk = T.load(s, dir, "supplier")
+        .orderBy(F.col("s_suppkey"))
+        .limit(1)
+        .select(F.col("s_nationkey").as("seed_nk"))
       val seeds = T.load(s, dir, "supplier")
-        .join(F.broadcast(T.load(s, dir, "nation")
-          .filter(F.col("n_name") === "NATION_9")),
-          F.col("s_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(seedNk),
+          F.col("s_nationkey") === F.col("seed_nk"))
         .select((F.col("s_suppkey") * 2 + 1).as("node"))
-      Graph.bfsHops(edges, seeds, maxHops = 4)
+      val hops = Graph.bfsHops(edges, seeds, maxHops = 4)
+      // bfsHops is eager (materialized checkpoint) — the edge-side
+      // checkpoint is no longer needed once it returns
+      cs.unpersist(blocking = false)
+      hops
         .select(F.when(F.col("node") % 2 === 0,
             F.concat(F.lit("c"), (F.col("node") / 2).cast("long")))
           .otherwise(F.concat(F.lit("s"),
@@ -280,6 +293,58 @@ object MiningQueries {
             - F.lit(1.015) * F.col("words") / F.col("sentences")
             - F.lit(84.6) * F.col("syllables") / F.col("words"), 4)
             .as("flesch"))
+    },
+
+    // Kaplan-Meier survival curve over user lifetimes (retention
+    // analysis): duration = days between a user's first and last
+    // event; a user whose last event is >6h before corpus end is a
+    // churn EVENT, later users are right-censored. Per duration t:
+    // n_risk = users with duration >= t (exclusive prefix sum of
+    // per-duration counts — censored users leave the risk set too),
+    // S(t) = Π_{t_i<=t} (n_i - d_i)/n_i. The product runs in log
+    // space on the distributed double prefix scan
+    // (RelOps.globalPrefixSumD); a zero factor (everyone at risk
+    // dies) is tracked by a parallel integer prefix flag so ln(0)
+    // never evaluates on either engine. Output rows only at event
+    // times (d_i > 0), the classic KM table.
+    "q219_kaplan_meier" -> { (s, dir) =>
+      val pu = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.unix_timestamp(F.col("ts")).as("sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").as("fs"), F.max("sec").as("ls"))
+      val mx = pu.agg(F.max("ls").as("mx"))
+      val u = pu.crossJoin(F.broadcast(mx))
+        .select(F.floor((F.col("ls") - F.col("fs")).cast("double")
+            / 86400).as("dur"),
+          F.when(F.col("ls") < F.col("mx") - 21600, 1L).otherwise(0L)
+            .as("evt"))
+      // tiny (≤ span-days rows) but feeds three prefix passes whose
+      // input lineage re-evaluates — checkpoint once, swept post-query
+      val d = u.groupBy("dur")
+        .agg(F.count(F.lit(1)).as("n_at"), F.sum("evt").as("d_i"))
+        .localCheckpoint()
+      val tot = d.agg(F.sum("n_at").as("tot"))
+      val r = RelOps
+        .globalPrefixSum(d, "n_at", "cum_before",
+          Seq(RelOps.Ordering("dur")))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("tot") - F.col("cum_before"))
+        .withColumn("f", (F.col("n_risk") - F.col("d_i")).cast("double")
+          / F.col("n_risk"))
+        .withColumn("lnf",
+          F.when(F.col("f") > 0, F.log(F.col("f"))).otherwise(F.lit(0.0)))
+        .withColumn("z",
+          F.when(F.col("f") === 0.0, 1L).otherwise(0L))
+      val withZ = RelOps.globalPrefixSum(r, "z", "zb",
+        Seq(RelOps.Ordering("dur")))
+      RelOps.globalPrefixSumD(withZ, "lnf", "lnb",
+          Seq(RelOps.Ordering("dur")))
+        .filter(F.col("d_i") > 0)
+        .select(F.col("dur"), F.col("n_risk"),
+          F.col("d_i").as("n_events"),
+          F.when(F.col("zb") + F.col("z") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("lnb") + F.col("lnf")), 6))
+            .as("surv"))
     }
   )
 
@@ -342,9 +407,10 @@ object MiningQueries {
           edges AS (SELECT c AS src, sv AS dst FROM cs
                     UNION ALL SELECT sv, c FROM cs),
           seeds AS (SELECT s_suppkey * 2 + 1 AS node
-                    FROM supplier JOIN nation
-                      ON s_nationkey = n_nationkey
-                    WHERE n_name = 'NATION_9'),
+                    FROM supplier
+                    WHERE s_nationkey = (
+                      SELECT s_nationkey FROM supplier
+                      ORDER BY s_suppkey LIMIT 1)),
           hops(node, h) AS (
             SELECT node, CAST(0 AS BIGINT) FROM seeds
             UNION
@@ -474,6 +540,36 @@ object MiningQueries {
           SELECT doc_id, words, syllables, sentences,
             round(206.835 - 1.015 * words / sentences
               - 84.6 * syllables / words, 4) AS flesch
-          FROM c WHERE words > 0"""
+          FROM c WHERE words > 0""",
+    "q219_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id,
+                      min(CAST(floor(epoch(ts)) AS BIGINT)) AS fs,
+                      max(CAST(floor(epoch(ts)) AS BIGINT)) AS ls
+                    FROM events GROUP BY 1),
+          g AS (SELECT max(ls) AS mx FROM pu),
+          u AS (SELECT (ls - fs) // 86400 AS dur,
+                  CASE WHEN ls < mx - 21600 THEN 1 ELSE 0 END AS evt
+                FROM pu, g),
+          d AS (SELECT dur, count(*) AS n_at, sum(evt) AS d_i
+                FROM u GROUP BY 1),
+          r AS (SELECT dur, n_at, d_i,
+                  CAST((SELECT sum(n_at) FROM d)
+                    - coalesce(sum(n_at) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                FROM d),
+          k AS (SELECT dur, n_risk, d_i,
+                  CAST(n_risk - d_i AS DOUBLE) / n_risk AS f FROM r),
+          w AS (SELECT dur, n_risk, d_i,
+                  sum(CASE WHEN f = 0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY dur) AS zc,
+                  sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                    OVER (ORDER BY dur) AS lnc
+                FROM k),
+          final AS (SELECT dur, n_risk, CAST(d_i AS BIGINT) AS n_events,
+                  CASE WHEN zc > 0 THEN CAST(0 AS DOUBLE)
+                       ELSE round(exp(lnc), 6) END AS surv,
+                  d_i FROM w)
+          SELECT dur, n_risk, n_events, surv FROM final WHERE d_i > 0"""
   )
 }

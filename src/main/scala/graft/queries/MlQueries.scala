@@ -60,9 +60,12 @@ object MlQueries {
           F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
       val mx = ev.agg(F.max("sc").as("mxc"))
+      // FLOOR division (not truncation) so the bin is defined
+      // identically to DuckDB's `//` for negative score cents too;
+      // |sc*10| < 2^53 so the double divide inside floor() is exact
       ev.crossJoin(F.broadcast(mx))
-        .select(((F.col("sc") * 10).cast("long")
-          .divide(F.col("mxc") + 1)).cast("long").as("bin"),
+        .select(F.floor((F.col("sc") * 10).cast("double")
+          / (F.col("mxc") + 1)).as("bin"),
           F.col("sc"), F.col("pos"))
         .groupBy("bin").agg(
           F.count(F.lit(1)).as("n"),
@@ -325,20 +328,30 @@ object MlQueries {
     // each vector is in the other's top-5 (the standard density-robust
     // semantic-cluster graph), components via the log-round star CC.
     // Ranks compare the ROUNDED similarity (6 dp) with id tiebreak so
-    // both engines order identically. Brute-force kNN here is the
-    // parity formulation; the scale path swaps in ivfKnnAuto (same
-    // output contract, centroid-routed candidates).
+    // both engines order identically. The kNN runs on the exact
+    // branch-and-bound IVF path (Knn.exactKnnBnB): provably the same
+    // top-5 as brute force — so it sits under the same hash-checked
+    // oracle — but the corpus is joined on the cell key (never
+    // broadcast) and rankings are bounded-memory TopK aggs, not an
+    // n²-row window shuffle.
     "q207_mutual_knn" -> { (s, dir) =>
       val emb = T.load(s, dir, "embeddings")
-      val knn = Knn.bruteForceKnn(emb, emb, "vec_id", "embedding", 5)
+      // n x k rows; both sides of the mutuality self-join read it —
+      // pin so the BnB pipeline runs once (Bench/Verify sweep blocks)
+      val knn = Knn.exactKnnBnB(emb, emb, "vec_id", "embedding", 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint()
       val edges = knn.as("e1").join(knn.as("e2"),
           F.col("e1.query_id") === F.col("e2.neighbor_id") &&
             F.col("e1.neighbor_id") === F.col("e2.query_id") &&
             F.col("e1.query_id") < F.col("e1.neighbor_id"))
         .select(F.col("e1.query_id").as("id1"),
           F.col("e1.neighbor_id").as("id2"))
-      val comp = Dedup.connectedComponents(edges)
+      // star CC, not min-label: a mutual-kNN graph is chain-shaped
+      // (diameter ~ cluster length), and label propagation pays one
+      // round PER HOP of diameter — measured 15-30 s of round overhead
+      // at sf0.1 vs log²-bounded star contraction
+      val comp = Dedup.connectedComponentsStar(edges)
       emb.select(F.col("vec_id"))
         .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"),
           "left_outer")

@@ -179,8 +179,17 @@ object PipelineQueries {
     "q159_minhash_estimate" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
+      // the 64-way min agg over exploded shingles is the dominant cost;
+      // compute it ONCE (eager checkpoint — Bench/Verify release the
+      // blocks post-query) and share it across the candidate step and
+      // both estimator sides, instead of letting minhashNearDups
+      // rebuild its own copy
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "sh")
+        .localCheckpoint()
+      val pairs = Dedup
+        .verifiedJaccard(Dedup.lshCandidates(sigs, "doc_id"), docs,
+          "doc_id", "sh")
+        .filter(F.col("jac") >= NearDupJ)
       val s1 = sigs.toDF(sigs.columns.map(c =>
         if (c == "doc_id") "id1" else s"a_$c"): _*)
       val s2 = sigs.toDF(sigs.columns.map(c =>

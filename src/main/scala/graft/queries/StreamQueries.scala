@@ -38,11 +38,20 @@ object StreamQueries {
     // batch COUNT, so the verify/bench path wants exactly one. The
     // micro-batch-per-file parity path (reference minibatch iterator)
     // is DataStream.openStream, exercised in tests.
-    s.readStream
+    val raw = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    // same dual-layout handling as T.load: legacy nanos-long ts is
+    // rebuilt, new TIMESTAMP(MICROS) (read as NTZ) is cast to the LTZ
+    // type every query was written against (session tz = UTC)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run a streaming aggregate to completion with a bounded state-store

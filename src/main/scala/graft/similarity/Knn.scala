@@ -206,6 +206,133 @@ object Knn {
     ivfKnn(assigned, queries, idCol, vecCol, "cell", k, nprobe)
   }
 
+  /** EXACT top-k cosine kNN with branch-and-bound cell pruning — the
+    * scale replacement for [[bruteForceKnn]] when the query set is the
+    * whole corpus (self-kNN: mutual-kNN graphs, LOF, dedup).
+    *
+    * Unlike probe-limited IVF ([[ivfKnn]], approximate), this is
+    * provably exact, so it can sit under a hash-checked oracle:
+    *  1. partition the corpus into 2^`cellBits` cells by seeded
+    *     signed-random-projection signs ([[Srp.hyperplanes]]) — a pure
+    *     codegen projection, no iterative training;
+    *  2. per cell, precompute the Cauchy-Schwarz bound ingredients —
+    *     for unit query u and member y (normalized), every y in cell j
+    *     satisfies u.y <= u.c_j + r_j where c_j is the mean of the
+    *     cell's normalized members and r_j = max_y ||y - c_j||. The
+    *     O(ncells) stats table is collected and baked into the plan as
+    *     LITERALS (the bounded-collect class: 16 rows, like the
+    *     quantile histograms) so probe selection is one projection;
+    *  3. phase A: exact-score the `nprobe` cells with largest u.c_j ->
+    *     per-query kth-best rounded sim t_q (the pruning threshold);
+    *  4. phase B: visit ONLY the remaining cells with upper bound
+    *     u.c_j + r_j >= t_q - 1e-6 (the margin keeps 6-dp ties that
+    *     could win on the id tiebreak, and absorbs double slop);
+    *  5. merge and keep the top k.
+    * On clusterable data phase B prunes to ~nothing and the scan cost
+    * is nprobe/ncells of brute force; on adversarially uniform data it
+    * degrades to a full scan but NEVER a wrong answer. The corpus is
+    * joined on the cell key (shuffle-hash hint — it is never
+    * broadcast), and every ranking runs on the bounded-memory
+    * [[TopKAgg]], so shuffles carry O(queries x k), not O(n^2): the
+    * two properties brute force lacks at 100 TB.
+    * Output: (query_id, neighbor_id, sim, rank) — identical contract
+    * and rounding/tiebreak semantics to [[bruteForceKnn]].
+    */
+  def exactKnnBnB(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, dim: Int = 64,
+                  cellBits: Int = 4, nprobe: Int = 4,
+                  seed: Long = 11L): DataFrame = {
+    import graft.plans.VectorExpressions.{dotF, normF}
+    val planes = Srp.hyperplanes(dim, cellBits, seed)
+    def cellOf(v: Column): Column = planes.zipWithIndex.map {
+      case (h, i) =>
+        F.when(dotF(v, F.typedlit(h)) > 0d, F.lit(1L << i))
+          .otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    // per-vector norm precomputed ONCE: pair scoring is then
+    // dot/(qn*cn) — 3x fewer flops than cosineF per pair, and
+    // bit-identical to it (same kernel, same op order; zero guard kept)
+    val assigned = corpus
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
+        normF(F.col(vecCol)).as("cn"),
+        cellOf(F.col(vecCol)).as("cell"))
+    // centroid of each cell's NORMALIZED members + its radius, in two
+    // bounded-key aggregations (shuffle rows carry (cell, dim) keys)
+    val cents = assigned
+      .select(F.col("cell"), F.col("cn").as("nrm"),
+        F.posexplode(F.col("cvec")).as(Seq("pos", "x")))
+      .withColumn("y", F.col("x").cast("double") / F.col("nrm"))
+      .groupBy("cell", "pos").agg(F.avg("y").as("cy"))
+      .groupBy("cell")
+      .agg(F.expr(
+        "transform(array_sort(collect_list(struct(pos, cy))), s -> cast(s.cy as float))")
+        .as("cf"))
+      .withColumn("cnorm", F.sqrt(dotF(F.col("cf"), F.col("cf"))))
+    val cellStats = assigned
+      .join(F.broadcast(cents), "cell")
+      .withColumn("ycdot", dotF(F.col("cvec"), F.col("cf"))
+        / F.col("cn"))
+      .groupBy("cell")
+      .agg(F.sqrt(F.greatest(F.max(F.lit(1.0) - F.lit(2.0)
+          * F.col("ycdot") + F.col("cnorm") * F.col("cnorm")),
+        F.lit(0.0))).as("r"),
+        F.first(F.col("cf")).as("cf"))
+    // O(2^cellBits) rows -> plan literals (bounded collect, like the
+    // quantile histogram refinement)
+    val stats = cellStats
+      .select("cell", "cf", "r").collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
+        row.getDouble(2)))
+      .sortBy(_._1)
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(vecCol).as("qvec"), normF(F.col(vecCol)).as("qn"))
+    // one projection computes every cell's exact u.c_j and bound, and
+    // ranks cells by u.c_j (cell-id tiebreak) via array_sort on structs
+    val cellArr = F.array_sort(F.array(stats.map { case (c, cf, r) =>
+      val ucj = dotF(F.col("qvec"), F.typedlit(cf)) / F.col("qn")
+      F.struct((-ucj).as("negu"), F.lit(c).as("cell"),
+        (ucj + F.lit(r)).as("ub"))
+    }: _*))
+    val ranked = q.withColumn("cells", cellArr)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(assigned.hint("shuffle_hash"), "cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(
+        F.when(F.col("qn") === 0d || F.col("cn") === 0d, 0d)
+          .otherwise(dotF(F.col("qvec"), F.col("cvec"))
+            / (F.col("qn") * F.col("cn"))), 6))
+      .select("query_id", "neighbor_id", "sim")
+    // phase A pinned by an eager checkpoint (n x k rows): the tq
+    // branch, the candB derivation and the final union all read it —
+    // without the pin the whole probe scoring would re-run up to 3x.
+    // Bench/Verify sweep the blocks post-query.
+    val topA = TopK.perGroup[Long](
+      score(ranked.select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+        F.explode(F.expr(s"slice(cells, 1, $nprobe)")).as("pc"))
+        .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+          F.col("pc.cell").as("cell"))),
+      Seq("query_id"), "sim", "neighbor_id", k)
+      .localCheckpoint()
+    // threshold: kth-best rounded sim among probed cells (no k
+    // candidates yet -> -2 = no pruning possible for that query)
+    val tq = topA.filter(F.col("rank") === k)
+      .select(F.col("query_id"), F.col("sim").as("tq"))
+    // phase B: slice PAST the probed prefix (disjoint by construction)
+    // and keep only cells whose bound beats the threshold
+    val candB = score(ranked
+      .join(tq, Seq("query_id"), "left_outer")
+      .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+        F.coalesce(F.col("tq"), F.lit(-2.0)).as("t"),
+        F.explode(F.expr(
+          s"slice(cells, ${nprobe + 1}, ${stats.length})")).as("pc"))
+      .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6))
+      .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+        F.col("pc.cell").as("cell")))
+    TopK.perGroup[Long](
+      topA.select("query_id", "neighbor_id", "sim").unionAll(candB),
+      Seq("query_id"), "sim", "neighbor_id", k)
+  }
+
   /** Pairs of near-duplicate embeddings (cosine >= threshold) within a
     * blocking column — the embedding-space analog of Dedup. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,

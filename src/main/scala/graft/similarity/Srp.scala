@@ -26,7 +26,7 @@ object Srp {
     * space. Seeded per bit — same (dim, nbits, seed) always yields the
     * same family, so signatures are reproducible across runs/executors
     * (the literals are baked into the plan, broadcast for free). */
-  private[similarity] def hyperplanes(dim: Int, nbits: Int,
+  private[graft] def hyperplanes(dim: Int, nbits: Int,
                                       seed: Long): IndexedSeq[Array[Float]] =
     (0 until nbits).map { i =>
       val r = new scala.util.Random(seed * 1000003L + i)

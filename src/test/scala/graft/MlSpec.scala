@@ -115,6 +115,21 @@ class MlSpec extends SparkSpec {
     edges.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("exactKnnBnB matches bruteForceKnn exactly on real embeddings") {
+    // the whole point of the branch-and-bound path: provably the same
+    // (query, neighbor, rounded sim, rank) set as brute force, on the
+    // actual weakly-clustered test embeddings where approximate IVF
+    // probing would miss true neighbors
+    val emb = graft.T.load(spark, sf, "embeddings")
+    val bf = graft.similarity.Knn
+      .bruteForceKnn(emb, emb, "vec_id", "embedding", 5)
+    val bnb = graft.similarity.Knn
+      .exactKnnBnB(emb, emb, "vec_id", "embedding", 5)
+    assert(bf.count() === 500L * 5)
+    assert(bnb.exceptAll(bf).count() === 0L)
+    assert(bf.exceptAll(bnb).count() === 0L)
+  }
+
   test("SCD2 collapses consecutive duplicates and versions changes") {
     val dir = java.nio.file.Files.createTempDirectory("mlspec2").toString
     // ts as epoch NANOS long — the events.parquet physical layout that

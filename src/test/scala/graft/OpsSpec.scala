@@ -184,6 +184,29 @@ class OpsSpec extends SparkSpec {
     assert(descNulls.coalesce(1).issorted(Ordering("k", desc = true)))
   }
 
+  test("by-comparator ordering equals sorting on the computed column") {
+    // reference order(col; by=f): sort customers by NAME LENGTH (ties
+    // broken by key) — must equal materializing f(col) and sorting on it
+    val c = T.load(spark, sf, "customer")
+    val viaBy = c.sortBy(
+        Ordering("c_name", by = Some("length(c_name)")),
+        Ordering("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    val viaCol = c.withColumn("__k", F.length(F.col("c_name")))
+      .sortBy(Ordering("__k"), Ordering("c_custkey"))
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(viaBy == viaCol)
+    // issorted sees the transformed key too
+    assert(c.sortBy(Ordering("c_name", by = Some("length(c_name)")))
+      .issorted(Ordering("c_name", by = Some("length(c_name)"))))
+    // desc + by composes
+    val descBy = c.sortBy(
+      Ordering("c_name", desc = true, by = Some("length(c_name)")),
+      Ordering("c_custkey"))
+    assert(descBy.issorted(
+      Ordering("c_name", desc = true, by = Some("length(c_name)"))))
+  }
+
   test("forward as-of picks the earliest right row at-or-after each ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 31L, "e3"),
