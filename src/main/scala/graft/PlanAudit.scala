@@ -40,12 +40,13 @@ object PlanAudit {
           val singleParts = singleIdx.length - scalarAgg
           val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
           val smj = "SortMergeJoin".r.findAllIn(plan).size
+          val shj = "ShuffledHashJoin".r.findAllIn(plan).size
           // codegen'd operators print as "*(id) Op"; count distinct spans
           val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
           val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
           f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
-            f"scalar=$scalarAgg%2d bhj=$bhj%2d smj=$smj%2d " +
+            f"scalar=$scalarAgg%2d bhj=$bhj%2d smj=$smj%2d shj=$shj%2d " +
             f"wscg=$codegen%2d pushed=$pushed%2d wide_scan=$widecols%2d"
         } catch {
           case e: Throwable => f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}"

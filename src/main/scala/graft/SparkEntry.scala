@@ -21,7 +21,8 @@ object SparkEntry {
     _root_.graft.queries.MiscQueries.queries,
     _root_.graft.queries.AnalyticsQueries.queries,
     _root_.graft.queries.MlQueries.queries,
-    _root_.graft.queries.MiningQueries.queries
+    _root_.graft.queries.MiningQueries.queries,
+    _root_.graft.queries.RetrievalQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -33,7 +34,8 @@ object SparkEntry {
     _root_.graft.queries.MiscQueries.oracleSql,
     _root_.graft.queries.AnalyticsQueries.oracleSql,
     _root_.graft.queries.MlQueries.oracleSql,
-    _root_.graft.queries.MiningQueries.oracleSql
+    _root_.graft.queries.MiningQueries.oracleSql,
+    _root_.graft.queries.RetrievalQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

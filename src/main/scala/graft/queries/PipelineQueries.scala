@@ -658,6 +658,27 @@ object PipelineQueries {
       T.load(s, dir, "documents").basedOn(
         "doc_id" -> "doc_id",
         "fp" -> s"cast(${TextOps.charChecksumExpr("text")} as bigint)")
+    },
+
+    // Canonical-representative selection — the step after near-dup
+    // clustering that dedup actually SHIPS: per duplicate cluster keep
+    // exactly one document (longest wins, doc-id tiebreak) and report
+    // cluster size. Composition of the q41 pair pipeline + q79 CC; the
+    // argmax is a partial-agg'd struct-min, so the shuffle carries one
+    // row per cluster, never the membership lists.
+    "q222_canonical_pick" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
+      Dedup.connectedComponents(pairs.select("id1", "id2"))
+        .join(T.load(s, dir, "documents")
+          .select(F.col("doc_id").as("id"), F.col("n_chars")), "id")
+        .groupBy(F.col("comp").as("cluster"))
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.min(F.struct((-F.col("n_chars")).as("nc"),
+            F.col("id").as("d"))).as("m"))
+        .select(F.col("cluster"), F.col("n_members"),
+          F.col("m.d").as("kept_doc"), (-F.col("m.nc")).as("kept_chars"))
     }
   )
 
@@ -970,6 +991,35 @@ object PipelineQueries {
              (a,x) -> (a*31+x) % 1000000007) AS checksum
          FROM s""",
     "q79_dedup_clusters" -> duckCcClusters,
+    "q222_canonical_pick" ->
+      s"""WITH RECURSIVE
+          toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
+          jp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              round(len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                     AS DOUBLE), 3) AS jac
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          comp AS (SELECT a AS id, least(a, min(b)) AS comp
+                   FROM reach GROUP BY a),
+          j AS (SELECT c.comp AS cluster, c.id, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.id),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY n_chars DESC, id) AS rn,
+                  count(*) OVER (PARTITION BY cluster) AS n_members
+                FROM j)
+          SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+            id AS kept_doc, n_chars AS kept_chars
+          FROM r WHERE rn = 1""",
     "q122_leakfree_split" ->
       s"""WITH RECURSIVE
           toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),

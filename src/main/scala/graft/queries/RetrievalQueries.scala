@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
+
+/** Wave-7: retrieval / recommendation operators — positional phrase
+  * search over an inverted index and item-item collaborative filtering.
+  * Both keep the math integer-exact (counts) until one final rounded
+  * division so the DuckDB oracle hash-matches.
+  */
+object RetrievalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Phrase search over a positional token index: the (doc, position,
+    // trigram-phrase) relation IS the positional inverted index — here
+    // the searched phrase is derived in-plan (the corpus's most
+    // frequent word trigram, lexicographic tiebreak) so the query is
+    // self-contained; a production search skips that derivation and
+    // probes a stored index. Scale shape: phrase counting is one
+    // partial-agg'd shuffle on phrase keys, the top-1 is a
+    // TakeOrdered(1) broadcast, and the probe is an equi-join — the
+    // corpus text never moves, only (doc_id, phrase) pairs.
+    "q220_phrase_search" -> { (s, dir) =>
+      val tri = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), F.expr(
+          """filter(split(lower(text), '\\s+'), w -> length(w) > 0)""")
+          .as("ws"))
+        .filter(F.size(F.col("ws")) >= 3)
+        .select(F.col("doc_id"), F.explode(F.expr(
+          """transform(sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i),
+                    element_at(ws, i + 1), element_at(ws, i + 2)))"""))
+          .as("phrase"))
+      val top = tri.groupBy("phrase").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("phrase").asc).limit(1)
+      tri.join(F.broadcast(top.select("phrase")), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count(F.lit(1)).as("n_hits"))
+    },
+
+    // Item-item collaborative filtering over co-purchase baskets: for
+    // every part, the top-5 most-co-purchased parts by cosine over
+    // basket co-occurrence counts (sim = c_ij / sqrt(c_i c_j), support
+    // >= 2). Pair fan-out is per-order (bounded by lines-per-order²,
+    // the q181 bound), counts partial-aggregate map-side, and the
+    // per-item ranking runs on the bounded-memory TopK aggregator —
+    // shuffles carry O(items × 5), never the candidate volume. All
+    // counts are exact integers; c_i·c_j < 2^53 so the one cosine
+    // division is bit-deterministic.
+    "q221_item_cf" -> { (s, dir) =>
+      val oi = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+        .distinct()
+      val ci = oi.groupBy("pk").agg(F.count(F.lit(1)).as("c"))
+      val pairs = oi.toDF("ok", "i").join(oi.toDF("ok", "j"), "ok")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j").agg(F.count(F.lit(1)).as("cij"))
+        .filter(F.col("cij") >= 2)
+      val sym = pairs.unionAll(pairs.select(F.col("j").as("i"),
+        F.col("i").as("j"), F.col("cij")))
+      val scored = sym
+        .join(ci.toDF("i", "ci"), "i")
+        .join(ci.toDF("j", "cj"), "j")
+        .select(F.col("i").as("item"), F.col("j").as("rec"),
+          F.round(F.col("cij")
+            / F.sqrt((F.col("ci") * F.col("cj")).cast("double")), 6)
+            .as("sim"))
+      graft.similarity.TopK
+        .perGroup[Long](scored, Seq("item"), "sim", "rec", 5)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q220_phrase_search" ->
+      """WITH w AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                        '\s+'), x -> len(x) > 0) AS ws
+                    FROM documents),
+          tri AS (SELECT doc_id,
+                    concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS phrase
+                  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                  WHERE len(ws) >= 3),
+          top AS (SELECT phrase FROM tri GROUP BY phrase
+                  ORDER BY count(*) DESC, phrase LIMIT 1)
+          SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_hits
+          FROM tri JOIN top USING (phrase)
+          GROUP BY 1, 2""",
+    "q221_item_cf" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+          ci AS (SELECT pk, count(*) AS c FROM oi GROUP BY 1),
+          p AS (SELECT a.pk AS i, b.pk AS j, count(*) AS cij
+                FROM oi a JOIN oi b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+          sym AS (SELECT i, j, cij FROM p
+                  UNION ALL SELECT j, i, cij FROM p),
+          sc AS (SELECT s.i AS item, s.j AS rec,
+                   round(s.cij / sqrt(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                     AS sim
+                 FROM sym s
+                 JOIN ci ca ON ca.pk = s.i
+                 JOIN ci cb ON cb.pk = s.j)
+          SELECT item, rec, sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY item
+              ORDER BY sim DESC, rec) AS rank
+            FROM sc) t
+          WHERE rank <= 5"""
+  )
+}

@@ -231,7 +231,8 @@ object Knn {
     * On clusterable data phase B prunes to ~nothing and the scan cost
     * is nprobe/ncells of brute force; on adversarially uniform data it
     * degrades to a full scan but NEVER a wrong answer. The corpus is
-    * joined on the cell key (shuffle-hash hint — it is never
+    * joined on the cell key (shuffle join — the hint requests SHJ,
+    * the optimizer may pick SMJ; either way the corpus is never
     * broadcast), and every ranking runs on the bounded-memory
     * [[TopKAgg]], so shuffles carry O(queries x k), not O(n^2): the
     * two properties brute force lacks at 100 TB.
