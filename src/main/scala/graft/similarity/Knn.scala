@@ -253,13 +253,19 @@ object Knn {
     // per-vector norm precomputed ONCE: pair scoring is then
     // dot/(qn*cn) — 3x fewer flops than cosineF per pair, and
     // bit-identical to it (same kernel, same op order; zero guard kept)
+    // zero-norm vectors have no direction, so the Cauchy-Schwarz cell
+    // bound cannot cover them — quarantine them in sentinel cell -1,
+    // which gets a manufactured always-visited stats row below (their
+    // cosine is DEFINED as 0 by the kernel guard, matching cosineF)
     val assigned = corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
-        normF(F.col(vecCol)).as("cn"),
-        cellOf(F.col(vecCol)).as("cell"))
+        normF(F.col(vecCol)).as("cn"))
+      .withColumn("cell", F.when(F.col("cn") === 0d, F.lit(-1L))
+        .otherwise(cellOf(F.col("cvec"))))
     // centroid of each cell's NORMALIZED members + its radius, in two
     // bounded-key aggregations (shuffle rows carry (cell, dim) keys)
     val cents = assigned
+      .filter(F.col("cell") >= 0)
       .select(F.col("cell"), F.col("cn").as("nrm"),
         F.posexplode(F.col("cvec")).as(Seq("pos", "x")))
       .withColumn("y", F.col("x").cast("double") / F.col("nrm"))
@@ -285,12 +291,20 @@ object Knn {
       .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
         row.getDouble(2)))
       .sortBy(_._1)
+      // sentinel cell for zero-norm members: zero centroid + r = 3
+      // makes its bound 3.0 > any cosine threshold, so it is visited
+      // for every query and its members are always exact-scored
+      .prepended((-1L, Array.fill(dim)(0f), 3.0))
     val q = queries.select(F.col(idCol).as("query_id"),
       F.col(vecCol).as("qvec"), normF(F.col(vecCol)).as("qn"))
     // one projection computes every cell's exact u.c_j and bound, and
     // ranks cells by u.c_j (cell-id tiebreak) via array_sort on structs
     val cellArr = F.array_sort(F.array(stats.map { case (c, cf, r) =>
-      val ucj = dotF(F.col("qvec"), F.typedlit(cf)) / F.col("qn")
+      // ANSI mode: a zero-norm query must not reach the divide; its
+      // u.c_j is defined 0, and with all its sims 0 the ub = r >= 0
+      // bound keeps every cell (no pruning), preserving exactness
+      val ucj = F.when(F.col("qn") === 0d, 0d)
+        .otherwise(dotF(F.col("qvec"), F.typedlit(cf)) / F.col("qn"))
       F.struct((-ucj).as("negu"), F.lit(c).as("cell"),
         (ucj + F.lit(r)).as("ub"))
     }: _*))
@@ -326,7 +340,11 @@ object Knn {
         F.coalesce(F.col("tq"), F.lit(-2.0)).as("t"),
         F.explode(F.expr(
           s"slice(cells, ${nprobe + 1}, ${stats.length})")).as("pc"))
-      .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6))
+      // a zero-norm query has NaN bounds (0/0) and ties every sim at
+      // 0 — it must visit every cell for the id-asc tiebreak to be
+      // global, so it never prunes
+      .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6)
+        || F.col("qn") === 0d)
       .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
         F.col("pc.cell").as("cell")))
     TopK.perGroup[Long](

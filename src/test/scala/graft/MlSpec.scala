@@ -130,6 +130,24 @@ class MlSpec extends SparkSpec {
     assert(bf.exceptAll(bnb).count() === 0L)
   }
 
+  test("exactKnnBnB stays exact with zero-norm vectors in play") {
+    // zero vectors have no direction: cosine is DEFINED 0 by the
+    // kernel guard, so they tie globally and only the id-asc tiebreak
+    // ranks them — the BnB path must still match brute force exactly
+    // (sentinel cell for zero members, no pruning for zero queries)
+    val emb = graft.T.load(spark, sf, "embeddings").limit(40)
+      .select("vec_id", "embedding")
+      .unionAll(Seq((9001L, Array.fill(64)(0f)),
+        (9002L, Array.fill(64)(0f)))
+        .toDF("vec_id", "embedding"))
+    val bf = graft.similarity.Knn
+      .bruteForceKnn(emb, emb, "vec_id", "embedding", 5)
+    val bnb = graft.similarity.Knn
+      .exactKnnBnB(emb, emb, "vec_id", "embedding", 5)
+    assert(bnb.exceptAll(bf).count() === 0L)
+    assert(bf.exceptAll(bnb).count() === 0L)
+  }
+
   test("SCD2 collapses consecutive duplicates and versions changes") {
     val dir = java.nio.file.Files.createTempDirectory("mlspec2").toString
     // ts as epoch NANOS long — the events.parquet physical layout that

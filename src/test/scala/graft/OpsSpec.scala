@@ -184,6 +184,24 @@ class OpsSpec extends SparkSpec {
     assert(descNulls.coalesce(1).issorted(Ordering("k", desc = true)))
   }
 
+  test("globalPrefixSumD matches a driver-side serial scan (rounded)") {
+    import spark.implicits._
+    val xs = Seq.tabulate(500)(i => (i.toLong, math.log1p(i % 37) / 7))
+    val df = xs.toDF("k", "v").repartition(8)
+    val got = graft.ops.RelOps
+      .globalPrefixSumD(df, "v", "pre", Seq(graft.ops.RelOps.Ordering("k")))
+      .select("k", "pre").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // exclusive serial prefix in k order; parity at the ROUNDED
+    // projection (the documented guarantee — offsets use a different
+    // addition tree than a serial fold, ulp-level only)
+    var acc = 0.0
+    xs.foreach { case (k, v) =>
+      assert(math.abs(got(k) - acc) < 1e-9, s"k=$k")
+      acc += v
+    }
+  }
+
   test("by-comparator ordering equals sorting on the computed column") {
     // reference order(col; by=f): sort customers by NAME LENGTH (ties
     // broken by key) — must equal materializing f(col) and sorting on it
