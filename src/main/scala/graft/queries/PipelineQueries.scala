@@ -679,6 +679,28 @@ object PipelineQueries {
             F.col("id").as("d"))).as("m"))
         .select(F.col("cluster"), F.col("n_members"),
           F.col("m.d").as("kept_doc"), (-F.col("m.nc")).as("kept_chars"))
+    },
+
+    // N-gram novelty per document — the pretraining-mix freshness
+    // signal: what fraction of a doc's distinct 3-gram shingles first
+    // appear in THIS doc (first occurrence = min doc_id, the ingest
+    // order)? Boilerplate-heavy docs score near 0, genuinely new
+    // content near 1. Shuffles carry 8-byte shingle hashes (the q182
+    // compact-key precedent), one groupBy-min + one join back — no
+    // all-pairs anything.
+    "q224_ngram_novelty" -> { (s, dir) =>
+      val sh = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+        .select(F.col("doc_id"), F.explode(F.col("sh")).as("s"))
+        .select(F.col("doc_id"), F.xxhash64(F.col("s")).as("h"))
+      val first = sh.groupBy("h").agg(F.min("doc_id").as("fd"))
+      sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_shingles"),
+          F.sum(F.when(F.col("fd") === F.col("doc_id"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", F.round(
+          F.col("n_novel").cast("double") / F.col("n_shingles"), 6))
     }
   )
 
@@ -991,6 +1013,18 @@ object PipelineQueries {
              (a,x) -> (a*31+x) % 1000000007) AS checksum
          FROM s""",
     "q79_dedup_clusters" -> duckCcClusters,
+    "q224_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          sh AS (SELECT doc_id, unnest($duckShingles3) AS s FROM toks),
+          f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1)
+          SELECT sh.doc_id,
+            CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel,
+            round(CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS novelty
+          FROM sh JOIN f USING (s)
+          GROUP BY 1""",
     "q222_canonical_pick" ->
       s"""WITH RECURSIVE
           toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),

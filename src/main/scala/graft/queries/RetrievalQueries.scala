@@ -3,10 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.T
 
-/** Wave-7: retrieval / recommendation operators — positional phrase
-  * search over an inverted index and item-item collaborative filtering.
-  * Both keep the math integer-exact (counts) until one final rounded
-  * division so the DuckDB oracle hash-matches.
+/** Wave-7: retrieval / recommendation / corpus-reporting operators —
+  * positional phrase search over an inverted index, item-item
+  * collaborative filtering, and the cumulative distinct-user curve
+  * with a mergeable-HLL gate. Counts stay integer-exact until one
+  * final rounded division so the DuckDB oracle hash-matches.
   */
 object RetrievalQueries {
 
@@ -68,6 +69,45 @@ object RetrievalQueries {
             .as("sim"))
       graft.similarity.TopK
         .perGroup[Long](scored, Seq("item"), "sim", "rec", 5)
+    },
+
+    // Cumulative distinct-user curve with a mergeable-sketch gate:
+    // exact running distinct via first-seen-day + distributed prefix
+    // sum (a user is "new" exactly once, so cumulative distinct =
+    // running sum of new-user counts — no count-distinct windows), and
+    // per-day HLL sketches whose CUMULATIVE union must estimate within
+    // 5%+5 of the exact curve. The sketch side is the 100 TB shape:
+    // per-day sketches are mergeable partial-agg state, so the running
+    // curve needs day²-bounded sketch merges, never a rescan of
+    // history. Oracle emits the exact curve + literal TRUE (the
+    // q118/q131 sketch-gate pattern: the estimate itself is
+    // hash-family-dependent, the GATE is what's checked).
+    "q225_cumulative_users" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)")
+          .as("day"), F.col("user_id"))
+      val days = ev.select("day").distinct()
+      val newPerDay = ev.groupBy("user_id").agg(F.min("day").as("fd"))
+        .groupBy(F.col("fd").as("day"))
+        .agg(F.count(F.lit(1)).as("nu"))
+      val joined = days.join(newPerDay, Seq("day"), "left_outer")
+        .select(F.col("day"),
+          F.coalesce(F.col("nu"), F.lit(0L)).as("new_users"))
+      val cum = graft.ops.RelOps.globalPrefixSum(joined, "new_users",
+        "pre", Seq(graft.ops.RelOps.Ordering("day")))
+      val est = ev.groupBy(F.col("day").as("d2"))
+        .agg(F.hll_sketch_agg(F.col("user_id")).as("sk"))
+        .join(days, F.col("d2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+          .as("est"))
+      cum.join(est, "day")
+        .select(F.col("day"), F.col("new_users"),
+          (F.col("pre") + F.col("new_users")).as("cum_users"),
+          (F.abs((F.col("est") - F.col("pre") - F.col("new_users"))
+              .cast("double"))
+            <= F.lit(0.05) * (F.col("pre") + F.col("new_users"))
+              + F.lit(5.0)).as("hll_ok"))
     }
   )
 
@@ -105,6 +145,21 @@ object RetrievalQueries {
             SELECT *, row_number() OVER (PARTITION BY item
               ORDER BY sim DESC, rec) AS rank
             FROM sc) t
-          WHERE rank <= 5"""
+          WHERE rank <= 5""",
+    "q225_cumulative_users" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                      AS day, user_id
+                    FROM events),
+          days AS (SELECT DISTINCT day FROM e),
+          fs AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1),
+          npd AS (SELECT fd AS day, count(*) AS n FROM fs GROUP BY 1),
+          j AS (SELECT d.day, coalesce(npd.n, 0) AS new_users
+                FROM days d LEFT JOIN npd USING (day)),
+          c AS (SELECT day, new_users,
+                  sum(new_users) OVER (ORDER BY day) AS cum_users
+                FROM j)
+          SELECT day, CAST(new_users AS BIGINT) AS new_users,
+            CAST(cum_users AS BIGINT) AS cum_users, TRUE AS hll_ok
+          FROM c"""
   )
 }
