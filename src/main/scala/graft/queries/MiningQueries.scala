@@ -345,6 +345,58 @@ object MiningQueries {
           F.when(F.col("zb") + F.col("z") > 0, F.lit(0.0))
             .otherwise(F.round(F.exp(F.col("lnb") + F.col("lnf")), 6))
             .as("surv"))
+    },
+
+    // Autocorrelation function (lags 1-3) of each event type's hourly
+    // revenue series — the seasonality probe a time-series pipeline
+    // runs before choosing window features. The series is the hourly
+    // TOTAL in integer cents over a gap-filled hour grid (missing
+    // hours are real zeros, not absent rows — ACF over a sparse series
+    // without the fill is a different statistic). Per-type state is a
+    // bounded window (span-hours rows); the mean/denominator are one
+    // 1-row-per-type broadcast; the three lag columns explode to
+    // (lag, value) pairs so one partial-agg'd groupBy computes all
+    // three numerators.
+    "q226_acf" -> { (s, dir) =>
+      val hourly = T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts) / 3600) as bigint)")
+            .as("h"),
+          F.round(F.col("value") * 100).cast("long").as("vc"))
+        .groupBy("event_type", "h").agg(F.sum("vc").as("xr"))
+      val grid = hourly.groupBy("event_type")
+        .agg(F.min("h").as("h0"), F.max("h").as("h1"))
+        .select(F.col("event_type"),
+          F.explode(F.sequence(F.col("h0"), F.col("h1"))).as("h"))
+      val series = grid.join(hourly, Seq("event_type", "h"), "left_outer")
+        .select(F.col("event_type"), F.col("h"),
+          F.coalesce(F.col("xr"), F.lit(0L)).as("x"))
+      val st = series.groupBy("event_type").agg(
+        F.sum(F.col("x").cast("double")).as("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x")).as("sxx"),
+        F.count(F.lit(1)).as("n"))
+        .select(F.col("event_type"),
+          (F.col("sx") / F.col("n")).as("mu"),
+          (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            .as("den"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      series
+        .withColumn("x1", F.lag("x", 1).over(w))
+        .withColumn("x2", F.lag("x", 2).over(w))
+        .withColumn("x3", F.lag("x", 3).over(w))
+        .join(F.broadcast(st), "event_type")
+        .select(F.col("event_type"), F.col("x"), F.col("mu"),
+          F.col("den"),
+          F.explode(F.expr(
+            """array(struct(1 as lag, x1 as xk),
+                     struct(2 as lag, x2 as xk),
+                     struct(3 as lag, x3 as xk))""")).as("e"))
+        .filter(F.col("e.xk").isNotNull)
+        .groupBy(F.col("event_type"), F.col("e.lag").as("lag"))
+        .agg(F.round(
+          F.sum((F.col("x") - F.col("mu"))
+            * (F.col("e.xk") - F.col("mu")))
+            / F.first("den"), 6).as("acf"))
     }
   )
 
@@ -570,6 +622,46 @@ object MiningQueries {
                   CASE WHEN zc > 0 THEN CAST(0 AS DOUBLE)
                        ELSE round(exp(lnc), 6) END AS surv,
                   d_i FROM w)
-          SELECT dur, n_risk, n_events, surv FROM final WHERE d_i > 0"""
+          SELECT dur, n_risk, n_events, surv FROM final WHERE d_i > 0""",
+    "q226_acf" ->
+      """WITH ev AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+                    FROM events),
+          hourly AS (SELECT event_type, h, sum(vc) AS xr
+                     FROM ev GROUP BY 1, 2),
+          grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+                   FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+                         FROM hourly GROUP BY 1)),
+          series AS (SELECT g.event_type, g.h,
+                       coalesce(hourly.xr, 0) AS x
+                     FROM grid g LEFT JOIN hourly
+                       ON hourly.event_type = g.event_type
+                      AND hourly.h = g.h),
+          st AS (SELECT event_type,
+                   sum(CAST(x AS DOUBLE)) / count(*) AS mu,
+                   sum(CAST(x AS DOUBLE) * x)
+                     - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE))
+                       / count(*) AS den
+                 FROM series GROUP BY 1),
+          la AS (SELECT *,
+                   lag(x, 1) OVER (PARTITION BY event_type ORDER BY h)
+                     AS x1,
+                   lag(x, 2) OVER (PARTITION BY event_type ORDER BY h)
+                     AS x2,
+                   lag(x, 3) OVER (PARTITION BY event_type ORDER BY h)
+                     AS x3
+                 FROM series),
+          ex AS (SELECT event_type, x, 1 AS lag, x1 AS xk FROM la
+                 UNION ALL
+                 SELECT event_type, x, 2, x2 FROM la
+                 UNION ALL
+                 SELECT event_type, x, 3, x3 FROM la)
+          SELECT e.event_type, e.lag,
+            round(sum((e.x - st.mu) * (e.xk - st.mu)) / any_value(st.den),
+              6) AS acf
+          FROM ex e JOIN st ON st.event_type = e.event_type
+          WHERE e.xk IS NOT NULL
+          GROUP BY 1, 2"""
   )
 }
