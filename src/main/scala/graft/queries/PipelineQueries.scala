@@ -670,15 +670,10 @@ object PipelineQueries {
       val docs = T.load(s, dir, "documents")
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", NearDupJ)
-      Dedup.connectedComponents(pairs.select("id1", "id2"))
-        .join(T.load(s, dir, "documents")
-          .select(F.col("doc_id").as("id"), F.col("n_chars")), "id")
-        .groupBy(F.col("comp").as("cluster"))
-        .agg(F.count(F.lit(1)).as("n_members"),
-          F.min(F.struct((-F.col("n_chars")).as("nc"),
-            F.col("id").as("d"))).as("m"))
-        .select(F.col("cluster"), F.col("n_members"),
-          F.col("m.d").as("kept_doc"), (-F.col("m.nc")).as("kept_chars"))
+      canonicalPick(
+        Dedup.connectedComponents(pairs.select("id1", "id2")),
+        T.load(s, dir, "documents")
+          .select(F.col("doc_id").as("id"), F.col("n_chars")))
     },
 
     // N-gram novelty per document — the pretraining-mix freshness
@@ -703,6 +698,20 @@ object PipelineQueries {
           F.col("n_novel").cast("double") / F.col("n_shingles"), 6))
     }
   )
+
+  /** Canonical-representative argmax over cluster labels (id, comp)
+    * joined with a quality column (id, n_chars): longest doc wins,
+    * id tiebreak — a partial-agg'd struct-min, one output row per
+    * cluster. Shared by q222 and RetrievalSpec. */
+  private[graft] def canonicalPick(labels: DataFrame,
+                                   chars: DataFrame): DataFrame =
+    labels.join(chars, "id")
+      .groupBy(F.col("comp").as("cluster"))
+      .agg(F.count(F.lit(1)).as("n_members"),
+        F.min(F.struct((-F.col("n_chars")).as("nc"),
+          F.col("id").as("d"))).as("m"))
+      .select(F.col("cluster"), F.col("n_members"),
+        F.col("m.d").as("kept_doc"), (-F.col("m.nc")).as("kept_chars"))
 
   def oracleSql: Map[String, String] = Map(
     "q124_embed_cov" ->

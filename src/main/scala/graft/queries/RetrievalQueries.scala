@@ -11,6 +11,43 @@ import graft.T
   */
 object RetrievalQueries {
 
+  /** (doc_id, phrase) positional word-trigram relation — the inverted
+    * index both q220 and RetrievalSpec rank over. */
+  private[graft] def phraseTrigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(F.col("doc_id"), F.expr(
+        """filter(split(lower(text), '\\s+'), w -> length(w) > 0)""")
+        .as("ws"))
+      .filter(F.size(F.col("ws")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        """transform(sequence(1, size(ws) - 2),
+             i -> concat_ws(' ', element_at(ws, i),
+                  element_at(ws, i + 1), element_at(ws, i + 2)))"""))
+        .as("phrase"))
+
+  /** Item-item CF core over a basket relation (ok, pk): cosine over
+    * co-occurrence counts, support >= minSupport, top-k per item on
+    * the bounded TopK aggregator. Shared by q221 and RetrievalSpec. */
+  private[graft] def itemCf(oi: DataFrame, minSupport: Long,
+                            k: Int): DataFrame = {
+    val ci = oi.groupBy("pk").agg(F.count(F.lit(1)).as("c"))
+    val pairs = oi.toDF("ok", "i").join(oi.toDF("ok", "j"), "ok")
+      .filter(F.col("i") < F.col("j"))
+      .groupBy("i", "j").agg(F.count(F.lit(1)).as("cij"))
+      .filter(F.col("cij") >= minSupport)
+    val sym = pairs.unionAll(pairs.select(F.col("j").as("i"),
+      F.col("i").as("j"), F.col("cij")))
+    val scored = sym
+      .join(ci.toDF("i", "ci"), "i")
+      .join(ci.toDF("j", "cj"), "j")
+      .select(F.col("i").as("item"), F.col("j").as("rec"),
+        F.round(F.col("cij")
+          / F.sqrt((F.col("ci") * F.col("cj")).cast("double")), 6)
+          .as("sim"))
+    graft.similarity.TopK
+      .perGroup[Long](scored, Seq("item"), "sim", "rec", k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Phrase search over a positional token index: the (doc, position,
@@ -23,16 +60,7 @@ object RetrievalQueries {
     // TakeOrdered(1) broadcast, and the probe is an equi-join — the
     // corpus text never moves, only (doc_id, phrase) pairs.
     "q220_phrase_search" -> { (s, dir) =>
-      val tri = T.load(s, dir, "documents")
-        .select(F.col("doc_id"), F.expr(
-          """filter(split(lower(text), '\\s+'), w -> length(w) > 0)""")
-          .as("ws"))
-        .filter(F.size(F.col("ws")) >= 3)
-        .select(F.col("doc_id"), F.explode(F.expr(
-          """transform(sequence(1, size(ws) - 2),
-               i -> concat_ws(' ', element_at(ws, i),
-                    element_at(ws, i + 1), element_at(ws, i + 2)))"""))
-          .as("phrase"))
+      val tri = phraseTrigrams(T.load(s, dir, "documents"))
       val top = tri.groupBy("phrase").agg(F.count(F.lit(1)).as("n"))
         .orderBy(F.col("n").desc, F.col("phrase").asc).limit(1)
       tri.join(F.broadcast(top.select("phrase")), "phrase")
@@ -50,25 +78,9 @@ object RetrievalQueries {
     // counts are exact integers; c_i·c_j < 2^53 so the one cosine
     // division is bit-deterministic.
     "q221_item_cf" -> { (s, dir) =>
-      val oi = T.load(s, dir, "lineitem")
+      itemCf(T.load(s, dir, "lineitem")
         .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
-        .distinct()
-      val ci = oi.groupBy("pk").agg(F.count(F.lit(1)).as("c"))
-      val pairs = oi.toDF("ok", "i").join(oi.toDF("ok", "j"), "ok")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j").agg(F.count(F.lit(1)).as("cij"))
-        .filter(F.col("cij") >= 2)
-      val sym = pairs.unionAll(pairs.select(F.col("j").as("i"),
-        F.col("i").as("j"), F.col("cij")))
-      val scored = sym
-        .join(ci.toDF("i", "ci"), "i")
-        .join(ci.toDF("j", "cj"), "j")
-        .select(F.col("i").as("item"), F.col("j").as("rec"),
-          F.round(F.col("cij")
-            / F.sqrt((F.col("ci") * F.col("cj")).cast("double")), 6)
-            .as("sim"))
-      graft.similarity.TopK
-        .perGroup[Long](scored, Seq("item"), "sim", "rec", 5)
+        .distinct(), minSupport = 2, k = 5)
     },
 
     // Cumulative distinct-user curve with a mergeable-sketch gate:

@@ -340,9 +340,11 @@ object Knn {
         F.coalesce(F.col("tq"), F.lit(-2.0)).as("t"),
         F.explode(F.expr(
           s"slice(cells, ${nprobe + 1}, ${stats.length})")).as("pc"))
-      // a zero-norm query has NaN bounds (0/0) and ties every sim at
-      // 0 — it must visit every cell for the id-asc tiebreak to be
-      // global, so it never prunes
+      // a zero-norm query ties every sim at 0, so it must visit every
+      // cell for the id-asc tiebreak to be global. With the guarded
+      // ucj its bounds are 0 + r >= 0 >= t - 1e-6 (t is 0.0 or -2.0),
+      // so the main predicate already keeps every cell — the explicit
+      // disjunct just pins the invariant against future bound changes
       .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6)
         || F.col("qn") === 0d)
       .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
