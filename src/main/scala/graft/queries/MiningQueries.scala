@@ -397,6 +397,30 @@ object MiningQueries {
           F.sum((F.col("x") - F.col("mu"))
             * (F.col("e.xk") - F.col("mu")))
             / F.first("den"), 6).as("acf"))
+    },
+
+    // Sequential-pair mining: for every ordered event-type pair
+    // (A, B), how often does a user's A event have a B event strictly
+    // after it within one hour, and how many distinct users show the
+    // pattern — the precursor table to association/next-action rules
+    // that q195's adjacent-transition matrix can't see (B need not be
+    // the NEXT event). Per-user time-window self-join: fan-out is
+    // bounded by per-user activity density inside one hour (the q192
+    // per-entity bound — at corpus scale the join buckets by
+    // (user, hour) and probes adjacent buckets, the q104 interval
+    // pattern); the output is the bounded types² table.
+    "q227_seq_pairs" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.unix_timestamp(F.col("ts")).as("sec"), F.col("event_type"))
+      val a = ev.toDF("user_id", "ida", "sa", "ta")
+      val b = ev.toDF("user_id", "idb", "sb", "tb")
+      a.join(b, Seq("user_id"))
+        .filter(F.col("sa") < F.col("sb")
+          && F.col("sb") <= F.col("sa") + 3600)
+        .groupBy(F.col("ta"), F.col("tb"))
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.count_distinct(F.col("user_id")).as("n_users"))
     }
   )
 
@@ -662,6 +686,18 @@ object MiningQueries {
               6) AS acf
           FROM ex e JOIN st ON st.event_type = e.event_type
           WHERE e.xk IS NOT NULL
+          GROUP BY 1, 2""",
+    "q227_seq_pairs" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      event_type
+                    FROM events)
+          SELECT a.event_type AS ta, b.event_type AS tb,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          FROM e a JOIN e b
+            ON a.user_id = b.user_id
+           AND a.sec < b.sec AND b.sec <= a.sec + 3600
           GROUP BY 1, 2"""
   )
 }
