@@ -527,12 +527,19 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over token xxhash64s: per bit, sum ±1 across tokens;
-    * signature bit = sign. One explode + one groupBy; near-dup test is
-    * `bit_count(s1 ^ s2) <= d` on 8-byte keys. */
+  /** SimHash over per-token hashes: per bit, sum ±1 across tokens
+    * (duplicates weight by term frequency); signature bit = sign. One
+    * explode + one groupBy; near-dup test is `bit_count(s1 ^ s2) <= d`
+    * on 8-byte keys. The token hash is the oracle-reproducible 62-bit
+    * polynomial hash ([[graft.plans.TextKernels.polyHash62]]) — plain
+    * BIGINT arithmetic an oracle replays exactly, so the signature
+    * relation itself is hash-checkable (q42); bits 62-63 are
+    * constant 0, leaving 62 effective signature bits (hamming
+    * distances and the banded pigeonhole recall bound are unaffected).
+    */
   def simhash64(docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
     val ex = docs.select(F.col(idCol), F.explode(F.col(tokCol)).as("t"))
-      .withColumn("h", F.xxhash64(F.col("t")))
+      .withColumn("h", graft.plans.TextExpressions.polyHash62(F.col("t")))
     val bitSums = (0 until 64).map(j =>
       F.sum(F.expr(s"CASE WHEN (h >> $j) & 1L = 1L THEN 1 ELSE -1 END"))
         .as(s"b_$j"))

@@ -92,6 +92,31 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Deterministic 62-bit polynomial hash of a token: two independent
+    * 31-bit fold hashes over the codepoints — h1 = Σ-fold
+    * (a·31 + cp) mod (2^31−1), h2 = (a·131 + cp) mod 2147483629 —
+    * packed as (h1 << 31) | h2. Every step fits a signed 64-bit long
+    * (a < 2^31, a·131 + cp < 2^39), so an oracle reproduces it with
+    * plain BIGINT list_reduce arithmetic — unlike xxhash64, whose
+    * avalanche rounds no SQL engine replays. Bits 62-63 are always 0
+    * (62 effective bits); used by SimHash (q42) where hash quality
+    * requirements are statistical, not adversarial.
+    */
+  def polyHash62(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31 + cp) % 2147483647L
+      h2 = (h2 * 131 + cp) % 2147483629L
+      i += Character.charCount(cp)
+    }
+    (h1 << 31) | h2
+  }
+
   /** Rabin-Karp rolling polynomial hashes of every length-`n` codepoint
     * window: h_p = Σ cp(p+i)·31^(n-1-i) mod 1000003, computed with the
     * O(1)-per-position rolling update (one multiply, one subtract, one
@@ -168,6 +193,17 @@ case class PackedTrigrams(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Oracle-reproducible 62-bit polynomial hash of a string column. */
+case class PolyHash62(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.polyHash62(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.polyHash62($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Rolling Rabin-Karp hashes of all length-n codepoint windows. */
 case class RollingHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -192,4 +228,7 @@ object TextExpressions {
   def rollingHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       RollingHashes(GraftColumnBridge.expression(text), n))
+  def polyHash62(text: Column): Column =
+    GraftColumnBridge.column(
+      PolyHash62(GraftColumnBridge.expression(text)))
 }

@@ -393,10 +393,14 @@ object MiningQueries {
                      struct(3 as lag, x3 as xk))""")).as("e"))
         .filter(F.col("e.xk").isNotNull)
         .groupBy(F.col("event_type"), F.col("e.lag").as("lag"))
+        // den = 0 (a constant series) must yield NULL, not 0/0 = NaN:
+        // round(NaN) semantics differ across engines, so the guard is
+        // mirrored in the oracle's nullif(den, 0)
         .agg(F.round(
           F.sum((F.col("x") - F.col("mu"))
             * (F.col("e.xk") - F.col("mu")))
-            / F.first("den"), 6).as("acf"))
+            / F.when(F.first("den") === 0d, F.lit(null))
+              .otherwise(F.first("den")), 6).as("acf"))
     },
 
     // Sequential-pair mining: for every ordered event-type pair
@@ -404,18 +408,25 @@ object MiningQueries {
     // after it within one hour, and how many distinct users show the
     // pattern — the precursor table to association/next-action rules
     // that q195's adjacent-transition matrix can't see (B need not be
-    // the NEXT event). Per-user time-window self-join: fan-out is
-    // bounded by per-user activity density inside one hour (the q192
-    // per-entity bound — at corpus scale the join buckets by
-    // (user, hour) and probes adjacent buckets, the q104 interval
-    // pattern); the output is the bounded types² table.
+    // the NEXT event). The self-join buckets by (user_id, hour): the A
+    // side probes its own hour bucket AND the next one (any B within
+    // (sa, sa+3600] lands in one of the two), so the equi-join key is
+    // (user, hour-bucket) — the q104 interval pattern — and join-group
+    // fan-out is bounded by per-user activity inside TWO HOURS, never
+    // a user's total history squared. Each (A, B) pair matches exactly
+    // one probe (B's actual bucket), so no post-join dedup is needed;
+    // the time predicate then trims to the one-hour window and the
+    // output is the bounded types² table.
     "q227_seq_pairs" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select(F.col("user_id"), F.col("event_id"),
           F.unix_timestamp(F.col("ts")).as("sec"), F.col("event_type"))
       val a = ev.toDF("user_id", "ida", "sa", "ta")
+        .withColumn("hb", F.explode(F.array(
+          F.floor(F.col("sa") / 3600), F.floor(F.col("sa") / 3600) + 1)))
       val b = ev.toDF("user_id", "idb", "sb", "tb")
-      a.join(b, Seq("user_id"))
+        .withColumn("hb", F.floor(F.col("sb") / 3600))
+      a.join(b, Seq("user_id", "hb"))
         .filter(F.col("sa") < F.col("sb")
           && F.col("sb") <= F.col("sa") + 3600)
         .groupBy(F.col("ta"), F.col("tb"))
@@ -682,8 +693,8 @@ object MiningQueries {
                  UNION ALL
                  SELECT event_type, x, 3, x3 FROM la)
           SELECT e.event_type, e.lag,
-            round(sum((e.x - st.mu) * (e.xk - st.mu)) / any_value(st.den),
-              6) AS acf
+            round(sum((e.x - st.mu) * (e.xk - st.mu))
+              / nullif(any_value(st.den), 0), 6) AS acf
           FROM ex e JOIN st ON st.event_type = e.event_type
           WHERE e.xk IS NOT NULL
           GROUP BY 1, 2""",

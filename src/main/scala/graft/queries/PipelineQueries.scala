@@ -16,9 +16,10 @@ import graft.text.TextOps
   * IVF), text analysis (lang-id, quality, token stats, fingerprint),
   * multimodal binary plumbing.
   *
-  * Oracles replicate tokenization/shingling/scoring in DuckDB list SQL;
-  * approximate/stub operators (SimHash sigs, IVF ANN, stub decode) are
-  * deliberate rows-only checks.
+  * Oracles replicate tokenization/shingling/scoring in DuckDB list SQL
+  * — including the SimHash signature bits (polyHash62 replay, q42) and
+  * the IVF routing decision (rounded centroid cosine, q46), so every
+  * query here is hash-checked.
   */
 object PipelineQueries {
 
@@ -134,8 +135,11 @@ object PipelineQueries {
         "doc_id", "sh", NearDupJ)
     },
 
-    // SimHash signatures (rows-only: signature bits depend on Spark's
-    // xxhash64, not expressible in the oracle).
+    // SimHash signatures. Hash-checked: the per-token hash is the
+    // oracle-reproducible 62-bit polynomial fold (TextKernels
+    // .polyHash62 — plain BIGINT arithmetic), so the oracle rebuilds
+    // every signature bit-for-bit: per token a codepoint fold, per bit
+    // a ±1 sum, sign → bit.
     "q42_simhash" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
@@ -239,9 +243,14 @@ object PipelineQueries {
         "vec_id", "embedding", 10)
     },
 
-    // IVF ANN via per-label centroids, nprobe=3 (rows-only: approximate
-    // routing is the point; recall@10 vs q45 is asserted in
-    // PipelineSpec, and q94 hash-verifies the full-probe limit).
+    // IVF ANN via per-label centroids, nprobe=3. Hash-checked: the
+    // routing decision itself is deterministic arithmetic — centroids
+    // are per-(label, dim) averages cast to FLOAT (bit-stable across
+    // engines: the avg's summation-order noise is ~1e-16, far below
+    // float ulp), and the probe ranking compares the 6-dp-ROUNDED
+    // centroid cosine with a label tiebreak — so the oracle replays
+    // the exact routing + in-cell exact top-k in SQL. q94 additionally
+    // hash-verifies the full-probe limit == brute force.
     "q46_knn_ivf" -> { (s, dir) =>
       val emb = T.load(s, dir, "embeddings")
       Knn.ivfKnn(emb, emb.filterExpr("vec_id < 5"),
@@ -403,7 +412,7 @@ object PipelineQueries {
     // a miss vanishingly rare for this corpus's J >= 0.95 dups
     // (P(bit flip) ≈ 0.08 → E[dist] ≈ 5), while false positives are
     // removed by the intersection, so the check is deterministic in
-    // practice. Signature bits themselves stay rows-only (q42).
+    // practice. The signature bits themselves are hash-checked in q42.
     "q95_simhash_verify" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
@@ -919,6 +928,41 @@ object PipelineQueries {
            round(min(zv), 4) + 0 AS z_min,
            round(max(zv), 4) + 0 AS z_max
          FROM zz GROUP BY 1""",
+    // q46: replay of the IVF routing in SQL — float-cast per-label
+    // centroids, 6-dp-rounded probe cosine (label tiebreak), top-3
+    // cells, then the exact in-cell top-10.
+    "q46_knn_ivf" ->
+      """WITH ex AS (SELECT label, unnest(list_zip(embedding::DOUBLE[],
+                      generate_series(1, len(embedding)))) AS z
+                    FROM embeddings),
+          e AS (SELECT label, z[2]::BIGINT AS pos, z[1]::DOUBLE AS x
+                FROM ex),
+          cent AS (SELECT label, pos, avg(x) AS cv FROM e GROUP BY 1, 2),
+          cf AS (SELECT label,
+                   list_transform(list(cv ORDER BY pos),
+                     v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS c
+                 FROM cent GROUP BY 1),
+          probes AS (
+            SELECT query_id, label FROM (
+              SELECT q.vec_id AS query_id, cf.label,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(
+                    q.embedding::DOUBLE[], cf.c), 6) DESC, cf.label)
+                  AS crank
+              FROM embeddings q, cf WHERE q.vec_id < 5) t
+            WHERE crank <= 3),
+          sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+            FROM embeddings q
+            JOIN probes p ON p.query_id = q.vec_id
+            JOIN embeddings c ON c.label = p.label AND c.vec_id != q.vec_id
+            WHERE q.vec_id < 5)
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims QUALIFY rank <= 10""",
     // q94: IVF at full probe == the exact top-k — oracle is q45's
     // exact-kNN SQL verbatim.
     "q94_ivf_fullprobe" ->
@@ -932,6 +976,31 @@ object PipelineQueries {
            row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id) AS rank
          FROM sims QUALIFY rank <= 10""",
+    // q42: bit-exact signature replay — polyHash62 per token (two
+    // 31-bit BIGINT folds packed), ±1 bit sums, sign → bit. Bits 62-63
+    // are constant 0 on the engine side, so the oracle sums bits 0-61.
+    "q42_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+          th AS (SELECT doc_id,
+                   (list_reduce(list_prepend(0::BIGINT, cps),
+                      (a, x) -> (a * 31 + x) % 2147483647) << 31)
+                   | list_reduce(list_prepend(0::BIGINT, cps),
+                      (a, x) -> (a * 131 + x) % 2147483629) AS h
+                 FROM (SELECT doc_id,
+                         list_transform(range(1, length(tok) + 1),
+                           i -> unicode(substr(tok, i::INT, 1))::BIGINT)
+                           AS cps
+                       FROM tok)),
+          bits AS (SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS s
+                   FROM th, (SELECT unnest(range(0, 62)) AS j) u
+                   GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)
+              AS BIGINT) AS simhash
+          FROM bits GROUP BY 1""",
     // q95: SimHash(d<=16) ∩ exact(J>=0.8) == exact set iff SimHash
     // recall is 1 on this corpus (see the query comment).
     "q95_simhash_verify" -> duckJaccardPairs(0.8, sameLang = true),

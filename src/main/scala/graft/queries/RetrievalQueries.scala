@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import graft.T
 
 /** Wave-7: retrieval / recommendation / corpus-reporting operators —
@@ -28,8 +29,14 @@ object RetrievalQueries {
   /** Item-item CF core over a basket relation (ok, pk): cosine over
     * co-occurrence counts, support >= minSupport, top-k per item on
     * the bounded TopK aggregator. Shared by q221 and RetrievalSpec. */
-  private[graft] def itemCf(oi: DataFrame, minSupport: Long,
+  private[graft] def itemCf(oi0: DataFrame, minSupport: Long,
                             k: Int): DataFrame = {
+    // pinned: the basket relation feeds both sides of the pair
+    // self-join AND the item-count relation joined twice below — four
+    // lineage evaluations of the upstream scan+distinct without the
+    // pin (r5 bench measured q221 at 12.0 s, shuf=18 for ~3 logical
+    // shuffles). Bench/Verify sweep the blocks post-query.
+    val oi = oi0.localCheckpoint()
     val ci = oi.groupBy("pk").agg(F.count(F.lit(1)).as("c"))
     val pairs = oi.toDF("ok", "i").join(oi.toDF("ok", "j"), "ok")
       .filter(F.col("i") < F.col("j"))
@@ -89,9 +96,14 @@ object RetrievalQueries {
     // running sum of new-user counts — no count-distinct windows), and
     // per-day HLL sketches whose CUMULATIVE union must estimate within
     // 5%+5 of the exact curve. The sketch side is the 100 TB shape:
-    // per-day sketches are mergeable partial-agg state, so the running
-    // curve needs day²-bounded sketch merges, never a rescan of
-    // history. Oracle emits the exact curve + literal TRUE (the
+    // the corpus collapses to ONE mergeable sketch per day in a
+    // partial-agg'd shuffle, and the running curve is a LINEAR
+    // day-ordered running union over that O(days) relation (a growing
+    // window frame updates one aggregation buffer per row — O(days)
+    // merges total, vs the O(days²/2) a d2<=day triangular join
+    // costs). The single-partition window is safe because its input
+    // cardinality is calendar days — bounded by history length, not
+    // data volume. Oracle emits the exact curve + literal TRUE (the
     // q118/q131 sketch-gate pattern: the estimate itself is
     // hash-family-dependent, the GATE is what's checked).
     "q225_cumulative_users" -> { (s, dir) =>
@@ -107,12 +119,12 @@ object RetrievalQueries {
           F.coalesce(F.col("nu"), F.lit(0L)).as("new_users"))
       val cum = graft.ops.RelOps.globalPrefixSum(joined, "new_users",
         "pre", Seq(graft.ops.RelOps.Ordering("day")))
-      val est = ev.groupBy(F.col("day").as("d2"))
+      val est = ev.groupBy(F.col("day"))
         .agg(F.hll_sketch_agg(F.col("user_id")).as("sk"))
-        .join(days, F.col("d2") <= F.col("day"))
-        .groupBy("day")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
-          .as("est"))
+        .withColumn("est", F.hll_sketch_estimate(
+          F.hll_union_agg(F.col("sk")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select("day", "est")
       cum.join(est, "day")
         .select(F.col("day"), F.col("new_users"),
           (F.col("pre") + F.col("new_users")).as("cum_users"),

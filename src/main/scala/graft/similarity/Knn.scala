@@ -130,7 +130,12 @@ object Knn {
       .orderBy(F.col("csim").desc, F.col(labelCol).asc)
     val probes = q.crossJoin(F.broadcast(cents))
       .withColumn("cf", F.expr("transform(centroid, x -> cast(x as float))"))
-      .withColumn("csim", cosineF(F.col("qvec"), F.col("cf")))
+      // probe ranking compares the ROUNDED centroid similarity (6 dp,
+      // label tiebreak): the float-cast centroid is bit-stable across
+      // engines (avg noise ~1e-16 is far below float ulp) and rounding
+      // removes the residual double-summation-order noise, so an
+      // oracle can reproduce the routing decision exactly (q46)
+      .withColumn("csim", F.round(cosineF(F.col("qvec"), F.col("cf")), 6))
       .withColumn("crank", F.row_number().over(probeW))
       .filter(F.col("crank") <= nprobe)
       .select(F.col("query_id"), F.col("qvec"), F.col(labelCol))
@@ -244,6 +249,12 @@ object Knn {
                   cellBits: Int = 4, nprobe: Int = 4,
                   seed: Long = 11L): DataFrame = {
     import graft.plans.VectorExpressions.{dotF, normF}
+    // the 2^cellBits cell stats are collected AND baked into the plan
+    // as literals twice (probe ranking + bounds) — the bounded-collect
+    // contract only holds while that stays O(100) rows; beyond 8 bits
+    // switch to a broadcast join against the stats relation instead
+    require(cellBits <= 8,
+      s"cellBits=$cellBits bakes 2^$cellBits centroid literals into the plan; max 8")
     val planes = Srp.hyperplanes(dim, cellBits, seed)
     def cellOf(v: Column): Column = planes.zipWithIndex.map {
       case (h, i) =>
@@ -257,11 +268,18 @@ object Knn {
     // bound cannot cover them — quarantine them in sentinel cell -1,
     // which gets a manufactured always-visited stats row below (their
     // cosine is DEFINED as 0 by the kernel guard, matching cosineF)
+    // pinned: this relation feeds FOUR consumers — the two stats
+    // passes (cents, cellStats) and the phase-A / phase-B scoring
+    // joins. Without the pin the scan + cell assignment re-runs for
+    // each (measured 21.7 s → the dominant cost of q207 in r5's
+    // bench); one eager localCheckpoint materializes it once.
+    // Bench/Verify sweep the blocks post-query.
     val assigned = corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
         normF(F.col(vecCol)).as("cn"))
       .withColumn("cell", F.when(F.col("cn") === 0d, F.lit(-1L))
         .otherwise(cellOf(F.col("cvec"))))
+      .localCheckpoint()
     // centroid of each cell's NORMALIZED members + its radius, in two
     // bounded-key aggregations (shuffle rows carry (cell, dim) keys)
     val cents = assigned
