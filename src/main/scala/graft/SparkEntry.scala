@@ -22,7 +22,8 @@ object SparkEntry {
     _root_.graft.queries.AnalyticsQueries.queries,
     _root_.graft.queries.MlQueries.queries,
     _root_.graft.queries.MiningQueries.queries,
-    _root_.graft.queries.RetrievalQueries.queries
+    _root_.graft.queries.RetrievalQueries.queries,
+    _root_.graft.queries.FunnelQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -35,7 +36,8 @@ object SparkEntry {
     _root_.graft.queries.AnalyticsQueries.oracleSql,
     _root_.graft.queries.MlQueries.oracleSql,
     _root_.graft.queries.MiningQueries.oracleSql,
-    _root_.graft.queries.RetrievalQueries.oracleSql
+    _root_.graft.queries.RetrievalQueries.oracleSql,
+    _root_.graft.queries.FunnelQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,6 +33,36 @@ object CurationQueries {
     """list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
        t[i+3] || ' ' || t[i+4] for i in range(1, len(t) - 3)])"""
 
+  /** DSIR-style importance weights (Xie et al. 2023): per-doc
+    * log-likelihood ratio between a TARGET distribution (the lang='en'
+    * subset) and the raw corpus over hashed unigram features. The
+    * feature table is HASH-BUCKETED (256 buckets, portable md5-prefix
+    * hash), so unlike a vocabulary join it is broadcastable at ANY
+    * corpus size — the shuffles carry (doc_id, bucket) pairs; add-1
+    * smoothing keeps unseen buckets finite. Shared by q130 and the
+    * q230 curation funnel. Output: (doc_id, n_toks, dsir_logweight). */
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(F.col("doc_id"), F.col("lang"),
+        F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
+      .withColumn("b", F.expr(
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 256"))
+    val buckets = toks.groupBy("b").agg(
+      F.count(F.lit(1)).as("cr"),
+      F.count(F.when(F.col("lang") === "en", 1)).as("ct"))
+    val tots = buckets.agg(F.sum("cr").as("nr"), F.sum("ct").as("nt"))
+    val lw = buckets.crossJoin(F.broadcast(tots))
+      .select(F.col("b"),
+        (F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + 256))
+          - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + 256)))
+          .as("lw"))
+    toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("n"))
+      .join(F.broadcast(lw), "b")
+      .groupBy("doc_id")
+      .agg(F.sum("n").cast("long").as("n_toks"),
+        F.round(F.sum(F.col("n") * F.col("lw")), 6).as("dsir_logweight"))
+  }
+
   /** Deterministic PII injection: the synthetic corpus is digit- and
     * @-free, so both engines append the same doc_id-derived email,
     * phone and IPv4 to every document — the redaction machinery then
@@ -569,33 +599,10 @@ object CurationQueries {
         .filter(F.col("n_top") >= 2)
     },
 
-    // DSIR-style importance weights (Xie et al. 2023): per-doc
-    // log-likelihood ratio between a TARGET distribution (here the
-    // lang='en' subset) and the raw corpus over hashed unigram
-    // features. The feature table is HASH-BUCKETED (256 buckets,
-    // portable md5-prefix hash), so unlike a vocabulary join it is
-    // broadcastable at ANY corpus size — the shuffles carry (doc_id,
-    // bucket) pairs; add-1 smoothing keeps unseen buckets finite.
+    // DSIR-style importance weights — see [[dsirWeights]] (shared with
+    // the q230 curation funnel).
     "q130_dsir" -> { (s, dir) =>
-      val toks = T.load(s, dir, "documents")
-        .select(F.col("doc_id"), F.col("lang"),
-          F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
-        .withColumn("b", F.expr(
-          "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 256"))
-      val buckets = toks.groupBy("b").agg(
-        F.count(F.lit(1)).as("cr"),
-        F.count(F.when(F.col("lang") === "en", 1)).as("ct"))
-      val tots = buckets.agg(F.sum("cr").as("nr"), F.sum("ct").as("nt"))
-      val lw = buckets.crossJoin(F.broadcast(tots))
-        .select(F.col("b"),
-          (F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + 256))
-            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + 256)))
-            .as("lw"))
-      toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("n"))
-        .join(F.broadcast(lw), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("n").cast("long").as("n_toks"),
-          F.round(F.sum(F.col("n") * F.col("lw")), 6).as("dsir_logweight"))
+      dsirWeights(T.load(s, dir, "documents"))
     },
 
     // Mergeable quantile-sketch profile: per-source percentile_approx

@@ -26,6 +26,44 @@ object RetrievalQueries {
                   element_at(ws, i + 1), element_at(ws, i + 2)))"""))
         .as("phrase"))
 
+  /** Distributed running HLL union under a global ordering — the
+    * sketch analog of [[graft.ops.RelOps.globalPrefixSum]]'s two-phase
+    * scan, with the same "no single-task global window" property:
+    * range-partition by the order column (partition order == global
+    * order), per-partition running union via a PARTITIONED growing
+    * window frame (one buffer update per row), then an exclusive
+    * cross-partition prefix built from the O(P)-row per-partition
+    * totals with a triangular self-join — O(P²) sketch merges where P
+    * is the shuffle partition count, independent of data volume — and
+    * one scalar `hll_union` to splice prefix + local state. Total
+    * merge work is O(rows + P²), vs O(rows²/2) for a triangular
+    * d2<=day join and a single-task funnel for a global window.
+    * The input is localCheckpoint-pinned so the partition ids the
+    * three consumers read are the SAME materialization (range
+    * partitioning re-samples per evaluation otherwise). */
+  private[graft] def runningHllUnion(ds: DataFrame, orderCol: String,
+                                     skCol: String, out: String): DataFrame = {
+    val ranged = ds.repartitionByRange(F.col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", F.spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__lcum",
+      F.hll_union_agg(F.col(skCol)).over(w))
+    val totals = ranged.groupBy("__pid")
+      .agg(F.hll_union_agg(F.col(skCol)).as("__ptot"))
+    val boundary = totals.as("a")
+      .join(totals.as("b"), F.col("b.__pid") < F.col("a.__pid"))
+      .groupBy(F.col("a.__pid").as("__pid"))
+      .agg(F.hll_union_agg(F.col("b.__ptot")).as("__pre"))
+    local.join(F.broadcast(boundary), Seq("__pid"), "left_outer")
+      .withColumn(out,
+        F.when(F.col("__pre").isNull, F.col("__lcum"))
+          .otherwise(F.hll_union(F.col("__pre"), F.col("__lcum"))))
+      .drop("__pid", "__lcum", "__pre")
+  }
+
   /** Item-item CF core over a basket relation (ok, pk): cosine over
     * co-occurrence counts, support >= minSupport, top-k per item on
     * the bounded TopK aggregator. Shared by q221 and RetrievalSpec. */
@@ -97,13 +135,11 @@ object RetrievalQueries {
     // per-day HLL sketches whose CUMULATIVE union must estimate within
     // 5%+5 of the exact curve. The sketch side is the 100 TB shape:
     // the corpus collapses to ONE mergeable sketch per day in a
-    // partial-agg'd shuffle, and the running curve is a LINEAR
-    // day-ordered running union over that O(days) relation (a growing
-    // window frame updates one aggregation buffer per row — O(days)
-    // merges total, vs the O(days²/2) a d2<=day triangular join
-    // costs). The single-partition window is safe because its input
-    // cardinality is calendar days — bounded by history length, not
-    // data volume. Oracle emits the exact curve + literal TRUE (the
+    // partial-agg'd shuffle, and the running curve is the LINEAR
+    // two-phase prefix union ([[runningHllUnion]] — O(days + P²)
+    // merges, no single-task global window), vs the O(days²/2) a
+    // d2<=day triangular join costs. Oracle emits the exact curve +
+    // literal TRUE (the
     // q118/q131 sketch-gate pattern: the estimate itself is
     // hash-family-dependent, the GATE is what's checked).
     "q225_cumulative_users" -> { (s, dir) =>
@@ -119,12 +155,12 @@ object RetrievalQueries {
           F.coalesce(F.col("nu"), F.lit(0L)).as("new_users"))
       val cum = graft.ops.RelOps.globalPrefixSum(joined, "new_users",
         "pre", Seq(graft.ops.RelOps.Ordering("day")))
-      val est = ev.groupBy(F.col("day"))
-        .agg(F.hll_sketch_agg(F.col("user_id")).as("sk"))
-        .withColumn("est", F.hll_sketch_estimate(
-          F.hll_union_agg(F.col("sk")).over(Window.orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-        .select("day", "est")
+      val est = runningHllUnion(
+        ev.groupBy(F.col("day"))
+          .agg(F.hll_sketch_agg(F.col("user_id")).as("sk")),
+        "day", "sk", "csk")
+        .select(F.col("day"),
+          F.hll_sketch_estimate(F.col("csk")).as("est"))
       cum.join(est, "day")
         .select(F.col("day"), F.col("new_users"),
           (F.col("pre") + F.col("new_users")).as("cum_users"),
