@@ -23,7 +23,8 @@ object SparkEntry {
     _root_.graft.queries.MlQueries.queries,
     _root_.graft.queries.MiningQueries.queries,
     _root_.graft.queries.RetrievalQueries.queries,
-    _root_.graft.queries.FunnelQueries.queries
+    _root_.graft.queries.FunnelQueries.queries,
+    _root_.graft.queries.EvalQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -37,7 +38,8 @@ object SparkEntry {
     _root_.graft.queries.MlQueries.oracleSql,
     _root_.graft.queries.MiningQueries.oracleSql,
     _root_.graft.queries.RetrievalQueries.oracleSql,
-    _root_.graft.queries.FunnelQueries.oracleSql
+    _root_.graft.queries.FunnelQueries.oracleSql,
+    _root_.graft.queries.EvalQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -113,6 +113,58 @@ object Graph {
       .select(F.col("n").as("node"), F.col("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
+    * round count and deterministic tie-breaking — community detection
+    * over an undirected edge list `(a: long, b: long)` with a < b.
+    *
+    * Every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its neighbors AND itself
+    * (the self-vote damps the 2-coloring oscillation synchronous LPA
+    * is prone to on near-bipartite graphs), ties broken toward the
+    * SMALLEST label. Fixed rounds + deterministic ties make the result
+    * replayable in plain SQL (the oracle unrolls the rounds).
+    *
+    * Scale shape: the directed edge relation (both directions + one
+    * self-loop per node) is localCheckpointed ONCE; each round is one
+    * keyed join (edges × labels on src) and two partial-agg'd groupBys
+    * — (node, label) counts, then per-node argmax via
+    * `max(struct(count, -label))`, which stays a hash aggregate (no
+    * per-node window/sort). Label state re-checkpoints per round and
+    * releases its predecessor, the [[pageRank]]/[[bfsHops]] lineage
+    * discipline. Returns `(node, comm)`.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    // pin the (possibly expensive) edge lineage ONCE — nodes and the
+    // directed relation both derive from it
+    val und = edges.select(F.col("a").cast("long").as("a"),
+      F.col("b").cast("long").as("b")).localCheckpoint()
+    val nodes = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .distinct().localCheckpoint()
+    val dir = und.select(F.col("a").as("src"), F.col("b").as("dst"))
+      .unionAll(und.select(F.col("b").as("src"), F.col("a").as("dst")))
+      .unionAll(nodes.select(F.col("node").as("src"),
+        F.col("node").as("dst")))
+      .localCheckpoint()
+    var lab = nodes.select(F.col("node"), F.col("node").as("lab"))
+    for (r <- 1 to rounds) {
+      val prev = lab
+      lab = dir.join(lab, F.col("src") === F.col("node"))
+        .groupBy(F.col("dst"), F.col("lab"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .groupBy("dst")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).as("nl")))
+          .as("m"))
+        .select(F.col("dst").as("node"), (-F.col("m.nl")).as("lab"))
+        .localCheckpoint()
+      if (r > 1) prev.unpersist(blocking = false)
+    }
+    und.unpersist(blocking = false)
+    dir.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    lab.select(F.col("node"), F.col("lab").as("comm"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, frontier
     * expansion bounded to `maxHops` rounds. Returns `(node, hop)` for
     * every node reachable within the bound (seeds at hop 0).

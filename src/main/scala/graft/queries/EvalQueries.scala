@@ -1,0 +1,608 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.T
+import graft.sketch.CountMin
+import graft.text.TextOps
+
+/** Wave-9: evaluation / governance / optimizer-statistics operators —
+  * pairwise-preference strength fitting (the RLHF reward-data report),
+  * label-propagation communities, sketch-based join-size estimation,
+  * right-to-be-forgotten cascades, held-out Stupid-Backoff LM scoring,
+  * silhouette cluster quality, k-anonymity audits, incremental
+  * materialized-view maintenance, and sliding-window distinct-user
+  * sketches.
+  *
+  * Reference scope: these extend the reference's split-apply-combine /
+  * join algebra (/root/reference/src/grouping.jl, merge.jl) into the
+  * reports a large-scale training-data pipeline ships; each entry is
+  * oracle-gated like every other wave.
+  */
+object EvalQueries {
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  /** Bradley–Terry pair aggregation: within each order, brands compete
+    * by total quantity (strict winner only). Returns one row per
+    * (b1 < b2) pair: n comparisons, w1 wins for b1. Shared by q231 and
+    * EvalSpec. */
+  private[graft] def btPairs(li: DataFrame, part: DataFrame): DataFrame = {
+    val cmp = li.join(part, F.col("l_partkey") === F.col("p_partkey"))
+      .groupBy(F.col("l_orderkey").as("o"), F.col("p_brand").as("br"))
+      .agg(F.sum("l_quantity").as("q"))
+    cmp.select(F.col("o"), F.col("br").as("b1"), F.col("q").as("q1"))
+      .join(cmp.select(F.col("o").as("o2"), F.col("br").as("b2"),
+        F.col("q").as("q2")),
+        F.col("o") === F.col("o2") && F.col("b1") < F.col("b2")
+          && F.col("q1") =!= F.col("q2"))
+      .groupBy("b1", "b2")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count(F.when(F.col("q1") > F.col("q2"), 1)).as("w1"))
+  }
+
+  /** Fixed-iteration Bradley–Terry MM fit (Hunter 2004) over a pair
+    * aggregate. Per iteration: w_i' = W_i / Σ_j n_ij/(w_i+w_j),
+    * normalized to mean 1 and rounded to 8 dp (both engines iterate on
+    * identical rounded state, so FP summation-order noise cannot
+    * accumulate). Shared by q231 and EvalSpec. */
+  private[graft] def btFit(pairAgg: DataFrame, iters: Int): DataFrame = {
+    // the pair aggregate is O(items²) — tiny relative to the input —
+    // and feeds every iteration: pin it once (the q207/q221 lesson)
+    val pa = pairAgg.localCheckpoint()
+    val wins = pa.select(F.col("b1").as("item"), F.col("w1").as("w"))
+      .unionAll(pa.select(F.col("b2").as("item"),
+        (F.col("n") - F.col("w1")).as("w")))
+      .groupBy("item").agg(F.sum("w").cast("long").as("wins"))
+      .localCheckpoint()
+    val sym = pa.select(F.col("b1").as("i"), F.col("b2").as("j"), F.col("n"))
+      .unionAll(pa.select(F.col("b2").as("i"), F.col("b1").as("j"),
+        F.col("n")))
+      .localCheckpoint()
+    var wt = wins.select(F.col("item"), F.lit(1.0).as("wt"))
+    for (_ <- 1 to iters) {
+      val den = sym
+        .join(wt.select(F.col("item").as("i"), F.col("wt").as("wi")), "i")
+        .join(wt.select(F.col("item").as("j"), F.col("wt").as("wj")), "j")
+        .groupBy(F.col("i").as("item"))
+        .agg(F.sum(F.col("n") / (F.col("wi") + F.col("wj"))).as("den"))
+      val raw = wins.join(den, "item")
+        .select(F.col("item"),
+          (F.col("wins").cast("double") / F.col("den")).as("raw"))
+      // normalize to mean 1 via an in-plan scalar (no driver collect)
+      val mu = raw.agg(F.avg("raw").as("mu"))
+      wt = raw.crossJoin(F.broadcast(mu))
+        .select(F.col("item"),
+          F.round(F.col("raw") / F.col("mu"), 8).as("wt"))
+        .localCheckpoint()
+    }
+    wins.join(wt, "item")
+      .select(F.col("item").as("brand"), F.col("wins").as("n_wins"),
+        F.round(F.col("wt"), 6).as("strength"))
+  }
+
+  /** One k-anonymity audit level: equivalence-class stats of a
+    * quasi-identifier grouping. */
+  private def kanonLevel(df: DataFrame, level: Int, quasi: Seq[String],
+                         k: Int): DataFrame =
+    df.groupBy(quasi.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("sz"))
+      .agg(F.lit(level).as("level"),
+        F.lit(quasi.mkString(",")).as("quasi_cols"),
+        F.count(F.lit(1)).as("n_classes"),
+        F.count(F.when(F.col("sz") < k, 1)).as("n_small_classes"),
+        F.coalesce(F.sum(F.when(F.col("sz") < k, F.col("sz"))), F.lit(0L))
+          .cast("long").as("n_rows_at_risk"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bradley–Terry preference strengths from pairwise outcomes — the
+    // reward-model-data report: which item wins head-to-head matchups,
+    // fit by 5 MM iterations. Comparisons: within each order, brand
+    // pairs compete by total quantity. Scale shape: ONE shuffle builds
+    // the per-(order, brand) totals, one bounded self-join per order
+    // (brands-per-order², the q181 bound) partial-aggs straight down
+    // to the O(brands²) pair table; the fit then iterates on that tiny
+    // pinned relation — per iteration two keyed joins + one partial
+    // agg, never touching the fact table again. Weights are rounded to
+    // 8 dp per iteration, so the oracle's unrolled iterations see
+    // bit-identical state.
+    "q231_bradley_terry" -> { (s, dir) =>
+      btFit(btPairs(T.load(s, dir, "lineitem"), T.load(s, dir, "part")),
+        iters = 5)
+    },
+
+    // Label-propagation communities (4 synchronous rounds, self-vote,
+    // min-label ties) on the co-purchase part graph (q186's edge set:
+    // parts co-occurring in >= 2 orders). Each round is one keyed join
+    // + two partial-agg'd groupBys — the argmax is max(struct(c,-lab)),
+    // a hash aggregate, NOT a per-node sort window; state re-checkpoints
+    // and releases per round (the PageRank/BFS lineage discipline).
+    "q232_label_prop" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      val edges = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+        .select("a", "b")
+      graft.ops.Graph.labelPropagation(edges, rounds = 4)
+    },
+
+    // Count-Min join-size estimation — the optimizer-statistics use of
+    // the q107 sketch: |orders ⋈ BUILDING customers| estimated as the
+    // min over rows of the CM inner product (Cormode & Muthukrishnan
+    // 2005 §4.2), gated one-sided (est >= exact always) and against
+    // the sizing bound (collision mass N_a·N_b/width, 20× slack). At
+    // 100 TB the two 256 KB sketches build in one partial-agg'd scan
+    // each and the estimate costs a broadcast — no join is executed to
+    // size the join; the exact twin here exists only to prove the
+    // estimate.
+    "q233_cm_join_est" -> { (s, dir) =>
+      val W = 8192; val D = 4
+      val ords = T.load(s, dir, "orders")
+      val cust = T.load(s, dir, "customer")
+        .filter(F.col("c_mktsegment") === "BUILDING")
+      val cma = CountMin.build(
+        ords.select(F.xxhash64(F.col("o_custkey")).as("__h")), "__h", W, D)
+        .select(F.col("cm").as("cma"))
+      val cmb = CountMin.build(
+        cust.select(F.xxhash64(F.col("c_custkey")).as("__h")), "__h", W, D)
+        .select(F.col("cm").as("cmb"))
+      val na = ords.agg(F.count(F.lit(1)).as("na"))
+      val nb = cust.agg(F.count(F.lit(1)).as("nb"))
+      val exact = ords.join(cust,
+          F.col("o_custkey") === F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).as("exact_pairs"))
+      exact.crossJoin(F.broadcast(cma)).crossJoin(F.broadcast(cmb))
+        .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+        .withColumn("__est", F.expr(
+          s"""array_min(transform(sequence(0, ${D - 1}), r ->
+                aggregate(zip_with(slice(cma, r * $W + 1, $W),
+                                   slice(cmb, r * $W + 1, $W),
+                                   (x, y) -> x * y),
+                          0L, (acc, v) -> acc + v)))"""))
+        .select(F.col("exact_pairs"),
+          (F.col("__est") >= F.col("exact_pairs")).as("cm_ge"),
+          (F.col("__est") <= F.col("exact_pairs")
+            + F.lit(20.0) * F.col("na") * F.col("nb") / F.lit(W.toDouble))
+            .as("cm_close"))
+    },
+
+    // Right-to-be-forgotten cascade — the governance delete a data
+    // platform must replay across derived tables: forget customers
+    // (c_custkey % 97 = 0) and event users (user_id % 97 = 0), cascade
+    // customer → orders → lineitem via semi-joins on the REMOVED key
+    // sets, report per-table attrition. Anti/semi joins only — the
+    // corpus never carries payload columns through the cascade spine,
+    // and each count is one partial-agg'd scalar.
+    "q234_rtbf_cascade" -> { (s, dir) =>
+      val cust = T.load(s, dir, "customer")
+      val ords = T.load(s, dir, "orders")
+      val li = T.load(s, dir, "lineitem")
+      val ev = T.load(s, dir, "events")
+      val forgetCust = cust.filter(F.col("c_custkey") % 97 === 0)
+        .select(F.col("c_custkey").as("k"))
+      val removedOrders = ords
+        .join(forgetCust, F.col("o_custkey") === F.col("k"), "left_semi")
+        .select(F.col("o_orderkey").as("k"))
+      def row(name: String, total: DataFrame, removed: DataFrame)
+          : DataFrame = {
+        val t = total.agg(F.count(F.lit(1)).as("n_total"))
+        val r = removed.agg(F.count(F.lit(1)).as("n_removed"))
+        t.crossJoin(F.broadcast(r))
+          .select(F.lit(name).as("table_name"), F.col("n_total"),
+            F.col("n_removed"),
+            (F.col("n_total") - F.col("n_removed")).as("n_kept"),
+            F.round(F.col("n_removed") / F.col("n_total").cast("double"), 6)
+              .as("removed_frac"))
+      }
+      row("customer", cust, forgetCust)
+        .unionAll(row("orders", ords, removedOrders))
+        .unionAll(row("lineitem", li,
+          li.join(removedOrders, F.col("l_orderkey") === F.col("k"),
+            "left_semi")))
+        .unionAll(row("events", ev,
+          ev.filter(F.col("user_id") % 97 === 0)))
+    },
+
+    // Held-out LM scoring with Stupid Backoff (Brants et al. 2007):
+    // train word-trigram/bigram/unigram counts on doc_id % 5 != 0,
+    // score held-out docs with S = c3/c2 → 0.4·c2/c1 → 0.4²·c1/N
+    // (floor 0.4³/N for unseen words). Scale shape: count tables are
+    // partial-agg'd on compact gram keys BEFORE any join; the held-out
+    // position relation pre-aggs per (doc, trigram) so the five count
+    // joins hit multiplicities, not positions; no broadcast hints — a
+    // web-scale vocabulary is past broadcast size, AQE decides (the
+    // q80/q114 discipline). Per-doc score = Σ n·ln S / Σ n.
+    "q235_stupid_backoff" -> { (s, dir) =>
+      val toks = T.load(s, dir, "documents")
+        .select(F.col("doc_id"), TextOps.tokens("text").as("t"))
+      val train = toks.filter(F.col("doc_id") % 5 =!= 0)
+      val held = toks.filter(F.col("doc_id") % 5 === 0)
+      def grams(df: DataFrame, n: Int): DataFrame =
+        df.select(F.explode(
+          F.expr(TextOps.allShinglesExpr("t", n))).as("g"))
+          .groupBy("g").agg(F.count(F.lit(1)).as("c"))
+      val c3 = grams(train, 3)
+      val cb = grams(train, 2)
+      val cu = train.select(F.explode(F.col("t")).as("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      val nn = cu.agg(F.sum("c").cast("double").as("nn"))
+      val hg = held.select(F.col("doc_id"), F.explode(
+          F.expr(TextOps.allShinglesExpr("t", 3))).as("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).as("n"))
+        .withColumn("p", F.split(F.col("g"), " "))
+        .withColumn("w2", F.element_at(F.col("p"), 2))
+        .withColumn("w3", F.element_at(F.col("p"), 3))
+        .withColumn("big", F.concat_ws(" ",
+          F.element_at(F.col("p"), 1), F.col("w2")))
+        .withColumn("low", F.concat_ws(" ", F.col("w2"), F.col("w3")))
+      hg.join(c3.toDF("g", "c3"), Seq("g"), "left_outer")
+        .join(cb.toDF("big", "cbp"), Seq("big"), "left_outer")
+        .join(cb.toDF("low", "cbl"), Seq("low"), "left_outer")
+        .join(cu.toDF("w2", "cu2"), Seq("w2"), "left_outer")
+        .join(cu.toDF("w3", "cu3"), Seq("w3"), "left_outer")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("sc",
+          F.when(F.col("c3").isNotNull,
+            F.col("c3").cast("double") / F.col("cbp"))
+            .when(F.col("cbl").isNotNull,
+              F.lit(0.4) * F.col("cbl") / F.col("cu2"))
+            .when(F.col("cu3").isNotNull,
+              F.lit(0.16) * F.col("cu3") / F.col("nn"))
+            .otherwise(F.lit(0.064) / F.col("nn")))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").as("n_grams"),
+          F.round(F.sum(F.col("n") * F.log(F.col("sc"))) / F.sum("n"), 6)
+            .as("sb_score"))
+    },
+
+    // Simplified silhouette (Rousseeuw 1987; a = distance to own label
+    // centroid, b = nearest other centroid) — the cluster-quality
+    // report for an embedding space. Explode → partial-agg'd centroid
+    // build (the q59 shape); distances via one equi-join on pos with
+    // bounded label fan-out; per-vector a/b fold; per-label average.
+    // Shuffles carry (vec, label, component) triples, never whole
+    // vectors; labels are bounded so the fan-out join is linear.
+    "q236_silhouette" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("label"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val cent = ex.groupBy(F.col("label").as("clab"), F.col("pos"))
+        .agg(F.avg("x").as("c"))
+      val d = ex.join(cent, "pos")
+        .groupBy("vec_id", "label", "clab")
+        .agg(F.round(F.sqrt(F.sum(
+          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6)
+          .as("d"))
+      d.groupBy("vec_id", "label")
+        .agg(F.max(F.when(F.col("clab") === F.col("label"), F.col("d")))
+          .as("a"),
+          F.min(F.when(F.col("clab") =!= F.col("label"), F.col("d")))
+            .as("b"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).as("n_vecs"),
+          F.round(F.avg((F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))), 6).as("avg_sil"))
+    },
+
+    // k-anonymity audit (k = 5) of customer quasi-identifiers at three
+    // generalization levels — the privacy report run before a dataset
+    // release: equivalence-class counts, classes below k, and rows at
+    // re-identification risk. Three partial-agg'd groupBys unioned;
+    // each level's class table collapses to one scalar row.
+    "q237_kanon_audit" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer")
+        .withColumn("bal_band", F.floor(F.col("c_acctbal") / 1000))
+      kanonLevel(c, 0, Seq("c_nationkey", "c_mktsegment", "bal_band"), 5)
+        .unionAll(kanonLevel(c, 1, Seq("c_nationkey", "c_mktsegment"), 5))
+        .unionAll(kanonLevel(c, 2, Seq("c_mktsegment"), 5))
+    },
+
+    // Incremental materialized-view maintenance: the per-customer
+    // order summary is maintained as base (< 1998-01-01) ⊕ delta
+    // (>= 1998-01-01) — a full-outer merge of two partial aggregates
+    // with mergeable state (count/sum/max), the exact pattern a
+    // periodic refresh runs so only the delta partition is re-scanned.
+    // The oracle computes the view directly from scratch, so the hash
+    // gate IS the merged-equals-recomputed proof.
+    "q238_delta_view" -> { (s, dir) =>
+      val cutoff = "1998-01-01"
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum("o_totalprice").as("sp"), F.max("o_totalprice").as("mx"))
+      val ords = T.load(s, dir, "orders")
+      val base = agg(ords.filter(F.col("o_orderdate") < cutoff))
+        .toDF("o_custkey", "n1", "s1", "m1")
+      val delta = agg(ords.filter(F.col("o_orderdate") >= cutoff))
+        .toDF("o_custkey", "n2", "s2", "m2")
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(F.col("o_custkey"),
+          (F.coalesce(F.col("n1"), F.lit(0L))
+            + F.coalesce(F.col("n2"), F.lit(0L))).as("n_orders"),
+          F.round(F.coalesce(F.col("s1"), F.lit(0.0))
+            + F.coalesce(F.col("s2"), F.lit(0.0)), 6).as("spend"),
+          F.round(F.greatest(F.coalesce(F.col("m1"), F.col("m2")),
+            F.coalesce(F.col("m2"), F.col("m1"))), 6).as("max_spend"))
+    },
+
+    // Trailing-7-day distinct users per day via daily HLL sketches —
+    // each day's 4 KB sketch CONTRIBUTES itself forward to the 7 days
+    // it covers (the q144 explode, but carrying sketches instead of
+    // (day, user) pairs), then one partial-agg'd hll_union_agg per
+    // target day. NO distinct shuffle of the activity relation and NO
+    // global-window funnel: shuffle volume is 7 × days × sketch size,
+    // independent of corpus size — the 100 TB path when the activity
+    // relation is too big to re-shuffle per report. A sliding sketch
+    // union cannot be a running prefix (HLL has no subtraction), so
+    // bounded forward fan-out IS the scale shape. Gated at ±5%+5
+    // against the exact twin, which the oracle replays exactly.
+    "q239_sliding_hll" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.to_date(F.col("ts")).as("day"), F.col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(F.hll_sketch_agg(F.col("user_id")).as("sk"))
+      val est = daily
+        .select(F.explode(F.expr(
+          "sequence(day, date_add(day, 6))")).as("day"), F.col("sk"))
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(
+          F.hll_union_agg(F.col("sk"))).as("est"))
+      val exact = ev.distinct()
+        .select(F.explode(F.expr(
+          "sequence(day, date_add(day, 6))")).as("day"), F.col("user_id"))
+        .distinct()
+        .groupBy("day").agg(F.count(F.lit(1)).as("n_users_7d"))
+      // inner join to days actually present drops the synthetic
+      // trailing days both fan-outs invent past the last activity day
+      est.join(daily.select("day"), "day").join(exact, "day")
+        .select(F.col("day"), F.col("n_users_7d"),
+          (F.abs(F.col("est") - F.col("n_users_7d"))
+            <= F.col("n_users_7d") * 0.05 + 5).as("hll_ok"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q231_bradley_terry" ->
+      """WITH cmp AS MATERIALIZED (SELECT l_orderkey o, p_brand br,
+               sum(l_quantity) q
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY 1, 2),
+          pr AS MATERIALIZED (SELECT x.br b1, y.br b2, count(*) n,
+                   count(*) FILTER (WHERE x.q > y.q) w1
+                 FROM cmp x JOIN cmp y
+                   ON x.o = y.o AND x.br < y.br AND x.q != y.q
+                 GROUP BY 1, 2),
+          wins AS MATERIALIZED (SELECT item, CAST(sum(w) AS BIGINT) wins FROM (
+                     SELECT b1 item, w1 w FROM pr
+                     UNION ALL SELECT b2, n - w1 FROM pr) t GROUP BY 1),
+          sym AS MATERIALIZED (SELECT b1 i, b2 j, n FROM pr
+                  UNION ALL SELECT b2, b1, n FROM pr),
+          w0 AS MATERIALIZED (SELECT item, 1.0 wt FROM wins),
+          d1 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
+                 FROM sym s JOIN w0 wi ON s.i = wi.item
+                   JOIN w0 wj ON s.j = wj.item GROUP BY 1),
+          r1 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
+                 FROM wins w JOIN d1 d USING (item)),
+          m1 AS MATERIALIZED (SELECT avg(raw) mu FROM r1),
+          i1 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+                 FROM r1 CROSS JOIN m1),
+          d2 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
+                 FROM sym s JOIN i1 wi ON s.i = wi.item
+                   JOIN i1 wj ON s.j = wj.item GROUP BY 1),
+          r2 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
+                 FROM wins w JOIN d2 d USING (item)),
+          m2 AS MATERIALIZED (SELECT avg(raw) mu FROM r2),
+          i2 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+                 FROM r2 CROSS JOIN m2),
+          d3 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
+                 FROM sym s JOIN i2 wi ON s.i = wi.item
+                   JOIN i2 wj ON s.j = wj.item GROUP BY 1),
+          r3 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
+                 FROM wins w JOIN d3 d USING (item)),
+          m3 AS MATERIALIZED (SELECT avg(raw) mu FROM r3),
+          i3 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+                 FROM r3 CROSS JOIN m3),
+          d4 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
+                 FROM sym s JOIN i3 wi ON s.i = wi.item
+                   JOIN i3 wj ON s.j = wj.item GROUP BY 1),
+          r4 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
+                 FROM wins w JOIN d4 d USING (item)),
+          m4 AS MATERIALIZED (SELECT avg(raw) mu FROM r4),
+          i4 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+                 FROM r4 CROSS JOIN m4),
+          d5 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
+                 FROM sym s JOIN i4 wi ON s.i = wi.item
+                   JOIN i4 wj ON s.j = wj.item GROUP BY 1),
+          r5 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
+                 FROM wins w JOIN d5 d USING (item)),
+          m5 AS MATERIALIZED (SELECT avg(raw) mu FROM r5),
+          i5 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+                 FROM r5 CROSS JOIN m5)
+          SELECT w.item AS brand, w.wins AS n_wins,
+            round(i.wt, 6) + 0 AS strength
+          FROM wins w JOIN i5 i USING (item)""",
+
+    "q232_label_prop" ->
+      """WITH ol AS MATERIALIZED (SELECT DISTINCT l_orderkey o, l_partkey p
+                     FROM lineitem),
+          e0 AS MATERIALIZED (SELECT a.p a, b.p b, count(*) c
+                 FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
+                 GROUP BY 1, 2),
+          e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE c >= 2),
+          nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e1
+                    UNION SELECT b FROM e1),
+          dir AS MATERIALIZED (SELECT a src, b dst FROM e1
+                  UNION ALL SELECT b, a FROM e1
+                  UNION ALL SELECT node, node FROM nodes),
+          l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+          v1 AS MATERIALIZED (SELECT d.dst node, l.lab, count(*) c
+                 FROM dir d JOIN l0 l ON d.src = l.node GROUP BY 1, 2),
+          l1 AS MATERIALIZED (SELECT node, lab FROM (
+                   SELECT node, lab, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, lab) rn
+                   FROM v1) t WHERE rn = 1),
+          v2 AS MATERIALIZED (SELECT d.dst node, l.lab, count(*) c
+                 FROM dir d JOIN l1 l ON d.src = l.node GROUP BY 1, 2),
+          l2 AS MATERIALIZED (SELECT node, lab FROM (
+                   SELECT node, lab, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, lab) rn
+                   FROM v2) t WHERE rn = 1),
+          v3 AS MATERIALIZED (SELECT d.dst node, l.lab, count(*) c
+                 FROM dir d JOIN l2 l ON d.src = l.node GROUP BY 1, 2),
+          l3 AS MATERIALIZED (SELECT node, lab FROM (
+                   SELECT node, lab, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, lab) rn
+                   FROM v3) t WHERE rn = 1),
+          v4 AS MATERIALIZED (SELECT d.dst node, l.lab, count(*) c
+                 FROM dir d JOIN l3 l ON d.src = l.node GROUP BY 1, 2),
+          l4 AS MATERIALIZED (SELECT node, lab FROM (
+                   SELECT node, lab, row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, lab) rn
+                   FROM v4) t WHERE rn = 1)
+          SELECT node, lab AS comm FROM l4""",
+
+    "q233_cm_join_est" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_pairs,
+           TRUE AS cm_ge, TRUE AS cm_close
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
+
+    "q234_rtbf_cascade" ->
+      """WITH t AS (
+           SELECT 'customer' table_name,
+             (SELECT count(*) FROM customer) n_total,
+             (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+               n_removed
+           UNION ALL SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders WHERE o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))
+           UNION ALL SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IN
+                (SELECT o_orderkey FROM orders WHERE o_custkey IN
+                   (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 97 = 0)))
+           UNION ALL SELECT 'events',
+             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM events WHERE user_id % 97 = 0))
+         SELECT table_name, CAST(n_total AS BIGINT) n_total,
+           CAST(n_removed AS BIGINT) n_removed,
+           CAST(n_total - n_removed AS BIGINT) n_kept,
+           round(n_removed / CAST(n_total AS DOUBLE), 6) removed_frac
+         FROM t""",
+
+    "q235_stupid_backoff" ->
+      s"""WITH toksall AS MATERIALIZED (SELECT doc_id, $duckToks t FROM documents),
+          tr AS MATERIALIZED (SELECT * FROM toksall WHERE doc_id % 5 != 0),
+          he AS MATERIALIZED (SELECT * FROM toksall WHERE doc_id % 5 = 0),
+          c3 AS MATERIALIZED (SELECT g, count(*) c FROM (
+                   SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                     for i in range(1, len(t) - 1)]) g FROM tr) x
+                 GROUP BY 1),
+          cb AS MATERIALIZED (SELECT g, count(*) c FROM (
+                   SELECT unnest([t[i] || ' ' || t[i+1]
+                     for i in range(1, len(t))]) g FROM tr) x
+                 GROUP BY 1),
+          cu AS MATERIALIZED (SELECT w, count(*) c FROM (
+                   SELECT unnest(t) w FROM tr) x GROUP BY 1),
+          nn AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) n FROM cu),
+          hg AS MATERIALIZED (SELECT doc_id, g, count(*) n FROM (
+                   SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' '
+                     || t[i+2] for i in range(1, len(t) - 1)]) g
+                   FROM he) x GROUP BY 1, 2),
+          hy AS MATERIALIZED (SELECT doc_id, n, g,
+                   string_split(g, ' ')[1] w1, string_split(g, ' ')[2] w2,
+                   string_split(g, ' ')[3] w3
+                 FROM hg),
+          sc AS MATERIALIZED (SELECT h.doc_id, h.n,
+                   CASE WHEN c3.c IS NOT NULL
+                          THEN c3.c / CAST(cbp.c AS DOUBLE)
+                        WHEN cbl.c IS NOT NULL
+                          THEN 0.4 * cbl.c / cu2.c
+                        WHEN cu3.c IS NOT NULL
+                          THEN 0.16 * cu3.c / nn.n
+                        ELSE 0.064 / nn.n END s
+                 FROM hy h
+                 LEFT JOIN c3 ON h.g = c3.g
+                 LEFT JOIN cb cbp ON h.w1 || ' ' || h.w2 = cbp.g
+                 LEFT JOIN cb cbl ON h.w2 || ' ' || h.w3 = cbl.g
+                 LEFT JOIN cu cu2 ON h.w2 = cu2.w
+                 LEFT JOIN cu cu3 ON h.w3 = cu3.w
+                 CROSS JOIN nn)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) n_grams,
+            round(sum(n * ln(s)) / sum(n), 6) + 0 AS sb_score
+          FROM sc GROUP BY 1""",
+
+    "q236_silhouette" ->
+      """WITH ex AS (SELECT vec_id, label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS (SELECT vec_id, label, z[2]::BIGINT pos, z[1]::DOUBLE x
+                 FROM ex),
+          c AS (SELECT label clab, pos, avg(x) c FROM e2 GROUP BY 1, 2),
+          d AS (SELECT vec_id, label, clab,
+                  round(sqrt(sum((x - c) * (x - c))), 6) d
+                FROM e2 JOIN c USING (pos) GROUP BY 1, 2, 3),
+          ab AS (SELECT vec_id, label,
+                   max(d) FILTER (WHERE clab = label) a,
+                   min(d) FILTER (WHERE clab != label) b
+                 FROM d GROUP BY 1, 2)
+          SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+            round(avg((b - a) / greatest(a, b)), 6) + 0 AS avg_sil
+          FROM ab GROUP BY 1""",
+
+    "q237_kanon_audit" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) bal_band
+             FROM customer),
+          l0 AS MATERIALIZED (SELECT count(*) sz FROM c
+                 GROUP BY c_nationkey, c_mktsegment, bal_band),
+          l1 AS MATERIALIZED (SELECT count(*) sz FROM c
+                 GROUP BY c_nationkey, c_mktsegment),
+          l2 AS MATERIALIZED (SELECT count(*) sz FROM c GROUP BY c_mktsegment)
+          SELECT 0 AS level,
+            'c_nationkey,c_mktsegment,bal_band' AS quasi_cols,
+            CAST(count(*) AS BIGINT) n_classes,
+            CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT)
+              n_small_classes,
+            CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+              n_rows_at_risk
+          FROM l0
+          UNION ALL SELECT 1, 'c_nationkey,c_mktsegment',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT),
+            CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+          FROM l1
+          UNION ALL SELECT 2, 'c_mktsegment',
+            CAST(count(*) AS BIGINT),
+            CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT),
+            CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+          FROM l2""",
+
+    "q238_delta_view" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
+           round(sum(o_totalprice), 6) + 0 AS spend,
+           round(max(o_totalprice), 6) + 0 AS max_spend
+         FROM orders GROUP BY 1""",
+
+    "q239_sliding_hll" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+          days AS (SELECT DISTINCT day FROM ev),
+          x AS (SELECT g.day AS day, count(DISTINCT e.user_id) c
+                FROM days g JOIN ev e
+                  ON e.day BETWEEN g.day - 6 AND g.day
+                GROUP BY 1)
+          SELECT day, CAST(c AS BIGINT) AS n_users_7d, TRUE AS hll_ok
+          FROM x"""
+  )
+}
