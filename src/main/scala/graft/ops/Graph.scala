@@ -113,6 +113,57 @@ object Graph {
       .select(F.col("n").as("node"), F.col("deg"))
   }
 
+  /** Personalized PageRank with a fixed iteration count: the restart
+    * mass teleports to the SEED set (uniform over seeds present in the
+    * graph) instead of all nodes — "importance relative to these
+    * seeds", the recommendation/influence primitive. Same shape,
+    * lineage discipline, and dangling-mass simplification as
+    * [[pageRank]]; per iteration one keyed join + one partial-agg'd
+    * groupBy, rank state re-checkpointed and released.
+    *
+    * Input: directed `(src, dst)` edges, `(node)` seeds.
+    * Output: `(node, ppr)` for every node incident to an edge.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(F.col("src").cast("long").as("src"),
+      F.col("dst").cast("long").as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val wedges = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(F.col("src").as("node"))
+      .unionAll(e.select(F.col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val seedsIn = seeds.select(F.col("node").cast("long").as("node"))
+      .distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    val s = seedsIn.count().toDouble // bounded driver scalar, as pageRank's n
+    val base = nodes
+      .join(seedsIn.withColumn("__s", F.lit(1)), Seq("node"), "left_outer")
+      .select(F.col("node"),
+        F.when(F.col("__s").isNotNull, F.lit(1.0) / F.lit(s))
+          .otherwise(F.lit(0.0)).as("base"))
+      .localCheckpoint()
+    var pr = base.select(F.col("node"), F.col("base").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = wedges
+        .join(pr, F.col("src") === F.col("node"))
+        .select(F.col("dst"), (F.col("pr") / F.col("deg")).as("w"))
+        .groupBy("dst").agg(F.sum("w").as("inflow"))
+      val prev = pr
+      pr = base
+        .join(contrib, F.col("node") === F.col("dst"), "left_outer")
+        .select(F.col("node"),
+          ((F.lit(1.0) - damping) * F.col("base")
+            + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
+            .as("pr"))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    pr.select(F.col("node"), F.col("pr").as("ppr"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
     * round count and deterministic tie-breaking — community detection
     * over an undirected edge list `(a: long, b: long)` with a < b.

@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.T
+import graft.dedup.Dedup
+import graft.plans.TextExpressions
 import graft.sketch.CountMin
 import graft.text.TextOps
 
@@ -22,6 +24,9 @@ object EvalQueries {
 
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  private val duckShingles3 =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
   /** Bradley–Terry pair aggregation: within each order, brands compete
     * by total quantity (strict winner only). Returns one row per
@@ -79,6 +84,69 @@ object EvalQueries {
     wins.join(wt, "item")
       .select(F.col("item").as("brand"), F.col("wins").as("n_wins"),
         F.round(F.col("wt"), 6).as("strength"))
+  }
+
+  /** Greedy MMR selection: k rounds of argmax(rel − λ·max-sim-to-
+    * selected) against the label-0 centroid query. Relevance and
+    * pairwise cosines round to 6 dp before every argmax (ties to the
+    * smaller vec_id), so each greedy step is engine-replayable. The
+    * exploded component relation and the per-vector norms are pinned
+    * once and feed all k rounds; per round the ≤k selected vectors
+    * broadcast into a pos equi-join (corpus scanned, never
+    * self-joined), and ONE row is collected (bounded driver state,
+    * the exactKnnBnB precedent). Shared by q242 and EvalSpec. */
+  private[graft] def mmrSelect(emb: DataFrame, k: Int,
+                               lam: Double): DataFrame = {
+    val e2 = emb.select(F.col("vec_id"), F.col("label"),
+        F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", F.col("x").cast("double"))
+      .localCheckpoint()
+    val q0 = e2.filter(F.col("label") === 0)
+      .groupBy("pos").agg(F.avg("x").as("qc"))
+    val nv = e2.groupBy("vec_id")
+      .agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).as("nv"))
+      .localCheckpoint()
+    val nq = q0.agg(F.sqrt(F.sum(F.col("qc") * F.col("qc"))).as("nq"))
+    val rel = e2.join(q0, "pos")
+      .groupBy("vec_id").agg(F.sum(F.col("x") * F.col("qc")).as("dot"))
+      .join(nv, "vec_id").crossJoin(F.broadcast(nq))
+      .select(F.col("vec_id"),
+        F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).as("rel"))
+      .localCheckpoint()
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    for (step <- 1 to k) {
+      val selIds = selected.map(_._2)
+      val scored =
+        if (selIds.isEmpty) rel.withColumn("score", F.col("rel"))
+        else {
+          val selE = e2.filter(F.col("vec_id").isin(selIds: _*))
+            .select(F.col("vec_id").as("sid"), F.col("pos"),
+              F.col("x").as("sx"))
+          val sims = e2.join(F.broadcast(selE), "pos")
+            .groupBy("vec_id", "sid")
+            .agg(F.sum(F.col("x") * F.col("sx")).as("dot"))
+            .join(nv, "vec_id")
+            .join(F.broadcast(nv.toDF("sid", "ns")), "sid")
+            .groupBy("vec_id")
+            .agg(F.max(F.round(
+              F.col("dot") / (F.col("nv") * F.col("ns")), 6)).as("msim"))
+          rel.join(sims, "vec_id")
+            .withColumn("score",
+              F.col("rel") - F.lit(lam) * F.col("msim"))
+        }
+      val top = scored.filter(!F.col("vec_id").isin(selIds: _*))
+        .orderBy(F.col("score").desc, F.col("vec_id").asc).limit(1)
+        .select("vec_id", "rel", "score")
+        .collect()(0) // bounded: one row per greedy step
+      selected :+= ((step, top.getLong(0), top.getDouble(1),
+        top.getDouble(2)))
+    }
+    val out = emb.sparkSession.createDataFrame(selected)
+      .toDF("step", "vec_id", "rel", "score")
+    e2.unpersist(blocking = false)
+    nv.unpersist(blocking = false)
+    rel.unpersist(blocking = false)
+    out
   }
 
   /** One k-anonymity audit level: equivalence-class stats of a
@@ -364,6 +432,226 @@ object EvalQueries {
         .select(F.col("day"), F.col("n_users_7d"),
           (F.abs(F.col("est") - F.col("n_users_7d"))
             <= F.col("n_users_7d") * 0.05 + 5).as("hll_ok"))
+    },
+
+    // Balanced shard assignment for distributed training: docs ranked
+    // by token count (global row number = range partition + per-
+    // partition offsets, the q13 shape — NO single-task window), then
+    // serpentine-dealt across 8 shards (longest-first boustrophedon —
+    // the classic near-optimal balance heuristic for one-pass
+    // assignment). Report: per-shard doc/token totals + the global
+    // (max-min)/avg spread. Everything after the rank is per-row
+    // arithmetic + one partial-agg'd groupBy on 8 keys.
+    "q240_shard_balance" -> { (s, dir) =>
+      import graft.ops.RelOps
+      val S = 8
+      val d = T.load(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.expr(TextOps.bpeCountExpr("text")).cast("long").as("n_tok"))
+      val r = RelOps.globalRowNumber(d, "rk",
+          Seq(RelOps.Ordering("n_tok", desc = true),
+            RelOps.Ordering("doc_id")))
+        .withColumn("p", (F.col("rk") - 1) % (2 * S))
+        .withColumn("shard", F.when(F.col("p") < S, F.col("p"))
+          .otherwise(F.lit(2 * S - 1) - F.col("p")))
+      val g = r.groupBy("shard")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_tok").cast("long").as("shard_tokens"))
+      val m = g.agg(F.max("shard_tokens").as("mx"),
+        F.min("shard_tokens").as("mn"), F.avg("shard_tokens").as("av"))
+      g.crossJoin(F.broadcast(m))
+        .select(F.col("shard"), F.col("n_docs"), F.col("shard_tokens"),
+          F.round((F.col("mx") - F.col("mn")) / F.col("av"), 6)
+            .as("spread"))
+    },
+
+    // Cohen's kappa of the nearest-centroid classifier against true
+    // labels — chance-corrected agreement, the metric that exposes an
+    // "accurate" classifier on imbalanced labels. Prediction = argmin
+    // centroid distance (distances rounded to 6 dp FIRST, ties to the
+    // smaller label, so both engines pick identical argmins); kappa
+    // from the (label, pred) confusion counts via exact integer
+    // marginals. One bounded-fan-out pos join + three partial aggs.
+    "q241_cohen_kappa" -> { (s, dir) =>
+      val ex = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("label"),
+          F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", F.col("x").cast("double"))
+      val cent = ex.groupBy(F.col("label").as("clab"), F.col("pos"))
+        .agg(F.avg("x").as("c"))
+      val d = ex.join(cent, "pos")
+        .groupBy("vec_id", "label", "clab")
+        .agg(F.round(F.sqrt(F.sum(
+          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6)
+          .as("d"))
+      val pred = d.groupBy("vec_id", "label")
+        .agg(F.min(F.struct(F.col("d"), F.col("clab"))).as("m"))
+        .select(F.col("label"), F.col("m.clab").as("pred"))
+      // O(labels²) rows feeding three consumers (totals + both
+      // marginals) — pin so the explode/centroid lineage runs once
+      val conf = pred.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = conf.agg(F.sum("c").cast("long").as("n"),
+        F.sum(F.when(F.col("label") === F.col("pred"), F.col("c")))
+          .cast("long").as("diag"))
+      val pe = conf.groupBy("label").agg(F.sum("c").as("rc"))
+        .join(conf.groupBy(F.col("pred").as("label"))
+          .agg(F.sum("c").as("cc")), "label")
+        .agg(F.sum(F.col("rc") * F.col("cc")).cast("long").as("rcsum"))
+      tot.crossJoin(F.broadcast(pe))
+        .select(F.col("n").as("n_vecs"),
+          F.round(F.col("diag") / F.col("n").cast("double"), 6)
+            .as("accuracy"),
+          F.round((F.col("diag").cast("double") / F.col("n")
+            - F.col("rcsum").cast("double") / (F.col("n") * F.col("n")))
+            / (F.lit(1.0)
+              - F.col("rcsum").cast("double") / (F.col("n") * F.col("n"))),
+            6).as("kappa"))
+    },
+
+    // Maximal Marginal Relevance (Carbonell & Goldstein 1998): top-5
+    // diversified retrieval against the label-0 centroid query,
+    // score = rel − 0.5·max-sim-to-selected. Greedy by nature: k
+    // bounded driver collects of ONE row each (the exactKnnBnB
+    // bounded-collect precedent); per step the ≤k selected vectors
+    // broadcast into a pos equi-join, so the corpus is scanned k times
+    // but never self-joined. Relevance and pairwise sims round to 6 dp
+    // before the argmax, ties to the smaller vec_id — the oracle
+    // replays each greedy step exactly.
+    "q242_mmr_diversify" -> { (s, dir) =>
+      mmrSelect(T.load(s, dir, "embeddings"), k = 5, lam = 0.5)
+    },
+
+    // CUPED variance reduction (Deng et al. 2013) for an A/B readout:
+    // variant = user_id parity, pre-period covariate = per-user value
+    // sum before Jan 16, θ from pooled moment sums (one scalar
+    // aggregate — no covar_pop, whose engine-specific streaming
+    // update would break parity), adjusted = post − θ·(pre − mean).
+    // θ and the pooled mean round to 6 dp before adjustment, so both
+    // engines adjust with identical constants. Reports per-variant
+    // mean + variance reduction.
+    "q243_cuped" -> { (s, dir) =>
+      val D = "2024-01-16"
+      val u = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum(F.when(F.col("ts") < D, F.col("value"))),
+          F.lit(0.0)).as("pre"),
+          F.coalesce(F.sum(F.when(F.col("ts") >= D, F.col("value"))),
+            F.lit(0.0)).as("post"))
+        .withColumn("variant", F.col("user_id") % 2)
+      val mom = u.agg(F.count(F.lit(1)).cast("double").as("n"),
+        F.sum("pre").as("sp"), F.sum("post").as("spo"),
+        F.sum(F.col("pre") * F.col("pre")).as("sp2"),
+        F.sum(F.col("pre") * F.col("post")).as("spp"))
+      val const = mom.select(
+        F.round((F.col("n") * F.col("spp") - F.col("sp") * F.col("spo"))
+          / (F.col("n") * F.col("sp2") - F.col("sp") * F.col("sp")), 6)
+          .as("theta"),
+        F.round(F.col("sp") / F.col("n"), 6).as("mpre"))
+      u.crossJoin(F.broadcast(const))
+        .withColumn("adj", F.col("post")
+          - F.col("theta") * (F.col("pre") - F.col("mpre")))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).as("n_users"),
+          F.round(F.avg("post"), 6).as("mean_post"),
+          F.round(F.avg("adj"), 6).as("mean_adj"),
+          F.round(F.lit(1.0)
+            - (F.avg(F.col("adj") * F.col("adj"))
+              - F.avg("adj") * F.avg("adj"))
+            / (F.avg(F.col("post") * F.col("post"))
+              - F.avg("post") * F.avg("post")), 6).as("var_reduction"))
+    },
+
+    // Join-key skew report — the diagnostic an engineer reads BEFORE
+    // choosing a salting/broadcast strategy: per candidate join key,
+    // the per-key frequency distribution (max, exact p50/p99), the
+    // top-10-key share of all rows, and the coefficient of variation
+    // (from moment sums — engine-portable, unlike stddev's streaming
+    // state). Each key audit = one partial-agg'd count + one scalar
+    // fold; top-10 is TakeOrdered (no full sort).
+    "q244_key_skew" -> { (s, dir) =>
+      val li = T.load(s, dir, "lineitem")
+      val ords = T.load(s, dir, "orders")
+      def audit(df: DataFrame, key: String): DataFrame = {
+        val cnt = df.groupBy(F.col(key).as("k"))
+          .agg(F.count(F.lit(1)).as("f"))
+        val top = cnt.orderBy(F.col("f").desc, F.col("k").asc).limit(10)
+          .agg(F.sum("f").cast("long").as("top10"))
+        cnt.agg(F.count(F.lit(1)).as("n_keys"),
+          F.max("f").as("max_freq"),
+          F.expr("percentile(f, 0.5)").as("__p50"),
+          F.expr("percentile(f, 0.99)").as("__p99"),
+          F.sum("f").cast("double").as("__tot"),
+          F.avg("f").as("__mu"),
+          F.avg(F.col("f") * F.col("f")).as("__m2"))
+          .crossJoin(F.broadcast(top))
+          .select(F.lit(key).as("key_name"), F.col("n_keys"),
+            F.col("max_freq"),
+            F.round(F.col("__p50"), 6).as("p50_freq"),
+            F.round(F.col("__p99"), 6).as("p99_freq"),
+            F.round(F.col("top10") / F.col("__tot"), 6).as("top10_share"),
+            F.round(F.sqrt(F.col("__m2") - F.col("__mu") * F.col("__mu"))
+              / F.col("__mu"), 6).as("cv"))
+      }
+      audit(li, "l_partkey")
+        .unionAll(audit(li, "l_suppkey"))
+        .unionAll(audit(ords, "o_custkey"))
+    },
+
+    // Near-dup pair EXPLANATION — the reviewer-facing report behind
+    // every q41 pair: exact Jaccard, shared-shingle count, and the
+    // first three shared shingles (sorted — deterministic across
+    // engines). Same banded MinHash-LSH candidates as q41 (never
+    // all-pairs); the explanation join touches only the O(pairs)
+    // relation, with per-pair work bounded by shingle-set size.
+    "q245_neardup_explain" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.85)
+      pairs
+        .join(docs.select(F.col("doc_id").as("id1"),
+          F.col("sh").as("sh1")), "id1")
+        .join(docs.select(F.col("doc_id").as("id2"),
+          F.col("sh").as("sh2")), "id2")
+        .withColumn("shared",
+          F.array_sort(F.array_intersect(F.col("sh1"), F.col("sh2"))))
+        .select(F.col("id1"), F.col("id2"), F.col("jac"),
+          F.size(F.col("shared")).as("n_shared"),
+          F.slice(F.col("shared"), 1, 3).as("top_shared"))
+    },
+
+    // Personalized PageRank over the co-purchase graph, restart mass
+    // on the parts BUILDING-segment customers buy — "importance
+    // relative to this audience", the seeded-influence primitive
+    // behind audience-conditioned recommendations. Same per-iteration
+    // shape and lineage discipline as q150's PageRank (one keyed join
+    // + one partial agg per round, state re-checkpointed); the seed
+    // vector is a base column, not a filter, so non-seed nodes still
+    // accumulate flow-through mass.
+    "q246_ppr" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // feeds the pair self-join AND the seed set
+      val edges0 = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+      val edges = edges0.select(F.col("a").as("src"), F.col("b").as("dst"))
+        .unionAll(edges0.select(F.col("b").as("src"), F.col("a").as("dst")))
+      val seeds = T.load(s, dir, "orders")
+        .join(T.load(s, dir, "customer")
+          .filter(F.col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"),
+          F.col("o_custkey") === F.col("c_custkey"), "left_semi")
+        .select(F.col("o_orderkey").as("o"))
+        .join(ol, "o")
+        .select(F.col("p").as("node")).distinct()
+      graft.ops.Graph.personalizedPageRank(edges, seeds,
+          iters = 3, damping = 0.85)
+        .select(F.col("node"), F.round(F.col("ppr") * 1000, 6).as("pprk"))
     }
   )
 
@@ -603,6 +891,243 @@ object EvalQueries {
                   ON e.day BETWEEN g.day - 6 AND g.day
                 GROUP BY 1)
           SELECT day, CAST(c AS BIGINT) AS n_users_7d, TRUE AS hll_ok
-          FROM x"""
+          FROM x""",
+
+    "q240_shard_balance" ->
+      """WITH d AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tok
+             FROM documents),
+          r AS (SELECT doc_id, n_tok, row_number() OVER (
+                  ORDER BY n_tok DESC, doc_id) rk FROM d),
+          b AS (SELECT n_tok,
+                  CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16
+                       ELSE 15 - (rk - 1) % 16 END AS shard
+                FROM r),
+          g AS (SELECT shard, count(*) n_docs, sum(n_tok) shard_tokens
+                FROM b GROUP BY 1),
+          m AS (SELECT max(shard_tokens) mx, min(shard_tokens) mn,
+                  avg(shard_tokens) av FROM g)
+          SELECT shard, CAST(n_docs AS BIGINT) n_docs,
+            CAST(shard_tokens AS BIGINT) shard_tokens,
+            round((mx - mn) / av, 6) + 0 AS spread
+          FROM g CROSS JOIN m""",
+
+    "q241_cohen_kappa" ->
+      """WITH ex AS MATERIALIZED (SELECT vec_id, label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS MATERIALIZED (SELECT vec_id, label, z[2]::BIGINT pos,
+                 z[1]::DOUBLE x FROM ex),
+          c AS (SELECT label clab, pos, avg(x) c FROM e2 GROUP BY 1, 2),
+          d AS (SELECT vec_id, label, clab,
+                  round(sqrt(sum((x - c) * (x - c))), 6) d
+                FROM e2 JOIN c USING (pos) GROUP BY 1, 2, 3),
+          p AS (SELECT label, clab AS pred FROM (
+                  SELECT label, clab, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, clab) rn
+                  FROM d) t WHERE rn = 1),
+          conf AS MATERIALIZED (SELECT label, pred, count(*) c
+                                FROM p GROUP BY 1, 2),
+          tot AS (SELECT sum(c) n,
+                    coalesce(sum(c) FILTER (WHERE label = pred), 0) diag
+                  FROM conf),
+          marg AS (SELECT sum(rc.c * cc.c) rcsum FROM
+                     (SELECT label, sum(c) c FROM conf GROUP BY 1) rc
+                   JOIN (SELECT pred AS label, sum(c) c FROM conf
+                         GROUP BY 1) cc USING (label))
+          SELECT CAST(n AS BIGINT) n_vecs,
+            round(diag / CAST(n AS DOUBLE), 6) + 0 AS accuracy,
+            round((diag / CAST(n AS DOUBLE)
+                    - rcsum / CAST(n * n AS DOUBLE))
+                  / (1.0 - rcsum / CAST(n * n AS DOUBLE)), 6) + 0
+              AS kappa
+          FROM tot CROSS JOIN marg""",
+
+    "q242_mmr_diversify" -> mmrOracle(5),
+
+    "q243_cuped" ->
+      """WITH u AS MATERIALIZED (SELECT user_id,
+               coalesce(sum(value) FILTER (
+                 WHERE ts < TIMESTAMP '2024-01-16'), 0) pre,
+               coalesce(sum(value) FILTER (
+                 WHERE ts >= TIMESTAMP '2024-01-16'), 0) post,
+               user_id % 2 AS variant
+             FROM events GROUP BY 1),
+          mom AS (SELECT CAST(count(*) AS DOUBLE) n, sum(pre) sp,
+                    sum(post) spo, sum(pre * pre) sp2,
+                    sum(pre * post) spp
+                  FROM u),
+          con AS (SELECT
+                    round((n * spp - sp * spo)
+                          / (n * sp2 - sp * sp), 6) theta,
+                    round(sp / n, 6) mpre
+                  FROM mom),
+          a AS (SELECT variant, post,
+                  post - theta * (pre - mpre) adj
+                FROM u CROSS JOIN con)
+          SELECT variant, CAST(count(*) AS BIGINT) n_users,
+            round(avg(post), 6) + 0 AS mean_post,
+            round(avg(adj), 6) + 0 AS mean_adj,
+            round(1.0 - (avg(adj * adj) - avg(adj) * avg(adj))
+                  / (avg(post * post) - avg(post) * avg(post)), 6) + 0
+              AS var_reduction
+          FROM a GROUP BY 1""",
+
+    "q244_key_skew" ->
+      """WITH c1 AS MATERIALIZED (SELECT l_partkey k, count(*) f
+               FROM lineitem GROUP BY 1),
+          t1 AS (SELECT sum(f) top10 FROM (
+                   SELECT f FROM c1 ORDER BY f DESC, k LIMIT 10) x),
+          s1 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
+                   CAST(max(f) AS BIGINT) max_freq,
+                   round(quantile_cont(f, 0.5), 6) + 0 p50,
+                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
+                 FROM c1),
+          r1 AS (SELECT 'l_partkey' key_name, n_keys, max_freq,
+                   p50 AS p50_freq, p99 AS p99_freq,
+                   round(top10 / tot, 6) + 0 top10_share,
+                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                 FROM s1 CROSS JOIN t1),
+          c2 AS MATERIALIZED (SELECT l_suppkey k, count(*) f
+               FROM lineitem GROUP BY 1),
+          t2 AS (SELECT sum(f) top10 FROM (
+                   SELECT f FROM c2 ORDER BY f DESC, k LIMIT 10) x),
+          s2 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
+                   CAST(max(f) AS BIGINT) max_freq,
+                   round(quantile_cont(f, 0.5), 6) + 0 p50,
+                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
+                 FROM c2),
+          r2 AS (SELECT 'l_suppkey' key_name, n_keys, max_freq,
+                   p50 AS p50_freq, p99 AS p99_freq,
+                   round(top10 / tot, 6) + 0 top10_share,
+                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                 FROM s2 CROSS JOIN t2),
+          c3 AS MATERIALIZED (SELECT o_custkey k, count(*) f
+               FROM orders GROUP BY 1),
+          t3 AS (SELECT sum(f) top10 FROM (
+                   SELECT f FROM c3 ORDER BY f DESC, k LIMIT 10) x),
+          s3 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
+                   CAST(max(f) AS BIGINT) max_freq,
+                   round(quantile_cont(f, 0.5), 6) + 0 p50,
+                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
+                 FROM c3),
+          r3 AS (SELECT 'o_custkey' key_name, n_keys, max_freq,
+                   p50 AS p50_freq, p99 AS p99_freq,
+                   round(top10 / tot, 6) + 0 top10_share,
+                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                 FROM s3 CROSS JOIN t3)
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3""",
+
+    "q245_neardup_explain" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $duckToks t
+               FROM documents),
+          sh AS MATERIALIZED (SELECT doc_id, $duckShingles3 s FROM toks),
+          jp AS (SELECT a.doc_id id1, b.doc_id id2,
+                   round(len(list_intersect(a.s, b.s)) /
+                     CAST(len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                     AS jac,
+                   list_sort(list_intersect(a.s, b.s)) shared
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT id1, id2, jac, CAST(len(shared) AS BIGINT) n_shared,
+            shared[1:3] AS top_shared
+          FROM jp WHERE jac >= 0.85""",
+
+    "q246_ppr" ->
+      """WITH ol AS MATERIALIZED (SELECT DISTINCT l_orderkey o,
+               l_partkey p FROM lineitem),
+          e0 AS MATERIALIZED (SELECT a.p a, b.p b, count(*) c
+                 FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
+                 GROUP BY 1, 2),
+          e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE c >= 2),
+          edges AS MATERIALIZED (SELECT a src, b dst FROM e1
+                  UNION ALL SELECT b, a FROM e1),
+          deg AS MATERIALIZED (SELECT src, count(*) deg FROM edges
+                               GROUP BY 1),
+          nodes AS MATERIALIZED (SELECT DISTINCT src node FROM edges),
+          sd AS MATERIALIZED (SELECT DISTINCT ol.p AS node FROM ol
+                 JOIN orders ON ol.o = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                   AND c_mktsegment = 'BUILDING'
+                 WHERE ol.p IN (SELECT node FROM nodes)),
+          ns AS (SELECT CAST(count(*) AS DOUBLE) s FROM sd),
+          base AS MATERIALIZED (SELECT n.node,
+                   CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.s
+                        ELSE 0.0 END b
+                 FROM nodes n LEFT JOIN sd ON n.node = sd.node
+                 CROSS JOIN ns),
+          p0 AS (SELECT node, b pr FROM base),
+          c1 AS (SELECT dst, sum(pr / deg) inflow FROM edges
+                 JOIN deg USING (src) JOIN p0 ON src = node GROUP BY 1),
+          p1 AS MATERIALIZED (SELECT base.node,
+                   (1 - 0.85) * b + 0.85 * coalesce(inflow, 0) pr
+                 FROM base LEFT JOIN c1 ON base.node = dst),
+          c2 AS (SELECT dst, sum(pr / deg) inflow FROM edges
+                 JOIN deg USING (src) JOIN p1 ON src = node GROUP BY 1),
+          p2 AS MATERIALIZED (SELECT base.node,
+                   (1 - 0.85) * b + 0.85 * coalesce(inflow, 0) pr
+                 FROM base LEFT JOIN c2 ON base.node = dst),
+          c3 AS (SELECT dst, sum(pr / deg) inflow FROM edges
+                 JOIN deg USING (src) JOIN p2 ON src = node GROUP BY 1),
+          p3 AS (SELECT base.node,
+                   (1 - 0.85) * b + 0.85 * coalesce(inflow, 0) pr
+                 FROM base LEFT JOIN c3 ON base.node = dst)
+          SELECT node, round(pr * 1000, 6) + 0 AS pprk FROM p3"""
   )
+
+  /** Unrolled k-step MMR oracle: each step's argmax is replayed over
+    * the SAME 6-dp-rounded relevance/similarity values the engine
+    * ranks on; the selected set accumulates through per-step CTE
+    * unions. MATERIALIZED stops DuckDB inlining the step chain
+    * exponentially (the duckKCore lesson). */
+  private def mmrOracle(k: Int): String = {
+    val base =
+      """WITH ex AS MATERIALIZED (SELECT vec_id, label,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS MATERIALIZED (SELECT vec_id, label, z[2]::BIGINT pos,
+                 z[1]::DOUBLE x FROM ex),
+          q0 AS MATERIALIZED (SELECT pos, avg(x) qc FROM e2
+                              WHERE label = 0 GROUP BY 1),
+          nv AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) nv
+                              FROM e2 GROUP BY 1),
+          nq AS (SELECT sqrt(sum(qc * qc)) nq FROM q0),
+          rel AS MATERIALIZED (SELECT d.vec_id,
+                  round(d.d / (nv.nv * nq.nq), 6) rel
+                FROM (SELECT vec_id, sum(x * qc) d FROM e2
+                      JOIN q0 USING (pos) GROUP BY 1) d
+                JOIN nv USING (vec_id) CROSS JOIN nq),
+          s1 AS MATERIALIZED (SELECT 1 AS step, vec_id, rel, rel AS score
+                FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+          sel1 AS (SELECT vec_id FROM s1)"""
+    val steps = (2 to k).map { i =>
+      s"""
+          sim$i AS (SELECT dd.vec_id,
+                   max(round(dd.d / (n1.nv * n2.nv), 6)) msim
+                 FROM (SELECT a.vec_id, b.vec_id sid, sum(a.x * b.x) d
+                       FROM e2 a JOIN e2 b ON a.pos = b.pos
+                       WHERE b.vec_id IN (SELECT vec_id FROM sel${i - 1})
+                       GROUP BY 1, 2) dd
+                 JOIN nv n1 ON dd.vec_id = n1.vec_id
+                 JOIN nv n2 ON dd.sid = n2.vec_id
+                 GROUP BY 1),
+          s$i AS MATERIALIZED (SELECT $i AS step, r.vec_id, r.rel,
+                   r.rel - 0.5 * sim$i.msim AS score
+                 FROM rel r JOIN sim$i ON r.vec_id = sim$i.vec_id
+                 WHERE r.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                 ORDER BY score DESC, r.vec_id LIMIT 1),
+          sel$i AS (SELECT vec_id FROM sel${i - 1}
+                    UNION ALL SELECT vec_id FROM s$i)"""
+    }.mkString(",", ",", "")
+    val out = (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString("\n          ", "\n          UNION ALL ", "")
+    base + steps + out
+  }
 }

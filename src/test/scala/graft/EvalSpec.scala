@@ -92,6 +92,98 @@ class EvalSpec extends SparkSpec {
     assert(sl.nonEmpty && sl.forall(_.getBoolean(2)))
   }
 
+  test("shard balance covers all docs and serpentine keeps spread low") {
+    val rows = EvalQueries.queries("q240_shard_balance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0L to 7L))
+    assert(rows.map(_._2).sum == T.load(spark, sf, "documents").count())
+    val toks = rows.map(_._3)
+    // longest-first serpentine dealing should land far from the
+    // worst case; assert the spread gate loosely (and consistently
+    // with the reported column)
+    assert(rows.head._4 >= 0.0)
+    assert(math.abs(rows.head._4
+      - (toks.max - toks.min) / (toks.sum.toDouble / 8)) < 1e-6)
+  }
+
+  test("kappa is chance-corrected below accuracy, both in range") {
+    val r = EvalQueries.queries("q241_cohen_kappa")(spark, sf)
+      .collect().head
+    val (acc, kap) = (r.getDouble(1), r.getDouble(2))
+    assert(acc >= 0.0 && acc <= 1.0)
+    assert(kap <= acc + 1e-9 && kap >= -1.0)
+  }
+
+  test("MMR greedy scores are non-increasing and picks distinct") {
+    val rows = EvalQueries.mmrSelect(
+      T.load(spark, sf, "embeddings"), k = 5, lam = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 5))
+    assert(rows.map(_._2).distinct.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9,
+        s"score grew at step ${b._1}: ${a._3} -> ${b._3}")
+    }
+  }
+
+  test("CUPED adjusted means stay centered, variants partition users") {
+    val rows = EvalQueries.queries("q243_cuped")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L))
+    assert(rows.map(_._2).sum ==
+      T.load(spark, sf, "events").select("user_id").distinct().count())
+    // adjustment must not blow up the metric
+    rows.foreach { case (_, _, post, adj, vr) =>
+      assert(math.abs(adj - post) < math.abs(post) + 1.0)
+      assert(vr < 1.0)
+    }
+  }
+
+  test("personalized PageRank confines mass to the seed component") {
+    // two disjoint triangles, seed in the first: restart + flow can
+    // never reach the second component, and total mass conserves
+    // (undirected graph -> no dangling loss)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = graft.ops.Graph.personalizedPageRank(edges, seeds,
+      iters = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.size == 6)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 0.0))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out(1L) > out(2L) && out(2L) == out(3L))
+  }
+
+  test("key-skew report is internally consistent") {
+    val rows = EvalQueries.queries("q244_key_skew")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSet ==
+      Set("l_partkey", "l_suppkey", "o_custkey"))
+    rows.foreach { case (k, nKeys, mx, p50, p99, share, cv) =>
+      assert(nKeys > 0 && mx >= 1)
+      assert(p50 <= p99 + 1e-9 && p99 <= mx + 1e-9, k)
+      assert(share > 0.0 && share <= 1.0)
+      assert(cv >= 0.0)
+    }
+  }
+
+  test("near-dup explanations carry sorted shared shingles") {
+    val rows = EvalQueries.queries("q245_neardup_explain")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.85)
+      val top = r.getSeq[String](4)
+      assert(r.getInt(3) >= top.length && top.length <= 3)
+      assert(top == top.sorted)
+    }
+  }
+
   test("RTBF cascade conserves rows and is consistent across tables") {
     val m = EvalQueries.queries("q234_rtbf_cascade")(spark, sf)
       .collect().map(r => r.getString(0) ->
