@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import graft.T
 import graft.dedup.Dedup
 import graft.plans.TextExpressions
@@ -146,6 +147,41 @@ object EvalQueries {
     e2.unpersist(blocking = false)
     nv.unpersist(blocking = false)
     rel.unpersist(blocking = false)
+    out
+  }
+
+  /** Farthest-point sampling (k-center coreset): greedy max-min-
+    * distance selection, seeded at the smallest vec_id. Same bounded
+    * machinery as [[mmrSelect]] — pinned exploded corpus, ≤k selected
+    * vectors broadcast per round, one 1-row collect per round,
+    * distances rounded to 6 dp before every argmax (ties to the
+    * smaller vec_id). Shared by q249 and EvalSpec. */
+  private[graft] def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    val e2 = emb.select(F.col("vec_id"),
+        F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", F.col("x").cast("double"))
+      .localCheckpoint()
+    val start = e2.agg(F.min("vec_id")).collect()(0).getLong(0)
+    var selected = Vector((1, start, 0.0))
+    for (step <- 2 to k) {
+      val selIds = selected.map(_._2)
+      val selE = e2.filter(F.col("vec_id").isin(selIds: _*))
+        .select(F.col("vec_id").as("sid"), F.col("pos"),
+          F.col("x").as("sx"))
+      val dmin = e2.join(F.broadcast(selE), "pos")
+        .groupBy("vec_id", "sid")
+        .agg(F.sum((F.col("x") - F.col("sx"))
+          * (F.col("x") - F.col("sx"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.round(F.sqrt(F.col("d2")), 6)).as("dmin"))
+      val top = dmin.filter(!F.col("vec_id").isin(selIds: _*))
+        .orderBy(F.col("dmin").desc, F.col("vec_id").asc).limit(1)
+        .collect()(0) // bounded: one row per greedy round
+      selected :+= ((step, top.getLong(0), top.getDouble(1)))
+    }
+    val out = emb.sparkSession.createDataFrame(selected)
+      .toDF("step", "vec_id", "dmin")
+    e2.unpersist(blocking = false)
     out
   }
 
@@ -652,6 +688,228 @@ object EvalQueries {
       graft.ops.Graph.personalizedPageRank(edges, seeds,
           iters = 3, damping = 0.85)
         .select(F.col("node"), F.round(F.col("ppr") * 1000, 6).as("pprk"))
+    },
+
+    // Vocabulary-growth (Heaps-law) curve over ingest order — the
+    // scaling-law diagnostic: cumulative distinct token types vs
+    // cumulative token count per ingest decile, plus the new-type
+    // count each decile contributes. First-seen decile = one
+    // partial-agg'd min per type (the q224 first-occurrence shape);
+    // the cumulative fold is a triangular join over the TEN-row decile
+    // aggregate — bounded, parallel, no global window.
+    "q247_vocab_growth" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val mx = docs.agg(F.max("doc_id").as("mx"))
+      val td = docs.select(F.col("doc_id"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("tok"))
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("doc_id div (mx div 10 + 1)").as("decile"),
+          F.col("tok"))
+      val newTypes = td.groupBy("tok").agg(F.min("decile").as("fd"))
+        .groupBy("fd").agg(F.count(F.lit(1)).as("new_types"))
+      val tokCnt = td.groupBy("decile")
+        .agg(F.count(F.lit(1)).as("n_toks"))
+        .localCheckpoint() // feeds the decile grid + both folds
+      val grid = tokCnt.select(F.col("decile").as("d"))
+      grid
+        .join(tokCnt, F.col("decile") <= F.col("d"))
+        .groupBy("d").agg(F.sum("n_toks").cast("long").as("n_tokens_cum"))
+        .join(grid.join(newTypes, F.col("fd") <= F.col("d"))
+          .groupBy(F.col("d"))
+          .agg(F.sum("new_types").cast("long").as("vocab_cum")), "d")
+        .join(newTypes.select(F.col("fd").as("d"),
+          F.col("new_types")), Seq("d"), "left_outer")
+        .select(F.col("d").as("decile"), F.col("n_tokens_cum"),
+          F.col("vocab_cum"),
+          F.coalesce(F.col("new_types"), F.lit(0L)).as("new_types"),
+          F.round(F.col("vocab_cum") / F.col("n_tokens_cum").cast("double"),
+            6).as("ttr"))
+    },
+
+    // STL-lite seasonal decomposition of the hourly revenue series per
+    // event type: trend = centered 25-hour moving average (complete
+    // windows only), seasonal = hour-of-day mean of the detrended
+    // series, and the Hyndman strength-of-trend/seasonality statistics
+    // F = max(0, 1 − Var(R)/Var(C+R)). Integer-cents inputs (the q226
+    // gap-filled grid) keep the window sums EXACT — trend is an exact
+    // rational on both engines; seasonal rounds to 6 dp before the
+    // residual so cross-engine noise cannot propagate. Per-type state
+    // is a bounded window; variances come from one moment fold.
+    "q248_seasonal_decomp" -> { (s, dir) =>
+      val hourly = T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts) / 3600) as bigint)")
+            .as("h"),
+          F.round(F.col("value") * 100).cast("long").as("vc"))
+        .groupBy("event_type", "h").agg(F.sum("vc").as("xr"))
+      val grid = hourly.groupBy("event_type")
+        .agg(F.min("h").as("h0"), F.max("h").as("h1"))
+        .select(F.col("event_type"),
+          F.explode(F.sequence(F.col("h0"), F.col("h1"))).as("h"))
+      val series = grid.join(hourly, Seq("event_type", "h"), "left_outer")
+        .select(F.col("event_type"), F.col("h"),
+          F.coalesce(F.col("xr"), F.lit(0L)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-12, 12)
+      val t = series
+        .withColumn("wn", F.count(F.lit(1)).over(w))
+        .withColumn("ws", F.sum("x").over(w))
+        .filter(F.col("wn") === 25) // complete windows: exact sum/25
+        .withColumn("trend", F.col("ws") / F.lit(25.0))
+        .withColumn("det", F.col("x") - F.col("trend"))
+      val seas = t
+        .select(F.col("event_type").as("et2"),
+          (F.col("h") % 24).as("hod2"), F.col("det"))
+        .groupBy("et2", "hod2")
+        .agg(F.round(F.avg("det"), 6).as("seasonal"))
+      t.join(seas,
+          F.col("event_type") === F.col("et2")
+            && (F.col("h") % 24) === F.col("hod2"))
+        .select(F.col("event_type"), F.col("x"), F.col("trend"),
+          F.col("seasonal"),
+          (F.col("det") - F.col("seasonal")).as("resid"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n_hours"),
+          F.round(F.greatest(F.lit(0.0), F.lit(1.0)
+            - (F.avg(F.col("resid") * F.col("resid"))
+              - F.avg("resid") * F.avg("resid"))
+            / (F.avg((F.col("trend") + F.col("resid"))
+                * (F.col("trend") + F.col("resid")))
+              - F.avg(F.col("trend") + F.col("resid"))
+                * F.avg(F.col("trend") + F.col("resid")))), 6)
+            .as("f_trend"),
+          F.round(F.greatest(F.lit(0.0), F.lit(1.0)
+            - (F.avg(F.col("resid") * F.col("resid"))
+              - F.avg("resid") * F.avg("resid"))
+            / (F.avg((F.col("seasonal") + F.col("resid"))
+                * (F.col("seasonal") + F.col("resid")))
+              - F.avg(F.col("seasonal") + F.col("resid"))
+                * F.avg(F.col("seasonal") + F.col("resid")))), 6)
+            .as("f_seasonal"))
+    },
+
+    // k-center coreset (farthest-point sampling, Gonzalez 1985): the
+    // pure-diversity dual of q242's MMR — five greedy rounds each
+    // picking the vector FARTHEST from the selected set (max-min
+    // distance, 2-approximation to the optimal k-center cover). Same
+    // bounded machinery as MMR: pinned exploded corpus, ≤k selected
+    // vectors broadcast per round, one 1-row collect per round, 6-dp
+    // rounding before every argmax.
+    "q249_kcenter" -> { (s, dir) =>
+      kCenterSelect(T.load(s, dir, "embeddings"), k = 5)
+    },
+
+    // Paired sign-flip permutation test (the exact nonparametric
+    // p-value for "did the metric move pre→post?"): per-user diff,
+    // H = 200 deterministic hash-derived sign patterns (portable
+    // Knuth-mod arithmetic, the q109 precedent), per-permutation
+    // |mean| vs observed. Scale shape: the H× explode is bounded by
+    // the permutation count and partial-aggs down to H rows keyed on
+    // the permutation index — the classic bounded-fan-out Monte Carlo
+    // shape, no resampling state.
+    "q250_perm_test" -> { (s, dir) =>
+      val H = 200
+      val u = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg((F.coalesce(F.sum(F.when(F.col("ts") >= "2024-01-16",
+          F.col("value"))), F.lit(0.0))
+          - F.coalesce(F.sum(F.when(F.col("ts") < "2024-01-16",
+            F.col("value"))), F.lit(0.0))).as("diff"))
+        .localCheckpoint() // feeds the observed stat AND the H-explode
+      val obs = u.agg(F.round(F.abs(F.avg("diff")), 6).as("stat_obs"),
+        F.count(F.lit(1)).as("n_users"))
+      val perms = u.select(F.col("diff"),
+          F.explode(F.expr(s"sequence(1, $H)")).as("p"),
+          F.col("user_id"))
+        .withColumn("sign", F.lit(1)
+          - F.lit(2) * (F.expr("pmod((user_id % 1000003) * 2654435761 "
+            + "+ p * 48271, 1000003)") % 2))
+        .groupBy("p")
+        .agg(F.round(F.abs(F.avg(F.col("sign") * F.col("diff"))), 6)
+          .as("stat_p"))
+      perms.crossJoin(F.broadcast(obs))
+        .agg(F.first("n_users").as("n_users"),
+          F.first("stat_obs").as("stat_obs"),
+          F.round((F.lit(1) + F.count(F.when(
+            F.col("stat_p") >= F.col("stat_obs"), 1)))
+            / F.lit((H + 1).toDouble), 6).as("p_value"))
+    },
+
+    // Class-balance oversampling plan — the minority-upsampling step
+    // before training on skewed labels: per-language replication
+    // factor = ceil(max-class / class) (integer-exact), then the
+    // oversampled relation is ACTUALLY built (sequence explode — the
+    // honest path, not factor arithmetic) and re-counted. Replication
+    // is a bounded per-row fan-out; both counts are partial aggs.
+    "q251_class_balance" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+      val cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).as("n_before"))
+      val mx = cnt.agg(F.max("n_before").as("mxc"))
+      val plan = cnt.crossJoin(F.broadcast(mx))
+        .withColumn("rep_factor",
+          F.expr("(mxc + n_before - 1) div n_before"))
+      val over = docs.join(plan.select("lang", "rep_factor"), "lang")
+        .select(F.col("lang"),
+          F.explode(F.expr("sequence(1, rep_factor)")).as("__r"))
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n_after"))
+      val tot = over.agg(F.sum("n_after").cast("double").as("ta"))
+      plan.join(over, "lang").crossJoin(F.broadcast(tot))
+        .select(F.col("lang"), F.col("n_before"), F.col("rep_factor"),
+          F.col("n_after"),
+          F.round(F.col("n_after") / F.col("ta"), 6).as("share_after"))
+    },
+
+    // Annotation-noise audit over near-duplicate pairs (the Cleanlab-
+    // style signal): near-identical documents whose labels DISAGREE
+    // are either mislabeled or the taxonomy is unstable. Reuses q41's
+    // banded MinHash-LSH pairs (never all-pairs); metadata joins touch
+    // only the O(pairs) relation; output is one scalar report row.
+    "q252_dup_label_noise" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.85)
+      pairs
+        .join(docs.select(F.col("doc_id").as("id1"),
+          F.col("lang").as("l1"), F.col("source").as("s1")), "id1")
+        .join(docs.select(F.col("doc_id").as("id2"),
+          F.col("lang").as("l2"), F.col("source").as("s2")), "id2")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.count(F.when(F.col("l1") =!= F.col("l2"), 1))
+            .as("lang_mismatch"),
+          F.round(F.count(F.when(F.col("l1") =!= F.col("l2"), 1))
+            / F.count(F.lit(1)).cast("double"), 6)
+            .as("lang_mismatch_frac"),
+          F.count(F.when(F.col("s1") =!= F.col("s2"), 1))
+            .as("cross_source"),
+          F.round(F.count(F.when(F.col("s1") =!= F.col("s2"), 1))
+            / F.count(F.lit(1)).cast("double"), 6)
+            .as("cross_source_frac"))
+    },
+
+    // Hill tail-index of the document-length distribution — the
+    // heavy-tail diagnostic (alpha ≈ Pareto exponent) that decides
+    // whether length-stratified sampling is needed before packing.
+    // The top-(k+1) order statistics come from TakeOrderedAndProject
+    // (per-partition top-k + driver merge — NO global sort, no
+    // window); because x_(k+1) is the MINIMUM of that bounded set,
+    // the whole estimator is one scalar fold over 51 rows:
+    // alpha = 1 / ((Σ ln x − ln min)/k − ln min). Integer lengths
+    // make every ln input exact on both engines.
+    "q253_hill_tail" -> { (s, dir) =>
+      val k = 50
+      T.load(s, dir, "documents")
+        .select(F.col("n_chars"), F.col("doc_id"))
+        .orderBy(F.col("n_chars").desc, F.col("doc_id").asc)
+        .limit(k + 1)
+        .agg(F.count(F.lit(1)).as("__m"),
+          F.sum(F.log(F.col("n_chars").cast("double"))).as("__sl"),
+          F.min("n_chars").as("__mn"))
+        .filter(F.col("__m") === k + 1) // corpus big enough for the fit
+        .select(F.lit(k).as("k"),
+          F.round(F.lit(1.0)
+            / ((F.col("__sl") - F.log(F.col("__mn").cast("double")))
+              / F.lit(k.toDouble)
+              - F.log(F.col("__mn").cast("double"))), 6).as("alpha"))
     }
   )
 
@@ -1078,8 +1336,182 @@ object EvalQueries {
           p3 AS (SELECT base.node,
                    (1 - 0.85) * b + 0.85 * coalesce(inflow, 0) pr
                  FROM base LEFT JOIN c3 ON base.node = dst)
-          SELECT node, round(pr * 1000, 6) + 0 AS pprk FROM p3"""
+          SELECT node, round(pr * 1000, 6) + 0 AS pprk FROM p3""",
+
+    "q247_vocab_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) mx FROM documents),
+          td AS MATERIALIZED (SELECT doc_id // (mx // 10 + 1) decile,
+                 unnest($duckToks) tok FROM documents CROSS JOIN mx),
+          ft AS MATERIALIZED (SELECT tok, min(decile) fd FROM td
+                              GROUP BY 1),
+          nt AS MATERIALIZED (SELECT fd, count(*) new_types FROM ft
+                              GROUP BY 1),
+          tc AS MATERIALIZED (SELECT decile, count(*) n_toks FROM td
+                              GROUP BY 1),
+          g AS (SELECT decile d FROM tc),
+          cumt AS (SELECT g.d, sum(tc.n_toks) n_tokens_cum
+                   FROM g JOIN tc ON tc.decile <= g.d GROUP BY 1),
+          cumv AS (SELECT g.d, sum(nt.new_types) vocab_cum
+                   FROM g JOIN nt ON nt.fd <= g.d GROUP BY 1)
+          SELECT cumt.d decile,
+            CAST(n_tokens_cum AS BIGINT) n_tokens_cum,
+            CAST(vocab_cum AS BIGINT) vocab_cum,
+            CAST(coalesce(nt.new_types, 0) AS BIGINT) new_types,
+            round(vocab_cum / CAST(n_tokens_cum AS DOUBLE), 6) + 0 ttr
+          FROM cumt JOIN cumv USING (d) LEFT JOIN nt ON nt.fd = cumt.d""",
+
+    "q248_seasonal_decomp" ->
+      """WITH ev AS (SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+               CAST(round(value * 100) AS BIGINT) AS vc
+             FROM events),
+          hourly AS (SELECT event_type, h, sum(vc) AS xr
+                     FROM ev GROUP BY 1, 2),
+          grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+                   FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+                         FROM hourly GROUP BY 1)),
+          ser AS MATERIALIZED (SELECT g.event_type, g.h,
+                 coalesce(hourly.xr, 0) AS x
+               FROM grid g LEFT JOIN hourly
+                 ON g.event_type = hourly.event_type AND g.h = hourly.h),
+          t AS MATERIALIZED (SELECT event_type, h, x,
+                 count(*) OVER w wn, sum(x) OVER w ws
+               FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+          t2 AS MATERIALIZED (SELECT event_type, h, x, ws / 25.0 trend,
+                 x - ws / 25.0 det
+               FROM t WHERE wn = 25),
+          seas AS (SELECT event_type, h % 24 hod, round(avg(det), 6)
+                     seasonal
+                   FROM t2 GROUP BY 1, 2),
+          r AS (SELECT t2.event_type, trend, seasonal,
+                  det - seasonal resid
+                FROM t2 JOIN seas ON t2.event_type = seas.event_type
+                  AND t2.h % 24 = seas.hod)
+          SELECT event_type, CAST(count(*) AS BIGINT) n_hours,
+            round(greatest(0.0, 1.0
+              - (avg(resid * resid) - avg(resid) * avg(resid))
+              / (avg((trend + resid) * (trend + resid))
+                 - avg(trend + resid) * avg(trend + resid))), 6) + 0
+              AS f_trend,
+            round(greatest(0.0, 1.0
+              - (avg(resid * resid) - avg(resid) * avg(resid))
+              / (avg((seasonal + resid) * (seasonal + resid))
+                 - avg(seasonal + resid) * avg(seasonal + resid))), 6)
+              + 0 AS f_seasonal
+          FROM r GROUP BY 1""",
+
+    "q249_kcenter" -> kcOracle(5),
+
+    "q250_perm_test" ->
+      """WITH u AS MATERIALIZED (SELECT user_id,
+               coalesce(sum(value) FILTER (
+                 WHERE ts >= TIMESTAMP '2024-01-16'), 0)
+               - coalesce(sum(value) FILTER (
+                   WHERE ts < TIMESTAMP '2024-01-16'), 0) AS diff
+             FROM events GROUP BY 1),
+          obs AS (SELECT round(abs(avg(diff)), 6) stat_obs,
+                    count(*) n_users FROM u),
+          pp AS (SELECT p, round(abs(avg(sign * diff)), 6) stat_p
+                 FROM (SELECT u.diff, p.p,
+                         1 - 2 * (((user_id % 1000003) * 2654435761
+                           + p.p * 48271) % 1000003 % 2) AS sign
+                       FROM u CROSS JOIN (SELECT
+                         unnest(generate_series(1, 200)) p) p) x
+                 GROUP BY 1)
+          SELECT CAST(n_users AS BIGINT) n_users, stat_obs + 0 AS stat_obs,
+            round((1 + count(*) FILTER (WHERE stat_p >= stat_obs))
+              / 201.0, 6) + 0 AS p_value
+          FROM pp CROSS JOIN obs GROUP BY n_users, stat_obs""",
+
+    "q251_class_balance" ->
+      """WITH cnt AS (SELECT lang, count(*) n_before FROM documents
+                      GROUP BY 1),
+          mx AS (SELECT max(n_before) mxc FROM cnt),
+          plan AS (SELECT lang, n_before,
+                     (mxc + n_before - 1) // n_before rep_factor
+                   FROM cnt CROSS JOIN mx),
+          over_ AS (SELECT d.lang, count(*) n_after
+                    FROM documents d JOIN plan USING (lang)
+                    CROSS JOIN unnest(generate_series(1, rep_factor))
+                    GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_after) AS DOUBLE) ta FROM over_)
+          SELECT plan.lang, CAST(n_before AS BIGINT) n_before,
+            CAST(rep_factor AS BIGINT) rep_factor,
+            CAST(n_after AS BIGINT) n_after,
+            round(n_after / ta, 6) + 0 AS share_after
+          FROM plan JOIN over_ ON plan.lang = over_.lang
+          CROSS JOIN tot""",
+
+    "q252_dup_label_noise" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $duckToks t
+               FROM documents),
+          sh AS MATERIALIZED (SELECT doc_id, $duckShingles3 s FROM toks),
+          jp AS (SELECT a.doc_id id1, b.doc_id id2
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE round(len(list_intersect(a.s, b.s)) /
+                     CAST(len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                   >= 0.85),
+          m AS (SELECT d1.lang l1, d1.source s1, d2.lang l2, d2.source s2
+                FROM jp JOIN documents d1 ON jp.id1 = d1.doc_id
+                JOIN documents d2 ON jp.id2 = d2.doc_id)
+          SELECT CAST(count(*) AS BIGINT) n_pairs,
+            CAST(count(*) FILTER (WHERE l1 != l2) AS BIGINT)
+              lang_mismatch,
+            round(count(*) FILTER (WHERE l1 != l2)
+              / CAST(count(*) AS DOUBLE), 6) + 0 lang_mismatch_frac,
+            CAST(count(*) FILTER (WHERE s1 != s2) AS BIGINT)
+              cross_source,
+            round(count(*) FILTER (WHERE s1 != s2)
+              / CAST(count(*) AS DOUBLE), 6) + 0 cross_source_frac
+          FROM m""",
+
+    "q253_hill_tail" ->
+      """WITH t AS (SELECT n_chars FROM documents
+                    ORDER BY n_chars DESC, doc_id LIMIT 51),
+          a AS (SELECT count(*) m, sum(ln(n_chars)) sl, min(n_chars) mn
+                FROM t)
+          SELECT 50 AS k,
+            round(1.0 / ((sl - ln(mn)) / 50 - ln(mn)), 6) + 0 AS alpha
+          FROM a WHERE m = 51"""
   )
+
+  /** Unrolled k-step farthest-point-sampling oracle — the [[mmrOracle]]
+    * shape with max-min DISTANCE instead of relevance-minus-similarity;
+    * MATERIALIZED per step for the same exponential-inline reason. */
+  private def kcOracle(k: Int): String = {
+    val base =
+      """WITH ex AS MATERIALIZED (SELECT vec_id,
+            unnest(list_zip(embedding::DOUBLE[],
+              generate_series(1, len(embedding)))) AS z
+          FROM embeddings),
+          e2 AS MATERIALIZED (SELECT vec_id, z[2]::BIGINT pos,
+                 z[1]::DOUBLE x FROM ex),
+          s1 AS MATERIALIZED (SELECT 1 AS step, min(vec_id) AS vec_id,
+                 0.0 AS dmin FROM e2),
+          sel1 AS (SELECT vec_id FROM s1)"""
+    val steps = (2 to k).map { i =>
+      s"""
+          d$i AS (SELECT dd.vec_id,
+                   min(round(sqrt(dd.d2), 6)) dmin
+                 FROM (SELECT a.vec_id, b.vec_id sid,
+                         sum((a.x - b.x) * (a.x - b.x)) d2
+                       FROM e2 a JOIN e2 b ON a.pos = b.pos
+                       WHERE b.vec_id IN (SELECT vec_id FROM sel${i - 1})
+                       GROUP BY 1, 2) dd
+                 GROUP BY 1),
+          s$i AS MATERIALIZED (SELECT $i AS step, vec_id, dmin
+                 FROM d$i
+                 WHERE vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                 ORDER BY dmin DESC, vec_id LIMIT 1),
+          sel$i AS (SELECT vec_id FROM sel${i - 1}
+                    UNION ALL SELECT vec_id FROM s$i)"""
+    }.mkString(",", ",", "")
+    val out = (1 to k).map(i => s"SELECT * FROM s$i")
+      .mkString("\n          ", "\n          UNION ALL ", "")
+    base + steps + out
+  }
 
   /** Unrolled k-step MMR oracle: each step's argmax is replayed over
     * the SAME 6-dp-rounded relevance/similarity values the engine

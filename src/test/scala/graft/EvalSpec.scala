@@ -184,6 +184,91 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("k-center picks the exact farthest-point sequence on a line") {
+    // points on a line at 0, 10, 5, 1 (ids 1..4): start at min id,
+    // then greedy max-min distance gives 2 (d=10), 3 (d=5), 4 (d=1)
+    val emb = Seq((1L, Array(0f, 0f)), (2L, Array(10f, 0f)),
+      (3L, Array(5f, 0f)), (4L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = EvalQueries.kCenterSelect(emb, k = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 0.0), (2L, 10.0), (3L, 5.0), (4L, 1.0)))
+  }
+
+  test("vocabulary growth curve is monotone with diminishing TTR") {
+    val rows = EvalQueries.queries("q247_vocab_growth")(spark, sf)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3)
+    case _ => ()
+    }
+    assert(rows.map(_._4).sum == rows.last._3) // new types sum to vocab
+    assert(rows.last._5 <= rows.head._5) // Heaps: type/token ratio falls
+  }
+
+  test("seasonal strengths are valid fractions on real hourly data") {
+    val rows = EvalQueries.queries("q248_seasonal_decomp")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, ft, fs) =>
+      assert(n > 0, t)
+      assert(ft >= 0.0 && ft <= 1.0, s"$t f_trend=$ft")
+      assert(fs >= 0.0 && fs <= 1.0, s"$t f_seasonal=$fs")
+    }
+  }
+
+  test("permutation test yields a valid deterministic p-value") {
+    val r1 = EvalQueries.queries("q250_perm_test")(spark, sf)
+      .collect().head
+    val r2 = EvalQueries.queries("q250_perm_test")(spark, sf)
+      .collect().head
+    assert(r1.getDouble(2) > 0.0 && r1.getDouble(2) <= 1.0)
+    assert(r1.getDouble(1) == r2.getDouble(1)
+      && r1.getDouble(2) == r2.getDouble(2)) // hash perms, not RNG
+  }
+
+  test("class-balance oversampling hits the ceil-replication contract") {
+    val rows = EvalQueries.queries("q251_class_balance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val mxc = rows.map(_._2).max
+    rows.foreach { case (lang, before, rep, after, _) =>
+      assert(after == before * rep, lang)
+      assert(rep == (mxc + before - 1) / before, lang)
+      assert(after >= mxc && after < mxc + before, lang)
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+  }
+
+  test("dup-label-noise report is a consistent scalar audit") {
+    val r = EvalQueries.queries("q252_dup_label_noise")(spark, sf)
+      .collect().head
+    val (n, lm, cs) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    assert(n > 0 && lm <= n && cs <= n)
+    assert(math.abs(r.getDouble(2) - lm.toDouble / n) < 1e-5)
+    assert(math.abs(r.getDouble(4) - cs.toDouble / n) < 1e-5)
+  }
+
+  test("Hill tail index is positive and matches a direct computation") {
+    val rows = EvalQueries.queries("q253_hill_tail")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.length == 1)
+    assert(rows.head._1 == 50 && rows.head._2 > 0.0)
+    val lens = T.load(spark, sf, "documents")
+      .select("n_chars", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (-t._1, t._2)).map(_._1.toDouble)
+    val want = 1.0 / (lens.take(50).map(math.log).sum / 50
+      - math.log(lens(50)))
+    assert(math.abs(rows.head._2 - want) < 1e-5)
+  }
+
   test("RTBF cascade conserves rows and is consistent across tables") {
     val m = EvalQueries.queries("q234_rtbf_cascade")(spark, sf)
       .collect().map(r => r.getString(0) ->
