@@ -273,10 +273,62 @@ object StreamQueries {
       runStateful(s, kept, uniq("stream_dedup"), mode = "append")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_docs"))
+    },
+
+    // CDC latest-state compaction: maintain the materialized
+    // latest-row-per-key table as changes stream in — the classic
+    // change-data-capture consumer. Declarative form: max_by over an
+    // event-time struct (state = one row per key, the minimal CDC
+    // state); last-write-wins ordering is (ts, event_id), so ties are
+    // impossible and both engines agree. StreamSpec pins the
+    // stream-equals-batch-replay contract.
+    "q254_stream_cdc" -> { (s, dir) =>
+      val latest = eventsStream(s, dir)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct(F.col("event_type"), F.col("value")),
+            F.struct(F.col("ts"), F.col("event_id"))).as("m"),
+          F.count(F.lit(1)).as("n_events"))
+      runStateful(s, latest, uniq("stream_cdc"))
+        .select(F.col("user_id"), F.col("m.event_type").as("last_type"),
+          F.round(F.col("m.value"), 6).as("last_value"),
+          F.col("n_events"))
+    },
+
+    // Stream-batch reconciliation: distinct users per type estimated
+    // IN the stream by an HLL++ sketch (mergeable per-key state, the
+    // only distinct-count a stream can afford), reconciled against the
+    // exact batch twin over the same source — the production pattern
+    // for validating streaming sketches offline. Gate at ±5%.
+    "q255_stream_acd" -> { (s, dir) =>
+      val acd = eventsStream(s, dir).groupBy("event_type")
+        .agg(F.approx_count_distinct(F.col("user_id"), 0.02).as("__acd"))
+      val st = runStateful(s, acd, uniq("stream_acd"))
+      val exact = _root_.graft.T.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).as("n_users"))
+      st.join(exact, "event_type")
+        .select(F.col("event_type"), F.col("n_users"),
+          (F.abs(F.col("__acd") - F.col("n_users")).cast("double")
+            / F.col("n_users") <= 0.05).as("acd_ok"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q254_stream_cdc" ->
+      """SELECT user_id, event_type AS last_type,
+           round(value, 6) + 0 AS last_value, n_events
+         FROM (SELECT user_id, event_type, value,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_events,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1""",
+    "q255_stream_acd" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS acd_ok
+         FROM events GROUP BY 1""",
     "q117_stream_enrich" ->
       """SELECT c_mktsegment,
            count(*) AS n_events,

@@ -145,4 +145,27 @@ class StreamSpec extends SparkSpec {
     assert(rows() == Set((1L, b, 1L), (1L, b, 2L),
       (1L, b + 3600L, 5L), (1L, b + 3600L, 6L)))
   }
+
+  test("streaming CDC compaction equals the batch last-write-wins replay") {
+    import org.apache.spark.sql.{functions => F}
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamQueries
+      .queries("q254_stream_cdc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(F.col("ts").desc, F.col("event_id").desc)
+    val want = T.load(spark, dir, "events")
+      .withColumn("rn", F.row_number().over(w))
+      .withColumn("n_events",
+        F.count(F.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(F.col("rn") === 1)
+      .select(F.col("user_id"), F.col("event_type"),
+        F.round(F.col("value"), 6), F.col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
 }
