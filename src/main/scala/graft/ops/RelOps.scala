@@ -298,6 +298,41 @@ object RelOps {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix MAX of a long column under a global
+    * ordering — the [[globalPrefixSum]] two-phase scan with max as the
+    * monoid (max is associative, so the cross-partition offset merge
+    * is exact, unlike the double sum's addition tree). Rows with no
+    * prior row get NULL in `out`. Used for arrival-order disorder
+    * audits (q259): "the largest event time seen before this row".
+    */
+  def globalPrefixMax(df: DataFrame, valCol: String, out: String,
+                      orderings: Seq[Ordering]): DataFrame = {
+    val sortCols = orderings.map(_.toColumn)
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema.add(out, LongType, nullable = true)
+    val valIdx = ordered.schema.fieldIndex(valCol)
+    val rdd = ordered.rdd
+    val partMaxes = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var m = Long.MinValue
+        it.foreach(r => m = math.max(m, r.getLong(valIdx)))
+        Iterator((pid, m))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMaxes.scanLeft(Long.MinValue)(math.max)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val prior = acc
+        acc = math.max(acc, r.getLong(valIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+
+          (if (prior == Long.MinValue) null else java.lang.Long.valueOf(prior)))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Double-typed [[globalPrefixSum]] (exclusive, same two-phase scan).
     * Within a partition the accumulation is strictly left-to-right in
     * the global sort order, but the cross-partition offsets are a

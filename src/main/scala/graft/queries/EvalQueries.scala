@@ -910,6 +910,128 @@ object EvalQueries {
             / ((F.col("__sl") - F.log(F.col("__mn").cast("double")))
               / F.lit(k.toDouble)
               - F.log(F.col("__mn").cast("double"))), 6).as("alpha"))
+    },
+
+    // Explicit GROUPING SETS with grouping_id — the remaining ANSI
+    // OLAP grouping form beyond q72's ROLLUP / q99's CUBE: exactly the
+    // four requested groupings, one pass, partial-agg'd per set.
+    // grouping_id bit semantics are ANSI (left expr = high bit), so
+    // both engines label the sets identically.
+    "q256_grouping_sets" -> { (s, dir) =>
+      T.load(s, dir, "orders").createOrReplaceTempView("__gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 grouping_id(o_orderstatus, o_orderpriority) AS gid,
+                 count(*) AS n, round(sum(o_totalprice), 4) AS rev
+               FROM __gs_orders
+               GROUP BY GROUPING SETS (
+                 (o_orderstatus, o_orderpriority),
+                 (o_orderstatus), (o_orderpriority), ())""")
+    },
+
+    // Sample-ratio-mismatch guardrail (the first thing an experiment
+    // platform checks): chi-square of observed variant counts against
+    // the designed 50/50 split. Exact integer counts → one scalar
+    // fold; the 3.84 gate is the chi²(1) 5% critical value. SRM firing
+    // means the assignment plumbing is broken and the experiment's
+    // readout (q243) cannot be trusted.
+    "q257_srm_check" -> { (s, dir) =>
+      val v = T.load(s, dir, "events")
+        .select(F.col("user_id")).distinct()
+        .groupBy((F.col("user_id") % 2).as("variant"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val tot = v.agg(F.sum("n").cast("double").as("t"))
+      v.crossJoin(F.broadcast(tot))
+        .select(F.col("variant"), F.col("n"),
+          (F.col("t") / 2).as("__e"),
+          ((F.col("n") - F.col("t") / 2) * (F.col("n") - F.col("t") / 2)
+            / (F.col("t") / 2)).as("__x"))
+        .agg(F.sum("n").cast("long").as("n_users"),
+          F.round(F.sum("__x"), 6).as("chi2"),
+          (F.round(F.sum("__x"), 6) <= 3.841459).as("srm_ok"))
+    },
+
+    // One distributed BPE-training iteration (Sennrich et al. 2016):
+    // adjacent character-pair counts over the word vocabulary,
+    // frequency-weighted — the argmax pair IS the next merge a
+    // tokenizer trainer would apply. Scale shape: pair generation is
+    // a per-word array transform (scan-parallel) over the COMPACT
+    // (word, count) vocabulary, not the corpus; one partial-agg'd
+    // groupBy on 2-char keys; top-10 via TakeOrdered. Exact integers
+    // end-to-end.
+    "q258_bpe_pairs" -> { (s, dir) =>
+      val wc = T.load(s, dir, "documents")
+        .select(F.explode(TextExpressions.wordTokens(F.col("text")))
+          .as("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      wc.filter(F.length(F.col("w")) >= 2)
+        .select(F.col("c"), F.explode(F.expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(F.sum("c").cast("long").as("n"))
+        .orderBy(F.col("n").desc, F.col("pair").asc)
+        .limit(10)
+        .withColumn("rank", F.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(F.col("n").desc, F.col("pair").asc)))
+    },
+
+    // Event-time disorder audit — the report that picks a streaming
+    // watermark delay: per event (in ARRIVAL order = event_id), how
+    // far behind the largest event time already seen is it? Exclusive
+    // running max via the two-phase distributed scan
+    // (`globalPrefixMax`: range partition + O(P) driver offsets; max
+    // is an exact monoid, so unlike the double prefix sum there is no
+    // addition-tree caveat). Bucketed lateness histogram + per-bucket
+    // max — read the '<= 1 h' mass, set the watermark.
+    "q259_lateness_audit" -> { (s, dir) =>
+      import graft.ops.RelOps
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("tsec"))
+      RelOps.globalPrefixMax(ev, "tsec", "pm",
+          Seq(RelOps.Ordering("event_id")))
+        .filter(F.col("pm").isNotNull)
+        .withColumn("late",
+          F.greatest(F.col("pm") - F.col("tsec"), F.lit(0L)))
+        .withColumn("bucket",
+          F.when(F.col("late") === 0, "in_order")
+            .when(F.col("late") <= 60, "le_1m")
+            .when(F.col("late") <= 3600, "le_1h")
+            .when(F.col("late") <= 86400, "le_1d")
+            .otherwise("gt_1d"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.max("late").as("max_late_sec"))
+    },
+
+    // Deterministic negative sampling for implicit-feedback training
+    // (the contrastive-pair generator): per customer, probe 10
+    // hash-derived candidate parts (portable Knuth-mod, the q109/q250
+    // arithmetic), drop any the customer actually bought (anti-join on
+    // the interaction relation), keep the first 3 by probe index.
+    // Scale shape: fan-out is a FIXED 10 probes per user — never a
+    // user × item cross join — and the anti-join is a keyed shuffle on
+    // (user, item). The j-ordered rank window is per-user bounded.
+    "q260_negative_sample" -> { (s, dir) =>
+      val inter = T.load(s, dir, "orders")
+        .join(T.load(s, dir, "lineitem"),
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .select(F.col("o_custkey").as("u"), F.col("l_partkey").as("i"))
+        .distinct()
+      val np = T.load(s, dir, "part").agg(F.count(F.lit(1)).as("np"))
+      val users = inter.select("u").distinct()
+      val probes = users.crossJoin(F.broadcast(np))
+        .select(F.col("u"), F.explode(F.expr("sequence(1, 10)")).as("j"),
+          F.col("np"))
+        .withColumn("i", F.expr(
+          "pmod((u % 1000003) * 2654435761 + j * 48271, 1000003) % np"))
+        .groupBy("u", "i").agg(F.min("j").as("j")) // dedup repeat probes
+      val w = Window.partitionBy("u").orderBy("j")
+      probes.join(inter, Seq("u", "i"), "left_anti")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("u").as("user_id"), F.col("i").as("neg_item"),
+          F.col("j").as("probe"), F.col("rk").as("rank"))
     }
   )
 
@@ -1474,7 +1596,84 @@ object EvalQueries {
                 FROM t)
           SELECT 50 AS k,
             round(1.0 / ((sl - ln(mn)) / 50 - ln(mn)), 6) + 0 AS alpha
-          FROM a WHERE m = 51"""
+          FROM a WHERE m = 51""",
+
+    "q256_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 4) + 0 AS rev
+         FROM orders
+         GROUP BY GROUPING SETS (
+           (o_orderstatus, o_orderpriority),
+           (o_orderstatus), (o_orderpriority), ())""",
+
+    "q257_srm_check" ->
+      """WITH v AS (SELECT user_id % 2 variant, count(*) n
+                    FROM (SELECT DISTINCT user_id FROM events) u
+                    GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS DOUBLE) t FROM v)
+          SELECT CAST(sum(n) AS BIGINT) n_users,
+            round(sum((n - t / 2) * (n - t / 2) / (t / 2)), 6) + 0
+              AS chi2,
+            round(sum((n - t / 2) * (n - t / 2) / (t / 2)), 6)
+              <= 3.841459 AS srm_ok
+          FROM v CROSS JOIN t""",
+
+    "q258_bpe_pairs" ->
+      s"""WITH wc AS MATERIALIZED (SELECT w, count(*) c FROM (
+               SELECT unnest($duckToks) w FROM documents) x GROUP BY 1),
+          p AS (SELECT c, unnest([w[i:i+1]
+                  for i in range(1, len(w))]) pair
+                FROM wc WHERE len(w) >= 2),
+          g AS (SELECT pair, CAST(sum(c) AS BIGINT) n FROM p
+                GROUP BY 1),
+          r AS (SELECT pair, n, row_number() OVER (
+                  ORDER BY n DESC, pair) rank FROM g)
+          SELECT pair, n, rank FROM r WHERE rank <= 10""",
+
+    "q259_lateness_audit" ->
+      """WITH e AS (SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) tsec FROM events),
+          p AS (SELECT event_id, tsec,
+                  max(tsec) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    pm
+                FROM e),
+          l AS (SELECT greatest(pm - tsec, 0) late FROM p
+                WHERE pm IS NOT NULL),
+          b AS (SELECT CASE WHEN late = 0 THEN 'in_order'
+                            WHEN late <= 60 THEN 'le_1m'
+                            WHEN late <= 3600 THEN 'le_1h'
+                            WHEN late <= 86400 THEN 'le_1d'
+                            ELSE 'gt_1d' END bucket, late
+                FROM l)
+          SELECT bucket, CAST(count(*) AS BIGINT) n_events,
+            CAST(max(late) AS BIGINT) max_late_sec
+          FROM b GROUP BY 1""",
+
+    "q260_negative_sample" ->
+      """WITH inter AS MATERIALIZED (SELECT DISTINCT o_custkey u,
+               l_partkey i
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          np AS (SELECT count(*) np FROM part),
+          pr AS (SELECT u, i, min(j) j FROM (
+                   SELECT u.u, p.j,
+                     ((u.u % 1000003) * 2654435761 + p.j * 48271)
+                       % 1000003 % np AS i
+                   FROM (SELECT DISTINCT u FROM inter) u
+                   CROSS JOIN (SELECT unnest(generate_series(1, 10)) j) p
+                   CROSS JOIN np) x
+                 GROUP BY 1, 2),
+          neg AS (SELECT pr.u, pr.i, pr.j,
+                    row_number() OVER (PARTITION BY pr.u ORDER BY pr.j)
+                      rk
+                  FROM pr ANTI JOIN inter
+                    ON pr.u = inter.u AND pr.i = inter.i)
+          SELECT u AS user_id, i AS neg_item, j AS probe,
+            CAST(rk AS BIGINT) AS rank
+          FROM neg WHERE rk <= 3"""
   )
 
   /** Unrolled k-step farthest-point-sampling oracle — the [[mmrOracle]]

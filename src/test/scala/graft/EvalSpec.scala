@@ -269,6 +269,80 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(rows.head._2 - want) < 1e-5)
   }
 
+  test("grouping sets label each set with the ANSI grouping_id") {
+    val rows = EvalQueries.queries("q256_grouping_sets")(spark, sf)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    val total = T.load(spark, sf, "orders").count()
+    // gid 3 = grand total (both columns null); gid 0 rows partition it
+    assert(rows.filter(_._3 == 3L).map(_._4).sum == total)
+    assert(rows.filter(_._3 == 0L).map(_._4).sum == total)
+    rows.foreach { case (a, b, gid, _) =>
+      assert(gid == (if (a.isEmpty) 2L else 0L)
+        + (if (b.isEmpty) 1L else 0L))
+    }
+  }
+
+  test("SRM check is clean on the balanced parity assignment") {
+    val r = EvalQueries.queries("q257_srm_check")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) ==
+      T.load(spark, sf, "events").select("user_id").distinct().count())
+    assert(r.getDouble(1) >= 0.0 && r.getBoolean(2))
+  }
+
+  test("BPE pair iteration finds the true argmax merge") {
+    val rows = EvalQueries.queries("q258_bpe_pairs")(spark, sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(_._3).toSeq == (1 to 10))
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2 })
+    // replay the winning pair count directly
+    val want = T.load(spark, sf, "documents")
+      .select(F.explode(
+        graft.plans.TextExpressions.wordTokens(F.col("text"))).as("w"))
+      .filter(F.length(F.col("w")) >= 2)
+      .select(F.explode(F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("p"))
+      .groupBy("p").count()
+      .orderBy(F.col("count").desc, F.col("p").asc)
+      .limit(1).collect().head
+    assert(rows.head._1 == want.getString(0)
+      && rows.head._2 == want.getLong(1))
+  }
+
+  test("lateness audit partitions every event after the first") {
+    val rows = EvalQueries.queries("q259_lateness_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = T.load(spark, sf, "events").count()
+    assert(rows.map(_._2).sum == total - 1) // first arrival has no prior
+    val bounds = Map("in_order" -> 0L, "le_1m" -> 60L, "le_1h" -> 3600L,
+      "le_1d" -> 86400L, "gt_1d" -> Long.MaxValue)
+    rows.foreach { case (b, n, mx) =>
+      assert(bounds.contains(b) && n > 0)
+      assert(mx <= bounds(b), s"$b max_late=$mx")
+    }
+  }
+
+  test("negative samples never collide with real interactions") {
+    val out = EvalQueries.queries("q260_negative_sample")(spark, sf)
+    val inter = T.load(spark, sf, "orders")
+      .join(T.load(spark, sf, "lineitem"),
+        F.col("o_orderkey") === F.col("l_orderkey"))
+      .select(F.col("o_custkey").as("user_id"),
+        F.col("l_partkey").as("neg_item"))
+      .distinct()
+    assert(out.join(inter, Seq("user_id", "neg_item"), "left_semi")
+      .count() == 0)
+    val perUser = out.groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n"), F.max("rank").as("mr"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getInt(2) == r.getLong(1))
+    }
+  }
+
   test("RTBF cascade conserves rows and is consistent across tables") {
     val m = EvalQueries.queries("q234_rtbf_cascade")(spark, sf)
       .collect().map(r => r.getString(0) ->
