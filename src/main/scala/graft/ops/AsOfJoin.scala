@@ -50,6 +50,40 @@ object AsOfJoin {
         valueCols.map(c => F.col(s"__last.$c").as(s"asof_$c")): _*)
   }
 
+  /** [[backward]] with a staleness bound (pandas
+    * `merge_asof(tolerance=...)`): a prior right row older than `tol`
+    * (in `tsCol` units — pass epoch seconds) yields NULL instead of a
+    * stale match. Same single-shuffle composition; the right timestamp
+    * rides the carried struct so the bound is a per-row projection,
+    * not a second join.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame,
+                     keyCols: Seq[String], tsCol: String,
+                     valueCols: Seq[String], tol: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = F.struct(
+      valueCols.map(F.col) :+ F.col(tsCol).as("__rts"): _*)
+    val r = right.select(
+      (keyCols :+ tsCol).map(F.col) :+ payload.as("__p") :+
+        F.lit(1).as("__r"): _*)
+    val l = left
+      .withColumn("__p", F.lit(null).cast(r.schema("__p").dataType))
+      .withColumn("__r", F.lit(0))
+      .select((keyCols :+ tsCol).map(F.col) ++
+        leftCols.filterNot((keyCols :+ tsCol).contains).map(F.col) ++
+        Seq(F.col("__p"), F.col("__r")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(F.col(tsCol).asc, F.col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__last",
+      F.last(F.col("__p"), ignoreNulls = true).over(w))
+    carried.filter(F.col("__r") === 0)
+      .select(leftCols.map(F.col) ++ valueCols.map(c =>
+        F.when(F.col(tsCol) - F.col("__last.__rts") <= tol,
+          F.col(s"__last.$c")).as(s"asof_$c")): _*)
+  }
+
   /** Forward as-of join — for each left row, the EARLIEST right row
     * with `right.ts >= left.ts` in the same key (inclusive): the
     * "next quote" / lead-lookup mirror of [[backward]]. Identical

@@ -8,13 +8,19 @@ import graft.plans.TextExpressions
 import graft.sketch.CountMin
 import graft.text.TextOps
 
-/** Wave-9: evaluation / governance / optimizer-statistics operators —
-  * pairwise-preference strength fitting (the RLHF reward-data report),
-  * label-propagation communities, sketch-based join-size estimation,
-  * right-to-be-forgotten cascades, held-out Stupid-Backoff LM scoring,
-  * silhouette cluster quality, k-anonymity audits, incremental
-  * materialized-view maintenance, and sliding-window distinct-user
-  * sketches.
+/** Waves 9-17 (q231-q261): evaluation / governance / training-infra
+  * operators — pairwise-preference strength fitting (the RLHF
+  * reward-data report), label-propagation communities, sketch-based
+  * join-size estimation, right-to-be-forgotten cascades, held-out
+  * Stupid-Backoff LM scoring, silhouette cluster quality, k-anonymity
+  * audits, incremental materialized-view maintenance, sliding-window
+  * distinct-user sketches, shard balancing, Cohen's kappa, MMR and
+  * k-center greedy selection, CUPED / SRM / permutation-test
+  * experiment guardrails, join-key skew and event-time disorder
+  * audits, near-dup explanations and label-noise audits, personalized
+  * PageRank, Heaps/Hill scaling diagnostics, seasonal decomposition,
+  * class balancing, BPE pair counting, grouping sets, negative
+  * sampling, and tolerance-bounded as-of joins.
   *
   * Reference scope: these extend the reference's split-apply-combine /
   * join algebra (/root/reference/src/grouping.jl, merge.jl) into the
@@ -1032,6 +1038,29 @@ object EvalQueries {
         .filter(F.col("rk") <= 3)
         .select(F.col("u").as("user_id"), F.col("i").as("neg_item"),
           F.col("j").as("probe"), F.col("rk").as("rank"))
+    },
+
+    // Tolerance-bounded as-of join (pandas merge_asof tolerance): for
+    // every non-purchase event, the user's most recent purchase value
+    // — UNLESS it is older than 24 h, in which case NULL (a stale
+    // context is worse than none). Extends q73's single-shuffle as-of
+    // composition (`AsOfJoin.backwardWithin`): the right timestamp
+    // rides the carried struct, so the staleness bound is a per-row
+    // projection, not a second join.
+    "q261_asof_tolerance" -> { (s, dir) =>
+      val e = T.load(s, dir, "events")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("tsec"),
+          F.col("value"), F.col("event_type"))
+      val right = e.filter(F.col("event_type") === "purchase")
+        .groupBy("user_id", "tsec").agg(F.max("value").as("value"))
+      val left = e.filter(F.col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "tsec")
+      graft.ops.AsOfJoin.backwardWithin(left, right,
+          keyCols = Seq("user_id"), tsCol = "tsec",
+          valueCols = Seq("value"), tol = 86400L)
+        .select(F.col("event_id"), F.col("user_id"),
+          F.round(F.col("asof_value"), 6).as("last_purchase"))
     }
   )
 
@@ -1673,7 +1702,21 @@ object EvalQueries {
                     ON pr.u = inter.u AND pr.i = inter.i)
           SELECT u AS user_id, i AS neg_item, j AS probe,
             CAST(rk AS BIGINT) AS rank
-          FROM neg WHERE rk <= 3"""
+          FROM neg WHERE rk <= 3""",
+
+    "q261_asof_tolerance" ->
+      """WITH r AS (SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) tsec,
+               max(value) AS value
+             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          l AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) tsec
+                FROM events WHERE event_type != 'purchase')
+          SELECT l.event_id, l.user_id,
+            round(CASE WHEN l.tsec - r.tsec <= 86400
+                       THEN r.value END, 6) + 0 AS last_purchase
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.tsec >= r.tsec"""
   )
 
   /** Unrolled k-step farthest-point-sampling oracle — the [[mmrOracle]]

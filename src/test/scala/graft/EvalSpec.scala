@@ -343,6 +343,20 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("tolerance as-of nulls stale matches, keeps fresh ones") {
+    val left = Seq((1L, 1L, 50L), (2L, 1L, 150L), (3L, 1L, 200L))
+      .toDF("id", "k", "tsec")
+    val right = Seq((1L, 100L, 5.0)).toDF("k", "tsec", "v")
+    val out = graft.ops.AsOfJoin.backwardWithin(left, right,
+      keyCols = Seq("k"), tsCol = "tsec", valueCols = Seq("v"),
+      tol = 60L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(1L -> None,       // no prior row
+      2L -> Some(5.0),                  // 50 s old: fresh
+      3L -> None))                      // 100 s old: stale -> null
+  }
+
   test("RTBF cascade conserves rows and is consistent across tables") {
     val m = EvalQueries.queries("q234_rtbf_cascade")(spark, sf)
       .collect().map(r => r.getString(0) ->
