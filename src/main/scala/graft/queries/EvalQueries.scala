@@ -1061,6 +1061,55 @@ object EvalQueries {
           valueCols = Seq("value"), tol = 86400L)
         .select(F.col("event_id"), F.col("user_id"),
           F.round(F.col("asof_value"), 6).as("last_purchase"))
+    },
+
+    // Contribution analysis (share-of-parent): each nation's revenue
+    // share within its region, and each region's share of the total —
+    // the two-level OLAP report every finance dashboard leads with.
+    // One partial-agg'd rollup pass per level; dims broadcast; parent
+    // totals rejoin as broadcast relations (the facts shuffle once).
+    "q262_share_of_parent" -> { (s, dir) =>
+      val rev = T.load(s, dir, "orders")
+        .join(F.broadcast(T.load(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(T.load(s, dir, "nation")),
+          F.col("c_nationkey") === F.col("n_nationkey"))
+        .join(F.broadcast(T.load(s, dir, "region")),
+          F.col("n_regionkey") === F.col("r_regionkey"))
+        .groupBy(F.col("r_name").as("region"), F.col("n_name").as("nation"))
+        .agg(F.sum("o_totalprice").as("rev"))
+      val regionRev = rev.groupBy("region").agg(F.sum("rev").as("rrev"))
+      val total = regionRev.agg(F.sum("rrev").as("trev"))
+      rev.join(F.broadcast(regionRev), "region")
+        .crossJoin(F.broadcast(total))
+        .select(F.col("region"), F.col("nation"),
+          F.round(F.col("rev"), 4).as("rev"),
+          F.round(F.col("rev") / F.col("rrev"), 6).as("nation_share"),
+          F.round(F.col("rrev") / F.col("trev"), 6).as("region_share"))
+    },
+
+    // Journey predictability: Shannon entropy of the next-event-type
+    // distribution per current type (the per-state entropy of q195's
+    // Markov chain). Low entropy = deterministic flows (automations,
+    // bots); high = exploratory behavior. One per-user lag window
+    // (bounded partitions), one pair count, one per-state fold on
+    // exact rational probabilities.
+    "q263_session_entropy" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val pairs = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("tsec"),
+          F.col("event_type").as("cur"))
+        .withColumn("nxt", F.lead("cur", 1).over(w))
+        .filter(F.col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(F.count(F.lit(1)).as("n"))
+      val tot = pairs.groupBy("cur").agg(F.sum("n").as("ntot"))
+      pairs.join(F.broadcast(tot), "cur")
+        .groupBy(F.col("cur").as("event_type"))
+        .agg(F.max("ntot").cast("long").as("n_trans"),
+          F.round(-F.sum((F.col("n") / F.col("ntot"))
+            * F.log(F.col("n") / F.col("ntot"))), 6).as("entropy"))
     }
   )
 
@@ -1716,7 +1765,38 @@ object EvalQueries {
             round(CASE WHEN l.tsec - r.tsec <= 86400
                        THEN r.value END, 6) + 0 AS last_purchase
           FROM l ASOF LEFT JOIN r
-            ON l.user_id = r.user_id AND l.tsec >= r.tsec"""
+            ON l.user_id = r.user_id AND l.tsec >= r.tsec""",
+
+    "q262_share_of_parent" ->
+      """WITH rev AS (SELECT r_name region, n_name nation,
+               sum(o_totalprice) rev
+             FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY 1, 2),
+          rr AS (SELECT region, sum(rev) rrev FROM rev GROUP BY 1),
+          t AS (SELECT sum(rrev) trev FROM rr)
+          SELECT rev.region, nation, round(rev, 4) + 0 AS rev,
+            round(rev / rrev, 6) + 0 AS nation_share,
+            round(rrev / trev, 6) + 0 AS region_share
+          FROM rev JOIN rr ON rev.region = rr.region CROSS JOIN t""",
+
+    "q263_session_entropy" ->
+      """WITH e AS (SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) tsec, event_type cur
+             FROM events),
+          p AS (SELECT cur, lead(cur) OVER (PARTITION BY user_id
+                  ORDER BY tsec, event_id) nxt
+                FROM e),
+          c AS (SELECT cur, nxt, count(*) n FROM p
+                WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT cur, sum(n) ntot FROM c GROUP BY 1)
+          SELECT c.cur AS event_type,
+            CAST(max(t.ntot) AS BIGINT) AS n_trans,
+            round(-sum((n / CAST(ntot AS DOUBLE))
+              * ln(n / CAST(ntot AS DOUBLE))), 6) + 0 AS entropy
+          FROM c JOIN t ON c.cur = t.cur GROUP BY 1"""
   )
 
   /** Unrolled k-step farthest-point-sampling oracle — the [[mmrOracle]]

@@ -357,6 +357,29 @@ class EvalSpec extends SparkSpec {
       3L -> None))                      // 100 s old: stale -> null
   }
 
+  test("share-of-parent fractions sum to one at each level") {
+    val rows = EvalQueries.queries("q262_share_of_parent")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    // nation shares sum to ~1 within each region
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._2).sum - 1.0) < 1e-4)
+    }
+    // region shares (one value per region) sum to ~1 overall
+    val regionShares = rows.groupBy(_._1).map(_._2.head._3)
+    assert(math.abs(regionShares.sum - 1.0) < 1e-4)
+  }
+
+  test("session entropy is bounded by log of the fan-out") {
+    val rows = EvalQueries.queries("q263_session_entropy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val nTypes = T.load(spark, sf, "events")
+      .select("event_type").distinct().count()
+    rows.foreach { case (t, n, h) =>
+      assert(n > 0, t)
+      assert(h >= 0.0 && h <= math.log(nTypes.toDouble) + 1e-9, s"$t h=$h")
+    }
+  }
+
   test("RTBF cascade conserves rows and is consistent across tables") {
     val m = EvalQueries.queries("q234_rtbf_cascade")(spark, sf)
       .collect().map(r => r.getString(0) ->
