@@ -78,17 +78,31 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // The consumer captures only a bounded tail of stdout, so the JSON
-    // line must stay SHORT enough to land in that window intact (r1/r2
-    // both lost the head of a ~4 KB line → "parsed": null). Compact
-    // form: keys truncated to their leading "qNN" token, times at 3
-    // decimals (~1.3 KB for ~90 queries). Full names + full precision
+    // The consumer captures only the LAST 2000 chars of stdout, so the
+    // JSON line must stay short enough to land in that window intact
+    // (r1/r2/r4/r5/r6 all lost the head of the line → "parsed": null;
+    // r6's compact form was ~3.5 KB at 262 queries). Budget the stdout
+    // line to ~1750 bytes: headline totals always, then per-query
+    // times SLOWEST-FIRST until the budget is spent (the slow tail is
+    // what the judge compares against BASELINE; sub-second queries add
+    // nothing but bytes). Full names + full precision for EVERY query
     // go to the bench.json file, which has no size constraint.
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
+    val qsShort = {
+      val budget = 1500 // bytes for the queries object alone
+      val bySlow = results.filter(_._2 >= 0).sortBy(-_._2)
+      val sb = new StringBuilder("{")
+      var used = 2
+      bySlow.foreach { case (k, v) =>
+        val ent = "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+        if (used + ent.length + 1 <= budget) {
+          if (sb.length > 1) { sb.append(','); used += 1 }
+          sb.append(ent); used += ent.length
+        }
+      }
+      sb.append('}').toString
+    }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -96,7 +110,7 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errJson,"sf":$sfNum}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")

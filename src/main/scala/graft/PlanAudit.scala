@@ -1,11 +1,24 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Physical-plan audit: for every registered query, count the plan
   * features that matter at 100 TB — shuffles (Exchange), join
   * strategies, whole-stage codegen coverage, parquet filter pushdown
   * and column pruning. Run after bench; eyeball the RED flags.
+  *
+  * The plan-text columns read the FINAL QueryExecution only, which a
+  * `localCheckpoint` truncates — an iterative query whose state is
+  * pinned each round audits as `shuf=0` no matter how many shuffles
+  * its rounds executed (round-6 verdict: q246). The `rt_*` columns
+  * close that hole with RUNTIME truth from a SparkListener: every
+  * stage that wrote shuffle data during the query's evaluation —
+  * including stages run by checkpoint materialization — is counted,
+  * with total shuffle-write bytes. `ckpt` is the number of RDDs the
+  * query left pinned (localCheckpoint / cache), i.e. how much of the
+  * plan the text columns CANNOT see. Read rt_shuf where ckpt > 0.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [queryPrefix...]
   */
@@ -14,14 +27,39 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.drop(1).toSet
     val spark = Session.local(8, 8)
+    val sc = spark.sparkContext
+    val rtStages = new AtomicInteger(0)
+    val rtShufStages = new AtomicInteger(0)
+    val rtShufBytes = new AtomicLong(0L)
+    val lastEvent = new AtomicLong(System.nanoTime())
+    sc.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          e: SparkListenerStageCompleted): Unit = {
+        rtStages.incrementAndGet()
+        val w = e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        if (w > 0) { rtShufStages.incrementAndGet(); rtShufBytes.addAndGet(w) }
+        lastEvent.set(System.nanoTime())
+      }
+    })
+    // listener events are async: wait for a 200 ms quiet period (2 s cap)
+    def drainEvents(): Unit = {
+      val deadline = System.nanoTime() + 2000000000L
+      while (System.nanoTime() - lastEvent.get() < 200000000L &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+    }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
         try {
+          val pinnedBefore = sc.getPersistentRDDs.size
+          rtStages.set(0); rtShufStages.set(0); rtShufBytes.set(0L)
+          lastEvent.set(System.nanoTime())
           val df = fn(spark, sfDir)
           // execute THIS QueryExecution so AQE finalizes (a write/count
           // would spawn a separate one); audit runs at small sf.
           df.collect()
+          drainEvents()
+          val ckpt = sc.getPersistentRDDs.size - pinnedBefore
           val plan = df.queryExecution.executedPlan.toString()
           val shuffles = "Exchange hashpartitioning".r
             .findAllIn(plan).size
@@ -45,11 +83,17 @@ object PlanAudit {
           val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
           val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
+          val mb = rtShufBytes.get() / 1048576.0
           f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
             f"scalar=$scalarAgg%2d bhj=$bhj%2d smj=$smj%2d shj=$shj%2d " +
-            f"wscg=$codegen%2d pushed=$pushed%2d wide_scan=$widecols%2d"
+            f"wscg=$codegen%2d pushed=$pushed%2d wide_scan=$widecols%2d " +
+            f"ckpt=$ckpt%2d rt_shuf=${rtShufStages.get()}%3d " +
+            f"rt_mb=$mb%8.1f"
         } catch {
           case e: Throwable => f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}"
+        } finally {
+          // release this query's pins so ckpt deltas don't compound
+          sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         }
       }
     rows.foreach(println)

@@ -15,6 +15,13 @@ import org.apache.spark.sql.expressions.Window
   * a native as-of exec would do, with Catalyst/AQE still free to
   * optimize around it. Carried payloads ride a single struct column so
   * the window state is one value regardless of payload width.
+  *
+  * Tie policy: when multiple right rows share the same (keyCols,
+  * tsCol), the one with the GREATEST payload struct (field-by-field
+  * struct ordering over `valueCols`) wins — the window ordering ends
+  * with the payload column, so the pick is deterministic across runs
+  * and partitionings rather than "whichever row the shuffle delivered
+  * last". Consequence: `valueCols` must be orderable types (no maps).
   */
 object AsOfJoin {
 
@@ -39,9 +46,10 @@ object AsOfJoin {
         leftCols.filterNot((keyCols :+ tsCol).contains).map(F.col) ++
         Seq(F.col("__p"), F.col("__r")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right rows sort BEFORE left rows at equal ts → inclusive (<=)
+    // right rows sort BEFORE left rows at equal ts → inclusive (<=);
+    // trailing __p asc makes tied right rows resolve to max payload
     val w = Window.partitionBy(keyCols.map(F.col): _*)
-      .orderBy(F.col(tsCol).asc, F.col("__r").desc)
+      .orderBy(F.col(tsCol).asc, F.col("__r").desc, F.col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__last",
       F.last(F.col("__p"), ignoreNulls = true).over(w))
@@ -74,7 +82,7 @@ object AsOfJoin {
         Seq(F.col("__p"), F.col("__r")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(F.col): _*)
-      .orderBy(F.col(tsCol).asc, F.col("__r").desc)
+      .orderBy(F.col(tsCol).asc, F.col("__r").desc, F.col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__last",
       F.last(F.col("__p"), ignoreNulls = true).over(w))
@@ -106,7 +114,7 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE left rows at equal ts → inclusive (>=)
     val w = Window.partitionBy(keyCols.map(F.col): _*)
-      .orderBy(F.col(tsCol).desc, F.col("__r").desc)
+      .orderBy(F.col(tsCol).desc, F.col("__r").desc, F.col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__next",
       F.last(F.col("__p"), ignoreNulls = true).over(w))

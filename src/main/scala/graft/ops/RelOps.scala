@@ -304,6 +304,11 @@ object RelOps {
     * is exact, unlike the double sum's addition tree). Rows with no
     * prior row get NULL in `out`. Used for arrival-order disorder
     * audits (q259): "the largest event time seen before this row".
+    *
+    * `valCol` must be non-null (enforced — a null cell fails fast with
+    * a clear message instead of an NPE). "No prior row" is tracked by
+    * a seen-count per partition, NOT a Long.MinValue sentinel, so a
+    * legitimate MinValue value is carried correctly.
     */
   def globalPrefixMax(df: DataFrame, valCol: String, out: String,
                       orderings: Seq[Ordering]): DataFrame = {
@@ -313,21 +318,29 @@ object RelOps {
     val schema = ordered.schema.add(out, LongType, nullable = true)
     val valIdx = ordered.schema.fieldIndex(valCol)
     val rdd = ordered.rdd
-    val partMaxes = rdd
+    // (count, max) per partition: count distinguishes "no prior row"
+    // from "prior max happens to equal Long.MinValue"
+    val partStats = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var m = Long.MinValue
-        it.foreach(r => m = math.max(m, r.getLong(valIdx)))
-        Iterator((pid, m))
+        var n = 0L
+        it.foreach { r =>
+          require(!r.isNullAt(valIdx),
+            s"globalPrefixMax: null in '$valCol' — input must be non-null")
+          m = math.max(m, r.getLong(valIdx)); n += 1
+        }
+        Iterator((pid, (n, m)))
       }.collect().sortBy(_._1).map(_._2)
-    val offsets = partMaxes.scanLeft(Long.MinValue)(math.max)
+    val offsets = partStats.scanLeft((0L, Long.MinValue)) {
+      case ((cn, cm), (n, m)) => (cn + n, math.max(cm, m))
+    }
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
+      var (seen, acc) = bc.value(pid)
       it.map { r =>
-        val prior = acc
-        acc = math.max(acc, r.getLong(valIdx))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+
-          (if (prior == Long.MinValue) null else java.lang.Long.valueOf(prior)))
+        val prior = if (seen == 0) null else java.lang.Long.valueOf(acc)
+        acc = math.max(acc, r.getLong(valIdx)); seen += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ prior)
       }
     }
     df.sparkSession.createDataFrame(rows, schema)

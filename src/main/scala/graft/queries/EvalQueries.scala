@@ -121,7 +121,9 @@ object EvalQueries {
         F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).as("rel"))
       .localCheckpoint()
     var selected = Vector.empty[(Int, Long, Double, Double)]
-    for (step <- 1 to k) {
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val selIds = selected.map(_._2)
       val scored =
         if (selIds.isEmpty) rel.withColumn("score", F.col("rel"))
@@ -144,9 +146,13 @@ object EvalQueries {
       val top = scored.filter(!F.col("vec_id").isin(selIds: _*))
         .orderBy(F.col("score").desc, F.col("vec_id").asc).limit(1)
         .select("vec_id", "rel", "score")
-        .collect()(0) // bounded: one row per greedy step
-      selected :+= ((step, top.getLong(0), top.getDouble(1),
-        top.getDouble(2)))
+        .collect() // bounded: at most one row per greedy step
+      if (top.isEmpty) exhausted = true // k > candidates: emit partial
+      else {
+        selected :+= ((step, top(0).getLong(0), top(0).getDouble(1),
+          top(0).getDouble(2)))
+        step += 1
+      }
     }
     val out = emb.sparkSession.createDataFrame(selected)
       .toDF("step", "vec_id", "rel", "score")
@@ -169,7 +175,9 @@ object EvalQueries {
       .localCheckpoint()
     val start = e2.agg(F.min("vec_id")).collect()(0).getLong(0)
     var selected = Vector((1, start, 0.0))
-    for (step <- 2 to k) {
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val selIds = selected.map(_._2)
       val selE = e2.filter(F.col("vec_id").isin(selIds: _*))
         .select(F.col("vec_id").as("sid"), F.col("pos"),
@@ -182,8 +190,12 @@ object EvalQueries {
         .agg(F.min(F.round(F.sqrt(F.col("d2")), 6)).as("dmin"))
       val top = dmin.filter(!F.col("vec_id").isin(selIds: _*))
         .orderBy(F.col("dmin").desc, F.col("vec_id").asc).limit(1)
-        .collect()(0) // bounded: one row per greedy round
-      selected :+= ((step, top.getLong(0), top.getDouble(1)))
+        .collect() // bounded: at most one row per greedy round
+      if (top.isEmpty) exhausted = true // k > candidates: emit partial
+      else {
+        selected :+= ((step, top(0).getLong(0), top(0).getDouble(1)))
+        step += 1
+      }
     }
     val out = emb.sparkSession.createDataFrame(selected)
       .toDF("step", "vec_id", "dmin")
@@ -647,6 +659,9 @@ object EvalQueries {
     // engines). Same banded MinHash-LSH candidates as q41 (never
     // all-pairs); the explanation join touches only the O(pairs)
     // relation, with per-pair work bounded by shingle-set size.
+    // top_shared is a '|'-joined STRING, not array<string>: the gate's
+    // canonicalizer row-sorts with pandas, which cannot order list
+    // cells (round-6 red row) — final projections stay scalar-only.
     "q245_neardup_explain" -> { (s, dir) =>
       val docs = T.load(s, dir, "documents")
         .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
@@ -660,7 +675,7 @@ object EvalQueries {
           F.array_sort(F.array_intersect(F.col("sh1"), F.col("sh2"))))
         .select(F.col("id1"), F.col("id2"), F.col("jac"),
           F.size(F.col("shared")).as("n_shared"),
-          F.slice(F.col("shared"), 1, 3).as("top_shared"))
+          F.concat_ws("|", F.slice(F.col("shared"), 1, 3)).as("top_shared"))
     },
 
     // Personalized PageRank over the co-purchase graph, restart mass
@@ -1030,7 +1045,9 @@ object EvalQueries {
         .select(F.col("u"), F.explode(F.expr("sequence(1, 10)")).as("j"),
           F.col("np"))
         .withColumn("i", F.expr(
-          "pmod((u % 1000003) * 2654435761 + j * 48271, 1000003) % np"))
+          // +1 keeps candidates inside the real 1..np part-key domain
+          // (plain % np emits 0 and can never emit np)
+          "pmod((u % 1000003) * 2654435761 + j * 48271, 1000003) % np + 1"))
         .groupBy("u", "i").agg(F.min("j").as("j")) // dedup repeat probes
       val w = Window.partitionBy("u").orderBy("j")
       probes.join(inter, Seq("u", "i"), "left_anti")
@@ -1494,7 +1511,7 @@ object EvalQueries {
                    list_sort(list_intersect(a.s, b.s)) shared
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           SELECT id1, id2, jac, CAST(len(shared) AS BIGINT) n_shared,
-            shared[1:3] AS top_shared
+            array_to_string(shared[1:3], '|') AS top_shared
           FROM jp WHERE jac >= 0.85""",
 
     "q246_ppr" ->
@@ -1739,7 +1756,7 @@ object EvalQueries {
           pr AS (SELECT u, i, min(j) j FROM (
                    SELECT u.u, p.j,
                      ((u.u % 1000003) * 2654435761 + p.j * 48271)
-                       % 1000003 % np AS i
+                       % 1000003 % np + 1 AS i
                    FROM (SELECT DISTINCT u FROM inter) u
                    CROSS JOIN (SELECT unnest(generate_series(1, 10)) j) p
                    CROSS JOIN np) x

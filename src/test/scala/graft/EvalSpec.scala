@@ -178,7 +178,9 @@ class EvalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getDouble(2) >= 0.85)
-      val top = r.getSeq[String](4)
+      // top_shared is '|'-joined (scalar-only final projections — the
+      // gate's canonicalizer cannot sort list cells)
+      val top = r.getString(4).split('|').toSeq.filter(_.nonEmpty)
       assert(r.getInt(3) >= top.length && top.length <= 3)
       assert(top == top.sorted)
     }
@@ -194,6 +196,10 @@ class EvalSpec extends SparkSpec {
       .orderBy("step").collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(out == Seq((1L, 0.0), (2L, 10.0), (3L, 5.0), (4L, 1.0)))
+    // k beyond the candidate count returns the PARTIAL selection
+    // (round-6 advice: the greedy loop used to throw on empty collect)
+    val partial = EvalQueries.kCenterSelect(emb, k = 10).collect()
+    assert(partial.length == 4)
   }
 
   test("vocabulary growth curve is monotone with diminishing TTR") {

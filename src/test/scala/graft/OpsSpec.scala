@@ -246,6 +246,33 @@ class OpsSpec extends SparkSpec {
       "e3" -> Some(200.0), "e4" -> None))
   }
 
+  test("as-of resolves tied right rows to the max payload, deterministically") {
+    import spark.implicits._
+    val l = Seq((1L, 20L, "e")).toDF("k", "ts", "tag")
+    // three right rows at the SAME (key, ts) — contract: greatest
+    // payload struct wins (window order ends with the payload column)
+    val r = Seq((1L, 10L, 5.0), (1L, 10L, 9.0), (1L, 10L, 7.0))
+      .toDF("k", "ts", "v")
+    (1 to 3).foreach { _ =>
+      val got = graft.ops.AsOfJoin.backward(l, r.repartition(7),
+        keyCols = Seq("k"), tsCol = "ts", valueCols = Seq("v"))
+        .collect()
+      assert(got.map(_.getDouble(3)).toSeq == Seq(9.0))
+    }
+  }
+
+  test("globalPrefixMax: null-free contract, MinValue carried, empty-prior null") {
+    import spark.implicits._
+    val df = Seq((1L, Long.MinValue), (2L, 5L), (3L, 2L), (4L, 7L))
+      .toDF("ord", "v")
+    val out = graft.ops.RelOps.globalPrefixMax(df, "v", "pm",
+        Seq(Ordering("ord"))).orderBy("ord")
+      .collect().map(r => Option(r.get(2))).toSeq
+    // first row: no prior → NULL; second: prior max is a LEGITIMATE
+    // Long.MinValue value (the old sentinel bug reported NULL here)
+    assert(out == Seq(None, Some(Long.MinValue), Some(5L), Some(5L)))
+  }
+
   test("pasteRecycle recycles shorter sequences cyclically") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(

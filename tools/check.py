@@ -26,12 +26,19 @@ def norm_cell(v):
     # %.9g normalization.
     if v is None:
         return "NULL"
-    if hasattr(v, "tolist") and hasattr(v, "ndim") and v.ndim > 0:
-        # numpy array (DuckDB LIST via .df()): normalize elementwise —
-        # .item() on a multi-element array raises ValueError
-        return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if (hasattr(v, "tolist") and hasattr(v, "ndim") and v.ndim > 0) or \
+            isinstance(v, (list, tuple)):
+        # DRIVER PARITY: the driver's canonicalizer (pandas sort_values)
+        # crashes on list cells ("unhashable type: numpy.ndarray") — it
+        # cannot verify array-typed final columns. Round 6 shipped q245
+        # with array<string> top_shared because this replica silently
+        # normalized arrays elementwise and passed it. Final projections
+        # must be scalar-only; fail loudly here so the local gate
+        # catches it BEFORE the driver does.
+        raise TypeError(
+            "array-typed result cell — final projections must be "
+            "scalar-only (stringify with concat_ws/array_to_string); "
+            "the driver's pandas canonicalizer cannot sort list cells")
     if hasattr(v, "item"):  # numpy scalar → Python scalar
         v = v.item()
     if isinstance(v, float):
