@@ -1045,9 +1045,11 @@ object EvalQueries {
         .select(F.col("u"), F.explode(F.expr("sequence(1, 10)")).as("j"),
           F.col("np"))
         .withColumn("i", F.expr(
-          // +1 keeps candidates inside the real 1..np part-key domain
-          // (plain % np emits 0 and can never emit np)
-          "pmod((u % 1000003) * 2654435761 + j * 48271, 1000003) % np + 1"))
+          // % np lands candidates exactly on the 0-based part-key
+          // domain: p_partkey is 0..np-1 at every SF (checked sf0.001
+          // /0.01/0.1 — min=0, max=np-1), so item 0 is real and np
+          // does not exist; a +1 shift would be the actual bug here
+          "pmod((u % 1000003) * 2654435761 + j * 48271, 1000003) % np"))
         .groupBy("u", "i").agg(F.min("j").as("j")) // dedup repeat probes
       val w = Window.partitionBy("u").orderBy("j")
       probes.join(inter, Seq("u", "i"), "left_anti")
@@ -1756,7 +1758,7 @@ object EvalQueries {
           pr AS (SELECT u, i, min(j) j FROM (
                    SELECT u.u, p.j,
                      ((u.u % 1000003) * 2654435761 + p.j * 48271)
-                       % 1000003 % np + 1 AS i
+                       % 1000003 % np AS i
                    FROM (SELECT DISTINCT u FROM inter) u
                    CROSS JOIN (SELECT unnest(generate_series(1, 10)) j) p
                    CROSS JOIN np) x

@@ -341,6 +341,11 @@ class EvalSpec extends SparkSpec {
       .distinct()
     assert(out.join(inter, Seq("user_id", "neg_item"), "left_semi")
       .count() == 0)
+    // every sampled item is a REAL part key: the domain is 0-based
+    // (p_partkey in 0..np-1 at every SF), so `hash % np` is exact
+    val parts = T.load(spark, sf, "part")
+      .select(F.col("p_partkey").as("neg_item"))
+    assert(out.join(parts, Seq("neg_item"), "left_anti").count() == 0)
     val perUser = out.groupBy("user_id")
       .agg(F.count(F.lit(1)).as("n"), F.max("rank").as("mr"))
       .collect()
