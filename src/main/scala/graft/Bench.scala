@@ -73,9 +73,12 @@ object Bench {
       // release blocks a query's ops left pinned (e.g. the final
       // checkpointed state of iterative connected components) so one
       // query's residue can't tax the next 60 — mirrors each query
-      // running in a fresh session
+      // running in a fresh session. BLOCKING: a non-blocking unpersist
+      // races the next query, shifting cleanup cost into ITS wall
+      // time — one (small) source of the ±2-3x per-query variance the
+      // slow checkpoint-bound tail shows across runs.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The consumer captures only the LAST 2000 chars of stdout, so the

@@ -155,11 +155,21 @@ object MiningQueries {
         Window.currentRow)
       val wNext = ord.rowsBetween(Window.currentRow,
         Window.unboundedFollowing)
+      // ONE struct-valued carry per direction (not four scalar
+      // aggregates): each ignoreNulls last/first scans its frame once,
+      // so fusing (at, vc) into a struct halves the window work — the
+      // struct is null exactly when `at` is null (grid rows), so
+      // ignoreNulls semantics are unchanged
       anchors.unionAll(grid)
-        .withColumn("t0", F.last("at", ignoreNulls = true).over(wPrev))
-        .withColumn("v0", F.last("vc", ignoreNulls = true).over(wPrev))
-        .withColumn("t1", F.first("at", ignoreNulls = true).over(wNext))
-        .withColumn("v1", F.first("vc", ignoreNulls = true).over(wNext))
+        .withColumn("__a", F.when(F.col("at").isNotNull,
+          F.struct(F.col("at"), F.col("vc"))))
+        .withColumn("__p",
+          F.last("__a", ignoreNulls = true).over(wPrev))
+        .withColumn("__n",
+          F.first("__a", ignoreNulls = true).over(wNext))
+        .select(F.col("user_id"), F.col("sec"), F.col("g"),
+          F.col("__p.at").as("t0"), F.col("__p.vc").as("v0"),
+          F.col("__n.at").as("t1"), F.col("__n.vc").as("v1"))
         .filter(F.col("g") === 1 && F.col("t0").isNotNull)
         .select(F.col("user_id"), F.col("sec"),
           F.when(F.col("t1").isNull, F.round(F.col("v0") / 100.0, 6))

@@ -44,12 +44,12 @@ object PipelineQueries {
     * Raising the shared threshold to 0.85 keeps LSH recall
     * effectively 1 for any corpus whose near-dups are genuine
     * near-dups, instead of relying on this corpus's pair-J profile. */
-  private val NearDupJ = 0.85
+  private[queries] val NearDupJ = 0.85
 
   /** Recursive-CTE connected components over the exact Jaccard >=
     * [[NearDupJ]] pair graph — shared ground truth for q79 (min-label
     * propagation) and q102 (large-star/small-star). */
-  private lazy val duckCcClusters =
+  private[queries] lazy val duckCcClusters =
     s"""WITH RECURSIVE
         toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
         sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),

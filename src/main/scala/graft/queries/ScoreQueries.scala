@@ -9,6 +9,7 @@ import graft.dedup.Dedup
 import graft.ops.{AsOfJoin, RelOps}
 import graft.ops.RelOps.Ordering
 import graft.plans.TextExpressions
+import graft.similarity.Knn
 
 /** Wave-19/20: scoring, experimentation-guardrail, and
   * sharding-systems reports — RFM segmentation, Simpson's-paradox
@@ -90,28 +91,30 @@ object ScoreQueries {
       F.array_min(arr)).getField("s")
   }
 
-  /** Replayable MinHash signature rows (doc_id, i, m) for i in
-    * 0..63: h0 = polyHash62(shingle) % P, then the affine family
-    * hv_i = (a_i·h0 + b_i) % P with a_i = ((2654435761 % P)·(i+1)) % P
-    * and b_i = (40503·(i+1)) % P — every step < 2^63, so DuckDB
-    * replays it with plain BIGINT arithmetic (unlike the xxhash64
-    * family the production LSH path uses). Scale shape: explode ×64
-    * fan-out feeds one partial-agg'd groupBy (doc, i). */
+  /** Replayable WIDE MinHash signatures (id, m0..m63): h0 =
+    * polyHash62(shingle) % P, then the affine family hv_i =
+    * (a_i·h0 + b_i) % P with a_i = ((2654435761 % P)·(i+1)) % P and
+    * b_i = (40503·(i+1)) % P — every step < 2^63, so DuckDB replays
+    * it with plain BIGINT arithmetic (unlike the xxhash64 family the
+    * production LSH path uses). Scale shape mirrors the production
+    * [[Dedup.minhashSignatures]]: ONE partial-agg'd groupBy(id) with
+    * 64 min columns over the exploded shingle rows — NOT a 64×
+    * row fan-out (the first cut shuffled |shingles|·64 rows into a
+    * (doc, i) groupBy and benched 5.0 s at sf0.1; this shape
+    * aggregates map-side and shuffles only per-doc partials). */
   private[graft] def replayableMinhash(docs: DataFrame, idCol: String,
                                        shCol: String): DataFrame = {
-    val s = docs.sparkSession
     val shl = docs.select(F.col(idCol).as("id"),
         F.explode(F.col(shCol)).as("sv"))
       .withColumn("h0", F.pmod(TextExpressions.polyHash62(F.col("sv")),
         F.lit(P)))
       .drop("sv")
-    val idx = s.range(0, 64).select(F.col("id").as("i"),
-      ((F.lit(2654435761L % P) * (F.col("id") + 1)) % P).as("a"),
-      ((F.lit(40503L) * (F.col("id") + 1)) % P).as("b"))
-    shl.crossJoin(F.broadcast(idx))
-      .select(F.col("id"), F.col("i"),
-        ((F.col("a") * F.col("h0") + F.col("b")) % P).as("hv"))
-      .groupBy("id", "i").agg(F.min("hv").as("m"))
+    val mins = (0 until 64).map { i =>
+      val a = (2654435761L % P) * (i + 1) % P
+      val b = 40503L * (i + 1) % P
+      F.min((F.lit(a) * F.col("h0") + F.lit(b)) % P).as(s"m$i")
+    }
+    shl.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   // =====================================================================
@@ -202,14 +205,17 @@ object ScoreQueries {
         .localCheckpoint() // feeds exact pairs AND signatures
       val exact = Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", 1, 2)
       val sig = replayableMinhash(docs, "doc_id", "sh")
-      val bands = sig
-        .withColumn("band", F.expr("i div 4"))
-        .withColumn("pos", F.expr("i % 4"))
-        .groupBy("id", "band")
-        .agg(F.min(F.when(F.col("pos") === 0, F.col("m"))).as("m0"),
-          F.min(F.when(F.col("pos") === 1, F.col("m"))).as("m1"),
-          F.min(F.when(F.col("pos") === 2, F.col("m"))).as("m2"),
-          F.min(F.when(F.col("pos") === 3, F.col("m"))).as("m3"))
+      // 16 band keys per doc, straight from the wide signature row —
+      // a projection + explode, no second aggregation
+      val bands = sig.select(F.col("id"), F.explode(F.array(
+          (0 until 16).map(bd => F.struct(F.lit(bd).as("band"),
+            F.col(s"m${bd * 4}").as("m0"),
+            F.col(s"m${bd * 4 + 1}").as("m1"),
+            F.col(s"m${bd * 4 + 2}").as("m2"),
+            F.col(s"m${bd * 4 + 3}").as("m3"))): _*)).as("bs"))
+        .select(F.col("id"), F.col("bs.band").as("band"),
+          F.col("bs.m0").as("m0"), F.col("bs.m1").as("m1"),
+          F.col("bs.m2").as("m2"), F.col("bs.m3").as("m3"))
       val cand = bands.as("x").join(bands.as("y"),
           F.col("x.band") === F.col("y.band") &&
           F.col("x.m0") === F.col("y.m0") &&
@@ -483,6 +489,202 @@ object ScoreQueries {
           F.when(F.col("cum_llr") >= F.log(F.lit(19.0)), "accept_h1")
             .when(F.col("cum_llr") <= -F.log(F.lit(19.0)), "accept_h0")
             .otherwise("continue"))
+    },
+
+    // ---- wave 21 ------------------------------------------------------
+
+    // Differentially-private-STYLE noisy release of (nation, priority)
+    // order counts: count + Laplace(sensitivity/ε) noise, ε = 0.5.
+    // The noise is DETERMINISTIC — inverse-CDF applied to a
+    // hash-uniform u per group key — so the release is reproducible
+    // AND oracle-verifiable; a production mechanism would swap the
+    // hash for a CSPRNG draw (one-line change) without touching the
+    // query shape. Group counts partial-agg map-side; the noise is a
+    // per-group projection.
+    "q274_dp_noise" -> { (s, dir) =>
+      val ords = T.load(s, dir, "orders")
+        .join(T.load(s, dir, "customer"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(T.load(s, dir, "nation")),
+          F.col("c_nationkey") === F.col("n_nationkey"))
+        .groupBy(F.col("n_name").as("nation"),
+          F.col("o_orderpriority").as("priority"))
+        .agg(F.count(F.lit(1)).as("n"))
+      ords
+        .withColumn("__h", F.pmod(TextExpressions.polyHash62(
+          F.concat(F.col("nation"), F.lit("|"), F.col("priority"))),
+          F.lit(1000003L)))
+        .withColumn("__u", (F.col("__h") + 1) / F.lit(1000005.0))
+        .withColumn("noisy_n", F.round(F.col("n")
+          - F.lit(2.0) * F.signum(F.col("__u") - 0.5)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("__u") - 0.5)),
+          6))
+        .select(F.col("nation"), F.col("priority"), F.col("noisy_n"),
+          F.lit(0.5).as("epsilon"))
+    },
+
+    // Dedup savings report — the curation-economics view of q79's
+    // near-dup clusters: per cluster-size bucket, how many clusters,
+    // how many docs a keep-one policy (keep smallest doc_id — q222's
+    // canonical-pick convention) removes, and how many chars it
+    // saves. Singletons join in as size-1 clusters (0 saved), so the
+    // report covers the WHOLE corpus, not just paired docs.
+    "q275_dedup_savings" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "sh",
+        PipelineQueries.NearDupJ)
+      val comp = Dedup.connectedComponents(pairs.select("id1", "id2"))
+      val cl = docs.select(F.col("doc_id"), F.col("n_chars"))
+        .join(comp.select(F.col("id").as("doc_id"), F.col("comp")),
+          Seq("doc_id"), "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("doc_id")))
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).as("sz"),
+          F.sum("n_chars").as("chars"),
+          F.min(F.struct(F.col("doc_id"), F.col("n_chars")))
+            .getField("n_chars").as("kept_chars"))
+      cl.groupBy("sz")
+        .agg(F.count(F.lit(1)).as("n_clusters"),
+          F.sum(F.col("sz") - 1).cast("long").as("docs_removed"),
+          F.sum(F.col("chars") - F.col("kept_chars")).cast("long")
+            .as("chars_saved"))
+    },
+
+    // Language-mix rebalancing weights (the mixture step of corpus
+    // curation): per language, its exact char share and the
+    // multiplicative weight that moves the mix to the UNIFORM target
+    // (weight = target/actual — DoReMi-style reweighting with a fixed
+    // target). Exact integer char sums; one partial-agg'd groupBy +
+    // broadcast totals.
+    "q276_lang_rebalance" -> { (s, dir) =>
+      val per = T.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_chars").cast("long").as("chars"))
+      val tot = per.agg(F.sum("chars").cast("long").as("tot"),
+        F.count(F.lit(1)).as("nl"))
+      per.crossJoin(F.broadcast(tot))
+        .select(F.col("lang"), F.col("n_docs"), F.col("chars"),
+          F.round(F.col("chars") / F.col("tot").cast("double"), 6)
+            .as("actual_share"),
+          F.round((F.lit(1.0) / F.col("nl"))
+            / (F.col("chars") / F.col("tot").cast("double")), 6)
+            .as("weight"))
+    },
+
+    // Funnel conversion with Wilson 95% intervals — q136's
+    // view→click→purchase funnel plus the uncertainty a decision
+    // needs at ANY corpus size: the Wilson score interval is exact
+    // closed-form arithmetic on the stage counts (no bootstrap, no
+    // RNG), so tiny segments get honestly-wide bounds. Stage counts
+    // are one pass each over the compact per-user min-times.
+    "q277_funnel_wilson" -> { (s, dir) =>
+      val win = 86400L
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"),
+          F.unix_timestamp(F.col("ts")).as("sec"))
+      val t1 = ev.filter(F.col("event_type") === "view")
+        .groupBy("user_id").agg(F.min("sec").as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .filter(F.col("event_type") === "click" &&
+          F.col("sec") >= F.col("t1") && F.col("sec") <= F.col("t1") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .filter(F.col("event_type") === "purchase" &&
+          F.col("sec") >= F.col("t2") && F.col("sec") <= F.col("t2") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t3"))
+      val counts = t1.agg(F.count(F.lit(1)).as("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).as("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).as("n3")))
+      def wilson(x: org.apache.spark.sql.Column,
+                 n: org.apache.spark.sql.Column) = {
+        val z = F.lit(1.959964)
+        val p = x / n.cast("double")
+        val den = F.lit(1.0) + z * z / n
+        val ctr = (p + z * z / (n * 2)) / den
+        val half = z * F.sqrt(p * (F.lit(1.0) - p) / n
+          + z * z / (n * n * 4)) / den
+        (F.round(p, 6), F.round(ctr - half, 6), F.round(ctr + half, 6))
+      }
+      val (p1, lo1, hi1) = wilson(F.col("n2"), F.col("n1"))
+      val (p2, lo2, hi2) = wilson(F.col("n3"), F.col("n2"))
+      counts.select(F.explode(F.array(
+          F.struct(F.lit("view_to_click").as("stage"),
+            F.col("n2").as("x"), F.col("n1").as("n"),
+            p1.as("p"), lo1.as("lo"), hi1.as("hi")),
+          F.struct(F.lit("click_to_purchase").as("stage"),
+            F.col("n3").as("x"), F.col("n2").as("n"),
+            p2.as("p"), lo2.as("lo"), hi2.as("hi")))).as("r"))
+        .select("r.stage", "r.x", "r.n", "r.p", "r.lo", "r.hi")
+    },
+
+    // ANN quality eval — recall@10 and MRR of the IVF index (q46's
+    // deterministic routing, nprobe=3) against brute-force exact
+    // cosine ground truth, per query over the first 50 query vectors.
+    // The measurement every similarity-search deployment needs before
+    // trusting its index; both sides reuse the library's kNN
+    // machinery, the eval itself is two bounded joins on
+    // (query, neighbor) keys.
+    "q278_ann_recall" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val qs = emb.filter(F.col("vec_id") < 50)
+      val brute = Knn.bruteForceKnn(emb, qs, "vec_id", "embedding", 10)
+        .select(F.col("query_id"), F.col("neighbor_id"),
+          F.col("rank").as("brank"))
+        .localCheckpoint() // ground truth consumed twice
+      val ivf = Knn.ivfKnn(emb, qs, "vec_id", "embedding", "label",
+          10, 3)
+        .select(F.col("query_id"), F.col("neighbor_id"),
+          F.col("rank").as("irank"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      val recall = hits.groupBy("query_id")
+        .agg((F.count(F.col("irank")) / 10.0).as("recall10"))
+      val mrr = hits.filter(F.col("brank") === 1)
+        .select(F.col("query_id"),
+          F.round(F.coalesce(F.lit(1.0) / F.col("irank"), F.lit(0.0)), 6)
+            .as("mrr"))
+      recall.join(mrr, "query_id")
+        .select(F.col("query_id"), F.col("recall10"), F.col("mrr"))
+    },
+
+    // Corpus-mixture solver (DoReMi-lite): 5 rounds of exponentiated-
+    // gradient descent on the domain weights, stepping against each
+    // domain's weighted char load — big domains get downweighted until
+    // the weighted mix evens out. Same iterative-oracle discipline as
+    // q231's Bradley-Terry fit: per-iteration 8-dp rounding keeps both
+    // engines on identical state, and the oracle unrolls the 5 rounds
+    // as MATERIALIZED CTEs. Iteration state is an O(domains) relation;
+    // corpus size enters once, through the partial-agg'd char sums.
+    "q279_mixture_descent" -> { (s, dir) =>
+      val doms = T.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").as("chars"))
+        .localCheckpoint() // O(domains) rows; consumed by 5 rounds
+      val nd = doms.agg(F.count(F.lit(1)).as("nd"))
+      var w = doms.crossJoin(F.broadcast(nd))
+        .select(F.col("source"),
+          F.round(F.lit(1.0) / F.col("nd"), 8).as("wt"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val j = w.join(doms, "source")
+        val tot = j.agg(F.sum(F.col("wt") * F.col("chars")).as("tot"))
+        val stepped = j.crossJoin(F.broadcast(tot))
+          .withColumn("w2", F.col("wt") * F.exp(F.lit(-2.0)
+            * (F.col("wt") * F.col("chars") / F.col("tot"))))
+        val sw = stepped.agg(F.sum("w2").as("sw"))
+        w = stepped.crossJoin(F.broadcast(sw))
+          .select(F.col("source"), F.round(F.col("w2") / F.col("sw"), 8)
+            .as("wt"))
+          .localCheckpoint() // keep the 5-round lineage shallow
+      }
+      val jf = w.join(doms, "source")
+      val totF = jf.agg(F.sum(F.col("wt") * F.col("chars")).as("tot"))
+      jf.crossJoin(F.broadcast(totF))
+        .select(F.col("source"), F.col("chars"),
+          F.round(F.col("wt"), 6).as("wt"),
+          F.round(F.col("wt") * F.col("chars") / F.col("tot"), 6)
+            .as("load_share"))
     }
   )
 
@@ -754,6 +956,161 @@ object ScoreQueries {
             CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1'
                  WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
                  ELSE 'continue' END decision
-          FROM c"""
+          FROM c""",
+
+    "q274_dp_noise" -> s"""
+      WITH g AS (SELECT n_name AS nation, o_orderpriority AS priority,
+               count(*) n
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+          h AS (SELECT nation, priority, n,
+                  (${duckPoly("nation || '|' || priority")}) % 1000003 hh
+                FROM g),
+          u AS (SELECT nation, priority, n,
+                  (hh + 1) / 1000005.0 u FROM h)
+          SELECT nation, priority,
+            round(n - 2.0 * sign(u - 0.5)
+              * ln(1.0 - 2.0 * abs(u - 0.5)), 6) + 0 AS noisy_n,
+            CAST(0.5 AS DOUBLE) AS epsilon
+          FROM u""",
+
+    "q275_dedup_savings" -> s"""
+      WITH cc AS MATERIALIZED (${PipelineQueries.duckCcClusters}),
+          j AS (SELECT d.doc_id, d.n_chars,
+                  coalesce(cc.comp, d.doc_id) comp
+                FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+          cl AS (SELECT comp, count(*) sz, sum(n_chars) chars,
+                   arg_min(n_chars, doc_id) kept_chars
+                 FROM j GROUP BY 1)
+          SELECT sz, count(*) n_clusters,
+            CAST(sum(sz - 1) AS BIGINT) docs_removed,
+            CAST(sum(chars - kept_chars) AS BIGINT) chars_saved
+          FROM cl GROUP BY 1""",
+
+    "q276_lang_rebalance" ->
+      """WITH per AS (SELECT lang, count(*) n_docs,
+               CAST(sum(n_chars) AS BIGINT) chars
+             FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(chars) AS BIGINT) tot, count(*) nl
+                  FROM per)
+          SELECT lang, n_docs, chars,
+            round(chars / CAST(tot AS DOUBLE), 6) + 0 AS actual_share,
+            round((1.0::DOUBLE / nl)
+              / (chars / CAST(tot AS DOUBLE)), 6) + 0 AS weight
+          FROM per CROSS JOIN tot""",
+
+    "q277_funnel_wilson" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) sec FROM events),
+          t1 AS (SELECT user_id, min(sec) t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(e.sec) t2
+                 FROM e JOIN t1 ON e.user_id = t1.user_id
+                 WHERE e.event_type = 'click' AND e.sec >= t1.t1
+                   AND e.sec <= t1.t1 + 86400 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(e.sec) t3
+                 FROM e JOIN t2 ON e.user_id = t2.user_id
+                 WHERE e.event_type = 'purchase' AND e.sec >= t2.t2
+                   AND e.sec <= t2.t2 + 86400 GROUP BY 1),
+          c AS (SELECT (SELECT count(*) FROM t1) n1,
+                  (SELECT count(*) FROM t2) n2,
+                  (SELECT count(*) FROM t3) n3),
+          s AS (SELECT 'view_to_click' AS stage, n2 x, n1 n FROM c
+                UNION ALL
+                SELECT 'click_to_purchase', n3, n2 FROM c),
+          w AS (SELECT stage, x, n, x / CAST(n AS DOUBLE) p,
+                  1.959964::DOUBLE z FROM s)
+          SELECT stage, x, n, round(p, 6) + 0 AS p,
+            round((p + z * z / (n * 2)) / (1.0 + z * z / n)
+              - z * sqrt(p * (1.0 - p) / n + z * z / (n * n * 4))
+                / (1.0 + z * z / n), 6) + 0 AS lo,
+            round((p + z * z / (n * 2)) / (1.0 + z * z / n)
+              + z * sqrt(p * (1.0 - p) / n + z * z / (n * n * 4))
+                / (1.0 + z * z / n), 6) + 0 AS hi
+          FROM w""",
+
+    "q278_ann_recall" ->
+      """WITH brute AS MATERIALIZED (
+             SELECT query_id, neighbor_id, rank AS brank FROM (
+               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                     DESC, c.vec_id) AS rank
+               FROM embeddings q JOIN embeddings c
+                 ON c.vec_id != q.vec_id
+               WHERE q.vec_id < 50) t WHERE rank <= 10),
+          ex AS (SELECT label, unnest(list_zip(embedding::DOUBLE[],
+                   generate_series(1, len(embedding)))) AS z
+                 FROM embeddings),
+          e AS (SELECT label, z[2]::BIGINT AS pos, z[1]::DOUBLE AS x
+                FROM ex),
+          cent AS (SELECT label, pos, avg(x) AS cv FROM e GROUP BY 1, 2),
+          cf AS (SELECT label,
+                   list_transform(list(cv ORDER BY pos),
+                     v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS c
+                 FROM cent GROUP BY 1),
+          probes AS (
+            SELECT query_id, label FROM (
+              SELECT q.vec_id AS query_id, cf.label,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(
+                    q.embedding::DOUBLE[], cf.c), 6) DESC, cf.label)
+                  AS crank
+              FROM embeddings q, cf WHERE q.vec_id < 50) t
+            WHERE crank <= 3),
+          ivf AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rank AS irank FROM (
+              SELECT s.query_id, s.neighbor_id,
+                row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY s.sim DESC, s.neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(q.embedding::DOUBLE[],
+                        c.embedding::DOUBLE[]), 6) AS sim
+                    FROM embeddings q
+                    JOIN probes p ON p.query_id = q.vec_id
+                    JOIN embeddings c ON c.label = p.label
+                      AND c.vec_id != q.vec_id
+                    WHERE q.vec_id < 50) s) t
+            WHERE rank <= 10),
+          h AS (SELECT b.query_id, b.brank, i.irank
+                FROM brute b LEFT JOIN ivf i
+                  USING (query_id, neighbor_id))
+          SELECT r.query_id,
+            round(r.recall10, 6) + 0 AS recall10, m.mrr
+          FROM (SELECT query_id, count(irank) / 10.0::DOUBLE recall10
+                FROM h GROUP BY 1) r
+          JOIN (SELECT query_id,
+                  round(coalesce(1.0::DOUBLE / irank, 0.0::DOUBLE), 6)
+                    + 0 AS mrr
+                FROM h WHERE brank = 1) m USING (query_id)""",
+
+    "q279_mixture_descent" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "w0" else s"i${i - 1}"
+        s"""t$i AS MATERIALIZED (SELECT sum(p.wt * d.chars) tot
+               FROM $prev p JOIN doms d USING (source)),
+            e$i AS MATERIALIZED (SELECT p.source,
+                p.wt * exp(-2.0::DOUBLE
+                  * (p.wt * d.chars / t.tot)) w
+               FROM $prev p JOIN doms d USING (source) CROSS JOIN t$i t),
+            s$i AS MATERIALIZED (SELECT sum(w) sw FROM e$i),
+            i$i AS MATERIALIZED (SELECT source, round(w / sw, 8) wt
+               FROM e$i CROSS JOIN s$i)"""
+      }.mkString(",\n")
+      s"""WITH doms AS MATERIALIZED (SELECT source,
+               CAST(sum(n_chars) AS BIGINT) chars
+             FROM documents GROUP BY 1),
+          w0 AS MATERIALIZED (SELECT source,
+              round(1.0::DOUBLE / (SELECT count(*) FROM doms), 8) wt
+            FROM doms),
+          $iters,
+          tf AS (SELECT sum(p.wt * d.chars) tot
+                 FROM i5 p JOIN doms d USING (source))
+          SELECT p.source, d.chars, round(p.wt, 6) + 0 AS wt,
+            round(p.wt * d.chars / t.tot, 6) + 0 AS load_share
+          FROM i5 p JOIN doms d USING (source) CROSS JOIN tf t"""
+    }
   )
 }

@@ -310,6 +310,27 @@ object StreamQueries {
         .select(F.col("event_type"), F.col("n_users"),
           (F.abs(F.col("__acd") - F.col("n_users")).cast("double")
             / F.col("n_users") <= 0.05).as("acd_ok"))
+    },
+
+    // Streaming quantile sketch reconciliation — q255's validation
+    // pattern applied to the OTHER sketch a stream needs: per-key
+    // median estimated in-stream by percentile_approx (mergeable
+    // KLL-style state, the only quantile a stream can afford),
+    // reconciled against the exact batch percentile over the same
+    // source. Gate at ±5% relative error — the offline check run
+    // before anyone trusts a streaming latency/value dashboard.
+    "q280_stream_quantile" -> { (s, dir) =>
+      val med = eventsStream(s, dir).groupBy("event_type")
+        .agg(F.percentile_approx(F.col("value"), F.lit(0.5),
+          F.lit(1000)).as("__p50"))
+      val st = runStateful(s, med, uniq("stream_quant"))
+      val exact = _root_.graft.T.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").as("p50"))
+      st.join(exact, "event_type")
+        .select(F.col("event_type"), F.round(F.col("p50"), 6).as("p50"),
+          (F.abs(F.col("__p50") - F.col("p50"))
+            / F.col("p50") <= 0.05).as("sketch_ok"))
     }
   )
 
@@ -328,6 +349,13 @@ object StreamQueries {
       """SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            TRUE AS acd_ok
+         FROM events GROUP BY 1""",
+    // the gate column is engine-verified (±5% vs the sketch); the
+    // oracle hash-checks the exact side — q255's validation pattern
+    "q280_stream_quantile" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) + 0 AS p50,
+           TRUE AS sketch_ok
          FROM events GROUP BY 1""",
     "q117_stream_enrich" ->
       """SELECT c_mktsegment,

@@ -33,17 +33,17 @@ class ScoreSpec extends SparkSpec {
     }
   }
 
-  test("replayable minhash: 64 mins per doc, all in [0, P)") {
+  test("replayable minhash: 64 wide min columns per doc, all in [0, P)") {
     val docs = T.load(spark, sf, "documents")
       .withColumn("sh", graft.plans.TextExpressions
         .wordShingles(F.col("text"), 3))
       .limit(20)
     val sig = ScoreQueries.replayableMinhash(docs, "doc_id", "sh")
-    val per = sig.groupBy("id").agg(F.count(F.lit(1)).as("k"),
-      F.min("m").as("lo"), F.max("m").as("hi")).collect()
-    per.foreach { r =>
-      assert(r.getLong(1) == 64)
-      assert(r.getLong(2) >= 0 && r.getLong(3) < 2147483647L)
+    assert(sig.columns.toSeq == "id" +: (0 until 64).map(i => s"m$i"))
+    sig.collect().foreach { r =>
+      (1 to 64).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) < 2147483647L)
+      }
     }
   }
 
@@ -126,6 +126,100 @@ class ScoreSpec extends SparkSpec {
       .collect()(0)
     assert(r.getLong(0) > 0)
     assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+  }
+
+  test("dp noise: bounded Laplace shift, deterministic across runs") {
+    val a = ScoreQueries.queries("q274_dp_noise")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = ScoreQueries.queries("q274_dp_noise")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a == b) // hash-seeded inverse-CDF noise is reproducible
+    // Laplace(2.0) noise at u in [1/1000005, 1-1/1000005]: |noise| is
+    // bounded by 2·ln(1000005/2) ≈ 26.3
+    a.values.foreach(v => assert(v > -30 && v < 1e7))
+  }
+
+  test("dedup savings: keep-one accounting is self-consistent") {
+    val rows = ScoreQueries.queries("q275_dedup_savings")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sz, nc, removed, saved) =>
+      assert(removed == (sz - 1) * nc) // keep-one removes sz-1 per cluster
+      if (sz == 1) assert(removed == 0 && saved == 0)
+      else assert(saved > 0)
+    }
+    // every doc lands in exactly one cluster
+    val totalDocs = rows.map { case (sz, nc, _, _) => sz * nc }.sum
+    assert(totalDocs == T.load(spark, sf, "documents").count())
+  }
+
+  test("lang rebalance: shares sum to 1, weights invert the mix") {
+    val rows = ScoreQueries.queries("q276_lang_rebalance")(spark, sf)
+      .collect()
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      // weight * actual_share == uniform target (up to rounding)
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) -
+        1.0 / rows.length) < 1e-4)
+    }
+  }
+
+  test("funnel wilson: interval brackets p and stays inside [0,1]") {
+    val rows = ScoreQueries.queries("q277_funnel_wilson")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= p && p <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(r.getLong(1) <= r.getLong(2)) // x <= n
+    }
+  }
+
+  test("ann recall: full agreement when brute top-1 is in the probed cell") {
+    val rows = ScoreQueries.queries("q278_ann_recall")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rec, mrr) = (r.getDouble(1), r.getDouble(2))
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      // IVF results are a subset of the corpus: recall 1.0 forces the
+      // true top-1 into the list, so mrr > 0
+      if (rec == 1.0) assert(mrr > 0.0)
+    }
+  }
+
+  test("mixture descent: weights normalize and move against char load") {
+    val rows = ScoreQueries.queries("q279_mixture_descent")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4) // weights sum to 1
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4) // loads sum to 1
+    // exponentiated gradient downweights big domains: weight order is
+    // the REVERSE of char order
+    val byChars = rows.sortBy(_._2).map(_._3)
+    assert(byChars.zip(byChars.tail).forall { case (a, b) => a >= b })
+    // the step direction is toward balance: load spread after 5 rounds
+    // is strictly tighter than the raw char-share spread
+    val n = rows.length
+    val rawShares = rows.map(_._2.toDouble / rows.map(_._2).sum)
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(rows.map(_._4).toSeq) < spread(rawShares.toSeq) + 1e-12)
+  }
+
+  test("stream quantile sketch reconciles against the exact batch median") {
+    val rows = SparkEntry.queries("q280_stream_quantile")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // one per event type
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      assert(r.getBoolean(2)) // sketch within ±5% of exact
+    }
   }
 
   test("SPRT monitor: cum_llr telescopes and decisions match bounds") {
