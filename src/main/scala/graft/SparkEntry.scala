@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.RetrievalQueries.queries,
     _root_.graft.queries.FunnelQueries.queries,
     _root_.graft.queries.EvalQueries.queries,
-    _root_.graft.queries.ScoreQueries.queries
+    _root_.graft.queries.ScoreQueries.queries,
+    _root_.graft.queries.TrainQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -41,7 +42,8 @@ object SparkEntry {
     _root_.graft.queries.RetrievalQueries.oracleSql,
     _root_.graft.queries.FunnelQueries.oracleSql,
     _root_.graft.queries.EvalQueries.oracleSql,
-    _root_.graft.queries.ScoreQueries.oracleSql
+    _root_.graft.queries.ScoreQueries.oracleSql,
+    _root_.graft.queries.TrainQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -331,6 +331,57 @@ object StreamQueries {
         .select(F.col("event_type"), F.round(F.col("p50"), 6).as("p50"),
           (F.abs(F.col("__p50") - F.col("p50"))
             / F.col("p50") <= 0.05).as("sketch_ok"))
+    },
+
+    // Stream-stream LEFT SEMI decontamination — the streaming twin of
+    // q54/q106's batch n-gram gate, and the one stream-stream join
+    // kind the suite lacked. Two standing streams over the document
+    // feed (ONE source, filtered twice — q104's self-join shape): the
+    // benchmark split (doc_id % 97 == 0) publishes its distinct
+    // 3-gram shingle hashes; every corpus doc-shingle row semi-joins
+    // against them, so a corpus doc is flagged the moment ANY of its
+    // shingles matches the eval set — the n-gram-overlap
+    // contamination rule (GPT-3 appendix C) evaluated online at the
+    // ingest door instead of in a nightly batch. Semi join emits each
+    // left row at most once; state is event-time-bounded by the
+    // watermark + the ±30-day interval on both sides. Shuffles carry
+    // (doc_id, 8-byte shingle hash) — never text. Event time is
+    // synthesized as timestamp_seconds(doc_id) (the feed's arrival
+    // order); the oracle replays the interval as the equivalent
+    // doc_id-distance bound. The per-lang rollup runs batch over the
+    // sink table (an unwindowed agg downstream of a stream-stream
+    // join has no append-mode emission point — q104's note).
+    "q282_stream_decontam" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        // +1: an event time of EXACTLY epoch 0 equals the join's
+        // initial watermark and is discarded as late (measured: doc 0
+        // and its 14 matches silently vanished); the offset keeps the
+        // synthetic clock strictly past the watermark origin and
+        // cancels in the distance bound
+        .withColumn("__ets", F.expr("timestamp_seconds(doc_id + 1)"))
+        .withColumn("__sh", F.explode(
+          graft.plans.TextExpressions.wordShingles(F.col("text"), 3)))
+      val corpus = src.filter(F.col("doc_id") % 97 =!= 0)
+        .select(F.col("doc_id"), F.col("lang"), F.col("n_chars"),
+          F.xxhash64(F.col("__sh")).as("__key"), F.col("__ets"))
+        .withWatermark("__ets", streamJoinWatermark)
+      val bench = src.filter(F.col("doc_id") % 97 === 0)
+        .select(F.xxhash64(F.col("__sh")).as("__bkey"),
+          F.col("__ets").as("__bets"))
+        .withWatermark("__bets", streamJoinWatermark)
+      val flagged = corpus.join(bench, F.expr(
+        """__key = __bkey AND
+           __bets >= __ets - INTERVAL 30 DAYS AND
+           __bets <= __ets + INTERVAL 30 DAYS"""), "left_semi")
+      runStateful(s, flagged, uniq("stream_decontam"), mode = "append")
+        .select("doc_id", "lang", "n_chars").distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_contaminated"),
+          F.sum("n_chars").as("contaminated_chars"))
     }
   )
 
@@ -357,6 +408,26 @@ object StreamQueries {
            round(quantile_cont(value, 0.5), 6) + 0 AS p50,
            TRUE AS sketch_ok
          FROM events GROUP BY 1""",
+    // batch twin of the stream-stream semi join: EXISTS on shingle
+    // equality + the same ±30-day (= 2 592 000 doc_id-seconds) bound
+    "q282_stream_decontam" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, lang, n_chars,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '') t
+           FROM documents),
+          s AS MATERIALIZED (SELECT doc_id, lang, n_chars,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               for i in range(1, len(t) - 1)])) sh
+           FROM t),
+          hit AS (SELECT DISTINCT d.doc_id, d.lang, d.n_chars
+                  FROM s d
+                  WHERE d.doc_id % 97 != 0 AND EXISTS (
+                    SELECT 1 FROM s b
+                    WHERE b.doc_id % 97 = 0 AND b.sh = d.sh
+                      AND abs(b.doc_id - d.doc_id) <= 2592000))
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated,
+            CAST(sum(n_chars) AS BIGINT) AS contaminated_chars
+          FROM hit GROUP BY 1""",
     "q117_stream_enrich" ->
       """SELECT c_mktsegment,
            count(*) AS n_events,

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.queries.TrainQueries
+
+/** Closed-form and invariant checks for the wave-23 tokenizer-training
+  * / streaming-decontam operators, complementing the sf-oracle gate.
+  */
+class TrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe pair counts: weighted adjacent pairs over paren-wrapped vocab") {
+    val vocab = Seq(("(a)(a)(a)(a)", 2L), ("(a)(b)", 3L))
+      .toDF("rep", "c")
+    val got = TrainQueries.bpePairCounts(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // run of 4 a's = 3 adjacent (a,a) pairs, weight 2 -> 6
+    assert(got == Map(("a", "a") -> 6L, ("a", "b") -> 3L))
+  }
+
+  test("paren-wrapped replace is exact greedy BPE, including runs") {
+    // the space-delimited representation gets the run-of-4 case wrong
+    // ([aa, a, a]); the paren wrap shares no delimiter between
+    // adjacent matches, so replace-all IS leftmost greedy merging
+    val out = spark.sql(
+      "SELECT replace('(a)(a)(a)(a)', '(a)(a)', '(aa)') m1, " +
+        "replace('(c)(a)(b)(a)(b)', '(a)(b)', '(ab)') m2, " +
+        "replace('(xa)(b)', '(a)(b)', '(ab)') m3").collect()(0)
+    assert(out.getString(0) == "(aa)(aa)")
+    assert(out.getString(1) == "(c)(ab)(ab)")
+    assert(out.getString(2) == "(xa)(b)") // no mid-token false match
+  }
+
+  test("q281: k ranked merges, argmax counts non-increasing") {
+    val rows = TrainQueries.queries("q281_bpe_train")(spark, sf)
+      .orderBy("merge_rank").collect()
+    assert(rows.length == TrainQueries.BpeMerges)
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (1L to TrainQueries.BpeMerges.toLong))
+    // each occurrence of a round-(r+1) pair maps to a distinct
+    // round-r adjacency, so the argmax can never grow across rounds
+    val ns = rows.map(_.getLong(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getLong(3) > 0L)
+    }
+  }
+
+  test("q283: u1 matches a driver-side exact rank-sum on the corpus") {
+    val row = TrainQueries.queries("q283_mann_whitney")(spark, sf)
+      .collect()(0)
+    val (n1, n2, u1) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // independent reimplementation: collect the two samples (test-only
+    // — the query itself never collects data rows) and average-rank
+    val vals = T.load(spark, sf, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "click", r.getDouble(1)))
+    val sorted = vals.sortBy(_._2)
+    val avgRank = new Array[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val r = (i + 1 + j) / 2.0 // mean of ranks i+1 .. j
+      (i until j).foreach(avgRank(_) = r)
+      i = j
+    }
+    val r1 = sorted.zipWithIndex.collect {
+      case ((true, _), ix) => avgRank(ix)
+    }.sum
+    val exp1 = vals.count(_._1).toLong
+    assert(n1 == exp1 && n2 == vals.length - exp1)
+    assert(math.abs(u1 - (r1 - n1 * (n1 + 1) / 2.0)) < 1e-6)
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2)
+    assert(row.getBoolean(4) == (math.abs(row.getDouble(3)) > 1.959964))
+  }
+
+  test("q284: BH rejections form a rank prefix under monotone p") {
+    val rows = TrainQueries.queries("q284_bh_fdr")(spark, sf)
+      .orderBy("bh_rank").collect()
+    assert(rows.length == 25) // 25 brands
+    val ps = rows.map(_.getDouble(3))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    // step-up: rejected iff rank <= k, so flags are a prefix
+    val flags = rows.map(_.getBoolean(5))
+    assert(flags.zip(flags.tail).forall { case (a, b) => a || !b })
+    // and k really is the LAST rank satisfying p <= rank * alpha / m
+    val k = (1 to 25).filter(i => ps(i - 1) <= i * 0.05 / 25)
+      .lastOption.getOrElse(0)
+    assert(flags.count(identity) == k)
+  }
+
+  test("q285: calibrated logloss beats the base-rate model") {
+    val row = TrainQueries.queries("q285_platt_scale")(spark, sf)
+      .collect()(0)
+    val logloss = row.getDouble(3)
+    val q = T.load(spark, sf, "lineitem")
+      .agg(F.avg(F.when(F.col("l_returnflag") === "R", 1.0d)
+        .otherwise(0.0d))).collect()(0).getDouble(0)
+    val base = -(q * math.log(q) + (1 - q) * math.log(1 - q))
+    // 3 Newton rounds from (0,0) must at least reach the intercept-
+    // only optimum (and never the uninformative ln 2)
+    assert(logloss <= base + 1e-4)
+    assert(logloss < math.log(2))
+    assert(row.getLong(2) > 0)
+  }
+
+  test("q282: streamed semi-join decontam equals its batch twin") {
+    val streamed = graft.queries.StreamQueries
+      .queries("q282_stream_decontam")(spark, sf)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // batch twin: same shingle-hash semi join without the stream
+    val src = T.load(spark, sf, "documents")
+      .withColumn("__sh", F.explode(
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 3)))
+    val corpus = src.filter(F.col("doc_id") % 97 =!= 0)
+      .select(F.col("doc_id"), F.col("lang"), F.col("n_chars"),
+        F.xxhash64(F.col("__sh")).as("__key"))
+    val bench = src.filter(F.col("doc_id") % 97 === 0)
+      .select(F.xxhash64(F.col("__sh")).as("__bkey"))
+    val batch = corpus
+      .join(bench, F.col("__key") === F.col("__bkey"), "left_semi")
+      .select("doc_id", "lang", "n_chars").distinct()
+      .groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n_contaminated"),
+        F.sum("n_chars").as("contaminated_chars"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
