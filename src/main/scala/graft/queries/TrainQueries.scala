@@ -241,6 +241,149 @@ object TrainQueries {
           F.col("logloss"))
       d.unpersist(blocking = false)
       out
+    },
+
+    // l-diversity audit — the attribute-disclosure companion to
+    // q237's k-anonymity: a QI group can be k-large yet still leak if
+    // every member shares one sensitive value. QI = (nation, segment),
+    // sensitive = thousand-dollar balance band; per group l = distinct
+    // sensitive values, reported as the l-distribution with the
+    // at-risk (l < 3) flag. Two partial-agg'd groupBys over the
+    // compact group relation — O(groups) state, one fact shuffle.
+    "q286_ldiversity" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer")
+        .select(F.col("c_nationkey"), F.col("c_mktsegment"),
+          F.floor(F.col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_cust"),
+          F.count_distinct(F.col("bal_band")).as("l"))
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).as("n_groups"),
+          F.sum("n_cust").as("n_customers"))
+        .withColumn("at_risk", F.col("l") < 3)
+    },
+
+    // Adamic–Adar link prediction over the co-purchase graph: score
+    // non-adjacent part pairs by Σ 1/ln(deg(w)) over common neighbors
+    // w — the classic "who should be linked next" recommender signal.
+    // Edges are q181's thresholded basket pairs (nab ≥ 2, per-order
+    // fan-out bounded by parts-per-order²); the wedge join is keyed on
+    // the common neighbor with a deg ≤ 128 hub cap (hubs contribute
+    // ~0 through 1/ln and their deg² wedge fan-out is THE scale
+    // hazard — the cap bounds wedges at |E|·128 and is replayed
+    // identically in the oracle). Existing edges leave via an
+    // anti-join; top-20 ordered by 6-dp-rounded score with (a, b)
+    // tie-breaks (the cross-engine TakeOrdered discipline).
+    "q287_link_predict" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      val pairs = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+        .select("a", "b")
+        .localCheckpoint() // feeds edges, degrees, and the anti-join
+      val e = pairs.select(F.col("a").as("u"), F.col("b").as("w"))
+        .unionAll(pairs.select(F.col("b").as("u"), F.col("a").as("w")))
+      val deg = e.groupBy("w").agg(F.count(F.lit(1)).as("deg"))
+      val ew = e.join(deg, "w").filter(F.col("deg") <= 128)
+      val cand = ew.select(F.col("u").as("a"), F.col("w"), F.col("deg"))
+        .join(ew.select(F.col("u").as("b"), F.col("w").as("w2")),
+          F.col("w") === F.col("w2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.expr("round(sum(1 / ln(cast(deg as double))), 6)")
+            .as("score"),
+          F.count(F.lit(1)).as("n_common"))
+      val out = cand
+        .join(pairs, Seq("a", "b"), "left_anti")
+        .orderBy(F.col("score").desc, F.col("a").asc, F.col("b").asc)
+        .limit(20)
+        .select("a", "b", "n_common", "score")
+      pairs.unpersist(blocking = false)
+      out
+    },
+
+    // Largest-remainder (Hamilton) apportionment of a 100 000-sample
+    // epoch budget across sources under a sqrt-count target mix — the
+    // integerization step between q279's learned mixture weights and
+    // an actual sampler ("3.7 epochs of source X" must become whole
+    // draws). Quotas are 6-dp-rounded BEFORE floor/remainder so both
+    // engines integerize the identical double (no floor knife-edge);
+    // the +1 frontier is a remainder rank (`globalRowNumber`, source
+    // tie-break) against the leftover count R — one scalar agg
+    // broadcast back, O(sources) state.
+    "q288_epoch_alloc" -> { (s, dir) =>
+      val B = 100000L
+      val n = T.load(s, dir, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).as("n_docs"))
+      val tot = n.agg(F.sum(F.expr("sqrt(cast(n_docs as double))"))
+        .as("ssq"))
+      val q = n.crossJoin(F.broadcast(tot))
+        .withColumn("quota", F.expr(
+          s"round($B * sqrt(cast(n_docs as double)) / ssq, 6)"))
+        .withColumn("base",
+          F.expr("cast(floor(quota) as bigint)"))
+        .withColumn("rem", F.expr("round(quota - base, 6)"))
+      val ranked = RelOps.globalRowNumber(q, "rk",
+        Seq(Ordering("rem", desc = true), Ordering("source")))
+      val r = ranked.agg((F.lit(B) - F.sum("base")).as("leftover"))
+      ranked.crossJoin(F.broadcast(r))
+        .select(F.col("source"), F.col("n_docs"), F.col("quota"),
+          (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+    },
+
+    // Wilcoxon signed-rank test — the PAIRED twin of q283: per user
+    // with both behaviors, does click value tend to exceed purchase
+    // value? The per-user difference is computed from EXACT cent sums
+    // (sc/nc − sp/np: integer-valued doubles divided — bit-identical
+    // across engines, so the 6-dp rounding has no knife-edge), zeros
+    // drop per the classic procedure, and |d| ranks reuse q283's
+    // machinery: distinct-value groupBy + `globalPrefixSum`, doubled
+    // rank sums as exact DECIMAL(38) integers, tie-corrected normal z
+    // ((2W⁺ − n(n+1)/2) / (2·√((2n(n+1)(2n+1) − Σ(t³−t))/48))) as the
+    // only float, identical op order both sides.
+    "q289_wilcoxon" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("user_id"),
+          F.when(F.col("event_type") === "click", 1L).otherwise(0L)
+            .as("g"),
+          F.expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      val per = ev.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("g") === 1, F.col("cents"))).as("sc"),
+          F.sum(F.col("g")).as("nc"),
+          F.sum(F.when(F.col("g") === 0, F.col("cents"))).as("sp"),
+          F.sum(F.lit(1L) - F.col("g")).as("np"))
+        .filter(F.col("nc") > 0 && F.col("np") > 0)
+        .select(F.expr(
+          """round(cast(sc as double) / nc
+             - cast(sp as double) / np, 6)""").as("d"))
+        .filter(F.col("d") =!= 0.0d)
+      val dv = per
+        .select(F.abs(F.col("d")).as("ad"),
+          F.when(F.col("d") > 0, 1L).otherwise(0L).as("pos"))
+        .groupBy("ad")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("pos").as("npos"))
+      val c = RelOps.globalPrefixSum(dv, "n", "cb", Seq(Ordering("ad")))
+      c.agg(
+          F.sum(F.col("npos").cast(DecimalType(38, 0))
+            * (F.lit(2L) * F.col("cb") + F.col("n") + F.lit(1L))
+              .cast(DecimalType(38, 0))).as("w2"),
+          F.sum(F.col("n").cast(DecimalType(38, 0))
+            * F.col("n").cast(DecimalType(38, 0))
+            * F.col("n").cast(DecimalType(38, 0))
+            - F.col("n").cast(DecimalType(38, 0))).as("tie"),
+          F.sum("n").as("n"))
+        .select(F.col("n").as("n_pairs"),
+          F.expr("round(cast(w2 as double) / 2, 6)").as("w_plus"),
+          F.expr("""round((cast(w2 as double) - cast(n as double)
+              * (n + 1) / 2)
+            / (2 * sqrt((2 * cast(n as double) * (n + 1) * (2 * n + 1)
+              - cast(tie as double)) / 48)), 6)""").as("z"))
+        .withColumn("significant", F.abs(F.col("z")) > 1.959964)
     }
   )
 
@@ -377,6 +520,98 @@ object TrainQueries {
                   FROM d CROSS JOIN ab3) x)
           SELECT a + 0 AS a, b + 0 AS b, n, logloss
           FROM ab3 CROSS JOIN fin"""
-    }
+    },
+
+    "q286_ldiversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) bal_band
+           FROM customer),
+          g AS (SELECT c_nationkey, c_mktsegment, count(*) n_cust,
+                  count(DISTINCT bal_band) l
+                FROM c GROUP BY 1, 2)
+          SELECT CAST(l AS BIGINT) AS l,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            CAST(sum(n_cust) AS BIGINT) AS n_customers,
+            l < 3 AS at_risk
+          FROM g GROUP BY l""",
+
+    "q287_link_predict" ->
+      """WITH ol AS MATERIALIZED (SELECT DISTINCT l_orderkey o,
+             l_partkey p FROM lineitem),
+          pr AS MATERIALIZED (SELECT x.p a, y.p b
+                FROM ol x JOIN ol y ON x.o = y.o AND x.p < y.p
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+          e AS MATERIALIZED (SELECT a u, b w FROM pr
+                UNION ALL SELECT b u, a w FROM pr),
+          dg AS (SELECT w, count(*) deg FROM e GROUP BY 1),
+          ew AS (SELECT u, e.w, deg FROM e JOIN dg ON e.w = dg.w
+                 WHERE deg <= 128),
+          wedge AS (SELECT x.u a, y.u b, x.deg
+                    FROM ew x JOIN ew y ON x.w = y.w AND x.u < y.u),
+          cand AS (SELECT a, b,
+                     round(sum(1 / ln(deg::DOUBLE)), 6) + 0 score,
+                     CAST(count(*) AS BIGINT) n_common
+                   FROM wedge GROUP BY 1, 2),
+          new AS (SELECT c.a, c.b, c.n_common, c.score
+                  FROM cand c LEFT JOIN pr
+                    ON c.a = pr.a AND c.b = pr.b
+                  WHERE pr.a IS NULL)
+          SELECT a, b, n_common, score FROM new
+          ORDER BY score DESC, a, b LIMIT 20""",
+
+    "q288_epoch_alloc" ->
+      """WITH n AS (SELECT source, count(*) n_docs FROM documents
+                    GROUP BY 1),
+          tot AS (SELECT sum(sqrt(n_docs::DOUBLE)) ssq FROM n),
+          q AS (SELECT source, CAST(n_docs AS BIGINT) n_docs,
+                  round(100000 * sqrt(n_docs::DOUBLE) / ssq, 6) + 0
+                    AS quota
+                FROM n CROSS JOIN tot),
+          f AS (SELECT source, n_docs, quota,
+                  CAST(floor(quota) AS BIGINT) base,
+                  round(quota - CAST(floor(quota) AS BIGINT), 6) rem
+                FROM q),
+          r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+                  rk FROM f),
+          lo AS (SELECT 100000 - sum(base) leftover FROM f)
+          SELECT source, n_docs, quota,
+            base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+          FROM r CROSS JOIN lo""",
+
+    "q289_wilcoxon" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END g,
+             CAST(round(value * 100, 0) AS BIGINT) cents
+           FROM events WHERE event_type IN ('click', 'purchase')),
+          per AS (SELECT user_id,
+                    sum(CASE WHEN g = 1 THEN cents END) sc,
+                    sum(g) nc,
+                    sum(CASE WHEN g = 0 THEN cents END) sp,
+                    sum(1 - g) np
+                  FROM ev GROUP BY 1
+                  HAVING sum(g) > 0 AND sum(1 - g) > 0),
+          d AS (SELECT round(sc::DOUBLE / nc - sp::DOUBLE / np, 6) d
+                FROM per),
+          nz AS (SELECT abs(d) ad,
+                   CASE WHEN d > 0 THEN 1 ELSE 0 END pos
+                 FROM d WHERE d != 0),
+          dv AS (SELECT ad, count(*) n, sum(pos) npos FROM nz
+                 GROUP BY 1),
+          c AS (SELECT n, npos, coalesce(sum(n) OVER (ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) cb
+                FROM dv),
+          sums AS (SELECT sum(npos * (2 * cb + n + 1)) w2,
+                     sum(n * n * n - n) tie,
+                     CAST(sum(n) AS BIGINT) n
+                   FROM c)
+          SELECT n AS n_pairs,
+            round(w2::DOUBLE / 2, 6) + 0 AS w_plus, z,
+            abs(z) > 1.959964 AS significant
+          FROM (SELECT n,  w2,
+                  round((w2::DOUBLE - n::DOUBLE * (n + 1) / 2)
+                    / (2 * sqrt((2 * n::DOUBLE * (n + 1) * (2 * n + 1)
+                      - tie::DOUBLE) / 48)), 6) + 0 AS z
+                FROM sums) t"""
   )
 }

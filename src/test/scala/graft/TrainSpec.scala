@@ -108,6 +108,89 @@ class TrainSpec extends SparkSpec {
     assert(row.getLong(2) > 0)
   }
 
+  test("q286: l-distribution covers every QI group exactly once") {
+    val rows = TrainQueries.queries("q286_ldiversity")(spark, sf)
+      .collect()
+    val groups = T.load(spark, sf, "customer")
+      .select(F.col("c_nationkey"), F.col("c_mktsegment"))
+      .distinct().count()
+    val custs = T.load(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(1)).sum == groups)
+    assert(rows.map(_.getLong(2)).sum == custs)
+    rows.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) < 3)))
+  }
+
+  test("q287: predicted links are non-edges with positive AA score") {
+    val rows = TrainQueries.queries("q287_link_predict")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    val ol = T.load(spark, sf, "lineitem")
+      .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+      .distinct()
+    val edges = ol.toDF("o", "a")
+      .join(ol.toDF("o2", "b"),
+        F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+      .filter(F.col("nab") >= 2)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b && !edges.contains((a, b)))
+      assert(r.getLong(2) >= 1 && r.getDouble(3) > 0.0)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q288: largest-remainder allocation spends the budget exactly") {
+    val rows = TrainQueries.queries("q288_epoch_alloc")(spark, sf)
+      .collect()
+    assert(rows.length == 20) // 20 sources
+    assert(rows.map(_.getLong(3)).sum == 100000L)
+    rows.foreach { r =>
+      val (quota, alloc) = (r.getDouble(2), r.getLong(3))
+      // Hamilton: every source gets floor(quota) or floor(quota) + 1
+      assert(alloc == math.floor(quota).toLong
+        || alloc == math.floor(quota).toLong + 1)
+    }
+  }
+
+  test("q289: w_plus matches a driver-side exact signed-rank") {
+    val row = TrainQueries.queries("q289_wilcoxon")(spark, sf)
+      .collect()(0)
+    val (n, wPlus) = (row.getLong(0), row.getDouble(1))
+    // independent reimplementation on collected per-user cent sums
+    val per = T.load(spark, sf, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select(F.col("user_id"),
+        F.when(F.col("event_type") === "click", 1L).otherwise(0L)
+          .as("g"),
+        F.expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .collect().groupBy(_.getLong(0)).values.flatMap { evs =>
+        val (c, p) = evs.partition(_.getLong(1) == 1L)
+        if (c.isEmpty || p.isEmpty) None
+        else {
+          val d = BigDecimal(c.map(_.getLong(2)).sum.toDouble / c.length
+            - p.map(_.getLong(2)).sum.toDouble / p.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (d == 0.0) None else Some(d)
+        }
+      }.toArray
+    assert(per.length == n)
+    val sorted = per.map(d => (math.abs(d), d > 0)).sortBy(_._1)
+    var (i, w) = (0, 0.0)
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val r = (i + 1 + j) / 2.0
+      (i until j).foreach(ix => if (sorted(ix)._2) w += r)
+      i = j
+    }
+    assert(math.abs(wPlus - w) < 1e-6)
+    assert(row.getBoolean(3) == (math.abs(row.getDouble(2)) > 1.959964))
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
