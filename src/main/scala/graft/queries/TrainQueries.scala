@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.T
@@ -49,6 +50,37 @@ object TrainQueries {
       .groupBy(F.col("p.pa").as("pa"), F.col("p.pb").as("pb"))
       .agg(F.sum("c").cast("long").as("n"))
 
+  /** The k-round BPE training loop shared by q281 (reads the merge
+    * table) and q292 (reads the post-merge vocabulary): (rank, pa,
+    * pb, count) merges plus the final (rep, c) vocab — pinned; the
+    * CALLER unpersists it. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var vocab = T.load(s, dir, "documents")
+      .select(F.explode(TextExpressions.wordTokens(F.col("text")))
+        .as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      // wrap every char: "low" -> "(l)(o)(w)"; tokens are [a-z0-9]+
+      // so '(' / ')' never occur inside a symbol
+      .select(F.regexp_replace(F.col("w"), "(.)", "($1)").as("rep"),
+        F.col("c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val best = bpePairCounts(vocab)
+        .orderBy(F.col("n").desc, F.col("pa").asc, F.col("pb").asc)
+        .limit(1).collect()(0) // bounded: exactly one argmax row
+      val (pa, pb) = (best.getString(0), best.getString(1))
+      merges += ((r.toLong, pa, pb, best.getLong(2)))
+      val prev = vocab
+      vocab = vocab.select(
+        F.expr(s"replace(rep, '($pa)($pb)', '($pa$pb)')").as("rep"),
+        F.col("c")).localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    (merges.result(), vocab)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Multi-merge BPE training (Sennrich et al. 2016), k = 4 rounds:
@@ -64,33 +96,9 @@ object TrainQueries {
     // the same paren-wrapped replace.
     "q281_bpe_train" -> { (s, dir) =>
       import s.implicits._
-      var vocab = T.load(s, dir, "documents")
-        .select(F.explode(TextExpressions.wordTokens(F.col("text")))
-          .as("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).as("c"))
-        // wrap every char: "low" -> "(l)(o)(w)"; tokens are [a-z0-9]+
-        // so '(' / ')' never occur inside a symbol
-        .select(F.regexp_replace(F.col("w"), "(.)", "($1)").as("rep"),
-          F.col("c"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (r <- 1 to BpeMerges) {
-        val best = bpePairCounts(vocab)
-          .orderBy(F.col("n").desc, F.col("pa").asc, F.col("pb").asc)
-          .limit(1).collect()(0) // bounded: exactly one argmax row
-        val (pa, pb) = (best.getString(0), best.getString(1))
-        merges += ((r.toLong, pa, pb, best.getLong(2)))
-        if (r < BpeMerges) {
-          val prev = vocab
-          vocab = vocab.select(
-            F.expr(s"replace(rep, '($pa)($pb)', '($pa$pb)')").as("rep"),
-            F.col("c")).localCheckpoint()
-          prev.unpersist(blocking = false)
-        }
-      }
+      val (merges, vocab) = bpeTrain(s, dir)
       vocab.unpersist(blocking = false)
-      merges.result()
-        .toDF("merge_rank", "left_sym", "right_sym", "n")
+      merges.toDF("merge_rank", "left_sym", "right_sym", "n")
     },
 
     // Mann–Whitney U rank-sum test (tie-corrected normal
@@ -384,6 +392,127 @@ object TrainQueries {
             / (2 * sqrt((2 * cast(n as double) * (n + 1) * (2 * n + 1)
               - cast(tie as double)) / 48)), 6)""").as("z"))
         .withColumn("significant", F.abs(F.col("z")) > 1.959964)
+    },
+
+    // Reliability-weighted label fusion — the crowd-labeling
+    // aggregation step (one Dawid–Skene-flavored reweighting round):
+    // suppliers "annotate" parts with a return flag; round 1 is plain
+    // majority vote, round 2 weights each annotator by its
+    // round-1 agreement rate and re-votes. Every argmax is
+    // deterministic: votes and micro-reliabilities (rounded to 1e-6
+    // INTEGERS, so weighted tallies are exact integer sums — no float
+    // argmax knife-edge) break ties by label. Scale shape: per-item
+    // windows are bounded by the 3-label domain; reliabilities are
+    // one keyed join + partial agg; the fact table shuffles twice.
+    "q290_label_fusion" -> { (s, dir) =>
+      val ann = T.load(s, dir, "lineitem")
+        .select(F.col("l_partkey").as("item"),
+          F.col("l_suppkey").as("ann"),
+          F.col("l_returnflag").as("lbl"))
+      val w1 = Window.partitionBy("item")
+        .orderBy(F.col("cnt").desc, F.col("lbl").asc)
+      val maj = ann.groupBy("item", "lbl")
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") === 1)
+        .select(F.col("item"), F.col("lbl").as("maj"))
+        .localCheckpoint() // feeds reliability AND the round-2 vote
+      val rel = ann.join(maj, "item")
+        .groupBy("ann")
+        .agg(F.expr(
+          """cast(round(1000000 * sum(case when lbl = maj then 1
+               else 0 end) / count(*), 0) as bigint)""").as("rel"))
+      val w2 = Window.partitionBy("item")
+        .orderBy(F.col("wt").desc, F.col("lbl").asc)
+      val fused = ann.join(rel, "ann")
+        .groupBy("item", "lbl")
+        .agg(F.sum("rel").as("wt"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") === 1)
+        .select(F.col("item"), F.col("lbl").as("fused"))
+      val out = maj.join(fused, "item")
+        .groupBy(F.col("maj").as("label"))
+        .agg(F.count(F.lit(1)).as("n_majority"),
+          F.sum(F.when(F.col("fused") === F.col("maj"), 0L)
+            .otherwise(1L)).as("n_flipped"))
+      val r2 = fused.groupBy(F.col("fused").as("label"))
+        .agg(F.count(F.lit(1)).as("n_weighted"))
+      val res = out.join(r2, Seq("label"), "full_outer")
+        .select(F.col("label"),
+          F.coalesce(F.col("n_majority"), F.lit(0L)).as("n_majority"),
+          F.coalesce(F.col("n_weighted"), F.lit(0L)).as("n_weighted"),
+          F.coalesce(F.col("n_flipped"), F.lit(0L)).as("n_flipped"))
+      maj.unpersist(blocking = false)
+      res
+    },
+
+    // Split-conformal calibration (Vovk; Angelopoulos–Bates 2021):
+    // the distribution-free prediction-interval radius q̂ = the
+    // ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity score, plus
+    // the test-side coverage audit — the modern ML-eval op between
+    // "point prediction" and "trustworthy interval". Everything
+    // deterministic: scores are |cents − type mean| with the mean an
+    // exact-int division (bit-identical doubles), the rank index k is
+    // pure integer arithmetic (⌈9(n+1)/10⌉ via div), the k-th order
+    // statistic comes from `globalRowNumber` (range partition + O(P)
+    // offsets, no global window), and coverage is an exact rational.
+    "q291_conformal" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.col("event_type"),
+          F.expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      val mu = ev.groupBy("event_type")
+        .agg(F.sum("cents").as("sm"), F.count(F.lit(1)).as("nt"))
+      val scored = ev.join(F.broadcast(mu), "event_type")
+        .select(F.col("event_id"), F.col("user_id"),
+          F.expr("round(abs(cents - cast(sm as double) / nt), 6)")
+            .as("s"))
+      val cal = scored.filter(F.col("user_id") % 2 === 0)
+      val ranked = RelOps.globalRowNumber(cal, "rk",
+        Seq(Ordering("s"), Ordering("event_id")))
+      val ncal = cal.agg(F.count(F.lit(1)).as("n_cal"))
+      // k = ceil(0.9 * (n_cal + 1)) in pure integer arithmetic
+      val k = ncal.select(F.col("n_cal"),
+        F.expr("(9 * (n_cal + 1) + 9) div 10").as("k"))
+      val qhat = ranked.join(F.broadcast(k), F.col("rk") === F.col("k"))
+        .select(F.col("n_cal"), F.col("k"), F.col("s").as("qhat"))
+      scored.filter(F.col("user_id") % 2 =!= 0)
+        .crossJoin(F.broadcast(qhat))
+        .agg(F.first("n_cal").as("n_cal"), F.first("k").as("k"),
+          F.first("qhat").as("qhat"),
+          F.count(F.lit(1)).as("n_test"),
+          F.expr("""round(sum(case when s <= qhat then 1 else 0 end)
+            / cast(count(1) as double), 6)""").as("coverage"))
+        .withColumn("covered_ok", F.col("coverage") >= 0.88)
+    },
+
+    // Apply the q281-learned merges back to the corpus — the
+    // tokenizer-side half of BPE training: how much does the symbol
+    // stream shrink after k merges? Reuses the shared training loop
+    // (same pinned-vocab rounds), then ONE weighted symbol count over
+    // the final vocabulary: corpus symbols = Σ c · |rep| — compare to
+    // the pre-merge character count for the compression ratio a
+    // tokenizer-budget planner reads. Integer-exact except the final
+    // 6-dp ratio.
+    "q292_bpe_apply" -> { (s, dir) =>
+      val (merges, vocab) = bpeTrain(s, dir)
+      val out = vocab
+        .select(F.col("c"),
+          F.expr(
+            "size(split(substring(rep, 2, length(rep) - 2), '[)][(]'))")
+            .cast("long").as("len"),
+          F.expr("length(replace(replace(rep, '(', ''), ')', ''))")
+            .cast("long").as("wlen"))
+        .agg(F.count(F.lit(1)).as("vocab_words"),
+          F.sum(F.expr("c * len")).as("symbols_after"),
+          F.sum(F.expr("c * wlen")).as("chars_before"))
+        .select(F.lit(merges.size.toLong).as("n_merges"),
+          F.col("vocab_words"), F.col("chars_before"),
+          F.col("symbols_after"),
+          F.expr("""round(cast(symbols_after as double)
+            / chars_before, 6)""").as("compression"))
+      vocab.unpersist(blocking = false)
+      out
     }
   )
 
@@ -612,6 +741,86 @@ object TrainQueries {
                   round((w2::DOUBLE - n::DOUBLE * (n + 1) / 2)
                     / (2 * sqrt((2 * n::DOUBLE * (n + 1) * (2 * n + 1)
                       - tie::DOUBLE) / 48)), 6) + 0 AS z
-                FROM sums) t"""
+                FROM sums) t""",
+
+    "q290_label_fusion" ->
+      """WITH an AS MATERIALIZED (SELECT l_partkey item,
+             l_suppkey ann, l_returnflag lbl FROM lineitem),
+          mc AS (SELECT item, lbl, count(*) cnt FROM an GROUP BY 1, 2),
+          maj AS MATERIALIZED (SELECT item, lbl maj FROM (
+                  SELECT item, lbl, row_number() OVER (
+                    PARTITION BY item ORDER BY cnt DESC, lbl) rn
+                  FROM mc) t
+                WHERE rn = 1),
+          rel AS (SELECT ann, CAST(round(1000000
+                    * sum(CASE WHEN lbl = maj THEN 1 ELSE 0 END)
+                    / count(*), 0) AS BIGINT) rel
+                  FROM an JOIN maj USING (item) GROUP BY 1),
+          wt AS (SELECT item, lbl, sum(rel) wt
+                 FROM an JOIN rel USING (ann) GROUP BY 1, 2),
+          fused AS MATERIALIZED (SELECT item, lbl fused FROM (
+                  SELECT item, lbl, row_number() OVER (
+                    PARTITION BY item ORDER BY wt DESC, lbl) rn
+                  FROM wt) t
+                WHERE rn = 1),
+          o1 AS (SELECT maj AS label, count(*) n_majority,
+                   sum(CASE WHEN fused = maj THEN 0 ELSE 1 END)
+                     n_flipped
+                 FROM maj JOIN fused USING (item) GROUP BY 1),
+          o2 AS (SELECT fused AS label, count(*) n_weighted FROM fused
+                 GROUP BY 1)
+          SELECT coalesce(o1.label, o2.label) AS label,
+            CAST(coalesce(n_majority, 0) AS BIGINT) AS n_majority,
+            CAST(coalesce(n_weighted, 0) AS BIGINT) AS n_weighted,
+            CAST(coalesce(n_flipped, 0) AS BIGINT) AS n_flipped
+          FROM o1 FULL OUTER JOIN o2 ON o1.label = o2.label""",
+
+    "q291_conformal" ->
+      """WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) cents FROM events),
+          mu AS (SELECT event_type, sum(cents) sm, count(*) nt
+                 FROM ev GROUP BY 1),
+          scored AS MATERIALIZED (SELECT event_id, user_id,
+             round(abs(cents - sm::DOUBLE / nt), 6) s
+           FROM ev JOIN mu USING (event_type)),
+          cal AS (SELECT s, row_number() OVER (ORDER BY s, event_id) rk
+                  FROM scored WHERE user_id % 2 = 0),
+          nc AS (SELECT count(*) n_cal FROM cal),
+          kk AS (SELECT n_cal, (9 * (n_cal + 1) + 9) // 10 k FROM nc),
+          qh AS (SELECT n_cal, k, s qhat FROM cal JOIN kk ON rk = k),
+          cov AS (SELECT CAST(n_cal AS BIGINT) n_cal,
+              CAST(k AS BIGINT) k, qhat,
+              CAST(count(*) AS BIGINT) n_test,
+              round(sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END)
+                / CAST(count(1) AS DOUBLE), 6) + 0 AS coverage
+            FROM scored CROSS JOIN qh WHERE user_id % 2 != 0
+            GROUP BY 1, 2, 3)
+          SELECT n_cal, k, qhat, n_test, coverage,
+            coverage >= 0.88 AS covered_ok
+          FROM cov""",
+
+    "q292_bpe_apply" -> {
+      val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
+      s"""WITH wc AS MATERIALIZED (SELECT w, count(*) c
+             FROM (SELECT unnest($duckToks) w FROM documents) x
+             GROUP BY 1),
+          v0 AS MATERIALIZED (
+             SELECT regexp_replace(w, '(.)', '(\\1)', 'g') rep, c
+             FROM wc),
+          $rounds,
+          fin AS (SELECT CAST(count(*) AS BIGINT) vocab_words,
+              CAST(sum(c * wlen) AS BIGINT) chars_before,
+              CAST(sum(c * slen) AS BIGINT) symbols_after
+            FROM (SELECT c,
+                    len(string_split(rep[2:-2], ')(')) slen,
+                    length(replace(replace(rep, '(', ''), ')', ''))
+                      wlen
+                  FROM v$BpeMerges) x)
+          SELECT CAST($BpeMerges AS BIGINT) n_merges, vocab_words,
+            chars_before, symbols_after,
+            round(symbols_after::DOUBLE / chars_before, 6) + 0
+              AS compression
+          FROM fin"""
+    }
   )
 }

@@ -191,6 +191,44 @@ class TrainSpec extends SparkSpec {
     assert(row.getBoolean(3) == (math.abs(row.getDouble(2)) > 1.959964))
   }
 
+  test("q290: both voting rounds cover every annotated item once") {
+    val rows = TrainQueries.queries("q290_label_fusion")(spark, sf)
+      .collect()
+    val items = T.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == items)
+    assert(rows.map(_.getLong(2)).sum == items)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("q291: k is the conformal index and coverage is near-nominal") {
+    val row = TrainQueries.queries("q291_conformal")(spark, sf)
+      .collect()(0)
+    val (nCal, k) = (row.getLong(0), row.getLong(1))
+    assert(k == (9 * (nCal + 1) + 9) / 10) // ceil(0.9 (n+1))
+    assert(row.getDouble(2) >= 0.0)
+    val cov = row.getDouble(4)
+    // split-conformal guarantee: >= 0.9 in expectation; finite-sample
+    // slack on the small corpus
+    assert(cov >= 0.85 && cov <= 1.0)
+  }
+
+  test("q292: merge application shrinks the symbol stream correctly") {
+    val row = TrainQueries.queries("q292_bpe_apply")(spark, sf)
+      .collect()(0)
+    val (words, before, after) =
+      (row.getLong(1), row.getLong(2), row.getLong(3))
+    // chars_before must equal the raw corpus token-character count
+    val toks = T.load(spark, sf, "documents")
+      .select(F.explode(graft.plans.TextExpressions
+        .wordTokens(F.col("text"))).as("w"))
+    assert(before == toks.agg(F.sum(F.length(F.col("w"))))
+      .collect()(0).getLong(0))
+    assert(words == toks.distinct().count())
+    assert(after < before) // 4 merges must save something
+    assert(math.abs(row.getDouble(4) - after.toDouble / before) < 1e-5)
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
