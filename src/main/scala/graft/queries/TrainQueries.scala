@@ -513,6 +513,108 @@ object TrainQueries {
             / chars_before, 6)""").as("compression"))
       vocab.unpersist(blocking = false)
       out
+    },
+
+    // Quality-filter operating curve — the report a curation team
+    // reads BEFORE picking a threshold: for a grid of cut points on a
+    // per-doc quality score (tokens per 100 chars — exact-int
+    // division, bit-identical across engines), how many docs and
+    // chars survive? One exploded pass (docs × 7 thresholds — the
+    // q270 bounded fan-out shape) into a partial-agg'd groupBy;
+    // O(grid) output state.
+    "q293_filter_sweep" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .select(F.col("n_chars"),
+          F.expr("size(filter(split(lower(text), '[^a-z0-9]+'), "
+            + "x -> x != ''))").cast("long").as("n_toks"))
+        .select(F.col("n_chars"), F.col("n_toks"),
+          F.expr("round(100 * cast(n_toks as double) / n_chars, 6)")
+            .as("score"))
+      d.select(F.col("n_chars"), F.col("n_toks"), F.col("score"),
+          F.explode(F.expr("sequence(10, 22, 2)")).as("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.when(F.col("score") >= F.col("t") / 100.0, 1L)
+            .otherwise(0L)).as("n_kept"),
+          F.sum(F.when(F.col("score") >= F.col("t") / 100.0,
+            F.col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .select(F.col("t").cast("long").as("t"), F.col("n_kept"),
+          F.col("chars_kept"),
+          F.expr("round(cast(n_kept as double) / n_docs, 6)")
+            .as("frac_kept"))
+    },
+
+    // Product quantization (Jégou et al. 2011) — THE memory-bound ANN
+    // compression standard: split the 64-dim embedding into 4
+    // 16-dim subspaces, train a 4-code Lloyd codebook per subspace
+    // (2 rounds), and report per-subspace reconstruction error.
+    // Deterministic end-to-end: seeds are the 4 vectors with the
+    // smallest portable Knuth-mod hash (q109 arithmetic — replayable
+    // in SQL, unlike xxhash64) taken with ONE global TakeOrdered and
+    // sliced per subspace; per-round centroids are 8-dp-rounded state
+    // (q279 discipline) so both engines assign against identical
+    // doubles; per-row distances are fixed-order folds (no
+    // aggregation-order float drift); argmin ties break by code. All
+    // four subspaces train in ONE loop over rounds: the exploded
+    // (vec, subspace) relation is pinned once, each round is a
+    // broadcast-centroid projection + one partial-agg'd (s, code,
+    // dim) average — the corpus never shuffles.
+    "q294_pq" -> { (s, dir) =>
+      val nSub = 4; val dims = 16; val k = 4; val rounds = 2
+      val base = T.load(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.explode(F.expr(
+          s"""transform(sequence(0, ${nSub - 1}), s -> struct(s as s,
+              transform(slice(embedding, s * $dims + 1, $dims),
+                x -> cast(x as double)) as x))""")).as("p"))
+        .select(F.col("vec_id"), F.col("p.s").as("s"),
+          F.col("p.x").as("x"))
+        .localCheckpoint() // consumed by every round + the final MSE
+      val seeds = RelOps.globalRowNumber(
+        T.load(s, dir, "embeddings")
+          .orderBy(F.expr("(vec_id * 2654435761) % 4294967296").asc,
+            F.col("vec_id").asc)
+          .limit(k), // TakeOrderedAndProject: k rows
+        "rn", Seq(
+          Ordering("vec_id",
+            by = Some("(vec_id * 2654435761) % 4294967296")),
+          Ordering("vec_id")))
+        .withColumn("code", F.col("rn") - 1)
+        .select(F.explode(F.expr(
+          s"""transform(sequence(0, ${nSub - 1}), s -> struct(s as s,
+              transform(slice(embedding, s * $dims + 1, $dims),
+                x -> round(cast(x as double), 8)) as c))""")).as("p"),
+          F.col("code"))
+        .select(F.col("p.s").as("s"), F.col("code"),
+          F.col("p.c").as("c"))
+      def assign(cents: DataFrame): DataFrame =
+        base.join(F.broadcast(cents), "s")
+          .withColumn("dist", F.expr(
+            "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), "
+              + "cast(0 as double), (acc, v) -> acc + v)"))
+          .groupBy("vec_id", "s")
+          .agg(F.min(F.struct(F.col("dist"), F.col("code"))).as("m"))
+          .select(F.col("vec_id"), F.col("s"),
+            F.col("m.dist").as("dist"), F.col("m.code").as("code"))
+      val trained = (1 to rounds).foldLeft(seeds) { (cents, _) =>
+        assign(cents)
+          .join(base, Seq("vec_id", "s"))
+          .select(F.col("s"), F.col("code"),
+            F.posexplode(F.col("x")).as(Seq("i", "v")))
+          .groupBy("s", "code", "i")
+          .agg(F.expr("round(avg(v), 8)").as("v"))
+          .groupBy("s", "code")
+          .agg(F.expr(
+            """transform(array_sort(collect_list(struct(i, v))),
+               p -> p.v)""").as("c"))
+          .localCheckpoint() // O(nSub·k·dims) state rows per round
+      }
+      val out = assign(trained)
+        .groupBy(F.col("s").cast("long").as("subspace"))
+        .agg(F.count(F.lit(1)).as("n_vecs"),
+          F.count_distinct(F.col("code")).as("codes_used"),
+          F.expr("round(avg(dist), 6)").as("mse"))
+      base.unpersist(blocking = false)
+      out
     }
   )
 
@@ -821,6 +923,78 @@ object TrainQueries {
             round(symbols_after::DOUBLE / chars_before, 6) + 0
               AS compression
           FROM fin"""
+    },
+
+    "q293_filter_sweep" ->
+      """WITH d AS (SELECT n_chars,
+             len(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '')) n_toks
+           FROM documents),
+          sc AS (SELECT n_chars,
+                   round(100 * n_toks::DOUBLE / n_chars, 6) score
+                 FROM d),
+          g AS (SELECT sc.n_chars, sc.score, t
+                FROM sc, (SELECT unnest(range(10, 23, 2)) t) th)
+          SELECT CAST(t AS BIGINT) AS t,
+            CAST(sum(CASE WHEN score >= t / 100.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+            CAST(sum(CASE WHEN score >= t / 100.0 THEN n_chars
+              ELSE 0 END) AS BIGINT) AS chars_kept,
+            round(sum(CASE WHEN score >= t / 100.0 THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE), 6) + 0 AS frac_kept
+          FROM g GROUP BY 1""",
+
+    "q294_pq" -> {
+      // strict LEFT fold (list_reduce over a 0-prepended list — the
+      // duckPoly precedent) so per-row distances are bit-identical to
+      // Spark's aggregate() fold; centroid state is 8-dp per round
+      def dist(x: String, c: String): String =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, 17),
+               i -> ($x[i] - $c[i]) * ($x[i] - $c[i]))),
+             (a, b) -> a + b)"""
+      def assignSql(r: Int, cents: String): String =
+        s"""a$r AS MATERIALIZED (SELECT vec_id, s, dist, code FROM (
+             SELECT vec_id, s, dist, code, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist, code) rn
+             FROM (SELECT b.vec_id, b.s, $cents.code,
+                     ${dist("b.x", s"$cents.c")} dist
+                   FROM base b JOIN $cents ON b.s = $cents.s) u) t
+           WHERE rn = 1)"""
+      def updateSql(r: Int): String =
+        s"""u$r AS (SELECT s, code, i, round(avg(v), 8) v FROM (
+             SELECT a$r.s, a$r.code, i, x[i] v
+             FROM a$r JOIN base USING (vec_id, s),
+               (SELECT unnest(range(1, 17)) i) ii) t
+           GROUP BY 1, 2, 3),
+          c$r AS MATERIALIZED (SELECT s, code, list(v ORDER BY i) c
+           FROM u$r GROUP BY 1, 2)"""
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) emb
+           FROM embeddings),
+          base AS MATERIALIZED (SELECT vec_id, s,
+             emb[(s * 16 + 1):(s * 16 + 16)] x
+           FROM e, (SELECT unnest(range(0, 4)) s) ss),
+          sd AS MATERIALIZED (SELECT emb, row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id)
+               - 1 code
+             FROM e
+             ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+             LIMIT 4),
+          c0 AS MATERIALIZED (SELECT s, code,
+             list_transform(emb[(s * 16 + 1):(s * 16 + 16)],
+               x -> round(x, 8)) c
+           FROM sd, (SELECT unnest(range(0, 4)) s) ss),
+          ${assignSql(1, "c0")},
+          ${updateSql(1)},
+          ${assignSql(2, "c1")},
+          ${updateSql(2)},
+          ${assignSql(3, "c2")}
+          SELECT CAST(s AS BIGINT) AS subspace,
+            CAST(count(*) AS BIGINT) AS n_vecs,
+            CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+            round(avg(dist), 6) + 0 AS mse
+          FROM a3 GROUP BY 1"""
     }
   )
 }

@@ -229,6 +229,38 @@ class TrainSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - after.toDouble / before) < 1e-5)
   }
 
+  test("q293: sweep curve is monotone in the threshold") {
+    val rows = TrainQueries.queries("q293_filter_sweep")(spark, sf)
+      .orderBy("t").collect()
+    assert(rows.length == 7)
+    val total = T.load(spark, sf, "documents").count()
+    val kept = rows.map(_.getLong(1))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    val chars = rows.map(_.getLong(2))
+    assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(3) - r.getLong(1).toDouble / total) < 1e-6))
+  }
+
+  test("q294: PQ trains 4 subspace codebooks deterministically") {
+    def run() = TrainQueries.queries("q294_pq")(spark, sf)
+      .orderBy("subspace").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val a = run()
+    assert(a.length == 4)
+    val nVecs = T.load(spark, sf, "embeddings").count()
+    a.foreach { case (sub, n, codes, mse) =>
+      assert(sub >= 0 && sub <= 3)
+      assert(n == nVecs)
+      assert(codes >= 1 && codes <= 4)
+      assert(mse >= 0.0)
+    }
+    // the float-sensitive path (Lloyd argmin + 8-dp state) must be
+    // run-to-run deterministic — that is what the oracle gate relies on
+    assert(a.toSeq == run().toSeq)
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
