@@ -615,6 +615,141 @@ object TrainQueries {
           F.expr("round(avg(dist), 6)").as("mse"))
       base.unpersist(blocking = false)
       out
+    },
+
+    // Out-of-vocabulary rate per language against the global top-1000
+    // word vocabulary — the multilingual-curation metric that tells
+    // you which languages a fixed vocab shortchanges. Vocab = ONE
+    // TakeOrdered (count desc, word tie-break — deterministic rank-
+    // 1000 boundary on both engines), broadcast back as a left join;
+    // per-lang rates are exact-int divisions. The exploded token
+    // relation is pinned once (feeds vocab AND the occurrence count).
+    "q295_oov_rate" -> { (s, dir) =>
+      val tok = T.load(s, dir, "documents")
+        .select(F.col("lang"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("w"))
+        .localCheckpoint()
+      val top = tok.groupBy("w").agg(F.count(F.lit(1)).as("c"))
+        .orderBy(F.col("c").desc, F.col("w").asc)
+        .limit(1000) // TakeOrderedAndProject
+        .select(F.col("w"), F.lit(1L).as("iv"))
+      val out = tok.join(F.broadcast(top), Seq("w"), "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_tokens"),
+          F.sum(F.when(F.col("iv").isNull, 1L).otherwise(0L))
+            .as("n_oov"))
+        .select(F.col("lang"), F.col("n_tokens"), F.col("n_oov"),
+          F.expr("round(cast(n_oov as double) / n_tokens, 6)")
+            .as("oov_rate"))
+      tok.unpersist(blocking = false)
+      out
+    },
+
+    // EXACT two-sample Kolmogorov–Smirnov test — the unbinned upgrade
+    // of q112 (which buckets CDFs): D = sup|F1 − F2| taken over the
+    // distinct-value relation, where the sup comparison is the
+    // cross-multiplied INTEGER |cum1·n2 − cum2·n1| (DECIMAL(38), so
+    // the argmax has no float ties and no overflow at any scale) and
+    // the two inclusive CDFs come from two `globalPrefixSum` passes —
+    // no sort of data rows, no global window. Only the final D and
+    // the α=0.05 critical value are floats, identical op order.
+    "q296_ks_exact" -> { (s, dir) =>
+      val e = T.load(s, dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("value").as("v"),
+          F.when(F.col("event_type") === "click", 1L).otherwise(0L)
+            .as("g"))
+      val d = e.groupBy("v")
+        .agg(F.sum("g").as("n1v"),
+          F.sum(F.lit(1L) - F.col("g")).as("n2v"))
+      val p = RelOps.globalPrefixSum(
+        RelOps.globalPrefixSum(d, "n1v", "cb1", Seq(Ordering("v"))),
+        "n2v", "cb2", Seq(Ordering("v")))
+      val tot = e.agg(F.sum("g").as("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).as("n2"))
+      p.crossJoin(F.broadcast(tot))
+        .agg(F.max(F.abs(
+            (F.col("cb1") + F.col("n1v")).cast(DecimalType(38, 0))
+              * F.col("n2").cast(DecimalType(38, 0))
+            - (F.col("cb2") + F.col("n2v")).cast(DecimalType(38, 0))
+              * F.col("n1").cast(DecimalType(38, 0)))).as("dn"),
+          F.first("n1").as("n1"), F.first("n2").as("n2"))
+        .select(F.col("n1"), F.col("n2"),
+          F.expr("""round(cast(dn as double)
+            / (cast(n1 as double) * n2), 6)""").as("d"),
+          F.expr("""round(1.358 * sqrt((n1 + n2)
+            / (cast(n1 as double) * n2)), 6)""").as("d_crit"))
+        .withColumn("reject", F.col("d") > F.col("d_crit"))
+    },
+
+    // Per-segment AUC — q196's exact rank-sum AUC computed for every
+    // market segment at once: the "is the model equally good for all
+    // cohorts" fairness readout. Integer formula per group (2·Σ
+    // npos·cumneg + Σ npos·nneg over 2·np·nn); the cumulative runs
+    // over the COMPACT per-(segment, score) relation — a partitioned
+    // window whose partitions are distinct-score counts, never data
+    // rows. One fact shuffle into that relation, dims broadcast.
+    "q297_group_auc" -> { (s, dir) =>
+      val cust = T.load(s, dir, "customer")
+        .select(F.col("c_custkey"), F.col("c_mktsegment"))
+      val ev = T.load(s, dir, "events")
+        .join(F.broadcast(cust),
+          F.col("user_id") === F.col("c_custkey"))
+        .select(F.col("c_mktsegment"),
+          F.expr("cast(round(value * 100, 0) as bigint)").as("sc"),
+          F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val g = ev.groupBy("c_mktsegment", "sc")
+        .agg(F.sum("pos").as("npos"),
+          F.sum(F.lit(1L) - F.col("pos")).as("nneg"))
+      val w = Window.partitionBy("c_mktsegment").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg",
+          F.coalesce(F.sum("nneg").over(w), F.lit(0L)))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("npos").as("np"), F.sum("nneg").as("nn"),
+          F.sum(F.col("npos") * F.col("cumneg")).as("__a"),
+          F.sum(F.col("npos") * F.col("nneg")).as("__b"))
+        .select(F.col("c_mktsegment"), F.col("np"), F.col("nn"),
+          F.round((F.lit(2) * F.col("__a") + F.col("__b"))
+            .cast("double")
+            / (F.lit(2) * F.col("np") * F.col("nn")), 6).as("auc"))
+    },
+
+    // NDCG@10 of the brute-force cosine ranking against same-label
+    // relevance — the graded ranking-quality eval the retrieval stack
+    // (q45/q87/q193/q278) lacked. Ranks are q45's deterministic
+    // ordering (6-dp sim, id tie-break); DCG terms 1/log2(rank+1)
+    // are per-row deterministic; IDCG is a fixed-order fold over
+    // min(n_rel, 10) ideal positions on BOTH engines. Queries
+    // broadcast, corpus never shuffles (the q45 shape).
+    "q298_ndcg" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") < 5)
+      val knn = graft.similarity.Knn.bruteForceKnn(
+        emb, q, "vec_id", "embedding", 10)
+      val ql = q.select(F.col("vec_id").as("query_id"),
+        F.col("label").as("qlbl"))
+      val nl = emb.select(F.col("vec_id").as("neighbor_id"),
+        F.col("label").as("nlbl"))
+      val dcg = knn.join(F.broadcast(ql), "query_id").join(nl,
+          "neighbor_id")
+        .groupBy("query_id")
+        .agg(F.sum(F.expr("""case when nlbl = qlbl
+            then 1 / log2(cast(rank + 1 as double))
+            else cast(0 as double) end""")).as("dcg"))
+      val nrel = emb.select(F.col("vec_id").as("cid"),
+          F.col("label").as("nlbl"))
+        .join(F.broadcast(ql), F.col("cid") =!= F.col("query_id")
+          && F.col("nlbl") === F.col("qlbl"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as("n_rel"))
+      dcg.join(nrel, "query_id")
+        .select(F.col("query_id"), F.col("n_rel"),
+          F.expr("round(dcg, 6)").as("dcg"),
+          F.expr("""round(dcg / aggregate(
+              transform(sequence(1, cast(least(n_rel, 10) as int)),
+                r -> 1 / log2(cast(r + 1 as double))),
+              cast(0 as double), (a, v) -> a + v), 6)""").as("ndcg"))
     }
   )
 
@@ -995,6 +1130,89 @@ object TrainQueries {
             CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
             round(avg(dist), 6) + 0 AS mse
           FROM a3 GROUP BY 1"""
-    }
+    },
+
+    "q295_oov_rate" -> {
+      s"""WITH tok AS MATERIALIZED (SELECT lang, unnest($duckToks) w
+           FROM documents),
+          top AS MATERIALIZED (SELECT w FROM (
+              SELECT w, count(*) c FROM tok GROUP BY 1)
+            ORDER BY c DESC, w LIMIT 1000)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov,
+            round(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+              / count(*), 6) + 0 AS oov_rate
+          FROM tok LEFT JOIN top ON tok.w = top.w
+          GROUP BY 1"""
+    },
+
+    "q296_ks_exact" ->
+      """WITH e AS MATERIALIZED (SELECT value v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END g
+           FROM events WHERE event_type IN ('click', 'purchase')),
+          d AS (SELECT v, sum(g) n1v, sum(1 - g) n2v FROM e
+                GROUP BY 1),
+          c AS (SELECT n1v, n2v,
+                  coalesce(sum(n1v) OVER w, 0) cb1,
+                  coalesce(sum(n2v) OVER w, 0) cb2
+                FROM d WINDOW w AS (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          tot AS (SELECT CAST(sum(g) AS BIGINT) n1,
+                    CAST(count(*) - sum(g) AS BIGINT) n2 FROM e),
+          m AS (SELECT max(abs((cb1 + n1v) * n2 - (cb2 + n2v) * n1))
+                  dn, any_value(n1) n1, any_value(n2) n2
+                FROM c CROSS JOIN tot)
+          SELECT n1, n2, d, d_crit, d > d_crit AS reject
+          FROM (SELECT n1, n2,
+                  round(dn::DOUBLE / (n1::DOUBLE * n2), 6) + 0 AS d,
+                  round(1.358 * sqrt((n1 + n2)
+                    / (n1::DOUBLE * n2)), 6) + 0 AS d_crit
+                FROM m) t""",
+
+    "q297_group_auc" ->
+      """WITH ev AS MATERIALIZED (SELECT c_mktsegment,
+             CAST(round(value * 100, 0) AS BIGINT) sc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
+           FROM events JOIN customer ON user_id = c_custkey),
+          g AS (SELECT c_mktsegment, sc, sum(pos) npos,
+                  sum(1 - pos) nneg
+                FROM ev GROUP BY 1, 2),
+          c AS (SELECT c_mktsegment, npos, nneg,
+                  coalesce(sum(nneg) OVER (PARTITION BY c_mktsegment
+                    ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) cumneg
+                FROM g)
+          SELECT c_mktsegment, CAST(sum(npos) AS BIGINT) AS np,
+            CAST(sum(nneg) AS BIGINT) AS nn,
+            round((2 * sum(npos * cumneg)
+              + sum(npos * nneg))::DOUBLE
+              / (2 * sum(npos) * sum(nneg)), 6) + 0 AS auc
+          FROM c GROUP BY 1""",
+
+    "q298_ndcg" ->
+      """WITH q AS MATERIALIZED (SELECT vec_id qid, embedding,
+             label qlbl FROM embeddings WHERE vec_id < 5),
+          sims AS MATERIALIZED (SELECT qid,
+             CASE WHEN c.label = qlbl THEN 1 ELSE 0 END relv,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 DESC, c.vec_id) rnk
+           FROM q JOIN embeddings c ON c.vec_id != q.qid),
+          dcg AS (SELECT qid, sum(CASE WHEN relv = 1
+                    THEN 1 / log2((rnk + 1)::DOUBLE)
+                    ELSE 0.0::DOUBLE END) dcg
+                  FROM sims WHERE rnk <= 10 GROUP BY 1),
+          nr AS (SELECT qid, CAST(count(*) AS BIGINT) n_rel
+                 FROM q JOIN embeddings c
+                   ON c.vec_id != q.qid AND c.label = q.qlbl
+                 GROUP BY 1)
+          SELECT qid AS query_id, n_rel, round(dcg, 6) + 0 AS dcg,
+            round(dcg / list_reduce(list_prepend(0.0::DOUBLE,
+              [1 / log2((r + 1)::DOUBLE)
+               for r in range(1, least(n_rel, 10) + 1)]),
+              (a, b) -> a + b), 6) + 0 AS ndcg
+          FROM dcg JOIN nr USING (qid)"""
   )
 }

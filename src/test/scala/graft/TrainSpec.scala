@@ -261,6 +261,65 @@ class TrainSpec extends SparkSpec {
     assert(a.toSeq == run().toSeq)
   }
 
+  test("q295: oov partition is exhaustive and rates are exact ratios") {
+    val rows = TrainQueries.queries("q295_oov_rate")(spark, sf)
+      .collect()
+    val total = T.load(spark, sf, "documents")
+      .select(F.explode(graft.plans.TextExpressions
+        .wordTokens(F.col("text"))).as("w")).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3)
+        - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  test("q296: exact KS statistic matches a driver-side sup|F1-F2|") {
+    val row = TrainQueries.queries("q296_ks_exact")(spark, sf)
+      .collect()(0)
+    val vals = T.load(spark, sf, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0) == "click", r.getDouble(1)))
+    val (a, b) = vals.partition(_._1)
+    val (n1, n2) = (a.length, b.length)
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    val xs = vals.map(_._2).distinct.sorted
+    val d = xs.map { x =>
+      math.abs(a.count(_._2 <= x).toDouble / n1
+        - b.count(_._2 <= x).toDouble / n2)
+    }.max
+    assert(math.abs(row.getDouble(2) - d) < 1e-5)
+    assert(row.getBoolean(4) == (row.getDouble(2) > row.getDouble(3)))
+  }
+
+  test("q297: per-segment AUC is a probability and covers all events") {
+    val rows = TrainQueries.queries("q297_group_auc")(spark, sf)
+      .collect()
+    val segs = T.load(spark, sf, "events")
+      .join(T.load(spark, sf, "customer"),
+        F.col("user_id") === F.col("c_custkey"))
+      .select("c_mktsegment").distinct().count()
+    assert(rows.length == segs)
+    val joined = T.load(spark, sf, "events")
+      .join(T.load(spark, sf, "customer"),
+        F.col("user_id") === F.col("c_custkey")).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == joined)
+    rows.foreach(r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("q298: ndcg in [0,1] with positive relevance support") {
+    val rows = TrainQueries.queries("q298_ndcg")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
