@@ -149,15 +149,25 @@ object MiningQueries {
         .select(F.col("user_id"), F.col("sec"),
           F.lit(null).cast("long").as("at"),
           F.lit(null).cast("long").as("vc"), F.lit(1).as("g"))
-      val ord = Window.partitionBy("user_id")
+      val wPrev = Window.partitionBy("user_id")
         .orderBy(F.col("sec"), F.col("g"))
-      val wPrev = ord.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      val wNext = ord.rowsBetween(Window.currentRow,
-        Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the forward carry is the SAME growing-frame last over the
+      // REVERSED sort: Spark's (CurrentRow, UnboundedFollowing) frame
+      // re-evaluates the aggregate from scratch at every row — O(n²)
+      // per partition (measured: q214 6.6–11.9 s at sf0.1) — while
+      // growing frames accumulate incrementally. Under (sec desc,
+      // g desc) the preceding-frame rows are exactly the original
+      // following-frame rows (same-sec anchors still sort OUTSIDE a
+      // grid row's frame, so an on-grid observation remains its own
+      // prev and never its own next), and last = the nearest later
+      // row — first-over-following, O(n log n) total.
+      val wNext = Window.partitionBy("user_id")
+        .orderBy(F.col("sec").desc, F.col("g").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // ONE struct-valued carry per direction (not four scalar
-      // aggregates): each ignoreNulls last/first scans its frame once,
-      // so fusing (at, vc) into a struct halves the window work — the
+      // aggregates): each ignoreNulls last scans its frame once, so
+      // fusing (at, vc) into a struct halves the window work — the
       // struct is null exactly when `at` is null (grid rows), so
       // ignoreNulls semantics are unchanged
       anchors.unionAll(grid)
@@ -166,7 +176,7 @@ object MiningQueries {
         .withColumn("__p",
           F.last("__a", ignoreNulls = true).over(wPrev))
         .withColumn("__n",
-          F.first("__a", ignoreNulls = true).over(wNext))
+          F.last("__a", ignoreNulls = true).over(wNext))
         .select(F.col("user_id"), F.col("sec"), F.col("g"),
           F.col("__p.at").as("t0"), F.col("__p.vc").as("v0"),
           F.col("__n.at").as("t1"), F.col("__n.vc").as("v1"))
