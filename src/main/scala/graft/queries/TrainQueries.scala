@@ -750,6 +750,108 @@ object TrainQueries {
               transform(sequence(1, cast(least(n_rel, 10) as int)),
                 r -> 1 / log2(cast(r + 1 as double))),
               cast(0 as double), (a, v) -> a + v), 6)""").as("ndcg"))
+    },
+
+    // t-closeness audit (Li et al. 2007) — the third leg of the
+    // privacy trilogy (q237 k-anonymity, q286 l-diversity): per QI
+    // group, the EMD between the group's ordered sensitive
+    // distribution (balance band) and the global one, EMD =
+    // Σ|prefix-mass gap| / (B−1). Every prefix gap is the
+    // cross-multiplied INTEGER |Σ n_gj·N − Σ N_j·n_g| (no float
+    // accumulation); the cumulative runs over the dense
+    // (group × band) grid — an 11-row-bounded partitioned window,
+    // never data rows. One fact shuffle into the count grid.
+    "q299_tcloseness" -> { (s, dir) =>
+      val c = T.load(s, dir, "customer")
+        .select(F.col("c_nationkey"), F.col("c_mktsegment"),
+          F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .as("band"))
+      val gb = c.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).as("ngj"))
+      val bands = c.groupBy("band").agg(F.count(F.lit(1)).as("nj"))
+      val groups = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).as("ng"))
+      val tot = c.agg(F.count(F.lit(1)).as("nn"),
+        F.count_distinct(F.col("band")).as("nb"))
+      // dense grid: every group × every observed band
+      val grid = groups.crossJoin(F.broadcast(bands))
+        .join(gb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .select(F.col("c_nationkey"), F.col("c_mktsegment"),
+          F.col("band"), F.col("ng"), F.col("nj"),
+          F.coalesce(F.col("ngj"), F.lit(0L)).as("ngj"))
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(F.broadcast(tot))
+        .withColumn("cg", F.sum("ngj").over(w))
+        .withColumn("cj", F.sum("nj").over(w))
+        // the last band's prefix gap is identically 0; summing all B
+        // prefixes equals summing the first B-1
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.first("ng").as("n_cust"),
+          F.sum(F.abs(F.col("cg").cast(DecimalType(38, 0))
+              * F.col("nn").cast(DecimalType(38, 0))
+            - F.col("cj").cast(DecimalType(38, 0))
+              * F.col("ng").cast(DecimalType(38, 0)))).as("gap"),
+          F.first("nb").as("nb"), F.first("nn").as("nn"))
+        .select(F.col("c_nationkey"), F.col("c_mktsegment"),
+          F.col("n_cust"),
+          F.expr("""round(cast(gap as double)
+            / ((nb - 1) * cast(n_cust as double) * nn), 6)""")
+            .as("emd"))
+        .withColumn("t_ok", F.col("emd") <= 0.2)
+    },
+
+    // Newman modularity of the q232 LPA communities over the same
+    // co-purchase graph — the "are these communities real" quality
+    // score: Q = Σ_c (m_c/m − (d_c/2m)²), computed as the exact
+    // integer (4m·Σm_c − Σd_c²) / 4m² (DECIMAL(38) — degree squares
+    // outgrow int64 on hub-heavy graphs). Labels come from the same
+    // deterministic 4-round propagation (max-count, min-label ties);
+    // intra-edge and degree sums are two keyed joins against the
+    // O(nodes) label relation.
+    "q300_modularity" -> { (s, dir) =>
+      val ol = T.load(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+        .distinct()
+      val edges = ol.toDF("o", "a")
+        .join(ol.toDF("o2", "b"),
+          F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+        .filter(F.col("nab") >= 2)
+        .select("a", "b")
+        .localCheckpoint() // feeds LPA + intra-count + degrees
+      val comm = graft.ops.Graph.labelPropagation(edges, rounds = 4)
+        .localCheckpoint()
+      val deg = edges.select(F.col("a").as("node"))
+        .unionAll(edges.select(F.col("b").as("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+      val dc = deg.join(comm, "node")
+        .groupBy("comm").agg(F.sum("deg").as("d_c"))
+      val mc = edges
+        .join(comm.toDF("node", "ca"), F.col("a") === F.col("node"))
+        .drop("node")
+        .join(comm.toDF("node2", "cb"), F.col("b") === F.col("node2"))
+        .filter(F.col("ca") === F.col("cb"))
+        .groupBy(F.col("ca").as("comm"))
+        .agg(F.count(F.lit(1)).as("m_c"))
+      val m = edges.agg(F.count(F.lit(1)).as("m"))
+      val sums = dc.join(mc, Seq("comm"), "left")
+        .agg(F.count(F.lit(1)).as("n_comms"),
+          F.sum(F.coalesce(F.col("m_c"), F.lit(0L))).as("smc"),
+          F.sum(F.col("d_c").cast(DecimalType(38, 0))
+            * F.col("d_c").cast(DecimalType(38, 0))).as("sdc2"))
+      val nNodes = comm.agg(F.count(F.lit(1)).as("n_nodes"))
+      val out = sums.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nNodes))
+        .select(F.col("n_comms"), F.col("n_nodes"), F.col("m"),
+          F.expr("""round((4 * cast(m as decimal(38, 0))
+              * cast(smc as decimal(38, 0)) - sdc2)
+            / (4 * cast(m as double) * m * m), 6)""")
+            .as("modularity"))
+      edges.unpersist(blocking = false)
+      comm.unpersist(blocking = false)
+      out
     }
   )
 
@@ -1213,6 +1315,70 @@ object TrainQueries {
               [1 / log2((r + 1)::DOUBLE)
                for r in range(1, least(n_rel, 10) + 1)]),
               (a, b) -> a + b), 6) + 0 AS ndcg
-          FROM dcg JOIN nr USING (qid)"""
+          FROM dcg JOIN nr USING (qid)""",
+
+    "q299_tcloseness" ->
+      """WITH c AS MATERIALIZED (SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) band
+           FROM customer),
+          gb AS (SELECT c_nationkey, c_mktsegment, band, count(*) ngj
+                 FROM c GROUP BY 1, 2, 3),
+          bands AS (SELECT band, count(*) nj FROM c GROUP BY 1),
+          grp AS (SELECT c_nationkey, c_mktsegment, count(*) ng
+                  FROM c GROUP BY 1, 2),
+          tot AS (SELECT count(*) nn, count(DISTINCT band) nb FROM c),
+          grid AS (SELECT g.c_nationkey, g.c_mktsegment, b.band,
+                     g.ng, b.nj, coalesce(gb.ngj, 0) ngj, nn, nb
+                   FROM grp g CROSS JOIN bands b CROSS JOIN tot
+                   LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+                     AND gb.c_mktsegment = g.c_mktsegment
+                     AND gb.band = b.band),
+          cum AS (SELECT c_nationkey, c_mktsegment, ng, nn, nb,
+                    sum(ngj) OVER w cg, sum(nj) OVER w cj
+                  FROM grid WINDOW w AS (
+                    PARTITION BY c_nationkey, c_mktsegment
+                    ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+          a AS (SELECT c_nationkey, c_mktsegment,
+                  any_value(ng) n_cust, any_value(nb) nb,
+                  any_value(nn) nn, sum(abs(cg * nn - cj * ng)) gap
+                FROM cum GROUP BY 1, 2)
+          SELECT c_nationkey, c_mktsegment,
+            CAST(n_cust AS BIGINT) AS n_cust, emd,
+            emd <= 0.2::DOUBLE AS t_ok
+          FROM (SELECT c_nationkey, c_mktsegment, n_cust,
+                  round(gap::DOUBLE
+                    / ((nb - 1) * n_cust::DOUBLE * nn), 6) + 0 AS emd
+                FROM a) t""",
+
+    "q300_modularity" -> {
+      // reuse q232's LPA replay verbatim — ONE source of truth for
+      // the 4-round label chain — and append the modularity rollup
+      val base = EvalQueries.oracleSql("q232_label_prop")
+      require(base.trim.endsWith("FROM l4"), "q232 oracle shape moved")
+      val ctes = base.substring(0, base.lastIndexOf("SELECT")).trim
+      s"""$ctes,
+          deg AS (SELECT node, count(*) deg FROM (
+                    SELECT a node FROM e1
+                    UNION ALL SELECT b FROM e1) x GROUP BY 1),
+          labc AS (SELECT node, lab AS comm FROM l4),
+          dc AS (SELECT comm, sum(deg) d_c
+                 FROM deg JOIN labc USING (node) GROUP BY 1),
+          mc AS (SELECT la.comm, count(*) m_c
+                 FROM e1 JOIN labc la ON e1.a = la.node
+                   JOIN labc lb ON e1.b = lb.node
+                 WHERE la.comm = lb.comm GROUP BY 1),
+          mm AS (SELECT count(*) m FROM e1),
+          sums AS (SELECT count(*) n_comms,
+                     sum(coalesce(m_c, 0)) smc, sum(d_c * d_c) sdc2
+                   FROM dc LEFT JOIN mc USING (comm)),
+          nn AS (SELECT count(*) n_nodes FROM l4)
+          SELECT CAST(n_comms AS BIGINT) AS n_comms,
+            CAST(n_nodes AS BIGINT) AS n_nodes,
+            CAST(m AS BIGINT) AS m,
+            round((4 * m * smc - sdc2)
+              / (4 * m::DOUBLE * m * m), 6) + 0 AS modularity
+          FROM sums CROSS JOIN mm CROSS JOIN nn"""
+    }
   )
 }

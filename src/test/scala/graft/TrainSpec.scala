@@ -320,6 +320,48 @@ class TrainSpec extends SparkSpec {
     }
   }
 
+  test("q299: EMD is a [0,1] distance over every QI group") {
+    val rows = TrainQueries.queries("q299_tcloseness")(spark, sf)
+      .collect()
+    val custs = T.load(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(2)).sum == custs)
+    rows.foreach { r =>
+      val emd = r.getDouble(3)
+      assert(emd >= 0.0 && emd <= 1.0)
+      assert(r.getBoolean(4) == (emd <= 0.2))
+    }
+  }
+
+  test("q300: modularity matches a driver-side exact recomputation") {
+    val row = TrainQueries.queries("q300_modularity")(spark, sf)
+      .collect()(0)
+    // rebuild the same graph + labels, compute Q directly
+    val ol = T.load(spark, sf, "lineitem")
+      .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+      .distinct()
+    val edges = ol.toDF("o", "a")
+      .join(ol.toDF("o2", "b"),
+        F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+      .filter(F.col("nab") >= 2).select("a", "b")
+    val e = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comm = graft.ops.Graph.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = e.length.toDouble
+    val deg = e.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val mc = e.count(p => comm(p._1) == comm(p._2))
+    val dc2 = comm.values.toSeq.distinct.map { c =>
+      val d = deg.collect { case (n, d) if comm(n) == c => d }.sum
+      d.toDouble * d
+    }.sum
+    val q = mc / m - dc2 / (4 * m * m)
+    assert(row.getLong(1) == comm.size)
+    assert(row.getLong(2) == e.length)
+    assert(math.abs(row.getDouble(3) - q) < 1e-5)
+    assert(row.getDouble(3) > -0.5 && row.getDouble(3) <= 1.0)
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
