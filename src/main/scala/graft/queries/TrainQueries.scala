@@ -852,6 +852,113 @@ object TrainQueries {
       edges.unpersist(blocking = false)
       comm.unpersist(blocking = false)
       out
+    },
+
+    // Difference-in-differences estimator — the causal-inference
+    // workhorse the experiment suite (Welch q123, CUPED q243, SRM
+    // q257, permutation q250) lacked: promo-part discounts vs
+    // non-promo across the 1999-01-01 policy cut, with the placebo
+    // DiD inside the pre-period (split at 1997-01-01) as the
+    // parallel-trends gate. Every cell mean is an exact
+    // hundredth-of-discount integer sum ÷ count — bit-identical
+    // doubles, no knife-edge; ONE partial-agg'd pass builds all six
+    // cells (group × period fits a 6-row relation).
+    "q301_did" -> { (s, dir) =>
+      val li = T.load(s, dir, "lineitem")
+        .join(T.load(s, dir, "part"),
+          F.col("l_partkey") === F.col("p_partkey"))
+        .select(
+          F.when(F.col("p_type").startsWith("PROMO"), 1L)
+            .otherwise(0L).as("treated"),
+          F.when(F.col("l_shipdate") >= "1999-01-01", 2L)
+            .when(F.col("l_shipdate") >= "1997-01-01", 1L)
+            .otherwise(0L).as("period"),
+          F.expr("cast(round(l_discount * 100, 0) as bigint)").as("d"))
+      val cells = li.groupBy("treated", "period")
+        .agg(F.sum("d").as("sd"), F.count(F.lit(1)).as("n"))
+        .withColumn("m", F.expr("cast(sd as double) / n"))
+        .select(F.concat(F.lit("m"), F.col("treated"),
+          F.col("period")).as("k"), F.col("m"))
+      val wide = cells.groupBy()
+        .pivot("k", Seq("m00", "m01", "m02", "m10", "m11", "m12"))
+        .agg(F.first("m"))
+      wide.select(
+          F.expr("round(m12 - m11, 6)").as("treated_delta"),
+          F.expr("round(m02 - m01, 6)").as("control_delta"),
+          F.expr("round((m12 - m11) - (m02 - m01), 6)").as("did"),
+          F.expr("round((m11 - m10) - (m01 - m00), 6)")
+            .as("placebo_did"))
+        .withColumn("trends_ok", F.abs(F.col("placebo_did")) <= 0.25)
+    },
+
+    // Two-component Gaussian mixture via EM (3 rounds) — the
+    // classic unsupervised iterative fit, run with the q285/q279
+    // discipline: each round is ONE partial-agg'd scalar pass (6
+    // responsibility-weighted moment sums), the M-step is closed-form
+    // driver arithmetic on that 1-row collect, and ALL five
+    // parameters (w, μ₁, v₁, μ₂, v₂) are rounded to 8 dp per round so
+    // the unrolled-CTE oracle iterates on identical state. The
+    // deterministic init is moment-based (μ ± σ/2, var σ², w = ½)
+    // from exact integer cent sums — no RNG. Responsibilities are
+    // per-row deterministic given the rounded params; x itself is an
+    // exact-cent division, bit-identical across engines.
+    "q302_em_mixture" -> { (s, dir) =>
+      def r8(x: Double): Double =
+        BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val d = T.load(s, dir, "events")
+        .select(F.expr("cast(round(value * 100, 0) as bigint)")
+          .as("c"))
+        .select(F.col("c"),
+          F.expr("cast(c as double) / 100").as("x"))
+        .localCheckpoint()
+      val m0 = d.agg(F.count(F.lit(1)).as("n"), F.sum("c").as("s1"),
+        F.sum(F.col("c").cast(DecimalType(38, 0))
+          * F.col("c").cast(DecimalType(38, 0))).as("s2"))
+        .collect()(0)
+      val n = m0.getLong(0)
+      val s1d = m0.getLong(1).toDouble
+      val s2d = m0.getDecimal(2).toBigInteger.doubleValue()
+      val mu = s1d / n / 100
+      val va = s2d / 10000 / n - mu * mu
+      var (w, mu1, v1, mu2, v2) = (0.5d,
+        r8(mu - math.sqrt(va) / 2), r8(va),
+        r8(mu + math.sqrt(va) / 2), r8(va))
+      def resp = d.select(F.col("x"),
+        F.expr(s"$w * exp(-(x - $mu1) * (x - $mu1) / (2 * $v1))"
+          + s" / sqrt($v1)").as("p1"),
+        F.expr(s"(1 - $w) * exp(-(x - $mu2) * (x - $mu2)"
+          + s" / (2 * $v2)) / sqrt($v2)").as("p2"))
+      for (_ <- 1 to 3) {
+        val m = resp
+          .select(F.col("x"), (F.col("p2") / (F.col("p1")
+            + F.col("p2"))).as("r2"))
+          .agg(F.sum(F.expr("1 - r2")).as("a1"),
+            F.sum(F.expr("(1 - r2) * x")).as("b1"),
+            F.sum(F.expr("(1 - r2) * x * x")).as("c1"),
+            F.sum(F.expr("r2")).as("a2"),
+            F.sum(F.expr("r2 * x")).as("b2"),
+            F.sum(F.expr("r2 * x * x")).as("c2"))
+          .collect()(0) // bounded: one 6-moment row per round
+        val (a1, b1, c1) =
+          (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+        val (a2, b2, c2) =
+          (m.getDouble(3), m.getDouble(4), m.getDouble(5))
+        w = r8(a1 / n); mu1 = r8(b1 / a1)
+        v1 = r8(c1 / a1 - (b1 / a1) * (b1 / a1))
+        mu2 = r8(b2 / a2)
+        v2 = r8(c2 / a2 - (b2 / a2) * (b2 / a2))
+      }
+      val out = resp
+        .agg(F.expr(
+          "round(avg(ln(p1 + p2)) - ln(sqrt(2 * pi())), 6)")
+          .as("avg_loglik"))
+        .select(F.lit(n).as("n"), F.lit(w).as("w1"),
+          F.lit(mu1).as("mu1"),
+          F.lit(r8(math.sqrt(v1))).as("sd1"), F.lit(mu2).as("mu2"),
+          F.lit(r8(math.sqrt(v2))).as("sd2"), F.col("avg_loglik"))
+      d.unpersist(blocking = false)
+      out
     }
   )
 
@@ -1379,6 +1486,84 @@ object TrainQueries {
             round((4 * m * smc - sdc2)
               / (4 * m::DOUBLE * m * m), 6) + 0 AS modularity
           FROM sums CROSS JOIN mm CROSS JOIN nn"""
+    },
+
+    "q301_did" ->
+      """WITH li AS MATERIALIZED (SELECT
+             CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END treated,
+             CASE WHEN l_shipdate >= DATE '1999-01-01' THEN 2
+                  WHEN l_shipdate >= DATE '1997-01-01' THEN 1
+                  ELSE 0 END period,
+             CAST(round(l_discount * 100, 0) AS BIGINT) d
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+          c AS (SELECT treated, period,
+                  sum(d)::DOUBLE / count(*) m
+                FROM li GROUP BY 1, 2),
+          w AS (SELECT
+             max(CASE WHEN treated = 0 AND period = 0 THEN m END) m00,
+             max(CASE WHEN treated = 0 AND period = 1 THEN m END) m01,
+             max(CASE WHEN treated = 0 AND period = 2 THEN m END) m02,
+             max(CASE WHEN treated = 1 AND period = 0 THEN m END) m10,
+             max(CASE WHEN treated = 1 AND period = 1 THEN m END) m11,
+             max(CASE WHEN treated = 1 AND period = 2 THEN m END) m12
+           FROM c)
+          SELECT treated_delta, control_delta, did, placebo_did,
+            abs(placebo_did) <= 0.25::DOUBLE AS trends_ok
+          FROM (SELECT round(m12 - m11, 6) + 0 AS treated_delta,
+                  round(m02 - m01, 6) + 0 AS control_delta,
+                  round((m12 - m11) - (m02 - m01), 6) + 0 AS did,
+                  round((m11 - m10) - (m01 - m00), 6) + 0
+                    AS placebo_did
+                FROM w) t""",
+
+    "q302_em_mixture" -> {
+      def emRound(r: Int): String = {
+        val prev = s"p${r - 1}"
+        s"""m$r AS MATERIALIZED (SELECT sum(1 - r2) a1,
+               sum((1 - r2) * x) b1, sum((1 - r2) * x * x) c1,
+               sum(r2) a2, sum(r2 * x) b2, sum(r2 * x * x) c2
+             FROM (SELECT x, p2 / (p1 + p2) r2 FROM (
+                SELECT x,
+                  w * exp(-(x - mu1) * (x - mu1) / (2 * v1))
+                    / sqrt(v1) p1,
+                  (1 - w) * exp(-(x - mu2) * (x - mu2) / (2 * v2))
+                    / sqrt(v2) p2
+                FROM d CROSS JOIN $prev) a) b),
+            p$r AS MATERIALIZED (SELECT round(a1 / n, 8) w,
+               round(b1 / a1, 8) mu1,
+               round(c1 / a1 - (b1 / a1) * (b1 / a1), 8) v1,
+               round(b2 / a2, 8) mu2,
+               round(c2 / a2 - (b2 / a2) * (b2 / a2), 8) v2
+             FROM m$r CROSS JOIN nn)"""
+      }
+      s"""WITH d AS MATERIALIZED (SELECT c, c::DOUBLE / 100 x FROM (
+             SELECT CAST(round(value * 100, 0) AS BIGINT) c
+             FROM events) e),
+          nn AS (SELECT count(*) n FROM d),
+          mom AS (SELECT count(*) n, sum(c) s1, sum(c * c) s2 FROM d),
+          p0 AS MATERIALIZED (SELECT 0.5::DOUBLE w,
+             round(mu - sqrt(va) / 2, 8) mu1, round(va, 8) v1,
+             round(mu + sqrt(va) / 2, 8) mu2, round(va, 8) v2
+           FROM (SELECT s1::DOUBLE / n / 100 mu,
+                   s2::DOUBLE / 10000 / n
+                     - (s1::DOUBLE / n / 100) * (s1::DOUBLE / n / 100)
+                     va
+                 FROM mom) t),
+          ${emRound(1)},
+          ${emRound(2)},
+          ${emRound(3)},
+          ll AS (SELECT round(avg(ln(p1 + p2))
+                   - ln(sqrt(2 * pi())), 6) + 0 avg_loglik
+                 FROM (SELECT
+                     w * exp(-(x - mu1) * (x - mu1) / (2 * v1))
+                       / sqrt(v1) p1,
+                     (1 - w) * exp(-(x - mu2) * (x - mu2) / (2 * v2))
+                       / sqrt(v2) p2
+                   FROM d CROSS JOIN p3) z)
+          SELECT CAST(n AS BIGINT) AS n, w + 0 AS w1, mu1 + 0 AS mu1,
+            round(sqrt(v1), 8) + 0 AS sd1, mu2 + 0 AS mu2,
+            round(sqrt(v2), 8) + 0 AS sd2, avg_loglik
+          FROM p3 CROSS JOIN nn CROSS JOIN ll"""
     }
   )
 }

@@ -362,6 +362,27 @@ class TrainSpec extends SparkSpec {
     assert(row.getDouble(3) > -0.5 && row.getDouble(3) <= 1.0)
   }
 
+  test("q301: DiD decomposes into its two deltas") {
+    val r = TrainQueries.queries("q301_did")(spark, sf).collect()(0)
+    val (td, cd, did, placebo) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(math.abs(did - (td - cd)) < 2e-6)
+    assert(r.getBoolean(4) == (math.abs(placebo) <= 0.25))
+  }
+
+  test("q302: EM fit is deterministic with sane mixture parameters") {
+    def run() = TrainQueries.queries("q302_em_mixture")(spark, sf)
+      .collect()(0)
+    val r = run()
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0) // w1
+    assert(r.getDouble(3) > 0.0 && r.getDouble(5) > 0.0) // sds
+    assert(r.getDouble(6) < 0.0) // avg loglik of a continuous density
+    // the float-heaviest path in the suite (exp responsibilities, 5
+    // params x 3 rounds of 8-dp state) must be run-to-run stable
+    val r2 = run()
+    (0 to 6).foreach(i => assert(r.get(i) == r2.get(i)))
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
