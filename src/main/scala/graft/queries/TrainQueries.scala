@@ -959,6 +959,90 @@ object TrainQueries {
           F.lit(r8(math.sqrt(v2))).as("sd2"), F.col("avg_loglik"))
       d.unpersist(blocking = false)
       out
+    },
+
+    // Per-class precision / recall / F1 of the q50 language-ID
+    // heuristic against gold labels — the multi-class classifier
+    // report card (q50 emits the raw confusion counts; q241 kappa
+    // measures agreement; this is the per-class operating view).
+    // Everything is exact-integer marginals of the ≤|classes|² count
+    // grid; precision/recall are exact-int divisions (bit-identical),
+    // F1 composes them with identical op order. One fact shuffle into
+    // the confusion grid, O(classes) state after.
+    "q303_prf_report" -> { (s, dir) =>
+      val cm = T.load(s, dir, "documents")
+        .withColumn("t", TextExpressions.wordTokens(F.col("text")))
+        .withColumn("predicted",
+          F.expr(graft.text.TextOps.langIdExpr("t")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).as("n"))
+        .localCheckpoint() // feeds 3 marginals + the accuracy scalar
+      val tp = cm.filter(F.col("lang") === F.col("predicted"))
+        .select(F.col("lang").as("cls"), F.col("n").as("tp"))
+      val byTrue = cm.groupBy(F.col("lang").as("cls"))
+        .agg(F.sum("n").as("n_true"))
+      val byPred = cm.groupBy(F.col("predicted").as("cls"))
+        .agg(F.sum("n").as("n_pred"))
+      val acc = cm.agg(F.expr(
+        """round(sum(case when lang = predicted then n else 0 end)
+           / cast(sum(n) as double), 6)""").as("accuracy"))
+      val out = byTrue.join(byPred, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left")
+        .select(F.col("cls"),
+          F.coalesce(F.col("tp"), F.lit(0L)).as("tp"),
+          (F.coalesce(F.col("n_pred"), F.lit(0L))
+            - F.coalesce(F.col("tp"), F.lit(0L))).as("fp"),
+          (F.coalesce(F.col("n_true"), F.lit(0L))
+            - F.coalesce(F.col("tp"), F.lit(0L))).as("fn"),
+          F.coalesce(F.col("n_pred"), F.lit(0L)).as("np"),
+          F.coalesce(F.col("n_true"), F.lit(0L)).as("nt"))
+        .select(F.col("cls"), F.col("tp"), F.col("fp"), F.col("fn"),
+          F.expr("""round(case when np > 0
+            then cast(tp as double) / np else 0 end, 6)""")
+            .as("precision"),
+          F.expr("""round(case when nt > 0
+            then cast(tp as double) / nt else 0 end, 6)""")
+            .as("recall"))
+        .withColumn("f1", F.expr(
+          """round(case when precision + recall > 0
+             then 2 * precision * recall / (precision + recall)
+             else 0 end, 6)"""))
+        .crossJoin(F.broadcast(acc))
+      cm.unpersist(blocking = false)
+      out
+    },
+
+    // A/B test power calculator — the pre-experiment sizing readout:
+    // per metric stream, the per-arm sample size needed to detect a
+    // 2% lift at α = 0.05 / power 0.8, n = (z_α/2 + z_β)²·2σ²/δ².
+    // σ² and the mean come from exact cent moments (integer sums →
+    // bit-identical doubles), the z constants are shared literals,
+    // and ceil lands on the identical double in both engines — a
+    // pure closed-form projection over the per-type scalar relation.
+    "q304_power_calc" -> { (s, dir) =>
+      T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(round(value * 100, 0) as bigint)").as("c"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("c").as("s1"),
+          F.sum(F.col("c").cast(DecimalType(38, 0))
+            * F.col("c").cast(DecimalType(38, 0))).as("s2"))
+        .select(F.col("event_type"), F.col("n"),
+          F.expr("round(cast(s1 as double) / n / 100, 6)").as("mean"),
+          F.expr("""round(sqrt((cast(s2 as double) / 10000
+            - (cast(s1 as double) / 100)
+              * (cast(s1 as double) / 100) / n) / (n - 1)), 6)""")
+            .as("sd"),
+          F.expr("round(0.02 * (cast(s1 as double) / n / 100), 6)")
+            .as("mde"),
+          F.expr("""cast(ceil((1.959964 + 0.841621)
+              * (1.959964 + 0.841621)
+            * 2 * ((cast(s2 as double) / 10000
+              - (cast(s1 as double) / 100)
+                * (cast(s1 as double) / 100) / n) / (n - 1))
+            / ((0.02 * (cast(s1 as double) / n / 100))
+              * (0.02 * (cast(s1 as double) / n / 100))))
+            as bigint)""").as("n_required"))
     }
   )
 
@@ -1564,6 +1648,66 @@ object TrainQueries {
             round(sqrt(v1), 8) + 0 AS sd1, mu2 + 0 AS mu2,
             round(sqrt(v2), 8) + 0 AS sd2, avg_loglik
           FROM p3 CROSS JOIN nn CROSS JOIN ll"""
-    }
+    },
+
+    "q303_prf_report" -> {
+      // reuse q50's langid replay verbatim — one source of truth for
+      // the heuristic — as a nested CTE producing (lang, predicted, n)
+      val q50 = PipelineQueries.oracleSql("q50_langid")
+      s"""WITH cm AS MATERIALIZED ($q50),
+          tpc AS (SELECT lang cls, n tpn FROM cm
+                  WHERE lang = predicted),
+          bt AS (SELECT lang cls, sum(n) n_true FROM cm GROUP BY 1),
+          bp AS (SELECT predicted cls, sum(n) n_pred FROM cm
+                 GROUP BY 1),
+          acc AS (SELECT round(sum(CASE WHEN lang = predicted
+                      THEN n ELSE 0 END)
+                    / CAST(sum(n) AS DOUBLE), 6) + 0 accuracy
+                  FROM cm),
+          j AS (SELECT coalesce(bt.cls, bp.cls) cls,
+                  coalesce(tpn, 0) tp,
+                  coalesce(n_pred, 0) - coalesce(tpn, 0) fp,
+                  coalesce(n_true, 0) - coalesce(tpn, 0) fn,
+                  coalesce(n_pred, 0) np, coalesce(n_true, 0) nt
+                FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+                  LEFT JOIN tpc
+                    ON coalesce(bt.cls, bp.cls) = tpc.cls),
+          pr AS (SELECT cls, tp, fp, fn,
+                   round(CASE WHEN np > 0 THEN tp::DOUBLE / np
+                     ELSE 0 END, 6) + 0 prec,
+                   round(CASE WHEN nt > 0 THEN tp::DOUBLE / nt
+                     ELSE 0 END, 6) + 0 rec
+                 FROM j)
+          SELECT cls, CAST(tp AS BIGINT) AS tp,
+            CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+            prec AS "precision", rec AS "recall",
+            round(CASE WHEN prec + rec > 0
+              THEN 2 * prec * rec / (prec + rec)
+              ELSE 0 END, 6) + 0 AS f1,
+            accuracy
+          FROM pr CROSS JOIN acc"""
+    },
+
+    "q304_power_calc" ->
+      """WITH m AS (SELECT event_type, count(*) n, sum(c) s1,
+             sum(c * c) s2
+           FROM (SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) c
+                 FROM events) e
+           GROUP BY 1)
+          SELECT event_type, CAST(n AS BIGINT) AS n,
+            round(s1::DOUBLE / n / 100, 6) + 0 AS mean,
+            round(sqrt((s2::DOUBLE / 10000
+              - (s1::DOUBLE / 100) * (s1::DOUBLE / 100) / n)
+              / (n - 1)), 6) + 0 AS sd,
+            round(0.02 * (s1::DOUBLE / n / 100), 6) + 0 AS mde,
+            CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+              * 2 * ((s2::DOUBLE / 10000
+                - (s1::DOUBLE / 100) * (s1::DOUBLE / 100) / n)
+                / (n - 1))
+              / ((0.02 * (s1::DOUBLE / n / 100))
+                * (0.02 * (s1::DOUBLE / n / 100)))) AS BIGINT)
+              AS n_required
+          FROM m"""
   )
 }

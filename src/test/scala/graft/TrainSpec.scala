@@ -383,6 +383,37 @@ class TrainSpec extends SparkSpec {
     (0 to 6).foreach(i => assert(r.get(i) == r2.get(i)))
   }
 
+  test("q303: PRF marginals reconcile with the q50 confusion matrix") {
+    val rows = TrainQueries.queries("q303_prf_report")(spark, sf)
+      .collect()
+    val docs = T.load(spark, sf, "documents").count()
+    // every doc is exactly one (true, pred) cell: tp+fn sums to docs
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == docs)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == docs)
+    rows.foreach { r =>
+      val (p, rec, f1) = (r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))
+      assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
+      assert(f1 <= math.max(p, rec) + 1e-9)
+      assert(r.getDouble(7) >= 0 && r.getDouble(7) <= 1) // accuracy
+    }
+  }
+
+  test("q304: power sizing follows the closed form") {
+    val rows = TrainQueries.queries("q304_power_calc")(spark, sf)
+      .collect()
+    assert(rows.length == 5) // 5 event types
+    rows.foreach { r =>
+      val (sd, mde, nReq) = (r.getDouble(3), r.getDouble(4),
+        r.getLong(5))
+      assert(sd > 0 && mde > 0 && nReq > 0)
+      // recompute from the published 6-dp sd/mde — within rounding
+      val z = 1.959964 + 0.841621
+      val expect = z * z * 2 * sd * sd / (mde * mde)
+      assert(math.abs(nReq - expect) / expect < 0.01)
+    }
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
