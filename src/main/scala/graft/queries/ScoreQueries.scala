@@ -37,8 +37,9 @@ object ScoreQueries {
     "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
 
   /** DuckDB replay of [[TextExpressions.polyHash62]] over a string
-    * expression (the q42 fold: two 31-bit BIGINT folds, packed). */
-  private def duckPoly(expr: String): String =
+    * expression (the q42 fold: two 31-bit BIGINT folds, packed).
+    * Shared with TrainQueries' q305 bloom-FPR audit. */
+  private[queries] def duckPoly(expr: String): String =
     s"""(list_reduce(list_prepend(0::BIGINT,
           list_transform(range(1, length($expr) + 1),
             i -> unicode(substr($expr, i::INT, 1))::BIGINT)),

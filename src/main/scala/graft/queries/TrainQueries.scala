@@ -25,6 +25,9 @@ object TrainQueries {
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
+  private val duckShingles3 =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])"
+
   /** Number of BPE merges q281 learns. Unrolled in the oracle, so the
     * two constants must move together. */
   private[graft] val BpeMerges = 4
@@ -1043,6 +1046,105 @@ object TrainQueries {
             / ((0.02 * (cast(s1 as double) / n / 100))
               * (0.02 * (cast(s1 as double) / n / 100))))
             as bigint)""").as("n_required"))
+    },
+
+    // Bloom-filter false-positive-rate audit — the sizing validation
+    // run before anyone trusts a q106-style decontam gate: insert the
+    // benchmark split's distinct shingles into a k=3-probe, m=1024-bit
+    // filter, probe every CLEAN distinct shingle, and compare the
+    // measured FPR against the textbook (1 − e^{−kn/m})^k. The probe
+    // family is the REPLAYABLE q266 arithmetic (polyHash62 % P with
+    // affine (a_i·h0 + b_i) % P remixes — plain BIGINT math DuckDB
+    // replays; xxhash64, the production Bloom.scala family, is not
+    // SQL-replayable, which is exactly why this audit uses the
+    // portable twin). Relational shape: the bit array IS the ≤m-row
+    // distinct-position relation (broadcast); a probe is a positions
+    // explode + semi-count == k — no bit ops needed for the audit,
+    // same set semantics.
+    "q305_bloom_fpr" -> { (s, dir) =>
+      val P = 2147483647L; val m = 1024; val k = 3
+      val a0 = 2654435761L % P
+      def posExpr(h0: String) =
+        s"""transform(sequence(1, $k),
+            i -> cast(pmod(pmod($a0 * (i + 1), $P) * $h0
+                   + 40503 * (i + 1), $P) % $m as int))"""
+      val sh = T.load(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.explode(TextExpressions.wordShingles(F.col("text"), 3))
+            .as("sh"))
+        .localCheckpoint() // feeds the insert side AND the probe side
+      val benchSh = sh.filter(F.col("doc_id") % 97 === 0)
+        .select("sh").distinct()
+      val bits = benchSh
+        // polyHash62 is nonnegative, so % P == pmod here
+        .select((TextExpressions.polyHash62(F.col("sh")) % P).as("h0"))
+        .select(F.explode(F.expr(posExpr("h0"))).as("p")).distinct()
+        .localCheckpoint() // the "bit array": ≤ m rows
+      val nIns = benchSh.agg(F.count(F.lit(1)).as("n_inserted"))
+      val nBits = bits.agg(F.count(F.lit(1)).as("bits_set"))
+      val probes = sh.filter(F.col("doc_id") % 97 =!= 0)
+        .select("sh").distinct()
+        .join(benchSh, Seq("sh"), "left_anti") // truly-clean probes
+        .select(F.col("sh"),
+          (TextExpressions.polyHash62(F.col("sh")) % P).as("h0"))
+      val fp = probes
+        .select(F.col("sh"), F.explode(F.expr(posExpr("h0"))).as("p"))
+        .join(bits, Seq("p"), "left_semi")
+        .groupBy("sh").agg(F.count(F.lit(1)).as("hits"))
+        .filter(F.col("hits") === k)
+        .agg(F.count(F.lit(1)).as("n_fp"))
+      val nProbes = probes.agg(F.count(F.lit(1)).as("n_probes"))
+      val out = nIns.crossJoin(F.broadcast(nBits))
+        .crossJoin(F.broadcast(nProbes)).crossJoin(F.broadcast(fp))
+        .select(F.col("n_inserted"), F.col("bits_set"),
+          F.col("n_probes"), F.col("n_fp"),
+          F.expr("round(cast(n_fp as double) / n_probes, 6)")
+            .as("fpr"),
+          F.expr(s"""round(pow(1 - exp(-($k
+            * cast(n_inserted as double)) / $m), $k), 6)""")
+            .as("fpr_theory"))
+        .withColumn("calibrated",
+          F.abs(F.col("fpr") - F.col("fpr_theory")) <= 0.1)
+      sh.unpersist(blocking = false)
+      bits.unpersist(blocking = false)
+      out
+    },
+
+    // Rank-biased overlap (Webber et al. 2010) between this year's
+    // and last year's top-50 revenue parts — the top-k list-drift
+    // monitor search/ranking teams run (Jaccard ignores order; RBO
+    // weights agreement toward the head, p = 0.9). Both lists are
+    // TakeOrdered 50-row relations (exact cent revenue, partkey
+    // tie-break — deterministic ranks both engines); the depth sum
+    // telescopes per common item to the tail coefficient
+    // T(max(ra, rb)) = Σ_{d≥max} p^{d-1}/d, a fixed-order fold, so
+    // RBO = (1−p)·Σ T — no d × item blow-up.
+    "q306_rbo" -> { (s, dir) =>
+      def top(year: Int) = {
+        val r = T.load(s, dir, "lineitem")
+          .filter(F.expr(s"year(l_shipdate) = $year"))
+          .groupBy("l_partkey")
+          .agg(F.sum(F.expr(
+            "cast(round(l_extendedprice * 100, 0) as bigint)"))
+            .as("rev"))
+          .orderBy(F.col("rev").desc, F.col("l_partkey").asc)
+          .limit(50)
+        RelOps.globalRowNumber(r, "rk",
+          Seq(Ordering("rev", desc = true), Ordering("l_partkey")))
+      }
+      val a = top(1998).select(F.col("l_partkey"),
+        F.col("rk").as("ra"))
+      val b = top(1999).select(F.col("l_partkey").as("pk2"),
+        F.col("rk").as("rb"))
+      a.join(b, F.col("l_partkey") === F.col("pk2"))
+        .select(F.expr("cast(greatest(ra, rb) as int)").as("d0"))
+        .agg(F.count(F.lit(1)).as("n_common"),
+          F.expr("""round(coalesce((1 - 0.9) * sum(aggregate(
+              transform(sequence(d0, 50),
+                d -> pow(0.9, d - 1) / d),
+              cast(0 as double), (acc, v) -> acc + v)), 0), 6)""")
+            .as("rbo"))
+        .select(F.lit(50L).as("k"), F.col("n_common"), F.col("rbo"))
     }
   )
 
@@ -1708,6 +1810,75 @@ object TrainQueries {
               / ((0.02 * (s1::DOUBLE / n / 100))
                 * (0.02 * (s1::DOUBLE / n / 100)))) AS BIGINT)
               AS n_required
-          FROM m"""
+          FROM m""",
+
+    "q305_bloom_fpr" -> {
+      val P = 2147483647L; val a0 = 2654435761L % P
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $duckToks t
+           FROM documents),
+          shs AS MATERIALIZED (SELECT doc_id, unnest($duckShingles3)
+             sh FROM t),
+          bsh AS MATERIALIZED (SELECT DISTINCT sh FROM shs
+             WHERE doc_id % 97 = 0),
+          bh AS (SELECT sh, (${ScoreQueries.duckPoly("sh")}) % $P h0
+                 FROM bsh),
+          bits AS MATERIALIZED (SELECT DISTINCT
+             ((($a0 * (i + 1)) % $P) * h0 + 40503 * (i + 1))
+               % $P % 1024 p
+           FROM bh, (SELECT unnest(range(1, 4)) i) ii),
+          probes AS MATERIALIZED (SELECT c.sh,
+             (${ScoreQueries.duckPoly("c.sh")}) % $P h0
+           FROM (SELECT DISTINCT sh FROM shs WHERE doc_id % 97 != 0) c
+           WHERE NOT EXISTS (SELECT 1 FROM bsh WHERE bsh.sh = c.sh)),
+          pp AS (SELECT sh,
+             ((($a0 * (i + 1)) % $P) * h0 + 40503 * (i + 1))
+               % $P % 1024 p
+           FROM probes, (SELECT unnest(range(1, 4)) i) ii),
+          fpc AS (SELECT CAST(count(*) AS BIGINT) n_fp FROM (
+             SELECT sh FROM pp
+             WHERE EXISTS (SELECT 1 FROM bits WHERE bits.p = pp.p)
+             GROUP BY sh HAVING count(*) = 3) f),
+          cnt AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM bsh) n_inserted,
+             (SELECT CAST(count(*) AS BIGINT) FROM bits) bits_set,
+             (SELECT CAST(count(*) AS BIGINT) FROM probes) n_probes)
+          SELECT n_inserted, bits_set, n_probes, n_fp, fpr,
+            fpr_theory,
+            abs(fpr - fpr_theory) <= 0.1::DOUBLE AS calibrated
+          FROM (SELECT n_inserted, bits_set, n_probes, n_fp,
+                  round(n_fp::DOUBLE / n_probes, 6) + 0 AS fpr,
+                  round(pow(1 - exp(-(3 * n_inserted::DOUBLE)
+                    / 1024), 3), 6) + 0 AS fpr_theory
+                FROM cnt CROSS JOIN fpc) z"""
+    },
+
+    "q306_rbo" ->
+      """WITH r98 AS MATERIALIZED (SELECT l_partkey, rk FROM (
+             SELECT l_partkey, row_number() OVER (
+               ORDER BY rev DESC, l_partkey) rk
+             FROM (SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100, 0)
+                       AS BIGINT)) rev
+                   FROM lineitem WHERE year(l_shipdate) = 1998
+                   GROUP BY 1) x) y
+           WHERE rk <= 50),
+          r99 AS MATERIALIZED (SELECT l_partkey, rk FROM (
+             SELECT l_partkey, row_number() OVER (
+               ORDER BY rev DESC, l_partkey) rk
+             FROM (SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100, 0)
+                       AS BIGINT)) rev
+                   FROM lineitem WHERE year(l_shipdate) = 1999
+                   GROUP BY 1) x) y
+           WHERE rk <= 50),
+          c AS (SELECT CAST(greatest(r98.rk, r99.rk) AS BIGINT) d0
+                FROM r98 JOIN r99 USING (l_partkey))
+          SELECT CAST(50 AS BIGINT) AS k,
+            CAST(count(*) AS BIGINT) AS n_common,
+            round(coalesce((1 - 0.9) * sum(list_reduce(
+              list_prepend(0.0::DOUBLE,
+                [pow(0.9, d - 1) / d for d in range(d0, 51)]),
+              (a, b) -> a + b)), 0), 6) + 0 AS rbo
+          FROM c"""
   )
 }

@@ -414,6 +414,26 @@ class TrainSpec extends SparkSpec {
     }
   }
 
+  test("q305: bloom audit counts are internally consistent") {
+    val r = TrainQueries.queries("q305_bloom_fpr")(spark, sf)
+      .collect()(0)
+    val (nIns, bits, nProbes, nFp) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))
+    assert(bits <= math.min(1024L, 3 * nIns)) // k probes per insert
+    assert(nFp <= nProbes)
+    val (fpr, theory) = (r.getDouble(4), r.getDouble(5))
+    assert(fpr >= 0.0 && fpr <= 1.0 && theory >= 0.0 && theory <= 1.0)
+    assert(r.getBoolean(6) == (math.abs(fpr - theory) <= 0.1))
+  }
+
+  test("q306: RBO is a [0,1] overlap consistent with the join") {
+    val r = TrainQueries.queries("q306_rbo")(spark, sf).collect()(0)
+    val (common, rbo) = (r.getLong(1), r.getDouble(2))
+    assert(common >= 0 && common <= 50)
+    assert(rbo >= 0.0 && rbo <= 1.0)
+    assert((rbo > 0.0) == (common > 0))
+  }
+
   test("q282: streamed semi-join decontam equals its batch twin") {
     val streamed = graft.queries.StreamQueries
       .queries("q282_stream_decontam")(spark, sf)
