@@ -26,7 +26,8 @@ object SparkEntry {
     _root_.graft.queries.FunnelQueries.queries,
     _root_.graft.queries.EvalQueries.queries,
     _root_.graft.queries.ScoreQueries.queries,
-    _root_.graft.queries.TrainQueries.queries
+    _root_.graft.queries.TrainQueries.queries,
+    _root_.graft.queries.MetricQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -43,7 +44,8 @@ object SparkEntry {
     _root_.graft.queries.FunnelQueries.oracleSql,
     _root_.graft.queries.EvalQueries.oracleSql,
     _root_.graft.queries.ScoreQueries.oracleSql,
-    _root_.graft.queries.TrainQueries.oracleSql
+    _root_.graft.queries.TrainQueries.oracleSql,
+    _root_.graft.queries.MetricQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
