@@ -239,6 +239,78 @@ object MetricQueries {
       val mrr = perq.agg(
         F.expr("round(avg(rr), 6)").as("mrr"))
       perq.crossJoin(F.broadcast(mrr)).orderBy("query_id")
+    },
+
+    // 2-D skyline (Pareto frontier): the parts no other part
+    // dominates on (price min, size max) — the "non-dominated
+    // offerings" query every procurement / config-search pipeline
+    // runs. NOT the O(n²) dominance join: prices are grouped to
+    // exact integer cents (one shuffle, output bounded by the price
+    // DOMAIN, not the row count), and the frontier condition
+    // "best size at this price strictly exceeds every cheaper
+    // price's best size" is the two-phase distributed prefix-max
+    // (`globalPrefixMax`: range partition + O(P) driver offsets —
+    // no global window, single=0). Survivors re-join the fact as a
+    // broadcast (a skyline staircase is at most one row per distinct
+    // price). Same-price rows below that price's best size are
+    // dominated (strict in size); (cents,size) ties all stay —
+    // dominance requires strictness in one coordinate, which the
+    // strict `>` against the prefix max encodes.
+    "q311_skyline" -> { (s, dir) =>
+      import graft.ops.RelOps
+      val p = T.load(s, dir, "part")
+        .select(F.col("p_partkey"), F.col("p_size"),
+          F.expr("cast(round(p_retailprice * 100, 0) as bigint)")
+            .as("price_cents"))
+      val best = p.groupBy("price_cents")
+        .agg(F.max(F.col("p_size").cast("long")).as("best_size"))
+      val sky = RelOps.globalPrefixMax(best, "best_size", "pm",
+          Seq(RelOps.Ordering("price_cents")))
+        .filter(F.col("pm").isNull || F.col("best_size") > F.col("pm"))
+        .select(F.col("price_cents").as("sk_cents"),
+          F.col("best_size").as("sk_size"))
+      p.join(F.broadcast(sky),
+          p("price_cents") === F.col("sk_cents") &&
+            p("p_size").cast("long") === F.col("sk_size"))
+        .select(p("p_partkey"), p("price_cents"), p("p_size"))
+        .orderBy("p_partkey")
+    },
+
+    // Interpolated Kneser-Ney bigram smoothing (the LM-training
+    // counterpart of q235's Stupid Backoff — KN is what production
+    // n-gram LMs actually ship): P_kn(w2|w1) = (c(w1w2) − D)/c(w1)
+    // + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··) with the standard
+    // D = 0.75 (no max(·,0) needed — observed bigrams have c ≥ 1).
+    // All four statistics are integer counts off ONE grouped bigram
+    // relation (pinned: feeds the left/right/total aggregates and
+    // the final join), so both engines derive identical doubles
+    // before the shared 6-dp round. The unigram tables are
+    // vocab-sized — joined, not broadcast (at corpus scale vocab is
+    // millions of rows; AQE may still pick a broadcast when small).
+    // Output: top-20 bigrams by count with MLE vs KN probability.
+    "q312_kneser_ney" -> { (s, dir) =>
+      val bg = T.load(s, dir, "documents")
+        .select(F.explode(F.expr(graft.text.TextOps.allShinglesExpr(
+          graft.text.TextOps.tokensExpr("text"), 2))).as("bg"))
+        .select(F.expr("split(bg, ' ')[0]").as("w1"),
+          F.expr("split(bg, ' ')[1]").as("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).as("c"))
+        .localCheckpoint() // feeds 3 aggregates + the final join
+      val left = bg.groupBy("w1").agg(F.sum("c").as("cw1"),
+        F.count(F.lit(1)).as("n1fwd"))
+      val right = bg.groupBy("w2").agg(F.count(F.lit(1)).as("n1bwd"))
+      val tot = bg.agg(F.count(F.lit(1)).as("n1tot"))
+      val out = bg.join(left, "w1").join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("w1", "w2", "c",
+          "round(cast(c as double) / cw1, 6) as p_mle",
+          """round((c - 0.75) / cw1
+             + ((0.75 * n1fwd) / cw1) * (cast(n1bwd as double) / n1tot),
+             6) as p_kn""")
+        .orderBy(F.col("c").desc, F.col("w1"), F.col("w2"))
+        .limit(20)
+      bg.unpersist(blocking = false)
+      out
     }
   )
 
@@ -381,6 +453,46 @@ object MetricQueries {
           m AS (SELECT round(avg(rr), 6) + 0 AS mrr FROM perq)
           SELECT query_id, first_rank, rr, mrr
           FROM perq CROSS JOIN m
-          ORDER BY query_id"""
+          ORDER BY query_id""",
+
+    "q311_skyline" ->
+      """WITH p AS MATERIALIZED (
+            SELECT p_partkey, p_size,
+              CAST(round(p_retailprice * 100, 0) AS BIGINT) price_cents
+            FROM part)
+          SELECT a.p_partkey, a.price_cents, a.p_size
+          FROM p a
+          WHERE NOT EXISTS (SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents
+              AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents
+                   OR b.p_size > a.p_size))
+          ORDER BY p_partkey""",
+
+    "q312_kneser_ney" ->
+      s"""WITH tk AS MATERIALIZED (
+            SELECT $duckToks t FROM documents),
+          bgs AS MATERIALIZED (
+            SELECT split_part(bg, ' ', 1) w1, split_part(bg, ' ', 2) w2,
+              CAST(count(*) AS BIGINT) c
+            FROM (SELECT unnest(
+              [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) bg
+              FROM tk) g
+            GROUP BY 1, 2),
+          lft AS (SELECT w1, CAST(sum(c) AS BIGINT) cw1,
+                    CAST(count(*) AS BIGINT) n1fwd
+                  FROM bgs GROUP BY 1),
+          rgt AS (SELECT w2, CAST(count(*) AS BIGINT) n1bwd
+                  FROM bgs GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) n1tot FROM bgs)
+          SELECT bgs.w1, bgs.w2, c,
+            round(c::DOUBLE / cw1, 6) + 0 AS p_mle,
+            round((c - 0.75) / cw1
+              + ((0.75 * n1fwd) / cw1) * (n1bwd::DOUBLE / n1tot), 6)
+              + 0 AS p_kn
+          FROM bgs JOIN lft USING (w1) JOIN rgt USING (w2)
+          CROSS JOIN tot
+          ORDER BY c DESC, w1, w2
+          LIMIT 20"""
   )
 }

@@ -70,4 +70,34 @@ class MetricSpec extends SparkSpec {
     }
     assert(math.abs(mrr - rows.map(_.getDouble(2)).sum / 20) < 1e-5)
   }
+
+  test("q311: skyline is a mutually non-dominated staircase") {
+    val rows = MetricQueries.queries("q311_skyline")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2))) // (price_cents, p_size)
+    assert(rows.nonEmpty)
+    // no returned point dominates another returned point
+    for (a <- rows; b <- rows if a != b)
+      assert(!(b._1 <= a._1 && b._2 >= a._2 &&
+        (b._1 < a._1 || b._2 > a._2)))
+    // staircase: distinct prices sorted ascending have strictly
+    // increasing sizes (else the cheaper point would dominate)
+    val stairs = rows.distinct.sortBy(_._1)
+    stairs.zip(stairs.tail).foreach { case ((c1, s1), (c2, s2)) =>
+      assert(c1 < c2 && s1 < s2)
+    }
+  }
+
+  test("q312: KN probabilities are valid and discount the MLE top") {
+    val rows = MetricQueries.queries("q312_kneser_ney")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (pMle, pKn) = (r.getDouble(3), r.getDouble(4))
+      assert(pMle > 0.0 && pMle <= 1.0)
+      assert(pKn > 0.0 && pKn <= 1.0)
+    }
+  }
 }
