@@ -18,6 +18,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outFile = args.headOption.getOrElse("bench.json")
+    // Prior run for the regression tripwire — read BEFORE the run
+    // overwrites outFile. A query landing >2.5x its prior committed
+    // time gets named in the "regressions" tail so a q232-style
+    // outlier surfaces at build time, not judge time.
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outFile)), "UTF-8")
+        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,13 +120,24 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Tripwire: vs the prior run of the SAME file. Sub-second queries
+    // are exempt (JVM noise dwarfs them); the threshold matches the
+    // r7 verdict's "q232 went 3.2x unnoticed" bar.
+    val regressions = results.collect {
+      case (k, v) if v >= 1.0 && prior.getOrElse(k, -1.0) > 0 &&
+        v > 2.5 * prior(k) =>
+        s""""$k":{"prev":${fmt(prior(k))},"now":${fmt(v)}}"""
+    }
+    val regJson = regressions.mkString("{", ",", "}")
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] WARN regressions vs prior $outFile: $regJson")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errJson,"regressions":$regJson,"sf":$sfNum}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()
     // print LAST (after spark.stop's log lines) so nothing but sbt's

@@ -224,6 +224,18 @@ object Dedup {
                          tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold $tauNum/$tauDen outside (0, 1]")
+    // The OUTPUT contract filters on the 3-dp-ROUNDED jac >= τ, so a
+    // pair with true jac in [τ − 0.0005, τ) must still reach the
+    // verify stage (it rounds UP to τ). Candidate pruning therefore
+    // runs at the widened rational τ' = τ − 1/2000 =
+    // (2000·num − den) / (2000·den); the exact-τ bounds would prune
+    // exactly those knife-edge pairs and diverge from the all-pairs
+    // oracle on unlucky data. Intermediates are cast to BIGINT — the
+    // widened numerators (e.g. 1998/4000 for τ = 1/2) push sz·num
+    // past int32 for million-shingle docs.
+    val pNum = 2000L * tauNum - tauDen
+    val pDen = 2000L * tauDen
+    require(pNum > 0, s"threshold $tauNum/$tauDen too small to widen")
     val base = docs.select(F.col(idCol).as("id"), F.col(shCol).as("sh"))
       .withColumn("sz", F.size(F.col("sh")))
       .filter(F.col("sz") > 0)
@@ -235,22 +247,23 @@ object Dedup {
       .withColumn("rn", F.row_number().over(
         Window.partitionBy("id").orderBy("df", "shh")))
     val prefix = ranked.filter(F.col("rn") <= F.col("sz")
-      - F.expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      - F.expr(s"(cast(sz as bigint) * $pNum + ${pDen - 1}) div $pDen")
+      + 1)
     val cands = prefix
       .select(F.col("id").as("ida"), F.col("sz").as("sza"),
         F.col("rn").as("rna"), F.col("shh"))
       .join(prefix.select(F.col("id").as("idb"), F.col("sz").as("szb"),
         F.col("rn").as("rnb"), F.col("shh")), "shh")
       .filter(F.col("ida") < F.col("idb"))
-      .filter(F.least(F.col("sza"), F.col("szb")) * tauDen >=
-        F.greatest(F.col("sza"), F.col("szb")) * tauNum)
+      .filter(F.least(F.col("sza"), F.col("szb")).cast("long") * pDen >=
+        F.greatest(F.col("sza"), F.col("szb")).cast("long") * pNum)
       // positional filter: remaining capacity at the colliding ranks
-      // must reach the pair overlap bound ⌈τ/(1+τ)·(szA+szB)⌉
+      // must reach the pair overlap bound ⌈τ'/(1+τ')·(szA+szB)⌉
       .filter(
         F.least(F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb"))
           + 1 >=
-        F.expr(s"""(($tauNum * (sza + szb)) + ${tauNum + tauDen} - 1)
-                   div ${tauNum + tauDen}"""))
+        F.expr(s"""(($pNum * cast(sza + szb as bigint))
+                    + ${pNum + pDen} - 1) div ${pNum + pDen}"""))
       .select(F.col("ida").as("id1"), F.col("idb").as("id2"))
       .distinct()
     val a = base.select(F.col("id").as("id1"), F.col("sh").as("sh1"))
@@ -294,6 +307,12 @@ object Dedup {
     val base = docs.select(F.col(idCol).as("id"), F.col(shCol).as("sh"))
       .withColumn("sz", F.size(F.col("sh")))
       .filter(F.col("sz") > 0)
+    // Same knife-edge widening as [[jaccardPairsPrefix]]: the output
+    // filter is on 3-dp-rounded cont, so pruning runs at
+    // τ' = τ − 1/2000 to keep pairs that round UP to τ.
+    val pNum = 2000L * tauNum - tauDen
+    val pDen = 2000L * tauDen
+    require(pNum > 0, s"threshold $tauNum/$tauDen too small to widen")
     val ex = base.select(F.col("id"), F.col("sz"),
         F.explode(F.col("sh")).as("shv"))
       .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
@@ -304,7 +323,8 @@ object Dedup {
     // probe side: prefix only; index side: full postings (rank kept
     // for the positional filter)
     val probe = ranked.filter(F.col("rn") <= F.col("sz")
-      - F.expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      - F.expr(s"(cast(sz as bigint) * $pNum + ${pDen - 1}) div $pDen")
+      + 1)
     val cands = probe
       .select(F.col("id").as("ida"), F.col("sz").as("sza"),
         F.col("rn").as("rna"), F.col("shh"))
@@ -315,7 +335,7 @@ object Dedup {
       .filter(
         F.least(F.col("sza") - F.col("rna"), F.col("szb") - F.col("rnb"))
           + 1 >=
-        F.expr(s"(sza * $tauNum + ${tauDen - 1}) div $tauDen"))
+        F.expr(s"(cast(sza as bigint) * $pNum + ${pDen - 1}) div $pDen"))
       .select(F.col("ida").as("inner_id"), F.col("idb").as("outer_id"))
       .distinct()
     val a = base.select(F.col("id").as("inner_id"), F.col("sh").as("sh1"))

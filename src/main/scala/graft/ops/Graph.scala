@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.GraftReleaseBridge
 
 /** Distributed graph algorithms over edge-list DataFrames.
   *
@@ -98,7 +99,7 @@ object Graph {
           .join(drop.toDF("b"), Seq("b"), "left_anti")
           .select("a", "b")
           .localCheckpoint()
-        prev.unpersist(blocking = false)
+        GraftReleaseBridge.release(prev)
         round += 1
       }
     }
@@ -159,7 +160,7 @@ object Graph {
             + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
             .as("pr"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      GraftReleaseBridge.release(prev)
     }
     pr.select(F.col("node"), F.col("pr").as("ppr"))
   }
@@ -208,11 +209,11 @@ object Graph {
           .as("m"))
         .select(F.col("dst").as("node"), (-F.col("m.nl")).as("lab"))
         .localCheckpoint()
-      if (r > 1) prev.unpersist(blocking = false)
+      if (r > 1) GraftReleaseBridge.release(prev)
     }
-    und.unpersist(blocking = false)
-    dir.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    GraftReleaseBridge.release(und)
+    GraftReleaseBridge.release(dir)
+    GraftReleaseBridge.release(nodes)
     lab.select(F.col("node"), F.col("lab").as("comm"))
   }
 
@@ -250,21 +251,21 @@ object Graph {
       live = next.count() > 0
       if (live) {
         val prevV = visited
-        frontier.unpersist(blocking = false)
+        GraftReleaseBridge.release(frontier)
         frontier = next
         visited = visited
           .unionAll(next.select(F.col("node"), F.lit(h.toLong).as("hop")))
           .localCheckpoint()
-        prevV.unpersist(blocking = false)
+        GraftReleaseBridge.release(prevV)
       } else {
-        next.unpersist(blocking = false) // dead round: nothing new found
+        GraftReleaseBridge.release(next) // dead round: nothing new found
       }
       h += 1
     }
     // release everything except the returned `visited` checkpoint —
     // the caller only needs that one (mirrors Dedup.connectedComponents)
-    e.unpersist(blocking = false)
-    frontier.unpersist(blocking = false)
+    GraftReleaseBridge.release(e)
+    GraftReleaseBridge.release(frontier)
     visited
   }
 }

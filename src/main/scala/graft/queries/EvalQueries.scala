@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.plans.TextExpressions
 import graft.sketch.CountMin
 import graft.text.TextOps
+import org.apache.spark.sql.GraftReleaseBridge
 
 /** Waves 9-17 (q231-q261): evaluation / governance / training-infra
   * operators — pairwise-preference strength fitting (the RLHF
@@ -156,9 +157,9 @@ object EvalQueries {
     }
     val out = emb.sparkSession.createDataFrame(selected)
       .toDF("step", "vec_id", "rel", "score")
-    e2.unpersist(blocking = false)
-    nv.unpersist(blocking = false)
-    rel.unpersist(blocking = false)
+    GraftReleaseBridge.release(e2)
+    GraftReleaseBridge.release(nv)
+    GraftReleaseBridge.release(rel)
     out
   }
 
@@ -199,7 +200,7 @@ object EvalQueries {
     }
     val out = emb.sparkSession.createDataFrame(selected)
       .toDF("step", "vec_id", "dmin")
-    e2.unpersist(blocking = false)
+    GraftReleaseBridge.release(e2)
     out
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.T
+import org.apache.spark.sql.GraftReleaseBridge
 
 /** Wave-33+ estimation / modeling operators: the closed-form
   * statistical fits an analytics team runs on top of the relational
@@ -75,8 +76,6 @@ object MetricQueries {
           F.expr("""round(vocab + cast(n1 as double) * (n1 - 1)
             / (2 * (n2 + 1)), 6)""").as("chao1"))
         .orderBy("r")
-      wc.unpersist(blocking = false)
-      coc.unpersist(blocking = false)
       out
     },
 
@@ -172,11 +171,16 @@ object MetricQueries {
             .as("f3"))
         .localCheckpoint() // feeds 3 u-estimates AND the pair join
       def uW(field: String) = {
+        // DECIMAL(38,0) before every product: nv*(nv-1) and N*(N-1)
+        // wrap int64 above ~3e9 rows-per-value / total rows, and
+        // Spark wraps silently where DuckDB raises — the q265/q272
+        // exact-integer discipline applies to the u-estimates too.
         val agg = c.groupBy(field).agg(F.count(F.lit(1)).as("nv"))
-          .agg(F.sum(F.expr("nv * (nv - 1)")).as("sagree"),
-            F.sum("nv").as("nn"))
+          .agg(F.sum(F.expr("cast(nv as decimal(38,0)) * (nv - 1)"))
+            .as("sagree"), F.sum("nv").as("nn"))
         agg.select(
-          F.expr("round(cast(sagree as double) / (nn * (nn - 1)), 6)")
+          F.expr("""round(cast(sagree as double) /
+            cast(cast(nn as decimal(38,0)) * (nn - 1) as double), 6)""")
             .as(s"u_$field"))
           .selectExpr(s"u_$field",
             s"round(log2(0.9 / u_$field), 6) as wa_$field",
@@ -204,7 +208,6 @@ object MetricQueries {
              as score""")
         .orderBy(F.col("score").desc, F.col("id_a"), F.col("id_b"))
         .limit(20)
-      c.unpersist(blocking = false)
       out
     },
 
@@ -309,7 +312,6 @@ object MetricQueries {
              6) as p_kn""")
         .orderBy(F.col("c").desc, F.col("w1"), F.col("w2"))
         .limit(20)
-      bg.unpersist(blocking = false)
       out
     }
   )
@@ -401,14 +403,14 @@ object MetricQueries {
              CAST(round(c_acctbal * 100, 0) AS BIGINT) % 97 f2,
              substr(c_name, length(c_name) - 1, 2) f3
            FROM customer),
-          u1 AS (SELECT round(sum(nv * (nv - 1))::DOUBLE
-                   / (sum(nv) * (sum(nv) - 1)), 6) + 0 u
+          u1 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f1) t),
-          u2 AS (SELECT round(sum(nv * (nv - 1))::DOUBLE
-                   / (sum(nv) * (sum(nv) - 1)), 6) + 0 u
+          u2 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f2) t),
-          u3 AS (SELECT round(sum(nv * (nv - 1))::DOUBLE
-                   / (sum(nv) * (sum(nv) - 1)), 6) + 0 u
+          u3 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f3) t),
           w AS (SELECT
              round(log2(0.9 / u1.u), 6) + 0 wa1,

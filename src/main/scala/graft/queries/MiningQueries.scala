@@ -6,6 +6,7 @@ import graft.T
 import graft.ops.{Graph, RelOps}
 import graft.plans.StringSimilarity
 import graft.similarity.Knn
+import org.apache.spark.sql.GraftReleaseBridge
 
 /** Wave-6: pattern-mining / outlier / linkage operators — sweep-line
   * concurrency, LOF outliers, multi-source BFS, linear-interpolation
@@ -112,7 +113,7 @@ object MiningQueries {
       val hops = Graph.bfsHops(edges, seeds, maxHops = 4)
       // bfsHops is eager (materialized checkpoint) — the edge-side
       // checkpoint is no longer needed once it returns
-      cs.unpersist(blocking = false)
+      GraftReleaseBridge.release(cs)
       hops
         .select(F.when(F.col("node") % 2 === 0,
             F.concat(F.lit("c"), (F.col("node") / 2).cast("long")))

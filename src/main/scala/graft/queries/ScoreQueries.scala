@@ -604,8 +604,11 @@ object ScoreQueries {
         val p = x / n.cast("double")
         val den = F.lit(1.0) + z * z / n
         val ctr = (p + z * z / (n * 2)) / den
+        // n promoted to double BEFORE squaring: long n*n wraps int64
+        // above ~1.5e9 stage counts (Spark wraps silently; DuckDB
+        // raises) — same promotion on the oracle side.
         val half = z * F.sqrt(p * (F.lit(1.0) - p) / n
-          + z * z / (n * n * 4)) / den
+          + z * z / (n.cast("double") * n * 4)) / den
         (F.round(p, 6), F.round(ctr - half, 6), F.round(ctr + half, 6))
       }
       val (p1, lo1, hi1) = wilson(F.col("n2"), F.col("n1"))
@@ -1024,10 +1027,10 @@ object ScoreQueries {
                   1.959964::DOUBLE z FROM s)
           SELECT stage, x, n, round(p, 6) + 0 AS p,
             round((p + z * z / (n * 2)) / (1.0 + z * z / n)
-              - z * sqrt(p * (1.0 - p) / n + z * z / (n * n * 4))
+              - z * sqrt(p * (1.0 - p) / n + z * z / (n::DOUBLE * n * 4))
                 / (1.0 + z * z / n), 6) + 0 AS lo,
             round((p + z * z / (n * 2)) / (1.0 + z * z / n)
-              + z * sqrt(p * (1.0 - p) / n + z * z / (n * n * 4))
+              + z * sqrt(p * (1.0 - p) / n + z * z / (n::DOUBLE * n * 4))
                 / (1.0 + z * z / n), 6) + 0 AS hi
           FROM w""",
 

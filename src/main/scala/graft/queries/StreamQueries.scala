@@ -382,6 +382,44 @@ object StreamQueries {
         .groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_contaminated"),
           F.sum("n_chars").as("contaminated_chars"))
+    },
+
+    // Streaming heavy-hitters — the Count-Min twin of q255/q280's
+    // sketch-reconciliation pattern, closing the one sketch family
+    // with no streaming counterpart (r7 verdict task 6). The 4×8192
+    // counter array builds IN the stream: CounterArrayAgg is mergeable
+    // partial-agg state, so each micro-batch bumps map-side counters
+    // and ships one array into the (1-row) complete-mode state store —
+    // per-batch cost is O(width·depth), independent of stream volume.
+    // The batch twin then ranks the exact top-20 users by event count
+    // and probes the streamed sketch per key; the CM contract gates —
+    // est >= true (one-sided by construction: a LOST micro-batch
+    // flips this false) and est <= true + 20·N/width (sizing bound) —
+    // are q107's, asserted TRUE by the oracle against the exact side.
+    "q314_stream_heavy_hitters" -> { (s, dir) =>
+      import graft.sketch.CountMin
+      import graft.functions.CounterArrayAgg
+      val W = 8192; val D = 4
+      val cells = eventsStream(s, dir)
+        .select(F.explode(F.expr(
+          CountMin.cellsOfHashExpr("xxhash64(user_id)", W, D))).as("__i"))
+        .agg(CounterArrayAgg.counters(F.col("__i"), W * D).as("cm"))
+      val cm = runStateful(s, cells, uniq("stream_hh"))
+      val ev = T.load(s, dir, "events")
+      val cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).as("c"))
+      val tot = ev.agg(F.count(F.lit(1)).as("__n"))
+      val top = cnt.orderBy(F.col("c").desc, F.col("user_id").asc)
+        .limit(20) // TakeOrderedAndProject
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("c").desc, F.col("user_id").asc) // 20 rows
+      top.crossJoin(F.broadcast(cm)).crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("__est", F.expr(
+          CountMin.estimateExpr("cm", "xxhash64(user_id)", W, D)))
+        .select(F.col("user_id"), F.col("c"), F.col("rank"),
+          (F.col("__est") >= F.col("c")).as("cms_ge"),
+          (F.col("__est") <= F.col("c") + F.lit(20L) * F.col("__n")
+            / F.lit(W.toLong)).as("cms_close"))
     }
   )
 
@@ -401,6 +439,17 @@ object StreamQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            TRUE AS acd_ok
          FROM events GROUP BY 1""",
+    // exact top-20 side is hash-checked; the two CM gates are
+    // engine-verified and asserted TRUE (q107's pattern)
+    "q314_stream_heavy_hitters" ->
+      """WITH cnt AS (SELECT user_id, count(*) c FROM events
+             GROUP BY 1),
+          rk AS (SELECT user_id, c,
+             row_number() OVER (ORDER BY c DESC, user_id) rank
+           FROM cnt)
+          SELECT user_id, CAST(c AS BIGINT) c, rank,
+            TRUE AS cms_ge, TRUE AS cms_close
+          FROM rk WHERE rank <= 20""",
     // the gate column is engine-verified (±5% vs the sketch); the
     // oracle hash-checks the exact side — q255's validation pattern
     "q280_stream_quantile" ->

@@ -8,6 +8,7 @@ import graft.T
 import graft.ops.RelOps
 import graft.ops.RelOps.Ordering
 import graft.plans.TextExpressions
+import org.apache.spark.sql.GraftReleaseBridge
 
 /** Wave-23+ tokenizer-training / corpus-governance operators.
   *
@@ -79,7 +80,7 @@ object TrainQueries {
       vocab = vocab.select(
         F.expr(s"replace(rep, '($pa)($pb)', '($pa$pb)')").as("rep"),
         F.col("c")).localCheckpoint()
-      prev.unpersist(blocking = false)
+      GraftReleaseBridge.release(prev)
     }
     (merges.result(), vocab)
   }
@@ -100,7 +101,7 @@ object TrainQueries {
     "q281_bpe_train" -> { (s, dir) =>
       import s.implicits._
       val (merges, vocab) = bpeTrain(s, dir)
-      vocab.unpersist(blocking = false)
+      GraftReleaseBridge.release(vocab)
       merges.toDF("merge_rank", "left_sym", "right_sym", "n")
     },
 
@@ -250,7 +251,6 @@ object TrainQueries {
             .as("logloss"))
         .select(F.lit(a).as("a"), F.lit(b).as("b"), F.col("n"),
           F.col("logloss"))
-      d.unpersist(blocking = false)
       out
     },
 
@@ -312,7 +312,6 @@ object TrainQueries {
         .orderBy(F.col("score").desc, F.col("a").asc, F.col("b").asc)
         .limit(20)
         .select("a", "b", "n_common", "score")
-      pairs.unpersist(blocking = false)
       out
     },
 
@@ -445,7 +444,6 @@ object TrainQueries {
           F.coalesce(F.col("n_majority"), F.lit(0L)).as("n_majority"),
           F.coalesce(F.col("n_weighted"), F.lit(0L)).as("n_weighted"),
           F.coalesce(F.col("n_flipped"), F.lit(0L)).as("n_flipped"))
-      maj.unpersist(blocking = false)
       res
     },
 
@@ -514,8 +512,42 @@ object TrainQueries {
           F.col("symbols_after"),
           F.expr("""round(cast(symbols_after as double)
             / chars_before, 6)""").as("compression"))
-      vocab.unpersist(blocking = false)
       out
+    },
+
+    // Corpus-level BPE tokenization (r7 verdict task 5 — closes the
+    // tokenizer loop): q281 trains the merge list, q292 applies it to
+    // the VOCABULARY; this applies it to the CORPUS and emits per-doc
+    // (n_words, n_tokens, n_chars, compression) — the numbers a
+    // packing planner (q57/q228) actually consumes. The trick that
+    // keeps it one corpus pass: BPE merging is a pure function of the
+    // word, so the post-merge vocab IS the word→token-count map —
+    // strip the parens back off `rep` to recover the word, count its
+    // segments, and join the exploded corpus against that compact
+    // relation (no broadcast hint — vocab size is corpus-dependent,
+    // AQE decides). The corpus is read once; the vocab work is q292's.
+    // Oracle: q292's unrolled merge replay, joined back to the per-doc
+    // word explosion. All counts integer-exact; compression =
+    // tokens/chars (q292's orientation), 6 dp.
+    "q313_bpe_corpus" -> { (s, dir) =>
+      val (_, vocab) = bpeTrain(s, dir)
+      val wmap = vocab.select(
+        F.expr("replace(replace(rep, '(', ''), ')', '')").as("w"),
+        F.expr(
+          "size(split(substring(rep, 2, length(rep) - 2), '[)][(]'))")
+          .cast("long").as("n_sub"))
+      T.load(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.explode(TextExpressions.wordTokens(F.col("text"))).as("w"))
+        .join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_words"),
+          F.sum("n_sub").as("n_tokens"),
+          F.sum(F.length(F.col("w")).cast("long")).as("n_chars"))
+        .select(F.col("doc_id"), F.col("n_words"), F.col("n_tokens"),
+          F.col("n_chars"),
+          F.expr("round(cast(n_tokens as double) / n_chars, 6)")
+            .as("compression"))
     },
 
     // Quality-filter operating curve — the report a curation team
@@ -553,7 +585,11 @@ object TrainQueries {
     // (2 rounds), and report per-subspace reconstruction error.
     // Deterministic end-to-end: seeds are the 4 vectors with the
     // smallest portable Knuth-mod hash (q109 arithmetic — replayable
-    // in SQL, unlike xxhash64) taken with ONE global TakeOrdered and
+    // in SQL, unlike xxhash64; vec_id reduced mod the Mersenne prime
+    // BEFORE the multiply so every intermediate stays below 2^63 —
+    // raw vec_id·2654435761 wraps int64 above ~3.47e9 ids, silently
+    // in Spark, as an error in DuckDB) taken with ONE global
+    // TakeOrdered and
     // sliced per subspace; per-round centroids are 8-dp-rounded state
     // (q279 discipline) so both engines assign against identical
     // doubles; per-row distances are fixed-order folds (no
@@ -574,12 +610,12 @@ object TrainQueries {
         .localCheckpoint() // consumed by every round + the final MSE
       val seeds = RelOps.globalRowNumber(
         T.load(s, dir, "embeddings")
-          .orderBy(F.expr("(vec_id * 2654435761) % 4294967296").asc,
+          .orderBy(F.expr("((vec_id % 2147483647) * 2654435761) % 4294967296").asc,
             F.col("vec_id").asc)
           .limit(k), // TakeOrderedAndProject: k rows
         "rn", Seq(
           Ordering("vec_id",
-            by = Some("(vec_id * 2654435761) % 4294967296")),
+            by = Some("((vec_id % 2147483647) * 2654435761) % 4294967296")),
           Ordering("vec_id")))
         .withColumn("code", F.col("rn") - 1)
         .select(F.explode(F.expr(
@@ -616,7 +652,6 @@ object TrainQueries {
         .agg(F.count(F.lit(1)).as("n_vecs"),
           F.count_distinct(F.col("code")).as("codes_used"),
           F.expr("round(avg(dist), 6)").as("mse"))
-      base.unpersist(blocking = false)
       out
     },
 
@@ -644,7 +679,6 @@ object TrainQueries {
         .select(F.col("lang"), F.col("n_tokens"), F.col("n_oov"),
           F.expr("round(cast(n_oov as double) / n_tokens, 6)")
             .as("oov_rate"))
-      tok.unpersist(blocking = false)
       out
     },
 
@@ -852,8 +886,6 @@ object TrainQueries {
               * cast(smc as decimal(38, 0)) - sdc2)
             / (4 * cast(m as double) * m * m), 6)""")
             .as("modularity"))
-      edges.unpersist(blocking = false)
-      comm.unpersist(blocking = false)
       out
     },
 
@@ -960,7 +992,6 @@ object TrainQueries {
           F.lit(mu1).as("mu1"),
           F.lit(r8(math.sqrt(v1))).as("sd1"), F.lit(mu2).as("mu2"),
           F.lit(r8(math.sqrt(v2))).as("sd2"), F.col("avg_loglik"))
-      d.unpersist(blocking = false)
       out
     },
 
@@ -1011,7 +1042,6 @@ object TrainQueries {
              then 2 * precision * recall / (precision + recall)
              else 0 end, 6)"""))
         .crossJoin(F.broadcast(acc))
-      cm.unpersist(blocking = false)
       out
     },
 
@@ -1105,8 +1135,6 @@ object TrainQueries {
             .as("fpr_theory"))
         .withColumn("calibrated",
           F.abs(F.col("fpr") - F.col("fpr_theory")) <= 0.1)
-      sh.unpersist(blocking = false)
-      bits.unpersist(blocking = false)
       out
     },
 
@@ -1455,6 +1483,29 @@ object TrainQueries {
           FROM fin"""
     },
 
+    "q313_bpe_corpus" -> {
+      val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
+      s"""WITH wc AS MATERIALIZED (SELECT w, count(*) c
+             FROM (SELECT unnest($duckToks) w FROM documents) x
+             GROUP BY 1),
+          v0 AS MATERIALIZED (
+             SELECT regexp_replace(w, '(.)', '(\\1)', 'g') rep, c
+             FROM wc),
+          $rounds,
+          wmap AS MATERIALIZED (
+             SELECT replace(replace(rep, '(', ''), ')', '') w,
+               CAST(len(string_split(rep[2:-2], ')(')) AS BIGINT) n_sub
+             FROM v$BpeMerges),
+          docw AS (SELECT doc_id, unnest($duckToks) w FROM documents)
+          SELECT doc_id, CAST(count(*) AS BIGINT) n_words,
+            CAST(sum(n_sub) AS BIGINT) n_tokens,
+            CAST(sum(length(w)) AS BIGINT) n_chars,
+            round(sum(n_sub)::DOUBLE / sum(length(w)), 6) + 0
+              AS compression
+          FROM docw JOIN wmap USING (w)
+          GROUP BY doc_id"""
+    },
+
     "q293_filter_sweep" ->
       """WITH d AS (SELECT n_chars,
              len(list_filter(regexp_split_to_array(lower(text),
@@ -1506,10 +1557,10 @@ object TrainQueries {
              emb[(s * 16 + 1):(s * 16 + 16)] x
            FROM e, (SELECT unnest(range(0, 4)) s) ss),
           sd AS MATERIALIZED (SELECT emb, row_number() OVER (
-               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id)
+               ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296, vec_id)
                - 1 code
              FROM e
-             ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+             ORDER BY ((vec_id % 2147483647) * 2654435761) % 4294967296, vec_id
              LIMIT 4),
           c0 AS MATERIALIZED (SELECT s, code,
              list_transform(emb[(s * 16 + 1):(s * 16 + 16)],

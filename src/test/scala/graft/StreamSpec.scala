@@ -168,4 +168,27 @@ class StreamSpec extends SparkSpec {
         r.getDouble(2), r.getLong(3))).toSet
     assert(got == want)
   }
+
+  test("streaming CountMin sketch satisfies both gates on the exact top-20") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.StreamQueries
+      .queries("q314_stream_heavy_hitters")(spark, dir)
+      .collect()
+    // sf0.001 has fewer than 20 users — top-20 truncates to the corpus
+    val nUsers = T.load(spark, dir, "events")
+      .select("user_id").distinct().count().toInt
+    val k = math.min(20, nUsers)
+    assert(rows.length == k)
+    assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to k))
+    // est >= true for EVERY key (one-sided CM guarantee; a dropped
+    // micro-batch would undercount and flip this false)
+    assert(rows.forall(_.getBoolean(3)), "cms_ge violated")
+    assert(rows.forall(_.getBoolean(4)), "cms_close violated")
+    // exact side equals a direct batch recount
+    val want = T.load(spark, dir, "events")
+      .groupBy("user_id").agg(F.count(F.lit(1)).as("c"))
+      .orderBy(F.col("c").desc, F.col("user_id").asc).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+  }
 }

@@ -229,6 +229,29 @@ class TrainSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - after.toDouble / before) < 1e-5)
   }
 
+  test("q313: per-doc tokenization reconciles with q292's corpus totals") {
+    val rows = TrainQueries.queries("q313_bpe_corpus")(spark, sf)
+      .collect()
+    // every doc with at least one token appears exactly once
+    val toks = T.load(spark, sf, "documents")
+      .select(F.col("doc_id"), F.explode(graft.plans.TextExpressions
+        .wordTokens(F.col("text"))).as("w"))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.length == toks.select("doc_id").distinct().count())
+    // per-doc sums roll up to q292's corpus-level totals: Σ n_chars =
+    // chars_before, Σ n_tokens = symbols_after (same merge table)
+    val q292 = TrainQueries.queries("q292_bpe_apply")(spark, sf)
+      .collect()(0)
+    assert(rows.map(_.getLong(3)).sum == q292.getLong(2))
+    assert(rows.map(_.getLong(2)).sum == q292.getLong(3))
+    // merging never inflates: chars >= tokens >= words, per doc
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(2) >= r.getLong(1))
+      assert(math.abs(r.getDouble(4)
+        - r.getLong(2).toDouble / r.getLong(3)) < 1e-5)
+    }
+  }
+
   test("q293: sweep curve is monotone in the threshold") {
     val rows = TrainQueries.queries("q293_filter_sweep")(spark, sf)
       .orderBy("t").collect()
