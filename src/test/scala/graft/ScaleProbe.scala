@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+/** One-off scaling probe (test scope, not shipped — r7 verdict stretch
+  * task 9): the SCALE.md curves stop at sf0.1, so hidden
+  * superlinearity in the slow families (graph iteration, exact kNN,
+  * prefix-filtered Jaccard) would first surface on a real cluster.
+  * This replicates each family's sf0.1 input 10× under shifted ids —
+  * the sf1-equivalent volume — and times the operator at 1× and 10×.
+  * Replication semantics per family:
+  *   - LPA: 10 disjoint graph clones (shifted node ids) — 10× edges
+  *     through the same 4 rounds.
+  *   - prefix-Jaccard: 10 identical corpus clones (shifted doc_ids) —
+  *     a deliberately dup-HEAVY corpus (every doc now has 9 exact
+  *     twins), the worst realistic load for the verify join.
+  *   - exact kNN: 10 corpus clones — every BnB cell gets 10× density,
+  *     and each query's true top-k is all clones (max tie pressure).
+  *
+  * Run: sbt "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Session.local(32, 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+
+    def timed(name: String)(body: => Long): Unit = {
+      // sweep only what the run itself pinned — the shared input
+      // checkpoints (edges/docs/emb) must survive into the next run
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[scale-probe] $name: rows=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+    }
+
+    // ---- label propagation (q232's edge pipeline) -------------------
+    val ol = T.load(spark, sf, "lineitem")
+      .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))
+      .distinct()
+    val edges = ol.toDF("o", "a")
+      .join(ol.toDF("o2", "b"),
+        F.col("o") === F.col("o2") && F.col("a") < F.col("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("nab"))
+      .filter(F.col("nab") >= 2)
+      .select("a", "b")
+      .localCheckpoint() // time the operator, not the edge build
+    def repEdges(times: Int) = (0 until times).map(i => edges.select(
+      (F.col("a") + F.lit(i.toLong * 10000000L)).as("a"),
+      (F.col("b") + F.lit(i.toLong * 10000000L)).as("b")))
+      .reduce(_ unionAll _)
+    timed("lpa 1x sf0.1") {
+      graft.ops.Graph.labelPropagation(repEdges(1), rounds = 4).count()
+    }
+    timed("lpa 10x sf0.1") {
+      graft.ops.Graph.labelPropagation(repEdges(10), rounds = 4).count()
+    }
+
+    // ---- prefix-Jaccard (q157) --------------------------------------
+    val docs = T.load(spark, sf, "documents")
+      .select(F.col("doc_id"), graft.plans.TextExpressions
+        .wordShingles(F.col("text"), 3).as("sh"))
+      .localCheckpoint()
+    def repDocs(times: Int) = (0 until times).map(i => docs.select(
+      (F.col("doc_id") + F.lit(i.toLong * 100000000L)).as("doc_id"),
+      F.col("sh"))).reduce(_ unionAll _)
+    timed("prefix-jaccard 1x sf0.1") {
+      graft.dedup.Dedup
+        .jaccardPairsPrefix(repDocs(1), "doc_id", "sh", 1, 2).count()
+    }
+    timed("prefix-jaccard 10x sf0.1 (dup-heavy)") {
+      graft.dedup.Dedup
+        .jaccardPairsPrefix(repDocs(10), "doc_id", "sh", 1, 2).count()
+    }
+
+    // ---- exact kNN branch-and-bound (q207's core) --------------------
+    val emb = T.load(spark, sf, "embeddings")
+      .select(F.col("vec_id"), F.col("embedding")).localCheckpoint()
+    def repEmb(times: Int) = (0 until times).map(i => emb.select(
+      (F.col("vec_id") + F.lit(i.toLong * 100000000L)).as("vec_id"),
+      F.col("embedding"))).reduce(_ unionAll _)
+    val qs = emb.filter(F.col("vec_id") < 50)
+    timed("exact-knn 1x sf0.1") {
+      graft.similarity.Knn
+        .exactKnnBnB(repEmb(1), qs, "vec_id", "embedding", 10).count()
+    }
+    timed("exact-knn 10x sf0.1") {
+      graft.similarity.Knn
+        .exactKnnBnB(repEmb(10), qs, "vec_id", "embedding", 10).count()
+    }
+    spark.stop()
+  }
+}

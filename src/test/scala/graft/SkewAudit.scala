@@ -39,6 +39,33 @@ object SkewAudit {
     }
     run("baseline 10x sf0.1", rep10(oi))
     run("hot-item 10x sf0.1", rep10(oi.unionAll(hot.select("ok", "pk"))))
+
+    // ---- prefix-Jaccard skew (r7 verdict stretch task 8) ----------
+    // q157/q182's AllPairs/PPJoin prefixes assume the df distribution
+    // keeps hot shingles out of probe prefixes. Adversarial input: ONE
+    // boilerplate shingle injected into 30% of all docs (the "same
+    // footer on a third of the web" case). The defense under test is
+    // the rarity order itself — df(hot) = 0.3·N puts it at the very
+    // END of every doc's rarity-ranked shingle list, while a τ = 1/2
+    // prefix covers only the first ~half, so the hot shingle must
+    // never enter the candidate join's index or probe side.
+    val docs = T.load(spark, "/root/testdata/sf0.1", "documents")
+      .select(F.col("doc_id"), graft.plans.TextExpressions
+        .wordShingles(F.col("text"), 3).as("sh"))
+    def jrun(name: String, d: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = graft.dedup.Dedup.jaccardPairsPrefix(d, "doc_id", "sh", 1, 2)
+        .count()
+      println(f"[skew-audit] $name: pairs=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    val hotDocs = docs.select(F.col("doc_id"),
+      F.when(F.col("doc_id") % 10 < 3,
+          F.array_union(F.col("sh"), F.array(F.lit("x hot footer"))))
+        .otherwise(F.col("sh")).as("sh"))
+    jrun("prefix-jaccard baseline sf0.1", docs)
+    jrun("prefix-jaccard hot-shingle-30pct sf0.1", hotDocs)
     spark.stop()
   }
 }
