@@ -69,8 +69,14 @@ object PlanAudit {
           // moves one partial-agg row per map task — O(partitions),
           // benign by construction — and is counted apart as `scalar`.
           val planLines = plan.linesIterator.toArray
+          // "ReusedExchange [...], Exchange SinglePartition" is AQE
+          // re-referencing an exchange counted at its definition site —
+          // counting the reuse line would double-book it (and misread
+          // a reused SCALAR exchange as a data funnel, since the
+          // defining HashAggregate(keys=[]) is not adjacent here).
           val singleIdx = planLines.zipWithIndex.collect {
-            case (l, i) if l.contains("Exchange SinglePartition") => i
+            case (l, i) if l.contains("Exchange SinglePartition")
+              && !l.contains("ReusedExchange") => i
           }
           val scalarAgg = singleIdx.count(i =>
             planLines.slice(i + 1, i + 4)

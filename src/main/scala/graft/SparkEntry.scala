@@ -27,7 +27,8 @@ object SparkEntry {
     _root_.graft.queries.EvalQueries.queries,
     _root_.graft.queries.ScoreQueries.queries,
     _root_.graft.queries.TrainQueries.queries,
-    _root_.graft.queries.MetricQueries.queries
+    _root_.graft.queries.MetricQueries.queries,
+    _root_.graft.queries.AuditQueries.queries
   )
   private def oracleRegistries = Seq(
     _root_.graft.queries.CoreQueries.oracleSql,
@@ -45,7 +46,8 @@ object SparkEntry {
     _root_.graft.queries.EvalQueries.oracleSql,
     _root_.graft.queries.ScoreQueries.oracleSql,
     _root_.graft.queries.TrainQueries.oracleSql,
-    _root_.graft.queries.MetricQueries.oracleSql
+    _root_.graft.queries.MetricQueries.oracleSql,
+    _root_.graft.queries.AuditQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

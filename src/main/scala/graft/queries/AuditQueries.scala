@@ -1,0 +1,849 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.T
+
+/** Wave-36+ data-auditing operators: the measurement layer a pipeline
+  * team runs ON its own pipeline — sketch reconciliation, model
+  * calibration, distribution drift, annotator agreement, resampled
+  * confidence intervals. Extends the reference's descriptive-stats
+  * spirit (/root/reference/src/dataframe.jl describe/colwise family)
+  * to the audits a 100 TB corpus actually needs before anyone trusts
+  * a dashboard number.
+  *
+  * Float policy (the repo discipline): every distributed accumulation
+  * is an EXACT integer (counts, cents, micro-units = 6-dp-rounded
+  * values × 1e6 cast to BIGINT); doubles appear only in final
+  * projections with identical operation order on both engines,
+  * rounded 6 dp. Deterministic pseudo-randomness is the replayable
+  * Knuth-mod hash family (q103/q109/q266 precedent) — never rand().
+  */
+object AuditQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HLL set-intersection reconcile — the sketch algebra a data-map
+    // service runs: |users(A) ∩ users(B)| estimated per event-type
+    // pair by inclusion-exclusion over three HLL++ sketches
+    // (|A|+|B|−|A∪B| — the only intersection a mergeable sketch
+    // affords; union = approx_count_distinct over the filtered union
+    // relation), reconciled against the exact distinct-join twin.
+    // Inclusion-exclusion compounds the ±2% HLL error, so the gate is
+    // ±15% of the SMALLER side (the standard operating envelope for
+    // sketch intersections; exact twin hash-checked, gate asserted).
+    // Scale: each sketch is one partial-agg'd scan; the exact twin is
+    // a distinct + self-join on user_id — the thing the sketch path
+    // exists to avoid, priced here once to certify it.
+    "q315_hll_overlap" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"))
+        .localCheckpoint() // feeds 3 sketch passes + the exact twin
+      val types = Seq("view", "click", "purchase")
+      val pairs = for {
+        i <- types.indices; j <- types.indices if i < j
+      } yield (types(i), types(j))
+      val perPair = pairs.map { case (a, b) =>
+        val ua = ev.filter(F.col("event_type") === a)
+        val ub = ev.filter(F.col("event_type") === b)
+        val est = ua.agg(F.approx_count_distinct("user_id", 0.02)
+            .as("na"))
+          .crossJoin(ub.agg(F.approx_count_distinct("user_id", 0.02)
+            .as("nb")))
+          .crossJoin(ua.unionAll(ub)
+            .agg(F.approx_count_distinct("user_id", 0.02).as("nu")))
+        val exact = ua.select("user_id").distinct()
+          .join(ub.select("user_id").distinct(), "user_id")
+          .agg(F.count(F.lit(1)).as("n_common"))
+        est.crossJoin(F.broadcast(exact))
+          .select(F.lit(a).as("type_a"), F.lit(b).as("type_b"),
+            F.col("n_common"),
+            (F.abs(F.col("na") + F.col("nb") - F.col("nu")
+              - F.col("n_common")).cast("double")
+              <= F.lit(0.15) * F.least(F.col("na"), F.col("nb"))
+              + F.lit(8.0)).as("hll_ok"))
+      }
+      perPair.reduce(_ unionAll _)
+    },
+
+    // Per-doc unigram surprisal — the cheapest LM-based outlier
+    // detector: cross-entropy of each doc under the corpus unigram
+    // MLE, in bits/token; the docs a fluency filter reads first (high
+    // bits/token = rare-word soup: OCR noise, tables, non-text). The
+    // q116-family trick that makes it bit-exact across engines:
+    // per-TOKEN surprisal −log2(c/N) is rounded 6 dp and scaled to an
+    // integer micro-bits value ONCE per distinct token, so the per-doc
+    // reduction is an exact BIGINT sum (no float accumulation order),
+    // and the final bits/token division runs identical doubles on
+    // both sides. Scale: one token count, one join back on the
+    // compact (token, micro) relation, one partial-agg'd per-doc sum.
+    "q316_unigram_surprisal" -> { (s, dir) =>
+      val tok = T.load(s, dir, "documents")
+        .select(F.col("doc_id"),
+          F.explode(graft.plans.TextExpressions
+            .wordTokens(F.col("text"))).as("w"))
+        .localCheckpoint() // feeds the count AND the scoring join
+      val cnt = tok.groupBy("w").agg(F.count(F.lit(1)).as("c"))
+      val n = cnt.agg(F.sum("c").as("n_total"))
+      val micro = cnt.crossJoin(F.broadcast(n))
+        .select(F.col("w"),
+          F.expr("""cast(round(-log2(cast(c as double) / n_total), 6)
+            * 1000000 as bigint)""").as("micro_bits"))
+      tok.join(micro, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_tokens"),
+          F.sum("micro_bits").as("sum_micro"))
+        .select(F.col("doc_id"), F.col("n_tokens"),
+          F.expr("""round(cast(sum_micro as double) / 1000000
+            / n_tokens, 6)""").as("bits_per_token"))
+        .orderBy(F.col("bits_per_token").desc, F.col("doc_id").asc)
+        .limit(20)
+    },
+
+    // Reliability diagram + ECE — the calibration audit behind every
+    // "is this score a probability" question (q285 FITS a calibrator;
+    // this MEASURES one). Score: p̂(purchase) = clicks/(clicks+views+1)
+    // per user — an exact rational, so the 10-bin assignment is pure
+    // integer arithmetic ((10·k) div (k+v+1): no float boundary), and
+    // the per-bin mean-confidence sum accumulates exact micro-units
+    // ((1e6·k) div (k+v+1)). Output per non-empty bin: support,
+    // mean confidence, observed purchase rate, |gap|; plus the
+    // support-weighted ECE every row repeats (1-row broadcast). At
+    // 100 TB: two partial-agg'd groupBys (user, then bin) — O(users)
+    // then O(11) state.
+    "q317_reliability_ece" -> { (s, dir) =>
+      val per = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          F.sum(F.when(F.col("event_type") === "click", 1L)
+            .otherwise(0L)).as("k"),
+          F.sum(F.when(F.col("event_type") === "view", 1L)
+            .otherwise(0L)).as("v"),
+          F.max(F.when(F.col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("y"))
+      val bins = per
+        .select(
+          F.expr("(10 * k) div (k + v + 1)").as("bin"),
+          F.expr("(1000000 * k) div (k + v + 1)").as("p_micro"),
+          F.col("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("p_micro").as("sp"), F.sum("y").as("sy"))
+      // |sp/1e6 − sy| = |sp − 1e6·sy| / 1e6: the cross-bin sum stays
+      // an exact BIGINT, immune to partial-agg accumulation order
+      val ece = bins.agg(
+        F.expr("""round(cast(sum(abs(sp - 1000000 * sy)) as double)
+          / 1000000 / sum(n), 6)""").as("ece"))
+      bins.crossJoin(F.broadcast(ece))
+        .select(F.col("bin"), F.col("n"),
+          F.expr("round(cast(sp as double) / 1000000 / n, 6)")
+            .as("mean_conf"),
+          F.expr("round(cast(sy as double) / n, 6)").as("obs_rate"),
+          F.expr("""round(abs(cast(sp as double) / 1000000 / n
+            - cast(sy as double) / n), 6)""").as("gap"),
+          F.col("ece"))
+        .orderBy("bin")
+    },
+
+    // Deterministic Poisson bootstrap — the CI method that actually
+    // scales (one pass, no resampling shuffle): each of 32 replicas
+    // weights every purchase row by a pseudo-Poisson(1) count drawn
+    // from the replayable Knuth-mod uniform of (event_id, replica)
+    // via the inverse-CDF thresholds (k ≤ 5 covers 99.9994% of the
+    // mass). Replica means are exact-integer cent sums divided once
+    // at the end; the CI is the min/median/max of the 32 6-dp-rounded
+    // replica means (every row repeats them from a broadcast
+    // triangular self-agg, not a global window). The bounded ×32
+    // fan-out is the q270/q293 explode shape — map-side only.
+    "q318_poisson_bootstrap" -> { (s, dir) =>
+      val pur = T.load(s, dir, "events")
+        .filter(F.col("event_type") === "purchase")
+        .select(F.col("event_id"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      val reps = pur.select(F.col("cents"), F.explode(F.expr(
+          """transform(sequence(0, 31), b -> struct(b as b,
+             ((event_id % 1000003) * 2654435761
+              + (b + 1) * 40503) % 1000003 as h))""")).as("r"))
+        .select(F.col("cents"), F.col("r.b").cast("long").as("replica"),
+          (F.col("r.h").cast("double") / 1000003.0).as("u"))
+        .select(F.col("cents"), F.col("replica"),
+          F.expr("""case when u < 0.367879 then 0
+                         when u < 0.735759 then 1
+                         when u < 0.919699 then 2
+                         when u < 0.981012 then 3
+                         when u < 0.996340 then 4
+                         else 5 end""").as("w"))
+        .groupBy("replica")
+        .agg(F.sum(F.expr("w * cents")).as("swc"),
+          F.sum("w").as("sw"))
+        .select(F.col("replica"),
+          F.expr("round(cast(swc as double) / sw / 100, 6)")
+            .as("boot_mean"))
+      val ci = reps.agg(
+        F.min("boot_mean").as("ci_lo"),
+        F.expr("round(percentile(boot_mean, 0.5), 6)").as("ci_med"),
+        F.max("boot_mean").as("ci_hi"))
+      val point = pur.agg(F.count(F.lit(1)).as("n"),
+        F.expr("round(cast(sum(cents) as double) / count(1) / 100, 6)")
+          .as("point_mean"))
+      reps.crossJoin(F.broadcast(ci)).crossJoin(F.broadcast(point))
+        .select(F.col("replica"), F.col("boot_mean"), F.col("n"),
+          F.col("point_mean"), F.col("ci_lo"), F.col("ci_med"),
+          F.col("ci_hi"))
+        .orderBy("replica")
+    },
+
+    // Cohen's kappa — chance-corrected agreement between the q50
+    // langid heuristic and the gold `lang` label, the number an
+    // annotation team reports instead of raw accuracy (κ discounts
+    // the agreement a majority-class guesser gets for free; compare
+    // q290's label fusion, which RESOLVES disagreement — this
+    // MEASURES it). po and pe come from exact confusion-matrix
+    // integers: po = Σ diag / N, pe = Σ row·col / N² with the
+    // products in DECIMAL(38,0) (N² wraps int64 at ~3e9 docs — the
+    // q309 discipline). One groupBy over (pred, gold) — O(labels²)
+    // state — then scalar arithmetic.
+    "q319_cohens_kappa" -> { (s, dir) =>
+      val toks = graft.text.TextOps.tokensExpr("text")
+      val cm = T.load(s, dir, "documents")
+        .select(F.col("lang").as("gold"),
+          F.expr(s"""element_at(transform(array($toks),
+            t -> ${graft.text.TextOps.langIdExpr("t")}), 1)""")
+            .as("pred"))
+        .groupBy("gold", "pred").agg(F.count(F.lit(1)).as("c"))
+        .localCheckpoint() // feeds diag, margins, and N
+      val n = cm.agg(F.sum("c").as("n"))
+      val diag = cm.filter(F.col("gold") === F.col("pred"))
+        .agg(F.sum("c").as("agree"))
+      val pe = cm.groupBy("gold").agg(F.sum("c").as("rs"))
+        .join(cm.groupBy("pred").agg(F.sum("c").as("cs")),
+          F.col("gold") === F.col("pred"))
+        .agg(F.sum(F.expr(
+          "cast(rs as decimal(38,0)) * cast(cs as decimal(38,0))"))
+          .as("spe"))
+      n.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(pe))
+        .select(F.col("n"), F.col("agree"),
+          F.expr("round(cast(agree as double) / n, 6)").as("po"),
+          F.expr("""round(cast(spe as double)
+            / (cast(n as double) * n), 6)""").as("pe"))
+        .selectExpr("n", "agree", "po", "pe",
+          "round((po - pe) / (1 - pe), 6) as kappa")
+    },
+
+    // PSI drift monitor — population stability index of the `value`
+    // distribution, first half of the time range (reference) vs
+    // second half (current), per event type: THE serving-drift gate
+    // every feature store runs nightly. Deterministic shape: the
+    // split boundary and the 10 equal-width bin edges are integer
+    // cent/epoch arithmetic from the global min/max (1-row broadcast,
+    // not a driver collect), bin membership is pure integer division,
+    // and PSI = Σ (pa−pb)·ln(pa/pb) runs on exact per-bin counts with
+    // the standard 1e-4 floor for empty bins. Verdict convention:
+    // psi < 0.1 = stable, flagged per type. Two partial-agg'd
+    // groupBys; O(types × 10) state.
+    "q320_psi_drift" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+        .localCheckpoint() // feeds bounds AND both halves
+      val bounds = ev.agg(
+        F.min("sec").as("t0"), F.max("sec").as("t1"),
+        F.min("cents").as("c0"), F.max("cents").as("c1"))
+      val binned = ev.crossJoin(F.broadcast(bounds))
+        .select(F.col("event_type"),
+          F.expr("case when sec * 2 < t0 + t1 then 0L else 1L end")
+            .as("half"),
+          F.expr("least((cents - c0) * 10 div (c1 - c0 + 1), 9)")
+            .as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum(F.expr("1 - half")).as("na"),
+          F.sum("half").as("nb"))
+      val tot = binned.groupBy("event_type")
+        .agg(F.sum("na").as("ta"), F.sum("nb").as("tb"))
+      binned.join(tot, "event_type")
+        .select(F.col("event_type"),
+          F.expr("greatest(cast(na as double) / ta, 0.0001)").as("pa"),
+          F.expr("greatest(cast(nb as double) / tb, 0.0001)").as("pb"))
+        .groupBy("event_type")
+        // per-bin terms become exact 1e-8-unit integers BEFORE the
+        // sum, so partial-agg accumulation order cannot drift the
+        // float result between engines
+        .agg(F.expr("""round(cast(sum(cast(round((pa - pb)
+          * ln(pa / pb) * 100000000) as bigint)) as double)
+          / 100000000, 6)""").as("psi"))
+        .withColumn("stable", F.col("psi") < 0.1)
+        .orderBy("event_type")
+    },
+
+    // Information-gain stump screening — the feature triage a labeling
+    // team runs before training anything: for each per-user covariate
+    // (q268's n_events / active_days / value_cents) and a fixed
+    // power-of-two threshold grid (data-independent, the q293 grid
+    // convention), the entropy gain of splitting purchase propensity.
+    // All entropies come from exact split counts; the p·log2(p) terms
+    // are guarded (0·log 0 = 0) and identically ordered on both
+    // engines, 6 dp. One user rollup, then a bounded ×21 explode —
+    // O(users) + O(grid) state, no shuffle after the rollup.
+    "q321_info_gain" -> { (s, dir) =>
+      val per = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.count_distinct(F.expr("cast(ts as date)")).as("active_days"),
+          F.sum(F.expr("""case when event_type != 'purchase'
+            then cast(round(value * 100) as bigint) else 0 end"""))
+            .as("value_cents"),
+          F.max(F.when(F.col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("y"))
+      val grid = per.select(F.col("y"), F.explode(F.expr(
+          """concat(
+             transform(sequence(1, 7), i ->
+               struct('n_events' as feature,
+                 cast(pow(2, i) as bigint) as threshold,
+                 n_events as x)),
+             transform(sequence(1, 7), i ->
+               struct('active_days' as feature,
+                 cast(pow(2, i) as bigint) as threshold,
+                 active_days as x)),
+             transform(sequence(1, 7), i ->
+               struct('value_cents' as feature,
+                 cast(pow(2, i + 7) as bigint) as threshold,
+                 value_cents as x)))""")).as("g"))
+        .select(F.col("g.feature").as("feature"),
+          F.col("g.threshold").as("threshold"),
+          (F.col("g.x") >= F.col("g.threshold")).as("hi"),
+          F.col("y"))
+        .groupBy("feature", "threshold")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum("y").as("ny"),
+          F.sum(F.when(F.col("hi"), 1L).otherwise(0L)).as("nh"),
+          F.sum(F.when(F.col("hi"), F.col("y")).otherwise(0L))
+            .as("nhy"))
+      def hTerm(p: String) =
+        s"case when $p <= 0 or $p >= 1 then 0 " +
+          s"else -($p) * log2($p) - (1 - $p) * log2(1 - $p) end"
+      grid.selectExpr("feature", "threshold", "n", "ny", "nh", "nhy",
+          "cast(ny as double) / n as p0",
+          """case when nh = 0 then 0.0
+             else cast(nhy as double) / nh end as ph""",
+          """case when n = nh then 0.0
+             else cast(ny - nhy as double) / (n - nh) end as pl""")
+        .selectExpr("feature", "threshold", "n", "nh",
+          s"""round(${hTerm("p0")}
+             - (cast(nh as double) / n) * ${hTerm("ph")}
+             - (cast(n - nh as double) / n) * ${hTerm("pl")}, 6)
+             as gain""")
+        .orderBy(F.col("gain").desc, F.col("feature").asc,
+          F.col("threshold").asc)
+    },
+
+    // Cohort retention matrix — the first table any growth/quality
+    // dashboard renders: users cohorted by first-activity week, a row
+    // per (cohort_week, age_week) with the fraction of the cohort
+    // still active. Weeks are integer epoch arithmetic
+    // (floor(epoch/604800) — no calendar ambiguity across engines),
+    // counts exact, the only float is the final ratio. Scale: one
+    // min-per-user rollup, one distinct on (user, week), one join,
+    // one groupBy — all partial-agg'd, O(weeks²) output state.
+    "q322_cohort_retention" -> { (s, dir) =>
+      val uw = T.load(s, dir, "events")
+        .select(F.col("user_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint) div 604800")
+            .as("wk"))
+        .distinct()
+        .localCheckpoint() // feeds cohorts AND activity
+      val cohort = uw.groupBy("user_id").agg(F.min("wk").as("w0"))
+      val size = cohort.groupBy("w0").agg(
+        F.count(F.lit(1)).as("cohort_n"))
+      uw.join(cohort, "user_id")
+        .groupBy(F.col("w0").as("cohort_week"),
+          (F.col("wk") - F.col("w0")).as("age_week"))
+        .agg(F.count(F.lit(1)).as("n_active"))
+        .join(size.withColumnRenamed("w0", "cohort_week"),
+          "cohort_week")
+        .select(F.col("cohort_week"), F.col("age_week"),
+          F.col("n_active"), F.col("cohort_n"),
+          F.expr("round(cast(n_active as double) / cohort_n, 6)")
+            .as("retention"))
+        .orderBy("cohort_week", "age_week")
+    },
+
+    // SCD type-2 dimension build — the lakehouse merge primitive q254
+    // (last-write-wins CDC) deliberately does NOT cover: keep EVERY
+    // historical version with a validity interval. Dimension here:
+    // per-user spend tier (cheap/mid/premium purchase-value bucket);
+    // consecutive same-tier purchases collapse into one version row
+    // (run-length encoding over the per-user event order), valid_to =
+    // the next version's valid_from, NULL while current. Per-user
+    // windows only (the natural SCD partitioning — never global);
+    // total order inside a user is (ts, event_id), so runs are
+    // deterministic. Output O(version-changes) rows.
+    "q323_scd2_dimension" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(F.col("sec"), F.col("event_id"))
+      val pur = T.load(s, dir, "events")
+        .filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          F.expr("""case when value < 50 then 'cheap'
+            when value < 200 then 'mid' else 'premium' end""")
+            .as("tier"))
+      val runs = pur
+        .withColumn("chg", F.when(F.lag("tier", 1).over(w).isNull
+          || F.lag("tier", 1).over(w) =!= F.col("tier"), 1L)
+          .otherwise(0L))
+        .withColumn("version", F.sum("chg").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy("user_id", "version", "tier")
+        .agg(F.min("sec").as("valid_from"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("version")
+      runs
+        .withColumn("valid_to", F.lead("valid_from", 1).over(wv))
+        .select(F.col("user_id"), F.col("version"), F.col("tier"),
+          F.col("valid_from"), F.col("valid_to"))
+        .orderBy("user_id", "version")
+    },
+
+    // Per-source boilerplate n-gram detection (the CCNet-style
+    // cleanup that precedes any quality scoring): report each
+    // source's top-10 3-gram shingles by document frequency, with the
+    // >= 30%-of-docs boilerplate flag (nav bars, footers, license
+    // blurbs) carried as a column — the curve stays informative even
+    // on a corpus with no shingle past the cut. Scale shape: one
+    // (source, shingle) distinct-df groupBy — partial-agg'd, stop
+    // shingles collapse map-side — then a per-SOURCE rank window
+    // (partitioned on the group key, never global).
+    "q324_boilerplate_ngrams" -> { (s, dir) =>
+      val d = T.load(s, dir, "documents")
+        .select(F.col("source"), F.col("doc_id"),
+          F.explode(graft.plans.TextExpressions
+            .wordShingles(F.col("text"), 3)).as("sh"))
+        .distinct() // df = docs containing, not occurrences
+      val df_ = d.groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).as("df"))
+      val nd = T.load(s, dir, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(F.col("df").desc, F.col("sh").asc)
+      df_.join(F.broadcast(nd), "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("source"), F.col("rank").cast("long").as("rank"),
+          F.col("sh"),
+          F.col("df"), F.col("n_docs"),
+          F.expr("round(cast(df as double) / n_docs, 6)")
+            .as("doc_frac"),
+          (F.col("df") * 10 >= F.col("n_docs") * 3).as("boilerplate"))
+        .orderBy("source", "rank")
+    },
+
+    // Youden-J optimal threshold — which cut on the q317 propensity
+    // score separates purchasers best? For 10 fixed micro-unit cuts,
+    // TPR/FPR from exact confusion integers and J = TPR − FPR; the
+    // argmax row is flagged via a 1-row broadcast (max J, smallest
+    // cut tie-break), not a global window. The threshold-picking
+    // audit between q297 (AUC: ranking quality) and q317
+    // (calibration): one user rollup + a bounded ×10 explode.
+    "q325_youden" -> { (s, dir) =>
+      val per = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          F.sum(F.when(F.col("event_type") === "click", 1L)
+            .otherwise(0L)).as("k"),
+          F.sum(F.when(F.col("event_type") === "view", 1L)
+            .otherwise(0L)).as("v"),
+          F.max(F.when(F.col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("y"))
+        .select(F.expr("(1000000 * k) div (k + v + 1)").as("p_micro"),
+          F.col("y"))
+      val curve = per.select(F.col("p_micro"), F.col("y"),
+          F.explode(F.expr("""transform(sequence(1, 10),
+            i -> cast(i * 50000 as bigint))""")).as("cut"))
+        .groupBy("cut")
+        .agg(F.sum("y").as("p"),
+          (F.count(F.lit(1)) - F.sum("y")).as("n"),
+          F.sum(F.when(F.col("p_micro") >= F.col("cut"), F.col("y"))
+            .otherwise(0L)).as("tp"),
+          F.sum(F.when(F.col("p_micro") >= F.col("cut"),
+            F.lit(1L) - F.col("y")).otherwise(0L)).as("fp"))
+        .select(F.col("cut"), F.col("tp"), F.col("fp"),
+          // a degenerate class (no positives / no negatives — the
+          // sf0.01 corpus has ALL users purchasing) defines its rate
+          // as 0 rather than erroring under ANSI division
+          F.expr("""round(case when p = 0 then 0.0
+            else cast(tp as double) / p end, 6)""").as("tpr"),
+          F.expr("""round(case when n = 0 then 0.0
+            else cast(fp as double) / n end, 6)""").as("fpr"))
+        .withColumn("j", F.expr("round(tpr - fpr, 6)"))
+      val best = curve.orderBy(F.col("j").desc, F.col("cut").asc)
+        .limit(1).select(F.col("cut").as("best_cut"))
+      curve.crossJoin(F.broadcast(best))
+        .withColumn("is_best", F.col("cut") === F.col("best_cut"))
+        .drop("best_cut")
+        .orderBy("cut")
+    },
+
+    // Source-concentration audit — HHI, Shannon entropy, and
+    // effective source count of each language's doc mix: the
+    // diversity dashboard a mixture planner (q37/q279) reads before
+    // reweighting. Exact arithmetic end-to-end: HHI = Σc²/N² keeps
+    // the numerator an exact DECIMAL(38) sum; entropy terms become
+    // 1e-8-unit integers before summing (the q320 discipline), so
+    // neither engine's accumulation order matters. One groupBy to
+    // (lang, source) counts, one to lang — O(langs × sources) state.
+    "q326_source_concentration" -> { (s, dir) =>
+      val c = T.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(F.count(F.lit(1)).as("c"))
+      val byLang = c.groupBy("lang").agg(
+        F.sum("c").as("n"),
+        F.count(F.lit(1)).as("n_sources"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).as("sc2"))
+      val ent = c.join(byLang.select("lang", "n"), "lang")
+        .select(F.col("lang"), F.expr("""cast(round(
+          -(cast(c as double) / n) * ln(cast(c as double) / n)
+          * 100000000) as bigint)""").as("t"))
+        .groupBy("lang").agg(F.sum("t").as("st"))
+      byLang.join(ent, "lang")
+        .select(F.col("lang"), F.col("n"), F.col("n_sources"),
+          F.expr("""round(cast(sc2 as double)
+            / (cast(n as double) * n), 6)""").as("hhi"),
+          F.expr("round(cast(st as double) / 100000000, 6)")
+            .as("entropy"),
+          F.expr("""round((cast(n as double) * n)
+            / cast(sc2 as double), 6)""").as("effective_sources"))
+        .orderBy("lang")
+    }
+  )
+
+  private def duckMarkerScore(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(t, x -> list_contains([$arr], x)))"
+  }
+
+  /** Same deterministic argmax CASE as TextOps.langIdExpr (q50's
+    * oracle construction), over a token-list column `t`. */
+  private def duckLangIdCase: String = {
+    val scores = graft.text.TextOps.markers.map { case (l, ws) =>
+      l -> duckMarkerScore(ws) }
+    val cases = scores.map { case (l, sc) =>
+      val geAll = scores.filter(_._1 != l)
+        .map { case (_, o) => s"($sc) >= ($o)" }.mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q323_scd2_dimension" ->
+      """WITH pur AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) sec,
+             CASE WHEN value < 50 THEN 'cheap'
+                  WHEN value < 200 THEN 'mid'
+                  ELSE 'premium' END tier
+           FROM events WHERE event_type = 'purchase'),
+          f AS (SELECT user_id, event_id, sec, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                    OR lag(tier) OVER w != tier THEN 1 ELSE 0 END chg
+           FROM pur
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+          r AS (SELECT user_id, sec, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               "version"
+           FROM f),
+          v AS (SELECT user_id, "version", tier,
+             min(sec) valid_from
+           FROM r GROUP BY 1, 2, 3)
+          SELECT user_id, CAST("version" AS BIGINT) "version", tier,
+            valid_from,
+            lead(valid_from) OVER (PARTITION BY user_id
+              ORDER BY "version") valid_to
+          FROM v
+          ORDER BY user_id, "version"""",
+
+    "q324_boilerplate_ngrams" ->
+      s"""WITH toks AS (SELECT source, doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '') t
+           FROM documents),
+          sh AS (SELECT source, doc_id, unnest(
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               for i in range(1, len(t) - 1)])) sh
+           FROM toks),
+          df AS (SELECT source, sh, count(*) df FROM sh GROUP BY 1, 2),
+          nd AS (SELECT source, count(*) n_docs FROM documents
+                 GROUP BY 1),
+          rk AS (SELECT df.source, sh, df, n_docs,
+             row_number() OVER (PARTITION BY df.source
+               ORDER BY df DESC, sh) rank
+           FROM df JOIN nd USING (source))
+          SELECT source, CAST(rank AS BIGINT) rank, sh,
+            CAST(df AS BIGINT) df, CAST(n_docs AS BIGINT) n_docs,
+            round(df::DOUBLE / n_docs, 6) + 0 AS doc_frac,
+            df * 10 >= n_docs * 3 AS boilerplate
+          FROM rk WHERE rank <= 10
+          ORDER BY source, rank""",
+
+    "q325_youden" ->
+      """WITH per AS (SELECT user_id,
+             (1000000 * sum(CASE WHEN event_type = 'click'
+                THEN 1 ELSE 0 END))
+             // (sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                + sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                + 1) p_micro,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
+           FROM events GROUP BY user_id),
+          curve AS (SELECT CAST(i * 50000 AS BIGINT) cut,
+             sum(y) p, count(*) - sum(y) n,
+             sum(CASE WHEN p_micro >= i * 50000 THEN y ELSE 0 END) tp,
+             sum(CASE WHEN p_micro >= i * 50000 THEN 1 - y ELSE 0 END)
+               fp
+           FROM per CROSS JOIN (SELECT unnest(range(1, 11)) i)
+           GROUP BY 1),
+          j AS (SELECT cut, CAST(tp AS BIGINT) tp,
+             CAST(fp AS BIGINT) fp,
+             round(CASE WHEN p = 0 THEN 0.0
+               ELSE tp::DOUBLE / p END, 6) + 0 tpr,
+             round(CASE WHEN n = 0 THEN 0.0
+               ELSE fp::DOUBLE / n END, 6) + 0 fpr,
+             round(round(CASE WHEN p = 0 THEN 0.0
+                 ELSE tp::DOUBLE / p END, 6)
+               - round(CASE WHEN n = 0 THEN 0.0
+                 ELSE fp::DOUBLE / n END, 6), 6) + 0 j
+           FROM curve),
+          b AS (SELECT cut best_cut FROM j
+                ORDER BY j DESC, cut LIMIT 1)
+          SELECT cut, tp, fp, tpr, fpr, j, cut = best_cut AS is_best
+          FROM j CROSS JOIN b
+          ORDER BY cut""",
+
+    "q326_source_concentration" ->
+      """WITH c AS (SELECT lang, source, count(*) c FROM documents
+             GROUP BY 1, 2),
+          bl AS (SELECT lang, sum(c) n, count(*) n_sources,
+             sum(c::DECIMAL(38,0) * c) sc2
+           FROM c GROUP BY 1),
+          e AS (SELECT c.lang, sum(CAST(round(
+             -(c::DOUBLE / n) * ln(c::DOUBLE / n) * 100000000)
+             AS BIGINT)) st
+           FROM c JOIN bl USING (lang) GROUP BY 1)
+          SELECT lang, CAST(n AS BIGINT) n,
+            CAST(n_sources AS BIGINT) n_sources,
+            round(sc2::DOUBLE / (n::DOUBLE * n), 6) + 0 AS hhi,
+            round(st::DOUBLE / 100000000, 6) + 0 AS entropy,
+            round((n::DOUBLE * n) / sc2::DOUBLE, 6) + 0
+              AS effective_sources
+          FROM bl JOIN e USING (lang)
+          ORDER BY lang""",
+
+    "q319_cohens_kappa" ->
+      s"""WITH toks AS (SELECT lang gold,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '') t
+           FROM documents),
+          cm AS MATERIALIZED (SELECT gold, $duckLangIdCase pred,
+             count(*) c
+           FROM toks GROUP BY 1, 2),
+          n AS (SELECT sum(c) n FROM cm),
+          d AS (SELECT coalesce(sum(c), 0) agree FROM cm
+                WHERE gold = pred),
+          pe AS (SELECT sum(rs::DECIMAL(38,0) * cs::DECIMAL(38,0)) spe
+                 FROM (SELECT gold l, sum(c) rs FROM cm GROUP BY 1) r
+                 JOIN (SELECT pred l, sum(c) cs FROM cm GROUP BY 1) cc
+                   USING (l))
+          SELECT CAST(n AS BIGINT) n, CAST(agree AS BIGINT) agree,
+            round(agree::DOUBLE / n, 6) + 0 AS po,
+            round(spe::DOUBLE / (n::DOUBLE * n), 6) + 0 AS pe,
+            round((round(agree::DOUBLE / n, 6)
+              - round(spe::DOUBLE / (n::DOUBLE * n), 6))
+              / (1 - round(spe::DOUBLE / (n::DOUBLE * n), 6)), 6) + 0
+              AS kappa
+          FROM n CROSS JOIN d CROSS JOIN pe""",
+
+    "q320_psi_drift" ->
+      """WITH ev AS MATERIALIZED (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) sec,
+             CAST(round(value * 100) AS BIGINT) cents
+           FROM events),
+          b AS (SELECT min(sec) t0, max(sec) t1, min(cents) c0,
+                  max(cents) c1 FROM ev),
+          binned AS (SELECT event_type,
+             CASE WHEN sec * 2 < t0 + t1 THEN 0 ELSE 1 END half,
+             least((cents - c0) * 10 // (c1 - c0 + 1), 9) bin
+           FROM ev CROSS JOIN b),
+          cnt AS (SELECT event_type, bin,
+             sum(1 - half) na, sum(half) nb
+           FROM binned GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(na) ta, sum(nb) tb
+                  FROM cnt GROUP BY 1),
+          p AS (SELECT cnt.event_type,
+             greatest(na::DOUBLE / ta, 0.0001) pa,
+             greatest(nb::DOUBLE / tb, 0.0001) pb
+           FROM cnt JOIN tot USING (event_type))
+          SELECT event_type,
+            round(sum(CAST(round((pa - pb) * ln(pa / pb) * 100000000)
+              AS BIGINT))::DOUBLE / 100000000, 6) + 0 AS psi,
+            round(sum(CAST(round((pa - pb) * ln(pa / pb) * 100000000)
+              AS BIGINT))::DOUBLE / 100000000, 6) + 0 < 0.1 AS stable
+          FROM p GROUP BY 1 ORDER BY 1""",
+
+    "q321_info_gain" ->
+      """WITH per AS (SELECT user_id, count(*) n_events,
+             count(DISTINCT CAST(ts AS DATE)) active_days,
+             sum(CASE WHEN event_type != 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               value_cents,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
+           FROM events GROUP BY 1),
+          grid AS (
+            SELECT 'n_events' feature,
+              CAST(pow(2, i) AS BIGINT) threshold
+            FROM (SELECT unnest(range(1, 8)) i)
+            UNION ALL
+            SELECT 'active_days', CAST(pow(2, i) AS BIGINT)
+            FROM (SELECT unnest(range(1, 8)) i)
+            UNION ALL
+            SELECT 'value_cents', CAST(pow(2, i + 7) AS BIGINT)
+            FROM (SELECT unnest(range(1, 8)) i)),
+          j AS (SELECT feature, threshold,
+             CASE feature WHEN 'n_events' THEN n_events
+               WHEN 'active_days' THEN active_days
+               ELSE value_cents END >= threshold hi, y
+           FROM per CROSS JOIN grid),
+          c AS (SELECT feature, threshold, count(*) n, sum(y) ny,
+             sum(CASE WHEN hi THEN 1 ELSE 0 END) nh,
+             sum(CASE WHEN hi THEN y ELSE 0 END) nhy
+           FROM j GROUP BY 1, 2),
+          q AS (SELECT feature, threshold, n, nh,
+             ny::DOUBLE / n p0,
+             CASE WHEN nh = 0 THEN 0.0 ELSE nhy::DOUBLE / nh END ph,
+             CASE WHEN n = nh THEN 0.0
+               ELSE (ny - nhy)::DOUBLE / (n - nh) END pl
+           FROM c)
+          SELECT feature, threshold, CAST(n AS BIGINT) n,
+            CAST(nh AS BIGINT) nh,
+            round((CASE WHEN p0 <= 0 OR p0 >= 1 THEN 0
+                ELSE -(p0) * log2(p0) - (1 - p0) * log2(1 - p0) END)
+              - (nh::DOUBLE / n)
+                * (CASE WHEN ph <= 0 OR ph >= 1 THEN 0
+                   ELSE -(ph) * log2(ph) - (1 - ph) * log2(1 - ph) END)
+              - ((n - nh)::DOUBLE / n)
+                * (CASE WHEN pl <= 0 OR pl >= 1 THEN 0
+                   ELSE -(pl) * log2(pl) - (1 - pl) * log2(1 - pl) END),
+              6) + 0 AS gain
+          FROM q
+          ORDER BY gain DESC, feature, threshold""",
+
+    "q322_cohort_retention" ->
+      """WITH uw AS MATERIALIZED (SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 wk
+           FROM events),
+          c AS (SELECT user_id, min(wk) w0 FROM uw GROUP BY 1),
+          sz AS (SELECT w0, count(*) cohort_n FROM c GROUP BY 1),
+          act AS (SELECT c.w0 cohort_week, uw.wk - c.w0 age_week,
+             count(*) n_active
+           FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+          SELECT cohort_week, age_week,
+            CAST(n_active AS BIGINT) n_active,
+            CAST(cohort_n AS BIGINT) cohort_n,
+            round(n_active::DOUBLE / cohort_n, 6) + 0 AS retention
+          FROM act JOIN sz ON sz.w0 = act.cohort_week
+          ORDER BY cohort_week, age_week""",
+
+    // exact intersections hash-checked; the sketch gate asserted TRUE
+    // (q255's reconciliation pattern)
+    "q315_hll_overlap" ->
+      """WITH pr AS (SELECT * FROM (VALUES
+             ('view', 'click'), ('view', 'purchase'),
+             ('click', 'purchase')) t(type_a, type_b)),
+          x AS (SELECT type_a, type_b,
+             (SELECT count(*) FROM
+               (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = type_a) a
+               JOIN (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = type_b) b USING (user_id))
+             n_common
+           FROM pr)
+          SELECT type_a, type_b, CAST(n_common AS BIGINT) n_common,
+            TRUE AS hll_ok
+          FROM x""",
+
+    "q316_unigram_surprisal" ->
+      """WITH tok AS MATERIALIZED (SELECT doc_id, unnest(
+             list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '')) w
+           FROM documents),
+          cnt AS (SELECT w, count(*) c FROM tok GROUP BY 1),
+          n AS (SELECT sum(c) n_total FROM cnt),
+          micro AS (SELECT w,
+             CAST(round(-log2(c::DOUBLE / n_total), 6) * 1000000
+               AS BIGINT) micro_bits
+           FROM cnt CROSS JOIN n)
+          SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+            round(CAST(sum(micro_bits) AS DOUBLE) / 1000000
+              / count(*), 6) + 0 AS bits_per_token
+          FROM tok JOIN micro USING (w)
+          GROUP BY doc_id
+          ORDER BY bits_per_token DESC, doc_id
+          LIMIT 20""",
+
+    "q317_reliability_ece" ->
+      """WITH per AS (SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) k,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
+           FROM events GROUP BY 1),
+          bins AS (SELECT (10 * k) // (k + v + 1) bin,
+             count(*) n,
+             sum((1000000 * k) // (k + v + 1)) sp,
+             sum(y) sy
+           FROM per GROUP BY 1),
+          e AS (SELECT round(sum(abs(sp - 1000000 * sy))::DOUBLE
+                  / 1000000 / sum(n), 6) + 0 ece
+                FROM bins)
+          SELECT CAST(bin AS BIGINT) bin, CAST(n AS BIGINT) n,
+            round(sp::DOUBLE / 1000000 / n, 6) + 0 AS mean_conf,
+            round(sy::DOUBLE / n, 6) + 0 AS obs_rate,
+            round(abs(sp::DOUBLE / 1000000 / n - sy::DOUBLE / n), 6)
+              + 0 AS gap,
+            ece
+          FROM bins CROSS JOIN e
+          ORDER BY bin""",
+
+    "q318_poisson_bootstrap" ->
+      """WITH pur AS (SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) cents
+           FROM events WHERE event_type = 'purchase'),
+          reps AS (SELECT cents, b AS "replica",
+             (((event_id % 1000003) * 2654435761
+               + (b + 1) * 40503) % 1000003)::DOUBLE / 1000003.0 u
+           FROM pur CROSS JOIN (SELECT unnest(range(0, 32)) b)),
+          w AS (SELECT "replica", cents,
+             CASE WHEN u < 0.367879 THEN 0
+                  WHEN u < 0.735759 THEN 1
+                  WHEN u < 0.919699 THEN 2
+                  WHEN u < 0.981012 THEN 3
+                  WHEN u < 0.996340 THEN 4
+                  ELSE 5 END w
+           FROM reps),
+          means AS (SELECT CAST("replica" AS BIGINT) "replica",
+             round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100, 6)
+               + 0 boot_mean
+           FROM w GROUP BY 1),
+          ci AS (SELECT min(boot_mean) ci_lo,
+             round(quantile_cont(boot_mean, 0.5), 6) + 0 ci_med,
+             max(boot_mean) ci_hi FROM means),
+          pt AS (SELECT CAST(count(*) AS BIGINT) n,
+             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6)
+               + 0 point_mean
+           FROM pur)
+          SELECT "replica", boot_mean, n, point_mean, ci_lo, ci_med,
+            ci_hi
+          FROM means CROSS JOIN ci CROSS JOIN pt
+          ORDER BY "replica""""
+  )
+}

