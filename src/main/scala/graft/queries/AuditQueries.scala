@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 
 import graft.T
+import graft.ops.RelOps
+import graft.ops.RelOps.Ordering
 
 /** Wave-36+ data-auditing operators: the measurement layer a pipeline
   * team runs ON its own pipeline — sketch reconciliation, model
@@ -515,6 +517,176 @@ object AuditQueries {
           F.expr("""round((cast(n as double) * n)
             / cast(sc2 as double), 6)""").as("effective_sources"))
         .orderBy("lang")
+    },
+
+    // CUSUM change-point scan — did weekly volume shift somewhere in
+    // the window? Per event type, the cumulative sum of deviations
+    // from the type's mean weekly volume; the week with the largest
+    // |CUSUM| is the change-point candidate (Page 1954, the
+    // mean-shift scan every ops dashboard runs). EXACT throughout:
+    // W·CUSUM_w = W·prefix_w − w·N keeps everything integer until the
+    // final display division (the mean-per-week rational never
+    // touches a float sum). Weeks are integer epoch arithmetic;
+    // prefix sums run inside a per-TYPE window over O(weeks) rows —
+    // partitioned on the group key, never global.
+    "q327_cusum_volume" -> { (s, dir) =>
+      val wv = T.load(s, dir, "events")
+        .groupBy(F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint) div 604800")
+            .as("wk"))
+        .agg(F.count(F.lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val tot = wv.groupBy("event_type")
+        .agg(F.sum("c").as("n"), F.count(F.lit(1)).as("n_weeks"))
+      val cs = wv
+        .withColumn("idx", F.count(F.lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("wk")))
+        .withColumn("pre", F.sum("c").over(w))
+        .join(tot, "event_type")
+        // W·cusum = W·prefix − idx·N: exact integers
+        .withColumn("wcusum",
+          F.expr("n_weeks * pre - idx * n"))
+        .localCheckpoint() // feeds the argmax AND the output
+      val best = cs.groupBy(F.col("event_type").as("et"))
+        .agg(F.max(F.struct(F.abs(F.col("wcusum")).as("a"),
+          (-F.col("wk")).as("nw"))).as("m"))
+        .select(F.col("et"), (-F.col("m.nw")).as("best_wk"))
+      cs.join(F.broadcast(best), F.col("event_type") === F.col("et"))
+        .select(F.col("event_type"), F.col("wk"), F.col("c"),
+          F.expr("round(cast(wcusum as double) / n_weeks, 6)")
+            .as("cusum"),
+          (F.col("wk") === F.col("best_wk")).as("change_point"))
+        .orderBy("event_type", "wk")
+    },
+
+    // Neyman stratified sample allocation — how a 1000-doc labeling
+    // budget SHOULD split across sources: a_h ∝ N_h·S_h (big AND
+    // variable strata get labelers). S_h comes from exact DECIMAL(38)
+    // character moments, is 6-dp-rounded once, and the weight becomes
+    // a micro-unit integer — so quota floors and largest-remainder
+    // ranks (q288's Hamilton machinery, exact-rational version:
+    // rem_h = B·w_h mod Σw) are pure integer comparisons with zero
+    // float knife-edges. O(sources) state after one moment scan.
+    "q328_neyman_allocation" -> { (s, dir) =>
+      val B = 1000L
+      val m = T.load(s, dir, "documents")
+        .groupBy("source").agg(
+          F.count(F.lit(1)).as("nh"),
+          F.sum(F.expr("cast(n_chars as decimal(38,0))")).as("sx"),
+          F.sum(F.expr(
+            "cast(n_chars as decimal(38,0)) * n_chars")).as("sxx"))
+        .select(F.col("source"), F.col("nh"),
+          F.expr("""cast(round(nh * round(sqrt(
+            (cast(sxx as double) - cast(sx as double) * cast(sx as double) / nh)
+            / (nh - 1)), 6) * 1000000) as bigint)""").as("w_micro"))
+      val tot = m.agg(F.sum("w_micro").as("wsum"))
+      // DECIMAL(38,0) before the B·w product (int64 wraps once
+      // N_h·S_h·1e6·B passes 2^63 — a billion-doc stratum); Spark's
+      // IntegralDivide/Remainder accept decimals, so floor-quota and
+      // remainder stay exact integers at any stratum size
+      val q = m.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(
+          s"""cast(($B * cast(w_micro as decimal(38,0)))
+             div cast(wsum as decimal(38,0)) as bigint)"""))
+        .withColumn("rem", F.expr(
+          s"""($B * cast(w_micro as decimal(38,0)))
+             % cast(wsum as decimal(38,0))"""))
+      val ranked = RelOps.globalRowNumber(q, "rk",
+        Seq(Ordering("rem", desc = true), Ordering("source")))
+      val left = ranked.agg((F.lit(B) - F.sum("base")).as("leftover"))
+      ranked.crossJoin(F.broadcast(left))
+        .select(F.col("source"), F.col("nh"),
+          F.expr("round(cast(w_micro as double) / 1000000, 6)")
+            .as("weight"),
+          (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy("source")
+    },
+
+    // Robust means — mean vs median vs 5%-winsorized vs 5%-trimmed
+    // `value` per event type: the outlier-resistance report that
+    // decides which center a dashboard should plot. Cut points are
+    // INTEGER cent thresholds (floor(p5)/ceil(p95) of the exact
+    // percentile), so winsorized clamps and trim filters sum exact
+    // BIGINT cents — no float accumulation anywhere; the four centers
+    // divide once at the end. Grouped exact percentile is the
+    // documented single-node bottleneck exception (oracle
+    // bit-equality); the sketch path is percentile_approx.
+    "q329_robust_means" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      val cuts = ev.groupBy("event_type").agg(
+        F.expr("cast(floor(percentile(cents, 0.05)) as bigint)")
+          .as("lo"),
+        F.expr("cast(ceil(percentile(cents, 0.95)) as bigint)")
+          .as("hi"),
+        F.expr("round(percentile(cents, 0.5) / 100, 6)").as("median"))
+      ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.max("median").as("median"),
+          F.sum("cents").as("sc"),
+          F.sum(F.expr("greatest(least(cents, hi), lo)")).as("swin"),
+          F.sum(F.expr("""case when cents between lo and hi
+            then cents else 0 end""")).as("strim"),
+          F.sum(F.expr("""case when cents between lo and hi
+            then 1 else 0 end""")).as("ntrim"))
+        .select(F.col("event_type"), F.col("n"), F.col("median"),
+          F.expr("round(cast(sc as double) / n / 100, 6)").as("mean"),
+          F.expr("round(cast(swin as double) / n / 100, 6)")
+            .as("winsorized_mean"),
+          F.expr("""round(case when ntrim = 0 then 0.0
+            else cast(strim as double) / ntrim / 100 end, 6)""")
+            .as("trimmed_mean"))
+        .orderBy("event_type")
+    },
+
+    // Last-touch attribution — every marketing pipeline's join: each
+    // purchase attributes to the user's LATEST click in the preceding
+    // 7 days (the backward as-of q98 does forward). Per-week report:
+    // purchases, attributed count, attach rate, attributed revenue.
+    // Shape: user-keyed equi-join + interval filter + max_by per
+    // purchase — the shuffle carries (user, sec) pairs; no windows
+    // over unbounded history (the 7-day bound IS the state bound).
+    "q330_last_touch" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      val pur = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.col("event_id").as("pid"),
+          F.col("sec").as("psec"), F.col("cents"))
+      val clk = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.col("sec").as("csec"),
+          F.col("event_id").as("cid"))
+      // inner window join finds attributable purchases; the LEFT join
+      // back preserves purchases with clicks only OUTSIDE the window
+      // (a bare left-join-then-filter would silently drop them)
+      val best = pur.join(clk, Seq("user_id"))
+        .filter(F.col("csec") <= F.col("psec")
+          && F.col("csec") >= F.col("psec") - 604800L)
+        .groupBy("pid")
+        .agg(F.max(F.struct(F.col("csec"), F.col("cid"))).as("m"))
+        .select(F.col("pid"), F.col("m.csec").as("csec"))
+      val att = pur.join(best, Seq("pid"), "left")
+      att.groupBy(F.expr("psec div 604800").as("week"))
+        .agg(F.count(F.lit(1)).as("n_purchases"),
+          F.sum(F.when(F.col("csec").isNotNull, 1L).otherwise(0L))
+            .as("n_attributed"),
+          F.sum(F.when(F.col("csec").isNotNull, F.col("cents"))
+            .otherwise(0L)).as("attributed_cents"))
+        .select(F.col("week"), F.col("n_purchases"),
+          F.col("n_attributed"),
+          F.expr("""round(cast(n_attributed as double)
+            / n_purchases, 6)""").as("attach_rate"),
+          F.col("attributed_cents"))
+        .orderBy("week")
     }
   )
 
@@ -537,6 +709,108 @@ object AuditQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "q327_cusum_volume" ->
+      """WITH wv AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 wk, count(*) c
+           FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(c) n, count(*) n_weeks
+                  FROM wv GROUP BY 1),
+          cs AS (SELECT wv.event_type, wk, c,
+             row_number() OVER (PARTITION BY wv.event_type
+               ORDER BY wk) idx,
+             sum(c) OVER (PARTITION BY wv.event_type ORDER BY wk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pre,
+             n, n_weeks
+           FROM wv JOIN tot USING (event_type)),
+          x AS (SELECT event_type, wk, c,
+             n_weeks * pre - idx * n wcusum, n_weeks
+           FROM cs),
+          b AS (SELECT event_type, min(wk) FILTER (
+               WHERE abs(wcusum) = mx) best_wk
+           FROM (SELECT event_type, wk, wcusum,
+                   max(abs(wcusum)) OVER (PARTITION BY event_type) mx
+                 FROM x) t
+           GROUP BY 1)
+          SELECT x.event_type, wk, CAST(c AS BIGINT) c,
+            round(wcusum::DOUBLE / n_weeks, 6) + 0 AS cusum,
+            wk = best_wk AS change_point
+          FROM x JOIN b ON x.event_type = b.event_type
+          ORDER BY x.event_type, wk""",
+
+    "q328_neyman_allocation" ->
+      """WITH m AS (SELECT source, count(*) nh,
+             sum(n_chars::DECIMAL(38,0)) sx,
+             sum(n_chars::DECIMAL(38,0) * n_chars) sxx
+           FROM documents GROUP BY 1),
+          w AS (SELECT source, nh,
+             CAST(round(nh * round(sqrt(
+               (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / nh)
+               / (nh - 1)), 6) * 1000000) AS BIGINT) w_micro
+           FROM m),
+          t AS (SELECT sum(w_micro) wsum FROM w),
+          q AS (SELECT source, nh, w_micro,
+             CAST((1000 * w_micro::HUGEINT) // wsum::HUGEINT
+               AS BIGINT) base,
+             (1000 * w_micro::HUGEINT) % wsum::HUGEINT rem
+           FROM w CROSS JOIN t),
+          r AS (SELECT q.*, row_number() OVER
+               (ORDER BY rem DESC, source) rk,
+             1000 - sum(base) OVER () leftover
+           FROM q)
+          SELECT source, CAST(nh AS BIGINT) nh,
+            round(w_micro::DOUBLE / 1000000, 6) + 0 AS weight,
+            CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+              AS BIGINT) alloc
+          FROM r ORDER BY source""",
+
+    "q329_robust_means" ->
+      """WITH ev AS MATERIALIZED (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) cents FROM events),
+          cuts AS (SELECT event_type,
+             CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) lo,
+             CAST(ceil(quantile_cont(cents, 0.95)) AS BIGINT) hi,
+             round(quantile_cont(cents, 0.5) / 100, 6) + 0 median
+           FROM ev GROUP BY 1)
+          SELECT ev.event_type, CAST(count(*) AS BIGINT) n,
+            max(median) + 0 AS median,
+            round(sum(cents)::DOUBLE / count(*) / 100, 6) + 0 AS mean,
+            round(sum(greatest(least(cents, hi), lo))::DOUBLE
+              / count(*) / 100, 6) + 0 AS winsorized_mean,
+            round(CASE WHEN sum(CASE WHEN cents BETWEEN lo AND hi
+                THEN 1 ELSE 0 END) = 0 THEN 0.0
+              ELSE sum(CASE WHEN cents BETWEEN lo AND hi
+                THEN cents ELSE 0 END)::DOUBLE
+                / sum(CASE WHEN cents BETWEEN lo AND hi
+                  THEN 1 ELSE 0 END) / 100 END, 6) + 0
+              AS trimmed_mean
+          FROM ev JOIN cuts USING (event_type)
+          GROUP BY ev.event_type
+          ORDER BY ev.event_type""",
+
+    "q330_last_touch" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, event_id,
+             event_type, CAST(floor(epoch(ts)) AS BIGINT) sec,
+             CAST(round(value * 100) AS BIGINT) cents FROM events),
+          pur AS (SELECT user_id, event_id pid, sec psec, cents
+                  FROM ev WHERE event_type = 'purchase'),
+          clk AS (SELECT user_id, sec csec FROM ev
+                  WHERE event_type = 'click'),
+          best AS (SELECT pid, max(csec) csec
+           FROM pur JOIN clk USING (user_id)
+           WHERE csec <= psec AND csec >= psec - 604800
+           GROUP BY pid),
+          att AS (SELECT pur.pid, psec, cents, best.csec
+                  FROM pur LEFT JOIN best USING (pid))
+          SELECT psec // 604800 "week",
+            CAST(count(*) AS BIGINT) n_purchases,
+            CAST(sum(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) n_attributed,
+            round(sum(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END)
+              ::DOUBLE / count(*), 6) + 0 AS attach_rate,
+            CAST(sum(CASE WHEN csec IS NOT NULL THEN cents ELSE 0 END)
+              AS BIGINT) attributed_cents
+          FROM att GROUP BY 1 ORDER BY 1""",
 
     "q323_scd2_dimension" ->
       """WITH pur AS (SELECT user_id, event_id,

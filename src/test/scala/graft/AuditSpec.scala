@@ -168,6 +168,62 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q327: CUSUM ends at zero and flags exactly one week per type") {
+    val rows = AuditQueries.queries("q327_cusum_volume")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      // telescoping identity: the last cumulative deviation is 0
+      assert(math.abs(sorted.last.getDouble(3)) < 1e-6)
+      assert(vs.count(_.getBoolean(4)) == 1)
+      // the flagged week attains the max |cusum|
+      val mx = vs.map(r => math.abs(r.getDouble(3))).max
+      assert(vs.filter(_.getBoolean(4))
+        .forall(r => math.abs(math.abs(r.getDouble(3)) - mx) < 1e-6))
+    }
+  }
+
+  test("q328: Neyman allocation spends exactly the 1000 budget") {
+    val rows = AuditQueries
+      .queries("q328_neyman_allocation")(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == 1000L)
+    // monotone: a strictly larger weight never gets a smaller
+    // allocation minus the +-1 remainder unit
+    val byW = rows.sortBy(_.getDouble(2))
+    byW.zip(byW.tail).foreach { case (a, b) =>
+      assert(b.getLong(3) >= a.getLong(3) - 1)
+    }
+  }
+
+  test("q329: robust centers order sanely under outliers") {
+    val rows = AuditQueries.queries("q329_robust_means")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (mean, win, trim) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // winsorizing/trimming pulls toward the center: both stay
+      // inside [min, max] trivially, and within a clamp of the mean
+      assert(win >= trim - math.abs(mean) && win <= mean + math.abs(mean))
+      assert(r.getLong(1) > 0 && !r.getDouble(2).isNaN)
+    }
+  }
+
+  test("q330: attribution counts are bounded by purchases and revenue is consistent") {
+    val rows = AuditQueries.queries("q330_last_touch")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // attributed <= purchases
+      assert(math.abs(r.getDouble(3)
+        - r.getLong(2).toDouble / r.getLong(1)) < 1e-5)
+      if (r.getLong(2) == 0) assert(r.getLong(4) == 0L)
+    }
+    // total purchases across weeks equals the raw purchase count
+    val want = T.load(spark, sf, "events")
+      .filter(F.col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == want)
+  }
+
   test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
     val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
       .collect()
