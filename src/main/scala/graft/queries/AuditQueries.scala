@@ -687,6 +687,179 @@ object AuditQueries {
             / n_purchases, 6)""").as("attach_rate"),
           F.col("attributed_cents"))
         .orderBy("week")
+    },
+
+    // Kaplan-Meier survival curve — time from first view to first
+    // purchase, right-censored at the user's last observed event:
+    // the estimator behind every "how long until conversion"
+    // question, and the suite's first survival-analysis operator.
+    // Determinism discipline: at-risk counts come from the EXCLUSIVE
+    // distributed prefix sum over event-time rows (globalPrefixSum —
+    // never a global window), and the survival product Π(1 − d/n) is
+    // evaluated as exp of a prefix-summed exact ln-term integer
+    // (1e-8 units, q316's micro-int trick), so neither engine's
+    // accumulation order can drift a float. O(distinct durations)
+    // state after one per-user rollup.
+    "q331_kaplan_meier" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"))
+      val per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") === "view", F.col("sec")))
+          .as("v0"),
+        F.max("sec").as("last"))
+      val pur = ev.filter(F.col("event_type") === "purchase")
+        .join(per.select("user_id", "v0"), "user_id")
+        .filter(F.col("sec") >= F.col("v0"))
+        .groupBy("user_id").agg(F.min("sec").as("p0"))
+      val subj = per.filter(F.col("v0").isNotNull)
+        .join(pur, Seq("user_id"), "left")
+        .select(
+          F.expr("""case when p0 is not null
+            then (p0 - v0) div 86400
+            else (last - v0) div 86400 end""").as("t_days"),
+          F.expr("case when p0 is not null then 1L else 0L end")
+            .as("ev"))
+      val byT = subj.groupBy("t_days")
+        .agg(F.sum("ev").as("d"),
+          F.sum(F.lit(1L) - F.col("ev")).as("cens"))
+        .withColumn("leave", F.expr("d + cens"))
+      val n = byT.agg(F.sum("leave").as("n_subjects"))
+      val withPre = RelOps.globalPrefixSum(byT, "leave", "gone",
+        Seq(Ordering("t_days")))
+        .crossJoin(F.broadcast(n))
+        .withColumn("atrisk", F.expr("n_subjects - gone"))
+        .withColumn("lnterm", F.expr(
+          """cast(round(ln(greatest(1 - cast(d as double) / atrisk,
+             0.000000000001)) * 100000000) as bigint)"""))
+      RelOps.globalPrefixSum(withPre, "lnterm", "lnpre",
+          Seq(Ordering("t_days")))
+        .select(F.col("t_days"), F.col("d"), F.col("cens"),
+          F.col("atrisk"),
+          F.expr("""round(exp(cast(lnpre + lnterm as double)
+            / 100000000), 6)""").as("survival"))
+        .orderBy("t_days")
+    },
+
+    // Markov transition matrix + stationary distribution — where does
+    // the event flow settle? Transition probabilities are exact
+    // row-normalized rationals (8 dp); the stationary vector is 8
+    // synchronous power iterations over the O(types²) matrix with
+    // per-round 1e-8-unit integer term sums (the q279/q294 rounded-
+    // state discipline), so both engines walk bit-identical vectors.
+    // States whose every occurrence is sequence-final have no
+    // outgoing row and leak their mass identically on both engines
+    // (documented dangling-state semantics). All shuffles carry
+    // O(types) keys.
+    "q332_markov_stationary" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec", "event_id")
+      val tr = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.col("event_type").as("to_t"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"))
+        .withColumn("from_t", F.lag("to_t", 1).over(w))
+        .filter(F.col("from_t").isNotNull)
+        .groupBy("from_t", "to_t").agg(F.count(F.lit(1)).as("nab"))
+      val rowTot = tr.groupBy("from_t").agg(F.sum("nab").as("na"))
+      val pm = tr.join(rowTot, "from_t")
+        .select(F.col("from_t"), F.col("to_t"),
+          F.expr("round(cast(nab as double) / na, 8)").as("pr"))
+        .localCheckpoint() // 8 iterations read it
+      val states = pm.select(F.col("from_t").as("st"))
+        .unionAll(pm.select(F.col("to_t").as("st"))).distinct()
+        .localCheckpoint()
+      val k = states.count() // bounded: O(event types) scalar
+      var pi = states.select(F.col("st"),
+        F.expr(s"round(1.0 / $k, 8)").as("v"))
+      for (_ <- 1 to 8) {
+        pi = pi.join(pm, F.col("st") === F.col("from_t"))
+          .groupBy(F.col("to_t"))
+          .agg(F.expr("""round(cast(sum(cast(round(v * pr * 100000000)
+            as bigint)) as double) / 100000000, 8)""").as("v"))
+          .withColumnRenamed("to_t", "st")
+      }
+      pi.join(rowTot, F.col("st") === F.col("from_t"), "left")
+        .select(F.col("st").as("state"),
+          F.expr("round(v, 6)").as("pi"),
+          F.coalesce(F.col("na"), F.lit(0L)).as("n_out"))
+        .orderBy("state")
+    },
+
+    // Gini + Lorenz deciles of user revenue — how concentrated is
+    // spend? G = (2·Σ rank·c − (N+1)·Σc) / (N·Σc) with every moment
+    // an exact DECIMAL(38) integer under the deterministic
+    // (cents, user_id) total order (globalRowNumber — the q13
+    // distributed rank, no global window); the 10-row Lorenz
+    // cumulative runs on the q267 broadcast triangular self-join.
+    "q333_gini_lorenz" -> { (s, dir) =>
+      val per = T.load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)"))
+          .as("cents"))
+      val ranked = RelOps.globalRowNumber(per, "rk",
+        Seq(Ordering("cents"), Ordering("user_id")))
+        .localCheckpoint() // feeds the moments AND the deciles
+      val mom = ranked.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.expr("cast(cents as decimal(38,0))")).as("s"),
+        F.sum(F.expr("cast(rk as decimal(38,0)) * cents")).as("rs"))
+      val gini = mom.select(F.col("n"), F.col("s"),
+        F.expr("""round(cast(2 * rs - (n + 1) * s as double)
+          / (cast(n as double) * cast(s as double)), 6)""")
+          .as("gini"))
+      val dec = ranked.crossJoin(F.broadcast(mom.select("n")))
+        .groupBy(F.expr("(rk - 1) * 10 div n + 1").as("decile"))
+        .agg(F.count(F.lit(1)).as("n_users"),
+          F.sum("cents").as("decile_cents"))
+      dec.as("a").join(F.broadcast(dec.as("b")),
+          F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").as("decile"))
+        .agg(F.max(F.col("a.n_users")).as("n_users"),
+          F.max(F.col("a.decile_cents")).as("decile_cents"),
+          F.sum(F.col("b.decile_cents")).as("cum_cents"))
+        .crossJoin(F.broadcast(gini))
+        .select(F.col("decile"), F.col("n_users"),
+          F.col("decile_cents"),
+          F.expr("round(cast(cum_cents as double) / s, 6)")
+            .as("cum_share"),
+          F.col("gini"))
+        .orderBy("decile")
+    },
+
+    // Benford first-digit audit — the fraud/synthetic-data screen:
+    // observed first-significant-digit shares of positive cent values
+    // vs Benford's log10(1+1/d), with the χ² statistic (df = 8,
+    // critical 15.507 at α = .05). First digits come from the integer
+    // string head (no float log in the bucketing); χ² terms become
+    // 1e-8-unit integers before the 9-term sum. A synthetic uniform
+    // corpus SHOULD fail — the flag is reported, not asserted.
+    "q334_benford" -> { (s, dir) =>
+      val d = T.load(s, dir, "events")
+        .select(F.expr("cast(round(value * 100) as bigint)").as("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+          .as("digit"))
+        .groupBy("digit").agg(F.count(F.lit(1)).as("n"))
+        .localCheckpoint() // feeds totals AND the chi2
+      val tot = d.agg(F.sum("n").as("nt"))
+      val terms = d.crossJoin(F.broadcast(tot))
+        .select(F.col("digit"), F.col("n"), F.col("nt"),
+          F.expr("round(log10(1.0 + 1.0 / digit), 8)").as("pexp"))
+        .withColumn("chiterm", F.expr(
+          """cast(round(pow(cast(n as double) - pexp * nt, 2)
+             / (pexp * nt) * 100000000) as bigint)"""))
+        .localCheckpoint()
+      val chi = terms.agg(F.expr(
+        "round(cast(sum(chiterm) as double) / 100000000, 6)")
+        .as("chi2"))
+      terms.crossJoin(F.broadcast(chi))
+        .select(F.col("digit"), F.col("n"),
+          F.expr("round(cast(n as double) / nt, 6)").as("obs_p"),
+          F.expr("round(pexp, 6)").as("exp_p"),
+          F.col("chi2"),
+          (F.col("chi2") <= 15.507).as("benford_ok"))
+        .orderBy("digit")
     }
   )
 
@@ -708,7 +881,127 @@ object AuditQueries {
     s"CASE $cases ELSE 'und' END"
   }
 
+  /** One synchronous power-iteration round over the `pm` transition
+    * CTE: 1e-8-unit integer term sums (matches the engine exactly). */
+  private def markovRoundSql(r: Int): String =
+    s"""v$r AS MATERIALIZED (SELECT p.to_t st,
+         round(sum(CAST(round(v.v * p.pr * 100000000) AS BIGINT))
+           ::DOUBLE / 100000000, 8) v
+       FROM v${r - 1} v JOIN pm p ON p.from_t = v.st GROUP BY 1)"""
+
   def oracleSql: Map[String, String] = Map(
+
+    "q331_kaplan_meier" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) sec FROM events),
+          per AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN sec END) v0,
+             max(sec) "last"
+           FROM ev GROUP BY 1),
+          pur AS (SELECT e.user_id, min(e.sec) p0
+           FROM ev e JOIN per USING (user_id)
+           WHERE e.event_type = 'purchase' AND per.v0 IS NOT NULL
+             AND e.sec >= per.v0
+           GROUP BY 1),
+          subj AS (SELECT
+             CASE WHEN p0 IS NOT NULL THEN (p0 - v0) // 86400
+                  ELSE ("last" - v0) // 86400 END t_days,
+             CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END e
+           FROM per LEFT JOIN pur USING (user_id)
+           WHERE v0 IS NOT NULL),
+          byt AS (SELECT t_days, sum(e) d, sum(1 - e) cens,
+             count(*) lv FROM subj GROUP BY 1),
+          n AS (SELECT sum(lv) n_subjects FROM byt),
+          pre AS (SELECT t_days, d, cens, lv,
+             coalesce(sum(lv) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               gone, n_subjects
+           FROM byt CROSS JOIN n),
+          tm AS (SELECT t_days, d, cens,
+             n_subjects - gone atrisk,
+             CAST(round(ln(greatest(1 - d::DOUBLE
+               / (n_subjects - gone), 0.000000000001))
+               * 100000000) AS BIGINT) lnterm
+           FROM pre)
+          SELECT t_days, CAST(d AS BIGINT) d,
+            CAST(cens AS BIGINT) cens, CAST(atrisk AS BIGINT) atrisk,
+            round(exp(sum(lnterm) OVER (ORDER BY t_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ::DOUBLE / 100000000), 6) + 0 AS survival
+          FROM tm ORDER BY t_days""",
+
+    "q332_markov_stationary" -> {
+      val rounds = (1 to 8).map(markovRoundSql).mkString(",\n")
+      s"""WITH ev AS MATERIALIZED (SELECT user_id, event_id,
+             event_type, CAST(floor(epoch(ts)) AS BIGINT) sec
+           FROM events),
+          tr AS (SELECT from_t, to_t, count(*) nab FROM (
+             SELECT event_type to_t, lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY sec, event_id) from_t
+             FROM ev) t
+           WHERE from_t IS NOT NULL GROUP BY 1, 2),
+          rowtot AS MATERIALIZED (SELECT from_t, sum(nab) na
+           FROM tr GROUP BY 1),
+          pm AS MATERIALIZED (SELECT tr.from_t, to_t,
+             round(nab::DOUBLE / na, 8) pr
+           FROM tr JOIN rowtot USING (from_t)),
+          states AS MATERIALIZED (SELECT DISTINCT st FROM
+             (SELECT from_t st FROM pm
+              UNION ALL SELECT to_t FROM pm) x),
+          kk AS (SELECT count(*) k FROM states),
+          v0 AS MATERIALIZED (SELECT st, round(1.0 / k, 8) v
+           FROM states CROSS JOIN kk),
+          $rounds
+          SELECT st AS state, round(v, 6) + 0 AS pi,
+            CAST(coalesce(na, 0) AS BIGINT) n_out
+          FROM v8 LEFT JOIN rowtot ON rowtot.from_t = v8.st
+          ORDER BY 1"""
+    },
+
+    "q333_gini_lorenz" ->
+      """WITH per AS (SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) cents
+           FROM events GROUP BY 1),
+          r AS (SELECT user_id, cents,
+             row_number() OVER (ORDER BY cents, user_id) rk FROM per),
+          mom AS (SELECT count(*) n, sum(cents::DECIMAL(38,0)) s,
+             sum(rk::DECIMAL(38,0) * cents) rs FROM r),
+          g AS (SELECT n, s,
+             round(CAST(2 * rs - (n + 1) * s AS DOUBLE)
+               / (n::DOUBLE * s::DOUBLE), 6) + 0 gini FROM mom),
+          dec AS (SELECT (rk - 1) * 10 // n + 1 decile,
+             count(*) n_users, sum(cents) decile_cents
+           FROM r CROSS JOIN (SELECT n FROM mom) m GROUP BY 1)
+          SELECT a.decile, CAST(a.n_users AS BIGINT) n_users,
+            CAST(a.decile_cents AS BIGINT) decile_cents,
+            round(sum(b.decile_cents)::DOUBLE / max(g.s::DOUBLE), 6)
+              + 0 AS cum_share,
+            max(g.gini) + 0 AS gini
+          FROM dec a JOIN dec b ON b.decile <= a.decile CROSS JOIN g
+          GROUP BY a.decile, a.n_users, a.decile_cents
+          ORDER BY a.decile""",
+
+    "q334_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+               AS BIGINT) digit, count(*) n
+           FROM (SELECT CAST(round(value * 100) AS BIGINT) cents
+                 FROM events) x
+           WHERE cents > 0 GROUP BY 1),
+          t AS (SELECT sum(n) nt FROM d),
+          terms AS (SELECT digit, n, nt,
+             round(log10(1.0 + 1.0 / digit), 8) pexp,
+             CAST(round(pow(n::DOUBLE
+               - round(log10(1.0 + 1.0 / digit), 8) * nt, 2)
+               / (round(log10(1.0 + 1.0 / digit), 8) * nt)
+               * 100000000) AS BIGINT) chiterm
+           FROM d CROSS JOIN t),
+          chi AS (SELECT round(sum(chiterm)::DOUBLE / 100000000, 6)
+               + 0 chi2 FROM terms)
+          SELECT digit, CAST(n AS BIGINT) n,
+            round(n::DOUBLE / nt, 6) + 0 AS obs_p,
+            round(pexp, 6) + 0 AS exp_p, chi2,
+            chi2 <= 15.507 AS benford_ok
+          FROM terms CROSS JOIN chi ORDER BY digit""",
 
     "q327_cusum_volume" ->
       """WITH wv AS (SELECT event_type,

@@ -224,6 +224,57 @@ class AuditSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == want)
   }
 
+  test("q331: survival is monotone non-increasing from at most 1") {
+    val rows = AuditQueries.queries("q331_kaplan_meier")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val s = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(s.head <= 1.0 + 1e-9)
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // at-risk counts strictly decrease as subjects leave
+    val at = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(at.zip(at.tail).forall { case (a, b) => b < a })
+    // the first at-risk equals the full study population
+    assert(at.head == rows.map(r => r.getLong(1) + r.getLong(2)).sum)
+  }
+
+  test("q332: stationary mass stays in [0,1] per state and near 1 in total") {
+    val rows = AuditQueries
+      .queries("q332_markov_stationary")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    // mass is conserved up to the documented dangling-state leak +
+    // per-round rounding: the total stays close to 1
+    val tot = rows.map(_.getDouble(1)).sum
+    assert(tot > 0.9 && tot <= 1.0 + 1e-6)
+  }
+
+  test("q333: Lorenz curve is convex-ish, ends at 1, gini in [0,1)") {
+    val rows = AuditQueries.queries("q333_gini_lorenz")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(shares.last - 1.0) < 1e-6)
+    // deciles ordered ascending by cents: each decile's share of the
+    // total is below or equal to later deciles' (sorted construction)
+    val g = rows.head.getDouble(4)
+    assert(g >= 0 && g < 1)
+    assert(rows.forall(r => r.getDouble(4) == g))
+  }
+
+  test("q334: Benford shares sum to 1 and expected probs are Benford's") {
+    val rows = AuditQueries.queries("q334_benford")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1L to 9L))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val want = math.log10(1.0 + 1.0 / r.getLong(0))
+      assert(math.abs(r.getDouble(3) - want) < 1e-5)
+      assert(r.getBoolean(5) == (r.getDouble(4) <= 15.507))
+    }
+  }
+
   test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
     val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
       .collect()
