@@ -860,6 +860,149 @@ object AuditQueries {
           F.col("chi2"),
           (F.col("chi2") <= 15.507).as("benford_ok"))
         .orderBy("digit")
+    },
+
+    // Inverse-propensity-scored off-policy value — what would mean
+    // per-event reward be under a UNIFORM exposure policy, estimated
+    // from logs where exposure was skewed? The logged propensity of
+    // each action (non-purchase event type) is its exact share
+    // n_a/N; the per-type IPS contribution N·Σr_a/(k·n_a) stays a
+    // ratio of exact DECIMAL integers until one final division, and
+    // the cross-type total sums 6-dp-rounded micro-units — the
+    // estimator every recommendation team runs before an A/B test
+    // (Horvitz-Thompson 1952). O(types) state after one rollup.
+    "q335_ips_value" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .filter(F.col("event_type") =!= "purchase")
+        .select(F.col("event_type"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      val per = ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("na"),
+          F.sum(F.expr("cast(cents as decimal(38,0))")).as("sc"))
+        .localCheckpoint() // feeds totals AND the per-type report
+      val tot = per.agg(F.sum("na").as("nt"),
+        F.count(F.lit(1)).as("k"),
+        F.sum("sc").as("sct"))
+      val terms = per.crossJoin(F.broadcast(tot))
+        .select(F.col("event_type"), F.col("na"),
+          F.expr("round(cast(na as double) / nt, 6)").as("p_log"),
+          F.col("sc"), F.col("nt"), F.col("k"), F.col("sct"),
+          F.expr("""round(cast(nt as double) * cast(sc as double)
+            / (k * cast(na as double)), 6)""").as("ips_term"))
+        .localCheckpoint()
+      val v = terms.agg(
+        F.expr("""round(cast(sum(cast(round(ips_term * 1000000)
+          as bigint)) as double) / 1000000
+          / max(nt), 6)""").as("v_ips"),
+        F.expr("round(cast(max(sct) as double) / max(nt) / 100, 6)")
+          .as("v_naive"))
+      terms.crossJoin(F.broadcast(v))
+        .select(F.col("event_type"), F.col("na"), F.col("p_log"),
+          F.expr("round(ips_term / 100, 6)").as("ips_cents_term"),
+          F.expr("round(v_ips / 100, 6)").as("v_ips"),
+          F.col("v_naive"))
+        .orderBy("event_type")
+    },
+
+    // Top session paths — the most common 3-step event-type
+    // sequences inside 30-minute sessions (q71's gap rule): the
+    // sequence-mining report a UX/curriculum team reads. All windows
+    // partition on (user, session) — bounded by session length,
+    // never global; the top-10 is one TakeOrdered.
+    "q336_session_paths" -> { (s, dir) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_id"),
+          F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"))
+        .withColumn("new_sess",
+          F.when(F.lag("sec", 1).over(wu).isNull
+            || F.col("sec") - F.lag("sec", 1).over(wu) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", F.sum("new_sess").over(
+          wu.rowsBetween(W.unboundedPreceding, 0)))
+      val ws = W.partitionBy("user_id", "sess")
+        .orderBy("sec", "event_id")
+      ev
+        .withColumn("t2", F.lead("event_type", 1).over(ws))
+        .withColumn("t3", F.lead("event_type", 2).over(ws))
+        .filter(F.col("t3").isNotNull)
+        .select(F.concat_ws(">", F.col("event_type"), F.col("t2"),
+          F.col("t3")).as("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("path").asc)
+        .limit(10) // TakeOrderedAndProject
+    },
+
+    // Ingest-order vocabulary novelty — new-token rate per doc_id
+    // batch (the streaming-corpus "are we still learning new
+    // vocabulary" curve; q247's Heaps law resolved along ingest
+    // order). A token's first-seen batch is one min-aggregate; per
+    // batch: new types, token volume, novelty rate, and the
+    // cumulative vocabulary via the O(batches²) broadcast triangular
+    // join (10 rows — never a data-row window).
+    "q337_vocab_novelty" -> { (s, dir) =>
+      val mx = T.load(s, dir, "documents")
+        .agg(F.max("doc_id").as("mx"))
+      val tok = T.load(s, dir, "documents")
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("doc_id * 10 div (mx + 1)").as("batch"),
+          F.explode(graft.plans.TextExpressions
+            .wordTokens(F.col("text"))).as("w"))
+        .localCheckpoint() // feeds first-seen AND volume
+      val vol = tok.groupBy("batch").agg(F.count(F.lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy("w").agg(F.min("batch").as("batch"))
+        .groupBy("batch").agg(F.count(F.lit(1)).as("new_types"))
+      val per = vol.join(firsts, Seq("batch"), "left")
+        .select(F.col("batch"), F.col("n_tokens"),
+          F.coalesce(F.col("new_types"), F.lit(0L)).as("new_types"))
+      per.as("a").join(F.broadcast(per.as("b")),
+          F.col("b.batch") <= F.col("a.batch"))
+        .groupBy(F.col("a.batch").as("batch"))
+        .agg(F.max(F.col("a.n_tokens")).as("n_tokens"),
+          F.max(F.col("a.new_types")).as("new_types"),
+          F.sum(F.col("b.new_types")).as("cum_vocab"))
+        .select(F.col("batch"), F.col("n_tokens"), F.col("new_types"),
+          F.col("cum_vocab"),
+          F.expr("round(cast(new_types as double) / n_tokens, 6)")
+            .as("novelty_rate"))
+        .orderBy("batch")
+    },
+
+    // Funnel latency percentiles — q277 counts WHO converts; this
+    // measures HOW FAST: median / p90 / max seconds for view→click
+    // and click→purchase over the same windowed min-time funnel.
+    // Durations are exact integer seconds; the grouped exact
+    // percentile is the documented oracle-bit-equality exception
+    // (sketch path: percentile_approx).
+    "q338_funnel_latency" -> { (s, dir) =>
+      val win = 86400L
+      val ev = T.load(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"))
+      val t1 = ev.filter(F.col("event_type") === "view")
+        .groupBy("user_id").agg(F.min("sec").as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .filter(F.col("event_type") === "click" &&
+          F.col("sec") >= F.col("t1") && F.col("sec") <= F.col("t1") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t2"), F.min("t1").as("t1"))
+      val t3 = ev.join(t2.select("user_id", "t2"), "user_id")
+        .filter(F.col("event_type") === "purchase" &&
+          F.col("sec") >= F.col("t2") && F.col("sec") <= F.col("t2") + win)
+        .groupBy("user_id").agg(F.min("sec").as("t3"))
+      val d1 = t2.select(F.lit("view_to_click").as("stage"),
+        (F.col("t2") - F.col("t1")).as("dsec"))
+      val d2 = t3.join(t2.select("user_id", "t2"), "user_id")
+        .select(F.lit("click_to_purchase").as("stage"),
+          (F.col("t3") - F.col("t2")).as("dsec"))
+      d1.unionAll(d2)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.expr("round(percentile(dsec, 0.5), 6)").as("p50_sec"),
+          F.expr("round(percentile(dsec, 0.9), 6)").as("p90_sec"),
+          F.max("dsec").as("max_sec"))
+        .orderBy("stage")
     }
   )
 
@@ -890,6 +1033,101 @@ object AuditQueries {
        FROM v${r - 1} v JOIN pm p ON p.from_t = v.st GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q335_ips_value" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) cents
+           FROM events WHERE event_type != 'purchase'),
+          per AS MATERIALIZED (SELECT event_type, count(*) na,
+             sum(cents::DECIMAL(38,0)) sc FROM ev GROUP BY 1),
+          tot AS (SELECT sum(na) nt, count(*) k, sum(sc) sct
+                  FROM per),
+          terms AS (SELECT event_type, na,
+             round(na::DOUBLE / nt, 6) + 0 p_log,
+             nt, k, sct,
+             round(nt::DOUBLE * sc::DOUBLE / (k * na::DOUBLE), 6)
+               + 0 ips_term
+           FROM per CROSS JOIN tot),
+          v AS (SELECT
+             round(sum(CAST(round(ips_term * 1000000) AS BIGINT))
+               ::DOUBLE / 1000000 / max(nt), 6) + 0 v_ips_c,
+             round(max(sct)::DOUBLE / max(nt) / 100, 6) + 0 v_naive
+           FROM terms)
+          SELECT event_type, CAST(na AS BIGINT) na, p_log,
+            round(ips_term / 100, 6) + 0 AS ips_cents_term,
+            round(v_ips_c / 100, 6) + 0 AS v_ips, v_naive
+          FROM terms CROSS JOIN v ORDER BY event_type""",
+
+    "q336_session_paths" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, event_id,
+             event_type, CAST(floor(epoch(ts)) AS BIGINT) sec
+           FROM events),
+          f AS (SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END
+               new_sess
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+          sz AS (SELECT user_id, event_id, event_type, sec,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess
+           FROM f),
+          tri AS (SELECT event_type || '>' ||
+               lead(event_type, 1) OVER ws || '>' ||
+               lead(event_type, 2) OVER ws AS path,
+             lead(event_type, 2) OVER ws t3
+           FROM sz
+           WINDOW ws AS (PARTITION BY user_id, sess
+             ORDER BY sec, event_id))
+          SELECT path, count(*) n FROM tri WHERE t3 IS NOT NULL
+          GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+
+    "q337_vocab_novelty" ->
+      """WITH mx AS (SELECT max(doc_id) mx FROM documents),
+          tok AS MATERIALIZED (SELECT doc_id * 10 // (mx + 1) batch,
+             unnest(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), x -> x != '')) w
+           FROM documents CROSS JOIN mx),
+          vol AS (SELECT batch, count(*) n_tokens FROM tok
+                  GROUP BY 1),
+          fs AS (SELECT batch, count(*) new_types FROM
+             (SELECT w, min(batch) batch FROM tok GROUP BY 1) x
+           GROUP BY 1),
+          per AS (SELECT vol.batch, n_tokens,
+             coalesce(new_types, 0) new_types
+           FROM vol LEFT JOIN fs USING (batch))
+          SELECT a.batch, CAST(a.n_tokens AS BIGINT) n_tokens,
+            CAST(a.new_types AS BIGINT) new_types,
+            CAST(sum(b.new_types) AS BIGINT) cum_vocab,
+            round(a.new_types::DOUBLE / a.n_tokens, 6) + 0
+              AS novelty_rate
+          FROM per a JOIN per b ON b.batch <= a.batch
+          GROUP BY a.batch, a.n_tokens, a.new_types
+          ORDER BY a.batch""",
+
+    "q338_funnel_latency" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) sec FROM events),
+          t1 AS (SELECT user_id, min(sec) t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(e.sec) t2, min(t1.t1) t1
+                 FROM e JOIN t1 ON e.user_id = t1.user_id
+                 WHERE e.event_type = 'click' AND e.sec >= t1.t1
+                   AND e.sec <= t1.t1 + 86400 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(e.sec) t3
+                 FROM e JOIN t2 ON e.user_id = t2.user_id
+                 WHERE e.event_type = 'purchase' AND e.sec >= t2.t2
+                   AND e.sec <= t2.t2 + 86400 GROUP BY 1),
+          d AS (SELECT 'view_to_click' stage, t2 - t1 dsec FROM t2
+                UNION ALL
+                SELECT 'click_to_purchase', t3.t3 - t2.t2
+                FROM t3 JOIN t2 ON t3.user_id = t2.user_id)
+          SELECT stage, CAST(count(*) AS BIGINT) n,
+            round(quantile_cont(dsec, 0.5), 6) + 0 AS p50_sec,
+            round(quantile_cont(dsec, 0.9), 6) + 0 AS p90_sec,
+            CAST(max(dsec) AS BIGINT) max_sec
+          FROM d GROUP BY 1 ORDER BY stage""",
 
     "q331_kaplan_meier" ->
       """WITH ev AS MATERIALIZED (SELECT user_id, event_type,

@@ -275,6 +275,61 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q335: IPS reweighting preserves value when exposure is uniform-ish") {
+    val rows = AuditQueries.queries("q335_ips_value")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val vIps = rows.head.getDouble(4)
+    val vNaive = rows.head.getDouble(5)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 1) // p_log
+      assert(r.getDouble(4) == vIps && r.getDouble(5) == vNaive)
+    }
+    // logged propensities sum to 1 over the action set
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // IPS of the uniform target stays within an order of magnitude
+    // of the naive mean (no degenerate weight blow-up on this log)
+    assert(vIps > 0 && vIps < vNaive * 10)
+  }
+
+  test("q336: paths are 3-step, counts descending, top-10") {
+    val rows = AuditQueries.queries("q336_session_paths")(spark, sf)
+      .collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0).split(">").length == 3))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q337: novelty curve — batch 0 is all-new, cumulative vocab is the corpus vocab") {
+    val rows = AuditQueries.queries("q337_vocab_novelty")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val b0 = rows.head
+    assert(b0.getLong(0) == 0)
+    // every token type in batch 0 is first-seen there
+    assert(b0.getLong(2) > 0)
+    val cum = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    val vocab = T.load(spark, sf, "documents")
+      .select(F.explode(graft.plans.TextExpressions
+        .wordTokens(F.col("text"))).as("w"))
+      .distinct().count()
+    assert(cum.last == vocab)
+  }
+
+  test("q338: funnel latencies are within the 1-day windows") {
+    val rows = AuditQueries.queries("q338_funnel_latency")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      assert(r.getLong(4) <= 86400L) // max within window
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9) // p50 <= p90
+      assert(r.getDouble(3) <= r.getLong(4) + 1e-9)
+    }
+  }
+
   test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
     val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
       .collect()
