@@ -303,4 +303,104 @@ object Quantiles {
     val doneKeys = resolved.map(s => (s.col, s.q)).toSet
     states.filterNot(s => doneKeys.contains((s.col, s.q))) ++ resolved
   }
+
+  /** GROUPED exact interpolated quantile of an integer (long) column —
+    * the scale path for the "grouped exact percentile" bottleneck
+    * documented in SCALE.md: `percentile()` merges a per-partition
+    * value map that is O(distinct values per group) on one reducer,
+    * and a per-group sort shuffles the whole column. This runs the
+    * same iterative histogram refinement as [[exactMulti]] but keeps
+    * ALL per-group search state IN THE PLAN — a (group, rank-target,
+    * lo, hi, offset) relation that narrows ~k× per round — so a
+    * billion groups cost zero driver memory; the driver only sees one
+    * "any interval still open?" count per round (the q24/CC loop
+    * discipline). Integer domains terminate WITHOUT any value
+    * collect: once an interval's width is below k every bin is a
+    * single value, so each rank resolves to `lo` exactly —
+    * ceil(log_k(range)) + 1 rounds total (3-4 for cent values).
+    *
+    * Returns one row per group: key columns + `out` (double,
+    * interpolated between floor/ceil ranks exactly like
+    * `percentile`/`quantile_cont`). Nulls in `valCol` are ignored;
+    * empty groups don't appear (no non-null values = no row).
+    */
+  def groupedExactLong(df: DataFrame, keys: Seq[String], valCol: String,
+                       q: Double, out: String,
+                       k: Int = 1024): DataFrame = {
+    require(keys.nonEmpty && q >= 0 && q <= 1)
+    val spark = df.sparkSession
+    val kCols = keys.map(F.col)
+    val data = df.select(kCols :+ F.col(valCol).cast("long").as("__v"): _*)
+      .filter(F.col("__v").isNotNull)
+      .localCheckpoint() // read once per refinement round
+    // rank targets: pos = q(n−1); two searches per group (floor/ceil
+    // rank — equal when pos is integral, deduped by the rk key)
+    val init = data.groupBy(kCols: _*)
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.min("__v").as("__lo"), F.max("__v").as("__hi"))
+      .select((kCols ++ Seq(
+        F.col("__n"),
+        F.expr(s"cast(floor($q * (__n - 1)) as bigint)").as("__rkLo"),
+        F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as("__rkHi"),
+        F.col("__lo"), F.col("__hi"))): _*)
+    var state = init
+      .select((kCols ++ Seq(F.col("__n"),
+        F.explode(F.array_distinct(F.array(F.col("__rkLo"),
+          F.col("__rkHi")))).as("__rk"),
+        F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"))): _*)
+      .localCheckpoint()
+    var open = state.filter(F.col("__hi") > F.col("__lo")).count()
+    var rounds = 0
+    while (open > 0 && rounds < MaxRounds) {
+      val done = state.filter(F.col("__hi") <= F.col("__lo"))
+      val pending = state.filter(F.col("__hi") > F.col("__lo"))
+      // bucket the open intervals: k uniform integer bins; width ≤ k
+      // means every bin is one value and next round closes the
+      // interval. (v−lo)·k stays in int64 for any 32-bit-ish domain;
+      // wider domains narrow first via the span guard below.
+      val binned = data.join(pending, keys)
+        .filter(F.col("__v") >= F.col("__lo") &&
+          F.col("__v") <= F.col("__hi"))
+        .withColumn("__bin", F.expr(
+          s"""cast(((__v - __lo) * $k) div (__hi - __lo + 1)
+              as bigint)"""))
+        .groupBy((kCols ++ Seq(F.col("__rk"), F.col("__bin"))): _*)
+        .agg(F.count(F.lit(1)).as("__c"),
+          F.min("__v").as("__bmin"), F.max("__v").as("__bmax"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1) // ≤k rows per (group, rk)
+      val next = binned
+        .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
+        .join(pending.select((kCols ++ Seq(F.col("__rk"),
+          F.col("__n"), F.col("__off"))): _*), keys :+ "__rk")
+        // the bin holding local rank (__rk − __off)
+        .filter(F.col("__rk") - F.col("__off") >= F.col("__cb") &&
+          F.col("__rk") - F.col("__off") < F.col("__cb") + F.col("__c"))
+        .select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
+          (F.col("__off") + F.col("__cb")).as("__off"),
+          F.col("__bmin").as("__lo"), F.col("__bmax").as("__hi"))): _*)
+      val prev = state
+      state = done.unionByName(next).localCheckpoint()
+      org.apache.spark.sql.GraftReleaseBridge.release(prev)
+      open = state.filter(F.col("__hi") > F.col("__lo")).count()
+      rounds += 1
+    }
+    require(open == 0, s"grouped quantile did not converge in $MaxRounds rounds")
+    // interpolate: pivot the ≤2 resolved ranks back to one row/group
+    val res = state.select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
+      F.col("__lo").as("__val"))): _*)
+    val lo = init.select((kCols ++ Seq(F.col("__rkLo"), F.col("__rkHi"),
+      F.col("__n"))): _*)
+    lo.join(res.withColumnRenamed("__rk", "__rkLo")
+        .withColumnRenamed("__val", "__vLo").drop("__n"),
+        keys :+ "__rkLo")
+      .join(res.withColumnRenamed("__rk", "__rkHi")
+        .withColumnRenamed("__val", "__vHi").drop("__n"),
+        keys :+ "__rkHi")
+      .select((kCols :+ F.expr(
+        s"""cast(__vLo as double) + ($q * (__n - 1) - __rkLo)
+            * (cast(__vHi as double) - __vLo)""").as(out)): _*)
+  }
 }

@@ -1003,6 +1003,32 @@ object AuditQueries {
           F.expr("round(percentile(dsec, 0.9), 6)").as("p90_sec"),
           F.max("dsec").as("max_sec"))
         .orderBy("stage")
+    },
+
+    // GROUPED exact quantile at scale — closes the one documented
+    // single-node bottleneck: native `percentile()` merges an
+    // O(distinct-values-per-group) map on one reducer, and a
+    // per-group sort shuffles the whole column. `groupedExactLong`
+    // (ops/Quantiles.scala) runs iterative histogram refinement with
+    // ALL per-group search state in the plan — a (group, rank, lo,
+    // hi, offset) relation narrowing 1024× per round, zero driver
+    // state, zero value collects (integer domains close when every
+    // bin is a single value; 3-4 rounds for cents). Interpolation
+    // matches percentile/quantile_cont bit-for-bit, which is exactly
+    // what this query's oracle asserts.
+    "q339_grouped_quantile" -> { (s, dir) =>
+      val ev = T.load(s, dir, "events")
+        .select(F.col("event_type"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      val med = graft.ops.Quantiles.groupedExactLong(
+        ev, Seq("event_type"), "cents", 0.5, "p50c")
+      val p90 = graft.ops.Quantiles.groupedExactLong(
+        ev, Seq("event_type"), "cents", 0.9, "p90c")
+      med.join(p90, "event_type")
+        .select(F.col("event_type"),
+          F.expr("round(p50c / 100, 6)").as("p50"),
+          F.expr("round(p90c / 100, 6)").as("p90"))
+        .orderBy("event_type")
     }
   )
 
@@ -1033,6 +1059,14 @@ object AuditQueries {
        FROM v${r - 1} v JOIN pm p ON p.from_t = v.st GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q339_grouped_quantile" ->
+      """WITH ev AS (SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) cents FROM events)
+          SELECT event_type,
+            round(quantile_cont(cents, 0.5) / 100, 6) + 0 AS p50,
+            round(quantile_cont(cents, 0.9) / 100, 6) + 0 AS p90
+          FROM ev GROUP BY 1 ORDER BY 1""",
 
     "q335_ips_value" ->
       """WITH ev AS (SELECT event_type,

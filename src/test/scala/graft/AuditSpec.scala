@@ -330,6 +330,33 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q339/groupedExactLong matches percentile() on adversarial groups") {
+    import spark.implicits._
+    // many groups, heavy duplicates, singleton groups, negative
+    // values — every branch of the in-plan histogram refinement
+    val rows = (0 until 200).flatMap { g =>
+      val n = 1 + (g % 17)
+      (0 until n).map(i => (g.toLong, ((i * 7919 + g) % 23).toLong - 5))
+    }
+    val df = rows.toDF("g", "v")
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = graft.ops.Quantiles
+        .groupedExactLong(df, Seq("g"), "v", q, "qv")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy("g")
+        .agg(F.expr(s"percentile(v, $q)").as("qv"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"group sets differ at q=$q")
+      got.foreach { case (g, v) =>
+        // percentile() interpolates (1-f)*lo + f*hi; groupedExactLong
+        // (like quantile_cont) uses lo + f*(hi-lo) — equal to within
+        // one ulp, and identical at the repo's 6-dp oracle contract
+        assert(math.abs(v - want(g)) <= 1e-9 * math.max(1.0, math.abs(want(g))),
+          s"q=$q group=$g: $v != ${want(g)}")
+      }
+    }
+  }
+
   test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
     val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
       .collect()
