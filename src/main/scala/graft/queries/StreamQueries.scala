@@ -420,6 +420,73 @@ object StreamQueries {
           (F.col("__est") >= F.col("c")).as("cms_ge"),
           (F.col("__est") <= F.col("c") + F.lit(20L) * F.col("__n")
             / F.lit(W.toLong)).as("cms_close"))
+    },
+
+    // Online per-user anomaly detection — flatMapGroupsWithState
+    // keeping EXACT integer moments (n, Σcents, Σcents²) per user
+    // across micro-batches, flagging any event > 3σ from the user's
+    // PRIOR history (prefix-exclusive, warmup n ≥ 5): the live
+    // fraud/quality flagger whose batch replay is a pure window
+    // query. Determinism: the state is integers, so μ/σ/z are
+    // bit-identical to the oracle's prefix-sum windows; z is emitted
+    // 6-dp. State per user is 3 longs — O(users), never O(events).
+    "q340_stream_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val src = eventsStream(s, dir)
+        .select(F.col("user_id"), F.col("event_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+        .as[(Long, Long, Long, Long)]
+      val flagged = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long),
+          (Long, Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (uid, it, st) =>
+            var (n, sx, sxx) = st.getOption.getOrElse((0L, 0L, 0L))
+            val out = Seq.newBuilder[(Long, Long, Long, Double)]
+            it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+              val x = e._4
+              if (n >= 5) {
+                val mu = sx.toDouble / n
+                val vr = (sxx.toDouble - sx.toDouble * sx.toDouble / n) /
+                  (n - 1)
+                if (vr > 0) {
+                  val z = (x - mu) / math.sqrt(vr)
+                  if (math.abs(z) > 3)
+                    out += ((uid, e._2, x, BigDecimal(z)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble))
+                }
+              }
+              n += 1; sx += x; sxx += x * x
+            }
+            st.update((n, sx, sxx))
+            out.result().iterator
+        }
+      runStateful(s, flagged.toDF("user_id", "event_id", "cents", "z"),
+          uniq("stream_anom"), mode = "append")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Streaming top-k maintenance — running part-popularity top-10
+    // from the lineitem stream: complete-mode counts (mergeable
+    // state, O(parts)) + a TakeOrdered on the sink table, reconciled
+    // exactly against the batch twin. The dashboard primitive that
+    // pairs with q314's sketch path when exact per-key state still
+    // fits (it stops fitting at web scale — that's what q314 is for).
+    "q341_stream_topk" -> { (s, dir) =>
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val cnt = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(dir)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("l_quantity").cast("long")).as("qty"))
+      runStateful(s, cnt, uniq("stream_topk"))
+        .orderBy(F.col("n").desc, F.col("l_partkey").asc)
+        .limit(10)
+        .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
     }
   )
 
@@ -439,6 +506,33 @@ object StreamQueries {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            TRUE AS acd_ok
          FROM events GROUP BY 1""",
+    // batch replay: prefix-exclusive exact-moment windows per user
+    "q340_stream_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) sec,
+             CAST(round(value * 100) AS BIGINT) cents FROM events),
+          p AS (SELECT user_id, event_id, cents,
+             count(*) OVER w n, sum(cents) OVER w sx,
+             sum(cents * cents) OVER w sxx
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          z AS (SELECT user_id, event_id, cents,
+             (cents - sx::DOUBLE / n)
+               / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n)
+                 / (n - 1)) z,
+             (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1) vr
+           FROM p WHERE n >= 5)
+          SELECT user_id, event_id, cents, round(z, 6) + 0 AS z
+          FROM z WHERE vr > 0 AND abs(z) > 3
+          ORDER BY user_id, event_id""",
+
+    "q341_stream_topk" ->
+      """SELECT l_partkey, count(*) n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) qty
+         FROM lineitem GROUP BY 1
+         ORDER BY n DESC, l_partkey LIMIT 10""",
+
     // exact top-20 side is hash-checked; the two CM gates are
     // engine-verified and asserted TRUE (q107's pattern)
     "q314_stream_heavy_hitters" ->

@@ -169,6 +169,49 @@ class StreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming anomaly flags equal the batch prefix-window replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamQueries
+      .queries("q340_stream_anomaly")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch replay with the same exact-integer prefix moments
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sec", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val want = T.load(spark, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+        F.expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("n", F.count(F.lit(1)).over(w))
+      .withColumn("sx", F.sum("cents").over(w))
+      .withColumn("sxx", F.sum(F.expr("cents * cents")).over(w))
+      .filter(F.col("n") >= 5)
+      .withColumn("vr", F.expr(
+        "(cast(sxx as double) - cast(sx as double) * sx / n) / (n - 1)"))
+      .filter(F.col("vr") > 0)
+      .withColumn("z", F.expr(
+        "(cents - cast(sx as double) / n) / sqrt(vr)"))
+      .filter(F.abs(F.col("z")) > 3)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("streaming top-k equals the batch count ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamQueries
+      .queries("q341_stream_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = T.load(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("l_quantity").cast("long")).as("qty"))
+      .orderBy(F.col("n").desc, F.col("l_partkey").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming CountMin sketch satisfies both gates on the exact top-20") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.StreamQueries
