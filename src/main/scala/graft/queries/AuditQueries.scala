@@ -1029,6 +1029,55 @@ object AuditQueries {
           F.expr("round(p50c / 100, 6)").as("p50"),
           F.expr("round(p90c / 100, 6)").as("p90"))
         .orderBy("event_type")
+    },
+
+    // Dedup retention-policy comparison — q79 finds the near-dup
+    // clusters and q222 picks min-id canonicals; this prices the
+    // POLICY CHOICE: keep-first (min id) vs keep-longest vs
+    // keep-shortest, reporting kept documents and kept characters
+    // under each. Per-cluster argmins/argmaxes are single max_by/
+    // min_by hash aggregates with explicit id tie-breaks (no
+    // per-cluster windows); singletons keep themselves under every
+    // policy. The numbers a curation lead reads before committing a
+    // dedup pass that deletes 30% of a corpus.
+    "q342_retention_policies" -> { (s, dir) =>
+      val docs = T.load(s, dir, "documents")
+        .withColumn("sh", graft.plans.TextExpressions
+          .wordShingles(F.col("text"), 3))
+      val pairs = graft.dedup.Dedup
+        .minhashNearDups(docs, "doc_id", "sh", 0.85)
+      val cc = graft.dedup.Dedup
+        .connectedComponents(pairs.select("id1", "id2"))
+      val lab = docs.select(F.col("doc_id"), F.col("n_chars"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("doc_id")))
+      val g = lab.groupBy("comp").agg(
+          F.count(F.lit(1)).as("nd"),
+          F.sum("n_chars").as("ch"),
+          F.expr("min_by(struct(doc_id, n_chars), doc_id)").as("kf"),
+          F.expr("max_by(struct(doc_id, n_chars), struct(n_chars, -doc_id))")
+            .as("kl"),
+          F.expr("min_by(struct(doc_id, n_chars), struct(n_chars, doc_id))")
+            .as("ks"))
+        .localCheckpoint() // feeds totals AND the three policy rows
+      val tot = g.agg(F.sum("nd").as("n_docs"),
+        F.sum("ch").as("chars_total"),
+        F.count(F.lit(1)).as("n_kept"),
+        F.sum(F.when(F.col("nd") > 1, 1L).otherwise(0L))
+          .as("n_clusters"))
+      def pol(name: String, kept: String) =
+        g.agg(F.sum(F.col(s"$kept.n_chars")).as("chars_kept"))
+          .select(F.lit(name).as("policy"), F.col("chars_kept"))
+      pol("keep_first", "kf")
+        .unionAll(pol("keep_longest", "kl"))
+        .unionAll(pol("keep_shortest", "ks"))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col("policy"), F.col("n_docs"), F.col("n_clusters"),
+          F.col("n_kept"), F.col("chars_total"), F.col("chars_kept"),
+          F.expr("""round(cast(chars_kept as double)
+            / chars_total, 6)""").as("kept_frac"))
+        .orderBy("policy")
     }
   )
 
@@ -1059,6 +1108,62 @@ object AuditQueries {
        FROM v${r - 1} v JOIN pm p ON p.from_t = v.st GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
+
+    "q342_retention_policies" ->
+      """WITH RECURSIVE
+          toks AS (SELECT doc_id, list_filter(regexp_split_to_array(
+               lower(text), '[^a-z0-9]+'), x -> x != '') t
+           FROM documents),
+          sh AS (SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               for i in range(1, len(t) - 1)]) s FROM toks),
+          jp AS (SELECT a.doc_id id1, b.doc_id id2,
+             round(len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                    AS DOUBLE), 3) jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+          pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.85),
+          edges AS (SELECT id1 a, id2 b FROM pairs
+                    UNION SELECT id2, id1 FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+          cc AS (SELECT a id, least(a, min(b)) comp FROM reach
+                 GROUP BY a),
+          lab AS (SELECT d.doc_id, d.n_chars,
+             coalesce(cc.comp, d.doc_id) comp
+           FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+          rk AS (SELECT comp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY doc_id) r_first,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars DESC, doc_id) r_long,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars, doc_id) r_short
+           FROM lab),
+          tot AS (SELECT count(*) n_docs, sum(n_chars) chars_total,
+             count(DISTINCT comp) n_kept,
+             (SELECT count(*) FROM (SELECT comp FROM lab GROUP BY 1
+                HAVING count(*) > 1) x) n_clusters
+           FROM lab),
+          pol AS (
+            SELECT 'keep_first' AS "policy", sum(n_chars) chars_kept
+            FROM rk WHERE r_first = 1
+            UNION ALL
+            SELECT 'keep_longest', sum(n_chars) FROM rk
+            WHERE r_long = 1
+            UNION ALL
+            SELECT 'keep_shortest', sum(n_chars) FROM rk
+            WHERE r_short = 1)
+          SELECT "policy", CAST(n_docs AS BIGINT) n_docs,
+            CAST(n_clusters AS BIGINT) n_clusters,
+            CAST(n_kept AS BIGINT) n_kept,
+            CAST(chars_total AS BIGINT) chars_total,
+            CAST(chars_kept AS BIGINT) chars_kept,
+            round(chars_kept::DOUBLE / chars_total, 6) + 0
+              AS kept_frac
+          FROM pol CROSS JOIN tot ORDER BY "policy"""",
 
     "q339_grouped_quantile" ->
       """WITH ev AS (SELECT event_type,

@@ -357,6 +357,21 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("q342: policies keep the same doc count, longest maximizes kept chars") {
+    val rows = AuditQueries
+      .queries("q342_retention_policies")(spark, sf).collect()
+    assert(rows.length == 3)
+    val total = T.load(spark, sf, "documents").count()
+    val byPol = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    // every policy sees the whole corpus and keeps one doc per cluster
+    assert(byPol.values.forall(_._1 == total))
+    assert(byPol.values.map(_._2).toSet.size == 1)
+    // dominance: keep_longest >= keep_first >= keep_shortest in chars
+    assert(byPol("keep_longest")._3 >= byPol("keep_first")._3)
+    assert(byPol("keep_first")._3 >= byPol("keep_shortest")._3)
+  }
+
   test("q318: bootstrap CI brackets the point estimate with 32 replicas") {
     val rows = AuditQueries.queries("q318_poisson_bootstrap")(spark, sf)
       .collect()
