@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkSpec {
     "q246_ppr",           // personalized PageRank power iteration
     "q279_mixture_descent", // multi-round mixture reweighting
     "q294_pq",            // Lloyd rounds over 4 subspaces
-    "q302_em_mixture")    // EM rounds, 8-dp state
+    "q302_em_mixture",    // EM rounds, 8-dp state
+    "q332_markov_stationary", // 8 power iterations, 1e-8-unit sums
+    "q339_grouped_quantile")  // in-plan histogram refinement loop
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     // Bit-exact canonical form: every cell via toString (doubles print
