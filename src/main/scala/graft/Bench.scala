@@ -26,7 +26,14 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outFile)), "UTF-8")
-        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(txt)
+        // Anchor the parse to the "queries" object (its values are
+        // plain numbers, so its span is brace-free) — scanning the
+        // whole file would also pick up q-keyed numbers from any
+        // future field (e.g. a regressions entry), corrupting the
+        // prior map and faking/masking regressions.
+        val qSpan = "\"queries\":\\{([^{}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(qSpan)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()

@@ -356,13 +356,19 @@ object Quantiles {
       val pending = state.filter(F.col("__hi") > F.col("__lo"))
       // bucket the open intervals: k uniform integer bins; width ≤ k
       // means every bin is one value and next round closes the
-      // interval. (v−lo)·k stays in int64 for any 32-bit-ish domain;
-      // wider domains narrow first via the span guard below.
+      // interval. The bin arithmetic runs in DECIMAL(38,0): in int64,
+      // (v−lo)·k wraps once a group's span exceeds 2^63/k (~9e15 for
+      // k=1024) and hi−lo+1 itself wraps near the full long range — a
+      // wrapped bin silently drops the rank row and the group vanishes.
+      // Decimal multiply/int-divide is exact for the full long domain
+      // ((2^64)·1024 ≈ 1.9e22 ≪ 10^38) and costs one codegen'd decimal
+      // op per row per round — noise next to the join it rides on.
       val binned = data.join(pending, keys)
         .filter(F.col("__v") >= F.col("__lo") &&
           F.col("__v") <= F.col("__hi"))
         .withColumn("__bin", F.expr(
-          s"""cast(((__v - __lo) * $k) div (__hi - __lo + 1)
+          s"""cast(((cast(__v as decimal(38,0)) - __lo) * $k)
+              div (cast(__hi as decimal(38,0)) - __lo + 1)
               as bigint)"""))
         .groupBy((kCols ++ Seq(F.col("__rk"), F.col("__bin"))): _*)
         .agg(F.count(F.lit(1)).as("__c"),

@@ -429,7 +429,13 @@ object StreamQueries {
     // fraud/quality flagger whose batch replay is a pure window
     // query. Determinism: the state is integers, so μ/σ/z are
     // bit-identical to the oracle's prefix-sum windows; z is emitted
-    // 6-dp. State per user is 3 longs — O(users), never O(events).
+    // 6-dp. State per user is (long, long, BigInt≈decimal38) —
+    // O(users), never O(events). Σcents² accumulates in BigInt: in
+    // int64, x·x wraps silently for |cents| ≳ 3e9 and the running sum
+    // wraps past 2^63 for long-lived big-value users, while the
+    // DuckDB oracle promotes sum() to HUGEINT — BigInt keeps engine
+    // and oracle exact over the full long domain (same int64-wrap
+    // class the Wilson/PQ/Krippendorff round-8 fixes closed).
     "q340_stream_anomaly" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -439,11 +445,11 @@ object StreamQueries {
           F.expr("cast(round(value * 100) as bigint)").as("cents"))
         .as[(Long, Long, Long, Long)]
       val flagged = src.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Long, Long),
+        .flatMapGroupsWithState[(Long, Long, BigInt),
           (Long, Long, Long, Double)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (uid, it, st) =>
-            var (n, sx, sxx) = st.getOption.getOrElse((0L, 0L, 0L))
+            var (n, sx, sxx) = st.getOption.getOrElse((0L, 0L, BigInt(0)))
             val out = Seq.newBuilder[(Long, Long, Long, Double)]
             it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
               val x = e._4
@@ -459,7 +465,7 @@ object StreamQueries {
                       .toDouble))
                 }
               }
-              n += 1; sx += x; sxx += x * x
+              n += 1; sx += x; sxx += BigInt(x) * BigInt(x)
             }
             st.update((n, sx, sxx))
             out.result().iterator

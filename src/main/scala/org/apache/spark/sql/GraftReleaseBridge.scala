@@ -16,6 +16,22 @@ package org.apache.spark.sql
 object GraftReleaseBridge {
   /** Unpersist the checkpoint RDD behind `ds`; falls back to the
     * CacheManager path for `.persist()`ed (non-checkpoint) inputs.
+    *
+    * Deliberately matches ONLY a plan whose ROOT is a `LogicalRDD` —
+    * i.e. the checkpointed frame itself, not a derived view. The
+    * tempting generalization (collect every `LogicalRDD` leaf of the
+    * analyzed plan and unpersist each) is WRONG: a derived frame can
+    * reference checkpoints it does not own. Concretely, PPR's round-1
+    * `prev` is `base.select(...)` — a projection over the `base`
+    * checkpoint that every later iteration joins against; releasing
+    * leaves there drops `base`'s blocks and the next round dies with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (reproduced by DeterminismSpec
+    * q246 when this was tried). "Release exactly the relation you
+    * were handed, and only if you were handed the checkpoint itself"
+    * is the only ownership rule a call site can reason about; passing
+    * a derived frame degrades to the CacheManager no-op, which is the
+    * SAFE direction. Call sites that want a real release must pass
+    * the checkpointed frame.
     * Non-blocking: release ordering never gates the next round. */
   def release(ds: Dataset[_]): Unit = ds match {
     case d: classic.Dataset[_] =>

@@ -357,6 +357,40 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactLong: full-long-span domains (decimal bin guard)") {
+    import spark.implicits._
+    // Spans that wrap the old int64 bin arithmetic: (v−lo)·1024
+    // overflows once span > 2^63/1024 ≈ 9e15, and hi−lo+1 itself
+    // overflows for the Long.Min..Long.Max group. The decimal(38,0)
+    // bin path must resolve these exactly; before the fix the rank
+    // row silently vanished (group missing) or converge require'd.
+    val rows = Seq(
+      // group 0: full long range — hi−lo+1 wraps in int64
+      (0L, Long.MinValue), (0L, -1L), (0L, 7L), (0L, Long.MaxValue),
+      // group 1: span ~4.6e18 — (v−lo)·k wraps in int64
+      (1L, -2300000000000000000L), (1L, 0L),
+      (1L, 1500000000000000000L), (1L, 2300000000000000000L),
+      // group 2: narrow control group (old path was already correct)
+      (2L, 10L), (2L, 20L), (2L, 30L))
+    val df = rows.toDF("g", "v")
+    for (q <- Seq(0.0, 0.5, 1.0)) {
+      val got = graft.ops.Quantiles
+        .groupedExactLong(df, Seq("g"), "v", q, "qv")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val s = vs.map(_._2).sorted
+        val pos = q * (s.length - 1)
+        val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+        g -> (lo.toDouble + (pos - pos.toInt) * (hi.toDouble - lo.toDouble))
+      }
+      assert(got.keySet == Set(0L, 1L, 2L), s"group lost at q=$q: $got")
+      got.foreach { case (g, v) =>
+        assert(math.abs(v - want(g)) <= 1e-9 * math.max(1.0, math.abs(want(g))),
+          s"q=$q group=$g: $v != ${want(g)}")
+      }
+    }
+  }
+
   test("q342: policies keep the same doc count, longest maximizes kept chars") {
     val rows = AuditQueries
       .queries("q342_retention_policies")(spark, sf).collect()
