@@ -32,8 +32,17 @@ object Bench {
         // future field (e.g. a regressions entry), corrupting the
         // prior map and faking/masking regressions.
         val qSpan = "\"queries\":\\{([^{}]*)\\}".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse("")
-        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(qSpan)
+          .map(_.group(1))
+        // A non-empty prior file whose "queries" anchor no longer
+        // matches (renamed key, whitespace after the colon) would
+        // silently zero the prior map and disable the tripwire —
+        // warn loudly so format drift is noticed at build time.
+        if (qSpan.isEmpty && txt.trim.nonEmpty)
+          System.err.println(s"WARN Bench: prior $outFile is non-empty " +
+            "but no \"queries\":{...} anchor matched — regression " +
+            "tripwire disabled this run; check bench.json format drift")
+        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r
+          .findAllMatchIn(qSpan.getOrElse(""))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()

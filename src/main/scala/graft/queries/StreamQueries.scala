@@ -436,6 +436,14 @@ object StreamQueries {
     // DuckDB oracle promotes sum() to HUGEINT — BigInt keeps engine
     // and oracle exact over the full long domain (same int64-wrap
     // class the Wilson/PQ/Krippendorff round-8 fixes closed).
+    // Encode bound: Spark serializes the BigInt state as
+    // Decimal(38,0), so the RUNNING Σx² must stay below 10^38 — two
+    // events near |cents|=9.2e18 (the long extreme) would overflow
+    // the state encode even though each x·x term is exact. That needs
+    // |value| ≈ 9.2e16 dollars per event; real monetary streams sit
+    // >10 orders of magnitude below, so the per-term exactness is the
+    // operative guarantee and the encode bound is documented, not
+    // guarded.
     "q340_stream_anomaly" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanized doc-count gate (verdict r9 task 4).
+  *
+  * Rounds 7, 8 and 9 each shipped the same defect: a commit fixed the
+  * "N ScalaTest cases" lines in README/SCALE/COVERAGE and added a new
+  * test in the SAME commit, re-staling the lines instantly. Manual
+  * discipline failed three times, so the gate is now part of
+  * `sbt test`: every count declaration in the three docs is parsed
+  * and asserted against the LIVE values — the suite inventory
+  * (reflective `Suite.testNames` over every spec class, so
+  * loop-registered tests like DeterminismSpec's count correctly) and
+  * `SparkEntry.queries.size`. A stale doc is a red build.
+  *
+  * Gated patterns (every occurrence in README.md, SCALE.md,
+  * COVERAGE.md must match the live value):
+  *   - `N ScalaTest` and `N/N ScalaTest`  → live test-case count
+  *   - `N registered queries`             → SparkEntry.queries.size
+  *   - `N/N oracle`                       → SparkEntry.queries.size
+  *   - `across N suites`                  → live suite count
+  * Historical narrative must simply avoid these exact phrasings
+  * (SCALE.md's round-4 header was reworded once, in round 10).
+  */
+class CountsSpec extends AnyFunSuite {
+
+  private val testDir = new java.io.File("src/test/scala/graft")
+  private val docs = Seq("README.md", "SCALE.md", "COVERAGE.md")
+
+  private def readFile(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+
+  /** Suite classes discovered from source, not hand-listed — a new
+    * spec file is picked up automatically. */
+  private lazy val suiteNames: Seq[String] = {
+    val re = """class\s+(\w+)\s+extends\s+(SparkSpec|AnyFunSuite)""".r
+    testDir.listFiles().filter(_.getName.endsWith(".scala")).toSeq
+      .flatMap(f => re.findAllMatchIn(readFile(f)).map(_.group(1)))
+      .sorted
+  }
+
+  /** Live test-case count: instantiate each suite and ask ScalaTest
+    * itself — the only count that agrees with what `sbt test` runs,
+    * including dynamically registered (looped) tests. */
+  private lazy val liveTests: Int = suiteNames.map { c =>
+    Class.forName("graft." + c).getDeclaredConstructor()
+      .newInstance().asInstanceOf[org.scalatest.Suite].testNames.size
+  }.sum
+
+  private lazy val liveQueries: Int = SparkEntry.queries.size
+
+  /** Pure checker so the regression test below can demonstrate the
+    * round-9 slip would have been caught. Returns violations as
+    * "file:line: declared N, actual M (pattern)". */
+  private[graft] def docViolations(file: String, text: String,
+      tests: Int, queries: Int, suites: Int): Seq[String] = {
+    val rules: Seq[(scala.util.matching.Regex, Int, String)] = Seq(
+      ("""(\d+)/(\d+) ScalaTest""".r, tests, "N/N ScalaTest"),
+      ("""(?<!/)\b(\d+) ScalaTest""".r, tests, "N ScalaTest"),
+      ("""(\d+) registered queries""".r, queries, "N registered queries"),
+      ("""(\d+)/(\d+) oracle""".r, queries, "N/N oracle"),
+      ("""across (\d+) suites""".r, suites, "across N suites"))
+    text.linesIterator.zipWithIndex.flatMap { case (line, i) =>
+      rules.flatMap { case (re, want, label) =>
+        re.findAllMatchIn(line)
+          .flatMap(m => (1 to m.groupCount).map(g => m.group(g).toInt))
+          .filter(_ != want)
+          .map(got => s"$file:${i + 1}: declared $got, " +
+            s"actual $want ($label)")
+      }
+    }.toSeq
+  }
+
+  test("doc counts match live suite/query inventory") {
+    val viols = docs.flatMap { d =>
+      docViolations(d, readFile(new java.io.File(d)),
+        liveTests, liveQueries, suiteNames.size)
+    }
+    assert(viols.isEmpty,
+      "stale doc counts (fix the docs in the SAME commit that " +
+        "changed the tests/queries):\n" + viols.mkString("\n"))
+  }
+
+  test("gate would have caught the round-9 slip (324 vs 325)") {
+    // Round 9 shipped docs saying 324 while the live count was 325.
+    val stale = "sbt test  # 324 ScalaTest cases\n" +
+      "gates: 324/324 ScalaTest, 341/341 oracle hash-match\n" +
+      "341 registered queries across 25 suites\n"
+    val v = docViolations("README.md", stale,
+      tests = 325, queries = 341, suites = 25)
+    assert(v.exists(_.contains("declared 324, actual 325")),
+      s"checker missed the N-ScalaTest slip: $v")
+    assert(v.count(_.contains("324")) == 3, s"expected the bare form " +
+      s"and both numbers of the N/N form flagged: $v")
+    // and a query-count slip in the N/N oracle form
+    val v2 = docViolations("SCALE.md", "gates: 341/341 oracle",
+      tests = 325, queries = 343, suites = 25)
+    assert(v2.exists(_.contains("declared 341, actual 343")))
+  }
+
+  test("suite discovery sees every spec source file") {
+    // Every *Spec.scala in the test tree must contribute at least one
+    // discovered class — a spec written with an unrecognized parent
+    // would silently drop out of the count.
+    val specFiles = testDir.listFiles().map(_.getName)
+      .filter(n => n.endsWith("Spec.scala") && n != "SparkSpec.scala")
+    val missing = specFiles.filterNot(f =>
+      suiteNames.contains(f.stripSuffix(".scala")))
+    assert(missing.isEmpty, s"spec files not discovered as suites " +
+      s"(unrecognized extends clause?): ${missing.mkString(", ")}")
+  }
+}
