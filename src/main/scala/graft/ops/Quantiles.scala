@@ -326,27 +326,49 @@ object Quantiles {
     */
   def groupedExactLong(df: DataFrame, keys: Seq[String], valCol: String,
                        q: Double, out: String,
-                       k: Int = 1024): DataFrame = {
-    require(keys.nonEmpty && q >= 0 && q <= 1)
-    val spark = df.sparkSession
+                       k: Int = 1024): DataFrame =
+    groupedExactLongMulti(df, keys, valCol, Seq(q -> out), k)
+
+  /** Multi-target sibling of [[groupedExactLong]]: resolves SEVERAL
+    * quantiles of the same grouped column through ONE shared
+    * refinement loop. The per-round histogram join already carries
+    * one rank row per open (group, rank) target, so adding a target
+    * adds O(groups) rank-state rows — NOT extra passes over the data.
+    * A 3-quantile profile (p05/p50/p95) costs the same number of
+    * full-data scans as a single median. Duplicate ranks across
+    * targets (p50's ceil == p90's floor in a small group) dedup in
+    * the shared rank state. `qs` maps each quantile to its output
+    * column name; interpolation per target is `lo + (q(n−1) − ⌊q(n−1)⌋) ·
+    * (hi − lo)` — like quantile_cont, within one ulp of
+    * `percentile`'s (1−g)·lo + g·hi form.
+    */
+  def groupedExactLongMulti(df: DataFrame, keys: Seq[String],
+                            valCol: String, qs: Seq[(Double, String)],
+                            k: Int = 1024): DataFrame = {
+    require(keys.nonEmpty && qs.nonEmpty &&
+      qs.forall { case (q, _) => q >= 0 && q <= 1 })
     val kCols = keys.map(F.col)
     val data = df.select(kCols :+ F.col(valCol).cast("long").as("__v"): _*)
       .filter(F.col("__v").isNotNull)
       .localCheckpoint() // read once per refinement round
-    // rank targets: pos = q(n−1); two searches per group (floor/ceil
-    // rank — equal when pos is integral, deduped by the rk key)
+    // rank targets: pos = q(n−1); two searches per group per target
+    // (floor/ceil rank — equal when pos is integral, deduped by the
+    // rk key across ALL targets)
+    val rkExprs = qs.zipWithIndex.flatMap { case ((q, _), i) =>
+      Seq(F.expr(s"cast(floor($q * (__n - 1)) as bigint)")
+          .as(s"__rkLo$i"),
+        F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as(s"__rkHi$i"))
+    }
     val init = data.groupBy(kCols: _*)
       .agg(F.count(F.lit(1)).as("__n"),
         F.min("__v").as("__lo"), F.max("__v").as("__hi"))
-      .select((kCols ++ Seq(
-        F.col("__n"),
-        F.expr(s"cast(floor($q * (__n - 1)) as bigint)").as("__rkLo"),
-        F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as("__rkHi"),
-        F.col("__lo"), F.col("__hi"))): _*)
+      .select((kCols ++ Seq(F.col("__n")) ++ rkExprs ++
+        Seq(F.col("__lo"), F.col("__hi"))): _*)
+    val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
+      Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
     var state = init
       .select((kCols ++ Seq(F.col("__n"),
-        F.explode(F.array_distinct(F.array(F.col("__rkLo"),
-          F.col("__rkHi")))).as("__rk"),
+        F.explode(allRk).as("__rk"),
         F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"))): _*)
       .localCheckpoint()
     var open = state.filter(F.col("__hi") > F.col("__lo")).count()
@@ -394,19 +416,23 @@ object Quantiles {
       rounds += 1
     }
     require(open == 0, s"grouped quantile did not converge in $MaxRounds rounds")
-    // interpolate: pivot the ≤2 resolved ranks back to one row/group
-    val res = state.select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
+    // interpolate: pivot each target's ≤2 resolved ranks back to one
+    // row/group — 2 joins per target against the O(groups·targets)
+    // resolved-rank relation (broadcast-sized by construction)
+    val res = state.select((kCols ++ Seq(F.col("__rk"),
       F.col("__lo").as("__val"))): _*)
-    val lo = init.select((kCols ++ Seq(F.col("__rkLo"), F.col("__rkHi"),
-      F.col("__n"))): _*)
-    lo.join(res.withColumnRenamed("__rk", "__rkLo")
-        .withColumnRenamed("__val", "__vLo").drop("__n"),
-        keys :+ "__rkLo")
-      .join(res.withColumnRenamed("__rk", "__rkHi")
-        .withColumnRenamed("__val", "__vHi").drop("__n"),
-        keys :+ "__rkHi")
-      .select((kCols :+ F.expr(
-        s"""cast(__vLo as double) + ($q * (__n - 1) - __rkLo)
-            * (cast(__vHi as double) - __vLo)""").as(out)): _*)
+    var out = init.drop("__lo", "__hi")
+    qs.indices.foreach { i =>
+      out = out
+        .join(res.withColumnRenamed("__rk", s"__rkLo$i")
+          .withColumnRenamed("__val", s"__vLo$i"), keys :+ s"__rkLo$i")
+        .join(res.withColumnRenamed("__rk", s"__rkHi$i")
+          .withColumnRenamed("__val", s"__vHi$i"), keys :+ s"__rkHi$i")
+    }
+    val outCols = qs.zipWithIndex.map { case ((q, name), i) =>
+      F.expr(s"""cast(__vLo$i as double) + ($q * (__n - 1) - __rkLo$i)
+          * (cast(__vHi$i as double) - __vLo$i)""").as(name)
+    }
+    out.select((kCols ++ outCols): _*)
   }
 }

@@ -480,20 +480,33 @@ object AnalyticsQueries {
     // Inter-event-time profile per event type: per-user event-sequence
     // gaps (one partitioned lag window) rolled up to exact interpolated
     // p50/p90 + mean. Integer epoch gaps in, so the only float work is
-    // the final percentile interpolation.
+    // the final percentile interpolation. Round-10 migration: gaps are
+    // LONG seconds with O(timespan) distinct values, so both quantiles
+    // resolve through one groupedExactLongMulti refinement loop
+    // (ulp-identical interpolation to percentile; hash verified
+    // unchanged under the 2-dp output rounding)
+    // instead of native percentile's single-reducer value-map merge;
+    // the gap relation is pinned once and feeds both the count/mean
+    // aggregate and the quantile search.
     "q145_gap_stats" -> { (s, dir) =>
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("sec", "event_id")
-      T.load(s, dir, "events")
+      val gaps = T.load(s, dir, "events")
         .select(F.col("user_id"), F.col("event_type"), F.col("event_id"),
           F.unix_timestamp(F.col("ts")).as("sec"))
         .withColumn("gap", F.col("sec") - F.lag("sec", 1).over(w))
         .filter(F.col("gap").isNotNull)
-        .groupBy("event_type")
+        .select("event_type", "gap")
+        .localCheckpoint()
+      val base = gaps.groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_gaps"),
-          F.round(F.avg("gap"), 2).as("mean_gap"),
-          F.round(F.expr("percentile(gap, 0.5)"), 2).as("p50"),
-          F.round(F.expr("percentile(gap, 0.9)"), 2).as("p90"))
+          F.round(F.avg("gap"), 2).as("mean_gap"))
+      val qq = graft.ops.Quantiles.groupedExactLongMulti(gaps,
+        Seq("event_type"), "gap", Seq(0.5 -> "__p50", 0.9 -> "__p90"))
+      base.join(qq, "event_type")
+        .select(F.col("event_type"), F.col("n_gaps"), F.col("mean_gap"),
+          F.round(F.col("__p50"), 2).as("p50"),
+          F.round(F.col("__p90"), 2).as("p90"))
     },
 
     // TPC-H Q15 shape (top supplier): the `WHERE total_revenue =
@@ -681,6 +694,11 @@ object AnalyticsQueries {
     // fraction, so pairs grow linearly with users. Slopes are exact
     // doubles from integer second deltas; the median interpolation is
     // the same (1-g)a[k]+g·a[k+1] both engines (q190).
+    // percentile-audit: BOUNDED — the group key is user_id, so the
+    // per-group value map holds ≤C(k,2) slopes where k = events per
+    // user, a per-entity constant (≤99 here → ≤4,851 entries); groups
+    // scale out across reducers, no single-reducer funnel. See
+    // SCALE.md §percentile-audit.
     "q192_theilsen" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select(F.col("user_id"), F.col("event_id"),
@@ -774,7 +792,9 @@ object AnalyticsQueries {
     // compute the identical lattice, so the oracle reproduces the CI
     // bit-for-bit. 32 replicas → a flat 32× explode into a partial-
     // agg'd (type, replica) groupBy; the percentile runs over 32
-    // replica means per type.
+    // replica means per type. percentile-audit: BOUNDED — input is
+    // the replica aggregate, exactly B=32 rows per group at any data
+    // scale. See SCALE.md §percentile-audit.
     "q161_bootstrap_ci" -> { (s, dir) =>
       val B = 32
       // u in [0,1) from a 20-bit integer lattice; w = Poisson(1)

@@ -181,6 +181,10 @@ object AuditQueries {
         .select(F.col("replica"),
           F.expr("round(cast(swc as double) / sw / 100, 6)")
             .as("boot_mean"))
+      // percentile-audit: BOUNDED — input is the replica aggregate,
+      // exactly 32 rows total (one per Poisson-bootstrap replica), so
+      // the single-reducer value map holds ≤32 entries at any data
+      // scale. See SCALE.md §percentile-audit.
       val ci = reps.agg(
         F.min("boot_mean").as("ci_lo"),
         F.expr("round(percentile(boot_mean, 0.5), 6)").as("ci_med"),
@@ -613,19 +617,23 @@ object AuditQueries {
     // INTEGER cent thresholds (floor(p5)/ceil(p95) of the exact
     // percentile), so winsorized clamps and trim filters sum exact
     // BIGINT cents — no float accumulation anywhere; the four centers
-    // divide once at the end. Grouped exact percentile is the
-    // documented single-node bottleneck exception (oracle
-    // bit-equality); the sketch path is percentile_approx.
+    // divide once at the end. All three cut quantiles resolve through
+    // ONE groupedExactLongMulti refinement loop (round-10 migration
+    // off native percentile's single-reducer value-map merge); the
+    // interpolation agrees with percentile/quantile_cont to one ulp —
+    // identical under the oracle's 6-dp rounding contract (hashes
+    // verified unchanged). Sketch path: percentile_approx.
     "q329_robust_means" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"),
           F.expr("cast(round(value * 100) as bigint)").as("cents"))
-      val cuts = ev.groupBy("event_type").agg(
-        F.expr("cast(floor(percentile(cents, 0.05)) as bigint)")
-          .as("lo"),
-        F.expr("cast(ceil(percentile(cents, 0.95)) as bigint)")
-          .as("hi"),
-        F.expr("round(percentile(cents, 0.5) / 100, 6)").as("median"))
+      val cuts = graft.ops.Quantiles.groupedExactLongMulti(
+          ev, Seq("event_type"), "cents",
+          Seq(0.05 -> "__q05", 0.95 -> "__q95", 0.5 -> "__q50"))
+        .select(F.col("event_type"),
+          F.expr("cast(floor(__q05) as bigint)").as("lo"),
+          F.expr("cast(ceil(__q95) as bigint)").as("hi"),
+          F.expr("round(__q50 / 100, 6)").as("median"))
       ev.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n"),
@@ -973,9 +981,12 @@ object AuditQueries {
     // Funnel latency percentiles — q277 counts WHO converts; this
     // measures HOW FAST: median / p90 / max seconds for view→click
     // and click→purchase over the same windowed min-time funnel.
-    // Durations are exact integer seconds; the grouped exact
-    // percentile is the documented oracle-bit-equality exception
-    // (sketch path: percentile_approx).
+    // Durations are exact integer seconds. percentile-audit:
+    // BOUNDED — every dsec is window-capped to [0, 86400], so the
+    // per-group value map holds ≤86,401 distinct integers regardless
+    // of user count; the cap is structural (the funnel filters on
+    // sec <= t+win), not statistical. Sketch path: percentile_approx.
+    // See SCALE.md §percentile-audit.
     "q338_funnel_latency" -> { (s, dir) =>
       val win = 86400L
       val ev = T.load(s, dir, "events")

@@ -262,6 +262,11 @@ object CurationQueries {
     // accuracy 1e-4, gated at ±1% of the value range) vs their exact
     // twins — the sketches ARE the 100 TB path (mergeable partial
     // state, no exact-distinct shuffle), and the gate proves them.
+    // percentile-audit: BOUNDED — the exact-percentile twin runs over
+    // `value`, 2-decimal money, so the per-group value map is capped
+    // by the cent DOMAIN (≤100·range+1 ≈ 5.7e4 here), not the row
+    // count; it exists to validate the sketch, and the sketch is the
+    // production path. See SCALE.md §percentile-audit.
     "q58_sketch" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
       // distinct counts and percentile buffers in SEPARATE aggregates:
@@ -611,6 +616,12 @@ object CurationQueries {
     // percentile at ±max(5%, 50 chars). accuracy=1000 bounds rank error
     // at n/1000, orders of magnitude inside the gate at any sf; the
     // oracle emits the exact values and literal TRUE (q118 pattern).
+    // percentile-audit: BOUNDED — the exact twin runs over n_chars,
+    // an integer capped by maximum document length (the corpus'
+    // chunking policy, q128, enforces one), so the per-group value
+    // map is O(max doc length) distinct entries at any corpus size;
+    // the GK sketch is the production path. See SCALE.md
+    // §percentile-audit.
     "q131_quantile_sketch" -> { (s, dir) =>
       T.load(s, dir, "documents")
         .groupBy("source").agg(

@@ -633,6 +633,12 @@ object EvalQueries {
           .agg(F.count(F.lit(1)).as("f"))
         val top = cnt.orderBy(F.col("f").desc, F.col("k").asc).limit(10)
           .agg(F.sum("f").cast("long").as("top10"))
+        // percentile-audit: BOUNDED — the percentiles run over the
+        // FREQUENCY column of an already-reduced key-count table. m
+        // distinct frequency values must satisfy Σf ≥ m(m+1)/2, so
+        // m ≤ √(2N) — ~1.4e6 entries (≈30 MB) even at N=10^12 rows;
+        // sublinear in data size by construction. See SCALE.md
+        // §percentile-audit.
         cnt.agg(F.count(F.lit(1)).as("n_keys"),
           F.max("f").as("max_freq"),
           F.expr("percentile(f, 0.5)").as("__p50"),

@@ -145,15 +145,27 @@ object MiscQueries {
 
     // Median absolute deviation per group (reference mad export,
     // src/operators.jl:52): two exact-median passes composed at plan
-    // level (scale path: approx_percentile both passes).
+    // level. Round-10 migration: both passes run groupedExactLong
+    // over exact integer images (cents, then half-cents for the
+    // deviations — 2·median is integer even when the median
+    // interpolates between two cents) instead of native percentile's
+    // single-reducer value-map merge over ~5.5e7 distinct doubles.
+    // True values land on the 0.0025-dollar grid, so round(·,4) is
+    // ulp-safe and the oracle hash unchanged.
     "q69_mad" -> { (s, dir) =>
       val o = T.load(s, dir, "orders")
-      val med = o.groupBy("o_orderstatus")
-        .agg(F.expr("percentile(o_totalprice, 0.5)").as("med"))
-      o.join(F.broadcast(med), Seq("o_orderstatus"))
-        .withColumn("adev", F.abs(F.col("o_totalprice") - F.col("med")))
-        .groupBy("o_orderstatus")
-        .agg(F.expr("round(percentile(adev, 0.5), 4)").as("mad"))
+        .select(F.col("o_orderstatus"),
+          F.expr("cast(round(o_totalprice * 100) as bigint)").as("__c"))
+      val med = graft.ops.Quantiles.groupedExactLong(
+        o, Seq("o_orderstatus"), "__c", 0.5, "__medc")
+      val adev = o.join(F.broadcast(med), Seq("o_orderstatus"))
+        .select(F.col("o_orderstatus"),
+          F.expr("abs(2L * __c - cast(round(2 * __medc) as bigint))")
+            .as("__a2")) // half-cent units, exact longs
+      graft.ops.Quantiles.groupedExactLong(
+          adev, Seq("o_orderstatus"), "__a2", 0.5, "__mad2")
+        .select(F.col("o_orderstatus"),
+          F.expr("round(__mad2 / 200, 4)").as("mad"))
     },
 
     // Covariance matrix, long form (reference cov, src/dataframe.jl:1514).

@@ -25,6 +25,15 @@ object StatQueries {
     // identical med/MAD and the flag threshold cannot diverge. Two
     // grouped aggs + a broadcast of the O(groups) med/MAD table; the
     // fact table never shuffles (q123's moment-broadcast shape).
+    // percentile-audit: BOUNDED — both percentiles run over 2-decimal
+    // money (`value`, then |value−med| which lives on the half-cent
+    // grid), so each per-group value map is capped by the cent domain
+    // (≤100·range+1 ≈ 5.7e4 / ≤2·that for the deviations), not the
+    // row count. Kept native (vs groupedExactLong) because med/mad
+    // feed a strict |rz|>3 row filter where an engine-side ulp
+    // difference could flip a knife-edge row; the bounded domain makes
+    // the merge map small at any scale. See SCALE.md
+    // §percentile-audit.
     "q190_mad_outliers" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select("event_id", "event_type", "value")
@@ -89,6 +98,12 @@ object StatQueries {
     // interpolation in both engines, so the strict </> comparisons
     // agree bit-for-bit; clip counts are integers. Two aggregates over
     // the same event_type key (exchange reuse), thresholds broadcast.
+    // percentile-audit: BOUNDED — thresholds run over 2-decimal money,
+    // so the per-group value map is capped by the cent domain
+    // (≤100·range+1), not the row count. Kept native because the
+    // clip thresholds feed strict </> row comparisons where a
+    // migrated ulp could flip a row exactly equal to a threshold.
+    // See SCALE.md §percentile-audit.
     "q138_winsorize" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"), F.col("value"))
@@ -167,15 +182,25 @@ object StatQueries {
     },
 
     // grouped exact quantiles (reference colmedians + distributed
-    // quantile, src/dataframe_blocks.jl:263-356).
+    // quantile, src/dataframe_blocks.jl:263-356). Round-10 migration:
+    // o_totalprice is 2-dp money, so its exact-cents image is a LONG
+    // domain and all three quartiles resolve through one
+    // groupedExactLongMulti refinement loop instead of native
+    // percentile's single-reducer value-map merge (O(distinct prices
+    // per status) ≈ 5.5e7 at TPC-H bounds — ~1 GB/group maps). The
+    // quarter-rank interpolation of 2-dp values lands on the 4-decimal
+    // grid, so round(·,4) is ulp-safe and the oracle hash unchanged.
     "q24_quantiles" -> { (s, dir) =>
-      T.load(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
-          .as("qs"))
+      val o = T.load(s, dir, "orders")
+        .select(F.col("o_orderstatus"),
+          F.expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("__cents"))
+      graft.ops.Quantiles.groupedExactLongMulti(o, Seq("o_orderstatus"),
+          "__cents", Seq(0.25 -> "__q1", 0.5 -> "__q2", 0.75 -> "__q3"))
         .basedOn("o_orderstatus" -> "o_orderstatus",
-          "q25" -> "round(qs[0], 4)", "q50" -> "round(qs[1], 4)",
-          "q75" -> "round(qs[2], 4)")
+          "q25" -> "round(__q1 / 100, 4)",
+          "q50" -> "round(__q2 / 100, 4)",
+          "q75" -> "round(__q3 / 100, 4)")
     },
 
     // cut: numeric binning to interval labels (reference cut,

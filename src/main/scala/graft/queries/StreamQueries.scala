@@ -319,6 +319,11 @@ object StreamQueries {
     // reconciled against the exact batch percentile over the same
     // source. Gate at ±5% relative error — the offline check run
     // before anyone trusts a streaming latency/value dashboard.
+    // percentile-audit: BOUNDED — the exact side runs over `value`,
+    // 2-decimal money, so the per-group value map is capped by the
+    // cent domain (≤100·range+1), not the row count; it is the
+    // offline validation instrument, the sketch is the stream path.
+    // See SCALE.md §percentile-audit.
     "q280_stream_quantile" -> { (s, dir) =>
       val med = eventsStream(s, dir).groupBy("event_type")
         .agg(F.percentile_approx(F.col("value"), F.lit(0.5),

@@ -357,6 +357,47 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactLongMulti: shared loop matches per-target singles " +
+      "and native percentile") {
+    import spark.implicits._
+    // multi-target rank state shares one refinement loop; duplicate
+    // ranks across targets (tiny groups where p50's ceil == p90's
+    // floor) must dedup without losing either target's answer
+    val rows = (0 until 60).flatMap { g =>
+      val n = 1 + (g % 9) // singletons through 9-row groups
+      (0 until n).map(i => (g.toLong, ((i * 31 + g * 7) % 13).toLong - 3))
+    }
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.05 -> "a", 0.5 -> "b", 0.9 -> "c")
+    val multi = graft.ops.Quantiles
+      .groupedExactLongMulti(df, Seq("g"), "v", qs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // single-target calls (the q339-era API, now a delegation)
+    val singles = qs.map { case (q, _) =>
+      graft.ops.Quantiles.groupedExactLong(df, Seq("g"), "v", q, "qv")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // native percentile oracle
+    val native = df.groupBy("g").agg(
+        F.expr("percentile(v, 0.05)").as("a"),
+        F.expr("percentile(v, 0.5)").as("b"),
+        F.expr("percentile(v, 0.9)").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(multi.keySet == native.keySet)
+    multi.foreach { case (g, (a, b, c)) =>
+      // multi == single EXACTLY (same arithmetic, shared loop)
+      assert(a == singles(0)(g) && b == singles(1)(g) && c == singles(2)(g),
+        s"multi/single diverge for group $g")
+      val (na, nb, nc) = native(g)
+      Seq((a, na), (b, nb), (c, nc)).foreach { case (got, want) =>
+        assert(math.abs(got - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+          s"group $g: $got != $want")
+      }
+    }
+  }
+
   test("groupedExactLong: full-long-span domains (decimal bin guard)") {
     import spark.implicits._
     // Spans that wrap the old int64 bin arithmetic: (v−lo)·1024
