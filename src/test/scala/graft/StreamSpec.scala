@@ -198,6 +198,90 @@ class StreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q340 state TTL: an idle user's moments evict; an active user's survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def e(u: Long, id: Long, sec: Long, cents: Long) =
+      (u, id, sec, cents, new Timestamp(sec * 1000))
+    val ms = MemoryStream[(Long, Long, Long, Long, Timestamp)]
+    val src = ms.toDS().withWatermark("_5", "0 seconds")
+    val q = graft.queries.StreamQueries.anomalyTransform(src, ttlMs = 10000L)
+      .toDF("user_id", "event_id", "cents", "z")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_test").start()
+    // b1: 6 calm events each for user 1 (who then goes idle) and
+    // user 2 (who stays active)
+    val calm = Seq(1000L, 1001L, 1000L, 1001L, 1000L, 1001L)
+    ms.addData((1 to 6).flatMap(i =>
+      Seq(e(1, i, 100 + i, calm(i - 1)),
+        e(2, 100 + i, 100 + i, calm(i - 1)))))
+    q.processAllAvailable()
+    // b2: far-future filler (user 3) advances the watermark far past
+    // user 1's timeout (106 s + 10 s TTL); user 2 stays active, which
+    // resets their timer to 10,010 s
+    ms.addData(Seq(e(3, 900, 10000, 500), e(2, 901, 10000, 1000)))
+    q.processAllAvailable()
+    // b3: timeout pass runs against the b2-end watermark (10,000 s):
+    // user 1 (no data, timeout 116 s) is evicted HERE. user 2 sends
+    // another calm event at 20,000 s — staying genuinely active in
+    // EVENT time, which is what the TTL measures: without it the
+    // watermark (20,000 s after this batch) would pass their 10,010 s
+    // timer and evict them too, in the finalization batch Spark runs
+    // when an advanced watermark exposes expired timers
+    ms.addData(Seq(e(3, 902, 20000, 500), e(2, 903, 20000, 1000)))
+    q.processAllAvailable()
+    // b4: identical outlier probes. user 2's history is intact → huge
+    // z, flagged; user 1's history is GONE → n restarts at 1, no z
+    ms.addData(Seq(e(1, 1000, 20001, 99999), e(2, 1001, 20001, 99999)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ttl_test").collect()
+    assert(rows.exists(r => r.getLong(0) == 2 && r.getLong(1) == 1001),
+      s"active user's outlier not flagged: ${rows.mkString(";")}")
+    assert(!rows.exists(r => r.getLong(0) == 1),
+      s"evicted user flagged from state that should be gone: " +
+        rows.mkString(";"))
+  }
+
+  test("q343 RTBF: a forget request wipes state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def d(u: Long, id: Long, sec: Long, c: Long) =
+      (u, id, sec, c, false, new Timestamp(sec * 1000))
+    def fg(u: Long, id: Long, sec: Long) =
+      (u, id, sec, 0L, true, new Timestamp(sec * 1000))
+    val ms = MemoryStream[(Long, Long, Long, Long, Boolean, Timestamp)]
+    val src = ms.toDS().withWatermark("_6", "0 seconds")
+    val q = graft.queries.StreamQueries
+      .rtbfTransform(src, ttlMs = 86400000L)
+      .toDF("user_id", "event_id", "n", "sum_cents")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rtbf_test").start()
+    // b1: user 10 accumulates twice then files a forget request as
+    // their LAST word of the batch (the n==0 ⇒ GroupState.remove
+    // path — state leaves the store, not a zeroed placeholder);
+    // user 20 just accumulates
+    ms.addData(Seq(d(10, 1, 100, 5), d(10, 2, 200, 7), fg(10, 3, 300),
+      d(20, 1, 100, 11), d(20, 2, 200, 13)))
+    q.processAllAvailable()
+    // b2: both users return (strictly past the b1-end watermark of
+    // 300 s — rows at-or-below it are late and dropped) — the
+    // forgotten user restarts from zero ACROSS the batch boundary,
+    // the other continues
+    ms.addData(Seq(d(10, 4, 400, 9), d(20, 3, 500, 17)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rtbf_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((10L, 1L)) == ((1L, 5L)) && got((10L, 2L)) == ((2L, 12L)))
+    assert(got((10L, 4L)) == ((1L, 9L)),
+      "forgotten user's state survived the batch boundary")
+    assert(got((20L, 2L)) == ((2L, 24L)) && got((20L, 3L)) == ((3L, 41L)),
+      "unaffected user was disturbed")
+    assert(got.size == 6) // 3 data rows per user; forget rows emit nothing
+  }
+
   test("streaming top-k equals the batch count ranking") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.StreamQueries
