@@ -416,11 +416,18 @@ object Quantiles {
       rounds += 1
     }
     require(open == 0, s"grouped quantile did not converge in $MaxRounds rounds")
-    // interpolate: pivot each target's ≤2 resolved ranks back to one
-    // row/group — 2 joins per target against the O(groups·targets)
-    // resolved-rank relation (broadcast-sized by construction)
     val res = state.select((kCols ++ Seq(F.col("__rk"),
       F.col("__lo").as("__val"))): _*)
+    interpTargets(init, res, keys, qs)
+  }
+
+  /** Shared final pivot: map each target's floor/ceil resolved-rank
+    * values back to one row per group and interpolate — 2 joins per
+    * target against the O(groups·targets) resolved-rank relation
+    * (broadcast-sized by construction). */
+  private def interpTargets(init: DataFrame, res: DataFrame,
+      keys: Seq[String], qs: Seq[(Double, String)]): DataFrame = {
+    val kCols = keys.map(F.col)
     var out = init.drop("__lo", "__hi")
     qs.indices.foreach { i =>
       out = out
@@ -434,5 +441,120 @@ object Quantiles {
           * (cast(__vHi$i as double) - __vLo$i)""").as(name)
     }
     out.select((kCols ++ outCols): _*)
+  }
+
+  /** GROUPED exact interpolated quantiles of a DOUBLE column — the
+    * float-domain sibling of [[groupedExactLongMulti]] (verdict r8/r9
+    * task: latency/score columns are doubles, and their fallback was
+    * the native `percentile` this engine exists to retire). Same
+    * in-plan (group, rank, lo, hi, offset) search state narrowing ~k×
+    * per round, with two float-specific differences:
+    *
+    *   - bin arithmetic is the half-space division-first form from
+    *     [[exactMulti]] (a span near the full double range overflows
+    *     (hi−lo) and (v−lo)·k to Inf; halves and a ≤1 ratio cannot);
+    *   - float domains have no integer-bin exhaustion, so targets
+    *     whose candidate count drops to ≤`endgame` leave the loop and
+    *     resolve by an IN-PLAN per-(group, rank) sort of just their
+    *     candidate rows — a window partitioned by (keys, rank), ≤
+    *     `endgame` rows per partition, distributed across groups
+    *     (zero driver collects, zero single-partition exchanges; the
+    *     batched replacement for exactMulti's driver-side endgame).
+    *     Duplicate-heavy groups still close in-loop via bmin == bmax.
+    *
+    * Interpolation matches [[groupedExactLongMulti]] (quantile_cont's
+    * `lo + g·(hi − lo)`, within one ulp of native `percentile`).
+    * Nulls ignored; NaN and ±Infinity unsupported (NaN is unordered
+    * by </>=; an infinite interval bound poisons bin arithmetic —
+    * same contract as [[exactMulti]] documents for NaN).
+    */
+  def groupedExactDoubleMulti(df: DataFrame, keys: Seq[String],
+                              valCol: String, qs: Seq[(Double, String)],
+                              k: Int = 1024,
+                              endgame: Int = 4096): DataFrame = {
+    require(keys.nonEmpty && qs.nonEmpty &&
+      qs.forall { case (q, _) => q >= 0 && q <= 1 })
+    val kCols = keys.map(F.col)
+    val data = df.select(kCols :+ F.col(valCol).cast("double").as("__v"): _*)
+      .filter(F.col("__v").isNotNull)
+      .localCheckpoint() // read once per refinement round
+    val rkExprs = qs.zipWithIndex.flatMap { case ((q, _), i) =>
+      Seq(F.expr(s"cast(floor($q * (__n - 1)) as bigint)")
+          .as(s"__rkLo$i"),
+        F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as(s"__rkHi$i"))
+    }
+    val init = data.groupBy(kCols: _*)
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.min("__v").as("__lo"), F.max("__v").as("__hi"))
+      .select((kCols ++ Seq(F.col("__n")) ++ rkExprs ++
+        Seq(F.col("__lo"), F.col("__hi"))): _*)
+    val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
+      Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
+    var state = init
+      .select((kCols ++ Seq(F.col("__n"),
+        F.explode(allRk).as("__rk"),
+        F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"),
+        F.col("__n").as("__cnt"))): _*)
+      .localCheckpoint()
+    // a target refines while its interval is non-degenerate AND its
+    // candidate count exceeds the in-plan endgame budget
+    val openCond = F.col("__hi") > F.col("__lo") &&
+      F.col("__cnt") > endgame
+    var open = state.filter(openCond).count()
+    var rounds = 0
+    while (open > 0 && rounds < MaxRounds) {
+      val done = state.filter(!openCond)
+      val pending = state.filter(openCond)
+      val binned = data.join(pending, keys)
+        .filter(F.col("__v") >= F.col("__lo") &&
+          F.col("__v") <= F.col("__hi"))
+        .withColumn("__bin", F.least(F.lit((k - 1).toLong),
+          F.greatest(F.lit(0L),
+            F.floor((F.col("__v") / 2 - F.col("__lo") / 2)
+              / (F.col("__hi") / 2 - F.col("__lo") / 2) * k))))
+        .groupBy((kCols ++ Seq(F.col("__rk"), F.col("__bin"))): _*)
+        .agg(F.count(F.lit(1)).as("__c"),
+          F.min("__v").as("__bmin"), F.max("__v").as("__bmax"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1) // ≤k rows per (group, rk)
+      val next = binned
+        .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
+        .join(pending.select((kCols ++ Seq(F.col("__rk"),
+          F.col("__n"), F.col("__off"))): _*), keys :+ "__rk")
+        .filter(F.col("__rk") - F.col("__off") >= F.col("__cb") &&
+          F.col("__rk") - F.col("__off") < F.col("__cb") + F.col("__c"))
+        .select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
+          (F.col("__off") + F.col("__cb")).as("__off"),
+          F.col("__bmin").as("__lo"), F.col("__bmax").as("__hi"),
+          F.col("__c").as("__cnt"))): _*)
+      val prev = state
+      state = done.unionByName(next).localCheckpoint()
+      org.apache.spark.sql.GraftReleaseBridge.release(prev)
+      open = state.filter(openCond).count()
+      rounds += 1
+    }
+    require(open == 0,
+      s"grouped double quantile did not converge in $MaxRounds rounds")
+    // closed in-loop (bmin == bmax): the rank's value is the interval
+    val closed = state.filter(F.col("__hi") <= F.col("__lo"))
+      .select((kCols ++ Seq(F.col("__rk"), F.col("__lo").as("__val"))): _*)
+    // in-plan endgame: each narrow-but-unclosed target sorts ONLY its
+    // ≤endgame candidate rows, partitioned by (keys, rank) — no
+    // driver collect, no single-partition exchange
+    val narrow = state.filter(F.col("__hi") > F.col("__lo"))
+      .select((kCols ++ Seq(F.col("__rk"), F.col("__off"),
+        F.col("__lo"), F.col("__hi"))): _*)
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__v")
+    val endRows = data.join(narrow, keys)
+      .filter(F.col("__v") >= F.col("__lo") &&
+        F.col("__v") <= F.col("__hi"))
+      .withColumn("__rn",
+        F.row_number().over(ew).cast("long") - 1L)
+      .filter(F.col("__rn") === F.col("__rk") - F.col("__off"))
+      .select((kCols ++ Seq(F.col("__rk"), F.col("__v").as("__val"))): _*)
+    interpTargets(init, closed.unionByName(endRows), keys, qs)
   }
 }

@@ -1031,15 +1031,42 @@ object AuditQueries {
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"),
           F.expr("cast(round(value * 100) as bigint)").as("cents"))
-      val med = graft.ops.Quantiles.groupedExactLong(
-        ev, Seq("event_type"), "cents", 0.5, "p50c")
-      val p90 = graft.ops.Quantiles.groupedExactLong(
-        ev, Seq("event_type"), "cents", 0.9, "p90c")
-      med.join(p90, "event_type")
+      // round 10: both targets through ONE shared refinement loop
+      // (groupedExactLongMulti) — AuditSpec proves multi == the old
+      // per-target singles exactly, so the hash is unchanged
+      graft.ops.Quantiles.groupedExactLongMulti(ev, Seq("event_type"),
+          "cents", Seq(0.5 -> "p50c", 0.9 -> "p90c"))
         .select(F.col("event_type"),
           F.expr("round(p50c / 100, 6)").as("p50"),
           F.expr("round(p90c / 100, 6)").as("p90"))
         .orderBy("event_type")
+    },
+
+    // GROUPED exact quantile for DOUBLE domains — the float sibling
+    // q339 left open (verdict r8/r9 task 3): revenue
+    // l_extendedprice·(1−l_discount) is a continuous double, so there
+    // is no integer-bin exhaustion and the old fallback was exactly
+    // the native percentile this engine retires. groupedExactDoubleMulti
+    // keeps all search state in-plan and finishes narrow targets with
+    // an in-plan per-(group, rank) sort over ≤4096 candidate rows —
+    // zero driver collects, zero single-partition exchanges (PLANS
+    // single=0). Both engines compute bit-identical revenue doubles
+    // and the same lo + g·(hi−lo) interpolation; round-6 output is
+    // the repo's standard float contract.
+    "q344_grouped_double_quantile" -> { (s, dir) =>
+      val li = T.load(s, dir, "lineitem")
+        .select(F.col("l_returnflag"),
+          F.expr("l_extendedprice * (1 - l_discount)").as("rev"))
+      graft.ops.Quantiles.groupedExactDoubleMulti(li,
+          Seq("l_returnflag"), "rev",
+          Seq(0.25 -> "__q1", 0.5 -> "__q2", 0.75 -> "__q3",
+            0.95 -> "__q4"))
+        .select(F.col("l_returnflag"),
+          F.expr("round(__q1, 6)").as("p25"),
+          F.expr("round(__q2, 6)").as("p50"),
+          F.expr("round(__q3, 6)").as("p75"),
+          F.expr("round(__q4, 6)").as("p95"))
+        .orderBy("l_returnflag")
     },
 
     // Dedup retention-policy comparison — q79 finds the near-dup
@@ -1183,6 +1210,16 @@ object AuditQueries {
             round(quantile_cont(cents, 0.5) / 100, 6) + 0 AS p50,
             round(quantile_cont(cents, 0.9) / 100, 6) + 0 AS p90
           FROM ev GROUP BY 1 ORDER BY 1""",
+
+    "q344_grouped_double_quantile" ->
+      """WITH li AS (SELECT l_returnflag,
+             l_extendedprice * (1 - l_discount) rev FROM lineitem)
+          SELECT l_returnflag,
+            round(quantile_cont(rev, 0.25), 6) + 0 AS p25,
+            round(quantile_cont(rev, 0.5), 6) + 0 AS p50,
+            round(quantile_cont(rev, 0.75), 6) + 0 AS p75,
+            round(quantile_cont(rev, 0.95), 6) + 0 AS p95
+          FROM li GROUP BY 1 ORDER BY 1""",
 
     "q335_ips_value" ->
       """WITH ev AS (SELECT event_type,

@@ -398,6 +398,44 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactDoubleMulti: matches native percentile incl. the " +
+      "in-plan endgame sort path") {
+    import spark.implicits._
+    // continuum values (no integer-bin exhaustion — the float-only
+    // code path), duplicate-heavy groups (must close in-loop via
+    // bmin == bmax), singletons; k=8 and endgame=4 force several
+    // refinement rounds AND the per-(group, rank) candidate-sort
+    // endgame on the continuum groups
+    val rows = (0 until 40).flatMap { g =>
+      val n = 1 + (g % 11) * 3
+      (0 until n).map { i =>
+        val v = if (g % 3 == 0) (i % 4).toDouble
+        else math.sin(i * 2.7 + g) * 100
+        (g.toLong, v)
+      }
+    }
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.05 -> "a", 0.5 -> "b", 0.95 -> "c")
+    val got = graft.ops.Quantiles
+      .groupedExactDoubleMulti(df, Seq("g"), "v", qs, k = 8, endgame = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val native = df.groupBy("g").agg(
+        F.expr("percentile(v, 0.05)").as("a"),
+        F.expr("percentile(v, 0.5)").as("b"),
+        F.expr("percentile(v, 0.95)").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == native.keySet, "group sets differ")
+    got.foreach { case (g, (a, b, c)) =>
+      val (na, nb, nc) = native(g)
+      Seq((a, na), (b, nb), (c, nc)).foreach { case (x, want) =>
+        assert(math.abs(x - want) <= 1e-9 * math.max(1.0, math.abs(want)),
+          s"group $g: $x != $want")
+      }
+    }
+  }
+
   test("groupedExactLong: full-long-span domains (decimal bin guard)") {
     import spark.implicits._
     // Spans that wrap the old int64 bin arithmetic: (v−lo)·1024

@@ -55,21 +55,24 @@ class CountsSpec extends AnyFunSuite {
     * "file:line: declared N, actual M (pattern)". */
   private[graft] def docViolations(file: String, text: String,
       tests: Int, queries: Int, suites: Int): Seq[String] = {
+    // patterns allow any whitespace (incl. a line wrap) between the
+    // number and its noun — "341/341\noracle" must not evade the gate
     val rules: Seq[(scala.util.matching.Regex, Int, String)] = Seq(
-      ("""(\d+)/(\d+) ScalaTest""".r, tests, "N/N ScalaTest"),
-      ("""(?<!/)\b(\d+) ScalaTest""".r, tests, "N ScalaTest"),
-      ("""(\d+) registered queries""".r, queries, "N registered queries"),
-      ("""(\d+)/(\d+) oracle""".r, queries, "N/N oracle"),
-      ("""across (\d+) suites""".r, suites, "across N suites"))
-    text.linesIterator.zipWithIndex.flatMap { case (line, i) =>
-      rules.flatMap { case (re, want, label) =>
-        re.findAllMatchIn(line)
-          .flatMap(m => (1 to m.groupCount).map(g => m.group(g).toInt))
+      ("""(\d+)/(\d+)\s+ScalaTest""".r, tests, "N/N ScalaTest"),
+      ("""(?<!/)\b(\d+)\s+ScalaTest""".r, tests, "N ScalaTest"),
+      ("""(\d+)\s+registered\s+queries""".r, queries,
+        "N registered queries"),
+      ("""(\d+)/(\d+)\s+oracle""".r, queries, "N/N oracle"),
+      ("""across\s+(\d+)\s+suites""".r, suites, "across N suites"))
+    rules.flatMap { case (re, want, label) =>
+      re.findAllMatchIn(text).flatMap { m =>
+        val line = text.substring(0, m.start).count(_ == '\n') + 1
+        (1 to m.groupCount).map(g => m.group(g).toInt)
           .filter(_ != want)
-          .map(got => s"$file:${i + 1}: declared $got, " +
+          .map(got => s"$file:$line: declared $got, " +
             s"actual $want ($label)")
       }
-    }.toSeq
+    }
   }
 
   test("doc counts match live suite/query inventory") {
