@@ -47,6 +47,26 @@ object PlanAudit {
       while (System.nanoTime() - lastEvent.get() < 200000000L &&
              System.nanoTime() < deadline) Thread.sleep(20)
     }
+    // rt_mb regression tripwire (round-10 verdict task 7): shuffle
+    // bytes at a fixed sf are DETERMINISTIC, unlike wall time (the
+    // q232/q102 band sagas), so a >2.5× jump vs the committed
+    // PLANS.md is a real plan regression — an extra shuffle, a lost
+    // broadcast — with near-zero false positives. The 0.3 MiB floor
+    // keeps sf0.001 one-decimal rounding jitter quiet. Prior map is
+    // read BEFORE the run so regenerating PLANS.md in place still
+    // diffs against the committed numbers.
+    val priorMb: Map[String, Double] =
+      try {
+        // explicit UTF-8 (the file's prose has non-ASCII); the forked
+        // JVM's default charset is locale-dependent and a decode error
+        // here would silently disable the tripwire
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+        txt.linesIterator.flatMap { l =>
+          "^(q[0-9a-z_]+)\\s.*rt_mb=\\s*([0-9.]+)".r.findFirstMatchIn(l)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
@@ -90,19 +110,31 @@ object PlanAudit {
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
           val widecols = "ReadSchema: [^\\n]{220,}".r.findAllIn(plan).size
           val mb = rtShufBytes.get() / 1048576.0
-          f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
+          (f"$name%-22s shuf=$shuffles%2d single=$singleParts%2d " +
             f"scalar=$scalarAgg%2d bhj=$bhj%2d smj=$smj%2d shj=$shj%2d " +
             f"wscg=$codegen%2d pushed=$pushed%2d wide_scan=$widecols%2d " +
             f"ckpt=$ckpt%2d rt_shuf=${rtShufStages.get()}%3d " +
-            f"rt_mb=$mb%8.1f"
+            f"rt_mb=$mb%8.1f", name, mb)
         } catch {
-          case e: Throwable => f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}"
+          case e: Throwable =>
+            (f"$name%-22s PLAN-ERROR ${e.getMessage.take(60)}", name, -1.0)
         } finally {
           // release this query's pins so ckpt deltas don't compound
           sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         }
       }
-    rows.foreach(println)
+    rows.foreach { case (line, _, _) => println(line) }
+    val regressions = rows.collect { case (_, name, mb)
+        if mb >= 0 && priorMb.get(name).exists(p =>
+          mb > p * 2.5 && mb >= 0.3) =>
+      f"WARN rt_mb regression: $name ${priorMb(name)}%.1f -> $mb%.1f MiB " +
+        "(>2.5x committed PLANS.md -- check for an extra shuffle or a " +
+        "lost broadcast)"
+    }
+    regressions.foreach(println)
+    println(if (regressions.isEmpty)
+      s"rt_mb tripwire: clean (${priorMb.size} committed priors)"
+    else s"rt_mb tripwire: ${regressions.size} regression(s)")
     spark.stop()
   }
 }

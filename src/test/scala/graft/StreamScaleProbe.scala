@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Streaming 10× scale probe (r8/r9 verdict task 6): q314/q340/q341's
+  * state-store costs were ARGUED (O(width·depth), O(active users),
+  * O(parts)) but never measured under load. This measures them: the
+  * sf0.1 events table is replicated 10× users × 10× events-per-user
+  * (100× rows, shifted user/event ids, ts staggered +j s so copies
+  * are distinct events), lineitem is replicated 10× partkeys (10×
+  * rows, 10× key-state), the REAL registered queries run unmodified
+  * against the synthetic dirs, and a StreamingQueryListener harvests
+  * per-batch latency and state-store rows/bytes from the engine's own
+  * progress metrics — no instrumentation inside the queries.
+  *
+  * Single-file layout note: eventsStream glob-filters on the literal
+  * file name `events.parquet`, so each replica set is written through
+  * one task (compute stays parallel via localCheckpoint; only the
+  * final write serializes) and renamed into place.
+  *
+  * Run: sbt "Test/runMain graft.StreamScaleProbe"
+  */
+object StreamScaleProbe {
+  private class Obs {
+    var batches = 0
+    var maxBatchMs = 0L
+    var totalMs = 0L
+    var stateRows = 0L
+    var stateBytes = 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Session.local(32, 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val byName = scala.collection.concurrent.TrieMap[String, Obs]()
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val o = byName.getOrElseUpdate(
+          Option(p.name).getOrElse("?"), new Obs)
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        o.batches += 1; o.totalMs += ms
+        o.maxBatchMs = math.max(o.maxBatchMs, ms)
+        if (p.stateOperators.nonEmpty) {
+          val rows = p.stateOperators.map(_.numRowsTotal).sum
+          if (rows > 0) {
+            o.stateRows = rows
+            o.stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
+          }
+        }
+      }
+    })
+
+    def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
+      val stage = s"$dir/__stage_$name"
+      df.localCheckpoint() // materialize in parallel
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(stage).listFiles().foreach(_.delete())
+      new java.io.File(stage).delete()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val ev = T.load(spark, sf, "events")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+    def mkDir(f: Int): String = {
+      val dir = s"/tmp/stream_probe_${f}x"
+      new java.io.File(dir).mkdirs()
+      val evRep = (for (i <- 0 until f; j <- 0 until f) yield ev.select(
+        (F.col("user_id") + F.lit(i.toLong * 100000000L)).as("user_id"),
+        (F.col("event_id") + F.lit((i.toLong * f + j) * 1000000000L))
+          .as("event_id"),
+        F.col("event_type"),
+        (F.col("ts") + F.expr(s"interval $j seconds")).as("ts"),
+        F.col("value"))).reduce(_ unionAll _)
+      writeSingle(evRep, dir, "events.parquet")
+      val liRep = (0 until f).map(i => li.withColumn("l_partkey",
+        F.col("l_partkey") + F.lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _)
+      writeSingle(liRep, dir, "lineitem.parquet")
+      dir
+    }
+
+    val targets = Seq("q314_stream_heavy_hitters", "q340_stream_anomaly",
+      "q341_stream_topk")
+    for (f <- Seq(1, 10)) {
+      val dir = mkDir(f)
+      for (name <- targets) {
+        byName.clear()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val o = byName.values.toSeq.sortBy(-_.stateBytes).headOption
+          .getOrElse(new Obs)
+        println(f"[stream-probe] $name ${f}x: out_rows=$n wall=$wall%.1f s " +
+          f"batches=${o.batches} max_batch_ms=${o.maxBatchMs} " +
+          f"state_rows=${o.stateRows} " +
+          f"state_mb=${o.stateBytes / 1048576.0}%.1f")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    spark.stop()
+  }
+}
