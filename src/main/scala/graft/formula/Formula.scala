@@ -17,15 +17,109 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Formula {
 
+  /** Split `s` at top-level occurrences of `seps` (parenthesis-aware),
+    * KEEPING the separators as their own tokens, so the rewritten
+    * formula reassembles with its original operators. */
+  private[graft] def splitKeep(s: String, seps: Set[Char]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { c =>
+      if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (depth == 0 && seps(c)) {
+        out += cur.toString; out += c.toString; cur.clear()
+      } else cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** R's `^` is exponentiation; Spark SQL's is bitwise xor. Rewrite
+    * `a ^ b` to `power(a, b)` for identifier / number / call /
+    * parenthesized operands. Chained carets without parens associate
+    * LEFT here (document-level deviation from R's right-assoc —
+    * parenthesize `a^(b^c)` if the distinction ever matters in a
+    * formula, which in practice it does not). */
+  private[graft] def caretsToPower(s: String): String = {
+    val re =
+      """([\w.]+\([^()]*\)|[\w.]+|\([^()]*\))\s*\^\s*([\w.]+\([^()]*\)|[\w.]+|\([^()]*\))""".r
+    var cur = s
+    var prev = ""
+    while (cur != prev) {
+      prev = cur
+      cur = re.replaceAllIn(cur, m => java.util.regex.Matcher
+        .quoteReplacement(s"power(${m.group(1)},${m.group(2)})"))
+    }
+    cur
+  }
+
+  private val BareTerm = "[A-Za-z_][A-Za-z0-9_.]*|\\.|[0-9]+(?:\\.[0-9]+)?"
+
+  /** FUNCTION TERMS (reference expands arbitrary call expressions in
+    * terms, src/formula.jl:67-125): `y ~ log(c) + I(a^2) + b`
+    * evaluates `log(c)` and `a^2` as columns before the term DSL sees
+    * them. Spark's RFormula accepts only column names in terms, so
+    * this pre-pass materializes every non-bare factor as a computed
+    * column (`withColumn` over a Catalyst expr — arbitrary nesting
+    * free) and rewrites the formula to reference it:
+    *   - `I(expr)` protects arithmetic from the term DSL (R
+    *     semantics); the inside is a SQL expression with `^`
+    *     translated to `power()`;
+    *   - any other call factor (`log(c)`, `sqrt(log(c) + 1)`, …)
+    *     evaluates as-is;
+    *   - bare names, `.` and interactions/crosses of bare names pass
+    *     through untouched (so existing formulas like q62's are
+    *     byte-identical after the pass); function factors INSIDE
+    *     `:`/`*` are materialized per factor.
+    * Returns the augmented frame and the rewritten formula. */
+  private[graft] def expandFunctionTerms(df: DataFrame,
+      formula: String): (DataFrame, String) = {
+    var cur = df
+    var n = 0
+    def factor(f: String): String = {
+      val t = f.trim
+      if (t.isEmpty || t.matches(BareTerm)) f
+      else {
+        val inner = "^I\\((.*)\\)$".r.findFirstMatchIn(t)
+          .map(_.group(1)).getOrElse(t)
+        // letter-led name: RFormula's term grammar rejects a
+        // leading underscore
+        val name = s"graftTerm$n"; n += 1
+        cur = cur.withColumn(name,
+          F.expr(caretsToPower(inner)).cast("double"))
+        name
+      }
+    }
+    def side(s: String): String =
+      splitKeep(s, Set('+', '-')).map { tok =>
+        if (tok == "+" || tok == "-") tok
+        else splitKeep(tok, Set(':', '*')).map { ftok =>
+          if (ftok == ":" || ftok == "*") ftok else factor(ftok)
+        }.mkString
+      }.mkString
+    val parts = formula.split("~", 2)
+    require(parts.length == 2, s"formula needs ~: $formula")
+    // build the string FIRST: side() mutates `cur`, and a tuple
+    // literal would capture the pre-mutation frame
+    val rewritten = side(parts(0)) + "~" + side(parts(1))
+    (cur, rewritten)
+  }
+
   /** Fit + transform: returns the frame with `label` and the design
     * matrix exploded to plain double columns `f0..f{k-1}` (ModelMatrix
     * parity — reference emits a dense Matrix{Float64},
-    * src/formula.jl:219-237).
+    * src/formula.jl:219-237). Function terms and `I()` arithmetic are
+    * expanded first (see [[expandFunctionTerms]]); NA rows — including
+    * rows a transform maps to null, e.g. log of a non-positive — drop
+    * AFTER expansion, matching the reference's model.frame complete-
+    * cases semantics over evaluated terms.
     */
   def modelMatrix(df: DataFrame, formula: String): DataFrame = {
-    val clean = df.na.drop("any")
+    val (df2, formula2) = expandFunctionTerms(df, formula)
+    val clean = df2.na.drop("any")
     val rf = new RFormula()
-      .setFormula(formula)
+      .setFormula(formula2)
       .setFeaturesCol("__features")
       .setLabelCol("label")
       .setStringIndexerOrderType("alphabetAsc")

@@ -29,6 +29,28 @@ object MiscQueries {
           "f1" -> "f1", "f2" -> "f2")
     },
 
+    // Formula FUNCTION TERMS + I() arithmetic (round-10 stretch task;
+    // reference expands arbitrary call expressions in terms,
+    // src/formula.jl:67-125): log(quantity) and discount² evaluate as
+    // columns BEFORE the term DSL, alongside a categorical whose
+    // treatment contrasts prove the rewritten formula still drives
+    // RFormula correctly (l_returnflag levels A,N,R → A,N encoded).
+    // Oracle replays the design matrix column-by-column; ln and
+    // power(x,2) agree across engines at the 6-dp contract (integer
+    // quantities, 2-dp discounts → exact 4-decimal squares).
+    "q345_formula_terms" -> { (s, dir) =>
+      Formula.modelMatrix(
+        T.load(s, dir, "lineitem")
+          .basedOn("l_quantity" -> "l_quantity",
+            "l_discount" -> "l_discount",
+            "l_returnflag" -> "l_returnflag",
+            "y" -> "l_extendedprice / 1000.0"),
+        "y ~ log(l_quantity) + I(l_discount^2) + l_returnflag")
+        .basedOn("label" -> "round(label, 6)",
+          "f0" -> "round(f0, 6)", "f1" -> "round(f1, 6)",
+          "f2" -> "f2", "f3" -> "f3")
+    },
+
     // erf/erfc/digamma/lgamma custom expressions (SURVEY §2.9 gap
     // list); oracle mirrors the same A&S/asymptotic formulas.
     "q63_special_math" -> { (s, dir) =>
@@ -266,6 +288,15 @@ object MiscQueries {
                 CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
                      AS DOUBLE) AS f2
          FROM orders""",
+    "q345_formula_terms" ->
+      """SELECT round(l_extendedprice / 1000.0, 6) AS label,
+                round(ln(l_quantity), 6) + 0 AS f0,
+                round(power(l_discount, 2), 6) + 0 AS f1,
+                CAST(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f2,
+                CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f3
+         FROM lineitem""",
     "q63_special_math" ->
       s"""SELECT l_orderkey, l_linenumber,
           round(${SpecialMath.erfSql("(l_discount * 10 - 0.5)")}, 6) + 0
