@@ -25,8 +25,28 @@ object Sf1Gen {
     val S = 100000000L
     val F10 = 10
 
+    // events and lineitem must be single FILES: the streaming queries
+    // glob-filter on the literal file name (see StreamScaleProbe).
+    // Compute stays parallel via localCheckpoint; only the final write
+    // serializes through one task.
+    val singleFile = Set("events", "lineitem")
+
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (!singleFile(t)) df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      else {
+        val stage = s"$out/__stage_$t"
+        df.localCheckpoint().coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(stage).listFiles().foreach(_.delete())
+        new java.io.File(stage).delete()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
 
     def rep(t: String, keyCols: Seq[String]): Unit = {
       val base = spark.read.parquet(s"$sf/$t.parquet")
@@ -47,7 +67,25 @@ object Sf1Gen {
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events", Seq("event_id", "user_id"))
     rep("documents", Seq("doc_id"))
-    rep("embeddings", Seq("vec_id"))
+    // embeddings get a tiny deterministic per-clone jitter on top of
+    // the id shift: exact clone vectors give every point 9
+    // zero-distance twins, and distance-tie inflation blows up kNN /
+    // LOF neighborhoods quadratically (measured 35.7× at 10× for
+    // q212 before this) — an artifact of the replication convention,
+    // not of the operators. 1e-4 on one component breaks ties while
+    // leaving the distance distribution intact. documents stay exact
+    // twins deliberately (dup-heavy is the WORST realistic load for
+    // the text-dedup family, same convention as ScaleProbe).
+    locally {
+      val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      val clones = (0 until F10).map { i =>
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * S))
+          .withColumn("embedding", F.expr(
+            s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
+              s"THEN cast(x + $i * 1.0e-4 as float) ELSE x END)"))
+      }
+      write(clones.reduce(_ unionAll _), "embeddings")
+    }
     println(s"[sf1gen] wrote 10x sf0.1 -> $out")
     spark.stop()
   }
