@@ -243,19 +243,37 @@ object Knn {
     * two properties brute force lacks at 100 TB.
     * Output: (query_id, neighbor_id, sim, rank) — identical contract
     * and rounding/tiebreak semantics to [[bruteForceKnn]].
+    *
+    * `cellBits = 0` (the default) sizes the grid to the CORPUS: bits =
+    * clamp(⌈log₂(n / 256)⌉, 4, 8). Fixed cells were the round-10 sf1
+    * finding — at 10× density each cell holds 10× vectors and the
+    * per-query pair work grows superlinearly (measured 35× for q207);
+    * constant per-cell occupancy restores ~linear growth until the
+    * 8-bit plan-literal cap (beyond it, switch the stats table to a
+    * broadcast join). The count is one bounded scalar job, and the
+    * result set is EXACT for every bits value, so the choice can
+    * never change an oracle hash — only the pruning economics.
     */
   def exactKnnBnB(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int = 64,
-                  cellBits: Int = 4, nprobe: Int = 4,
+                  cellBits: Int = 0, nprobe: Int = 4,
                   seed: Long = 11L): DataFrame = {
+    val bits =
+      if (cellBits > 0) cellBits
+      else {
+        val n = corpus.count() // bounded scalar collect (one long)
+        math.min(8, math.max(4,
+          math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0))
+            .toInt))
+      }
     import graft.plans.VectorExpressions.{dotF, normF}
     // the 2^cellBits cell stats are collected AND baked into the plan
     // as literals twice (probe ranking + bounds) — the bounded-collect
     // contract only holds while that stays O(100) rows; beyond 8 bits
     // switch to a broadcast join against the stats relation instead
-    require(cellBits <= 8,
-      s"cellBits=$cellBits bakes 2^$cellBits centroid literals into the plan; max 8")
-    val planes = Srp.hyperplanes(dim, cellBits, seed)
+    require(bits <= 8,
+      s"cellBits=$bits bakes 2^$bits centroid literals into the plan; max 8")
+    val planes = Srp.hyperplanes(dim, bits, seed)
     def cellOf(v: Column): Column = planes.zipWithIndex.map {
       case (h, i) =>
         F.when(dotF(v, F.typedlit(h)) > 0d, F.lit(1L << i))
