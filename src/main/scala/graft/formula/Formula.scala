@@ -36,20 +36,69 @@ object Formula {
   }
 
   /** R's `^` is exponentiation; Spark SQL's is bitwise xor. Rewrite
-    * `a ^ b` to `power(a, b)` for identifier / number / call /
-    * parenthesized operands. Chained carets without parens associate
-    * LEFT here (document-level deviation from R's right-assoc —
-    * parenthesize `a^(b^c)` if the distinction ever matters in a
+    * every `a ^ b` to `power(a, b)` with a balanced-paren scanner —
+    * operands may be identifiers, numbers, function calls with NESTED
+    * parens (`(log(c)+1)^2`), parenthesized expressions, or a signed
+    * exponent (`x^-1`); a residual `^` reaching Catalyst would be
+    * bitwise XOR (an AnalysisException on doubles, silent corruption
+    * on ints). Chained carets without parens associate LEFT
+    * (parenthesize `a^(b^c)` if the distinction ever matters in a
     * formula, which in practice it does not). */
   private[graft] def caretsToPower(s: String): String = {
-    val re =
-      """([\w.]+\([^()]*\)|[\w.]+|\([^()]*\))\s*\^\s*([\w.]+\([^()]*\)|[\w.]+|\([^()]*\))""".r
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+    // index where the left operand starts, given its exclusive end
+    def leftStart(str: String, end: Int): Int = {
+      var j = end - 1
+      if (j >= 0 && str(j) == ')') {
+        var depth = 0
+        while (j >= 0) {
+          if (str(j) == ')') depth += 1
+          else if (str(j) == '(') {
+            depth -= 1
+            if (depth == 0) {
+              j -= 1 // include a function name directly before '('
+              while (j >= 0 && isIdent(str(j))) j -= 1
+              return j + 1
+            }
+          }
+          j -= 1
+        }
+        0
+      } else {
+        while (j >= 0 && isIdent(str(j))) j -= 1
+        j + 1
+      }
+    }
+    // exclusive index where the right operand ends, given its start
+    def rightEnd(str: String, start: Int): Int = {
+      var j = start
+      if (j < str.length && (str(j) == '+' || str(j) == '-')) j += 1
+      val idStart = j
+      while (j < str.length && isIdent(str(j))) j += 1
+      if (j < str.length && str(j) == '(') {
+        var depth = 0
+        while (j < str.length) {
+          if (str(j) == '(') depth += 1
+          else if (str(j) == ')') { depth -= 1; if (depth == 0) return j + 1 }
+          j += 1
+        }
+        str.length
+      } else if (j > idStart) j
+      else start
+    }
     var cur = s
-    var prev = ""
-    while (cur != prev) {
-      prev = cur
-      cur = re.replaceAllIn(cur, m => java.util.regex.Matcher
-        .quoteReplacement(s"power(${m.group(1)},${m.group(2)})"))
+    var i = cur.indexOf('^')
+    while (i >= 0) {
+      var le = i
+      while (le > 0 && cur(le - 1).isWhitespace) le -= 1
+      val ls = leftStart(cur, le)
+      var rs = i + 1
+      while (rs < cur.length && cur(rs).isWhitespace) rs += 1
+      val re = rightEnd(cur, rs)
+      require(ls < le && rs < re, s"cannot parse ^ operands in: $cur")
+      cur = cur.substring(0, ls) + "power(" + cur.substring(ls, le) +
+        "," + cur.substring(rs, re) + ")" + cur.substring(re)
+      i = cur.indexOf('^')
     }
     cur
   }
@@ -83,11 +132,18 @@ object Formula {
       else {
         val inner = "^I\\((.*)\\)$".r.findFirstMatchIn(t)
           .map(_.group(1)).getOrElse(t)
-        // letter-led name: RFormula's term grammar rejects a
-        // leading underscore
-        val name = s"graftTerm$n"; n += 1
+        // letter-led name (RFormula's term grammar rejects a leading
+        // underscore), skipping any name the frame already has — a
+        // collision would silently overwrite the existing column
+        var name = s"graftTerm$n"; n += 1
+        while (cur.columns.contains(name)) { name = s"graftTerm$n"; n += 1 }
+        // nanvl: R's model.frame treats NaN as NA, but na.drop only
+        // drops nulls — map transform-produced NaN (sqrt of a
+        // negative, asin out of range) to null so complete-cases
+        // semantics hold for NaN-producing transforms too
         cur = cur.withColumn(name,
-          F.expr(caretsToPower(inner)).cast("double"))
+          F.nanvl(F.expr(caretsToPower(inner)).cast("double"),
+            F.lit(null).cast("double")))
         name
       }
     }
@@ -111,9 +167,11 @@ object Formula {
     * parity — reference emits a dense Matrix{Float64},
     * src/formula.jl:219-237). Function terms and `I()` arithmetic are
     * expanded first (see [[expandFunctionTerms]]); NA rows — including
-    * rows a transform maps to null, e.g. log of a non-positive — drop
-    * AFTER expansion, matching the reference's model.frame complete-
-    * cases semantics over evaluated terms.
+    * rows a transform maps to null (log of a non-positive) or to NaN
+    * (sqrt of a negative; NaN is normalized to null at
+    * materialization) — drop AFTER expansion, matching the
+    * reference's model.frame complete-cases semantics over evaluated
+    * terms.
     */
   def modelMatrix(df: DataFrame, formula: String): DataFrame = {
     val (df2, formula2) = expandFunctionTerms(df, formula)

@@ -342,18 +342,21 @@ object Quantiles {
     * (hi − lo)` — like quantile_cont, within one ulp of
     * `percentile`'s (1−g)·lo + g·hi form.
     */
-  def groupedExactLongMulti(df: DataFrame, keys: Seq[String],
-                            valCol: String, qs: Seq[(Double, String)],
-                            k: Int = 1024): DataFrame = {
+  /** Shared grouped-refinement setup: the checkpointed (keys, __v)
+    * projection, the per-group init row (n, per-target floor/ceil
+    * ranks, lo, hi) and the UNCHECKPOINTED initial rank-state rows
+    * (one per distinct rank across all targets — pos = q(n−1); the
+    * floor/ceil pair dedups by the rk key). `castType` is the only
+    * long-vs-double difference at this stage. */
+  private def groupedInit(df: DataFrame, keys: Seq[String],
+      valCol: String, qs: Seq[(Double, String)], castType: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(keys.nonEmpty && qs.nonEmpty &&
       qs.forall { case (q, _) => q >= 0 && q <= 1 })
     val kCols = keys.map(F.col)
-    val data = df.select(kCols :+ F.col(valCol).cast("long").as("__v"): _*)
+    val data = df.select(kCols :+ F.col(valCol).cast(castType).as("__v"): _*)
       .filter(F.col("__v").isNotNull)
       .localCheckpoint() // read once per refinement round
-    // rank targets: pos = q(n−1); two searches per group per target
-    // (floor/ceil rank — equal when pos is integral, deduped by the
-    // rk key across ALL targets)
     val rkExprs = qs.zipWithIndex.flatMap { case ((q, _), i) =>
       Seq(F.expr(s"cast(floor($q * (__n - 1)) as bigint)")
           .as(s"__rkLo$i"),
@@ -366,11 +369,19 @@ object Quantiles {
         Seq(F.col("__lo"), F.col("__hi"))): _*)
     val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
       Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
-    var state = init
+    val state0 = init
       .select((kCols ++ Seq(F.col("__n"),
         F.explode(allRk).as("__rk"),
         F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"))): _*)
-      .localCheckpoint()
+    (data, init, state0)
+  }
+
+  def groupedExactLongMulti(df: DataFrame, keys: Seq[String],
+                            valCol: String, qs: Seq[(Double, String)],
+                            k: Int = 1024): DataFrame = {
+    val kCols = keys.map(F.col)
+    val (data, init, state0) = groupedInit(df, keys, valCol, qs, "long")
+    var state = state0.localCheckpoint()
     var open = state.filter(F.col("__hi") > F.col("__lo")).count()
     var rounds = 0
     while (open > 0 && rounds < MaxRounds) {
@@ -472,29 +483,9 @@ object Quantiles {
                               valCol: String, qs: Seq[(Double, String)],
                               k: Int = 1024,
                               endgame: Int = 4096): DataFrame = {
-    require(keys.nonEmpty && qs.nonEmpty &&
-      qs.forall { case (q, _) => q >= 0 && q <= 1 })
     val kCols = keys.map(F.col)
-    val data = df.select(kCols :+ F.col(valCol).cast("double").as("__v"): _*)
-      .filter(F.col("__v").isNotNull)
-      .localCheckpoint() // read once per refinement round
-    val rkExprs = qs.zipWithIndex.flatMap { case ((q, _), i) =>
-      Seq(F.expr(s"cast(floor($q * (__n - 1)) as bigint)")
-          .as(s"__rkLo$i"),
-        F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as(s"__rkHi$i"))
-    }
-    val init = data.groupBy(kCols: _*)
-      .agg(F.count(F.lit(1)).as("__n"),
-        F.min("__v").as("__lo"), F.max("__v").as("__hi"))
-      .select((kCols ++ Seq(F.col("__n")) ++ rkExprs ++
-        Seq(F.col("__lo"), F.col("__hi"))): _*)
-    val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
-      Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
-    var state = init
-      .select((kCols ++ Seq(F.col("__n"),
-        F.explode(allRk).as("__rk"),
-        F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"),
-        F.col("__n").as("__cnt"))): _*)
+    val (data, init, state0) = groupedInit(df, keys, valCol, qs, "double")
+    var state = state0.withColumn("__cnt", F.col("__n"))
       .localCheckpoint()
     // a target refines while its interval is non-degenerate AND its
     // candidate count exceeds the in-plan endgame budget

@@ -485,9 +485,13 @@ object AnalyticsQueries {
     // resolve through one groupedExactLongMulti refinement loop
     // (ulp-identical interpolation to percentile; hash verified
     // unchanged under the 2-dp output rounding)
-    // instead of native percentile's single-reducer value-map merge;
-    // the gap relation is pinned once and feeds both the count/mean
-    // aggregate and the quantile search.
+    // instead of native percentile's single-reducer value-map merge.
+    // NOT pinned here: groupedExactLongMulti localCheckpoints its own
+    // projection of these rows (that pin serves the per-round
+    // re-reads), so an outer pin would hold a second O(events) copy
+    // in block storage for the query's lifetime; the base aggregate
+    // recomputing the lag window once is the cheaper side of that
+    // trade at scale.
     "q145_gap_stats" -> { (s, dir) =>
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("sec", "event_id")
@@ -497,7 +501,6 @@ object AnalyticsQueries {
         .withColumn("gap", F.col("sec") - F.lag("sec", 1).over(w))
         .filter(F.col("gap").isNotNull)
         .select("event_type", "gap")
-        .localCheckpoint()
       val base = gaps.groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_gaps"),
           F.round(F.avg("gap"), 2).as("mean_gap"))

@@ -85,11 +85,16 @@ object StreamQueries {
     * (default "90 days" — generous because the verify corpus ingests
     * months of history in one batch; production sets it to its
     * retention policy). */
-  private[graft] val streamStateTtlMs: Long = parseIntervalMs(
+  private[graft] lazy val streamStateTtlMs: Long = parseIntervalMs(
     sys.env.getOrElse("GRAFT_STREAM_STATE_TTL", "90 days"))
 
+  /** Anchored parse: "0.5 days" or "90 dayz" must REJECT, not
+    * silently mis-read as "5 days"/"90 days" (a 10× TTL error with no
+    * signal); lazy val above so a bad env value surfaces at first
+    * streaming use, not as ExceptionInInitializerError on any
+    * StreamQueries access (batch oracle lookups included). */
   private[graft] def parseIntervalMs(s: String): Long = {
-    val m = """(\d+)\s*(day|hour|minute|second)s?""".r
+    val m = """^(\d+)\s*(day|hour|minute|second)s?$""".r
       .findFirstMatchIn(s.trim.toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"bad interval: $s"))
     m.group(1).toLong * (m.group(2) match {

@@ -28,6 +28,47 @@ class FormulaSpec extends SparkSpec {
       "power(a,2) + power(b,3)")
     assert(Formula.caretsToPower("(a + b)^2") == "power((a + b),2)")
     assert(Formula.caretsToPower("a^2^3") == "power(power(a,2),3)")
+    // nested parens in an operand and signed exponents — the cases a
+    // flat regex could not parse (a residual ^ reaches Catalyst as
+    // bitwise XOR)
+    assert(Formula.caretsToPower("(log(c) + 1)^2") ==
+      "power((log(c) + 1),2)")
+    assert(Formula.caretsToPower("x^-1") == "power(x,-1)")
+    assert(Formula.caretsToPower("log(c)^2") == "power(log(c),2)")
+    assert(Formula.caretsToPower("2^(a^2)") == "power(2,(power(a,2)))")
+  }
+
+  test("I() with nested parens evaluates; NaN transforms drop rows") {
+    import spark.implicits._
+    val got = Formula.modelMatrix(frame, "y ~ I((log(c) + 1)^2)")
+      .orderBy("label").collect()
+    val want = Seq((1.0, 2.0), (4.0, 5.0), (9.0, 8.0), (16.0, 11.0))
+    got.zip(want).foreach { case (r, (y, c)) =>
+      val e = math.pow(math.log(c) + 1, 2)
+      assert(math.abs(r.getDouble(1) - e) < 1e-12, s"$y: ${r.getDouble(1)} != $e")
+    }
+    // sqrt of a negative is NaN in Spark (not null); model.frame
+    // complete-cases must drop that row, not emit NaN features
+    val df = Seq((1.0, 4.0), (2.0, -9.0), (3.0, 16.0)).toDF("y", "a")
+    val rows = Formula.modelMatrix(df, "y ~ sqrt(a)")
+      .orderBy("label").collect()
+    assert(rows.length == 2, s"NaN row not dropped: ${rows.mkString(";")}")
+    assert(rows.map(_.getDouble(1)).sameElements(Array(2.0, 4.0)))
+  }
+
+  test("materialized term names skip existing columns") {
+    import spark.implicits._
+    // a frame already carrying graftTerm0 must not have it overwritten
+    val df = Seq((1.0, 2.0, 7.0), (4.0, 5.0, 8.0), (9.0, 8.0, 9.0))
+      .toDF("y", "c", "graftTerm0")
+    val got = Formula.modelMatrix(df, "y ~ log(c) + graftTerm0")
+      .orderBy("label").collect()
+    got.zip(Seq((1.0, 2.0, 7.0), (4.0, 5.0, 8.0), (9.0, 8.0, 9.0)))
+      .foreach { case (r, (y, c, g)) =>
+        assert(math.abs(r.getDouble(1) - math.log(c)) < 1e-12)
+        assert(r.getDouble(2) == g,
+          s"pre-existing graftTerm0 was clobbered: ${r.getDouble(2)}")
+      }
   }
 
   test("log(c) + I(a^2) evaluate as design-matrix columns") {

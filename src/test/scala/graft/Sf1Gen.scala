@@ -33,20 +33,7 @@ object Sf1Gen {
 
     def write(df: DataFrame, t: String): Unit =
       if (!singleFile(t)) df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      else {
-        val stage = s"$out/__stage_$t"
-        df.localCheckpoint().coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$out/$t.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        new java.io.File(stage).listFiles().foreach(_.delete())
-        new java.io.File(stage).delete()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
+      else TestIO.writeSingleParquet(df, out, s"$t.parquet")
 
     def rep(t: String, keyCols: Seq[String]): Unit = {
       val base = spark.read.parquet(s"$sf/$t.parquet")

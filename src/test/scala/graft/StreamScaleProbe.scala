@@ -59,20 +59,8 @@ object StreamScaleProbe {
       }
     })
 
-    def writeSingle(df: DataFrame, dir: String, name: String): Unit = {
-      val stage = s"$dir/__stage_$name"
-      df.localCheckpoint() // materialize in parallel
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/$name"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      new java.io.File(stage).listFiles().foreach(_.delete())
-      new java.io.File(stage).delete()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def writeSingle(df: DataFrame, dir: String, name: String): Unit =
+      TestIO.writeSingleParquet(df, dir, name)
 
     val ev = T.load(spark, sf, "events")
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -243,6 +243,19 @@ class StreamSpec extends SparkSpec {
         rows.mkString(";"))
   }
 
+  test("state-TTL interval parse is anchored (malformed input rejects)") {
+    import graft.queries.StreamQueries.parseIntervalMs
+    assert(parseIntervalMs("90 days") == 90L * 86400000L)
+    assert(parseIntervalMs("36 hours") == 36L * 3600000L)
+    assert(parseIntervalMs("1 minute") == 60000L)
+    assert(parseIntervalMs("45 seconds") == 45000L)
+    // unanchored parsing read "0.5 days" as "5 days" — a silent 10×
+    // TTL error; malformed units must reject too
+    intercept[IllegalArgumentException] { parseIntervalMs("0.5 days") }
+    intercept[IllegalArgumentException] { parseIntervalMs("90 dayz") }
+    intercept[IllegalArgumentException] { parseIntervalMs("days") }
+  }
+
   test("q343 RTBF: a forget request wipes state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
