@@ -56,6 +56,24 @@ class FormulaSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).sameElements(Array(2.0, 4.0)))
   }
 
+  test("cross operator * with a function factor expands R-style") {
+    // log(c)*g ≡ log(c) + g + log(c):g after materialization; with g
+    // categorical (levels a,b) the design matrix is [log(c), g_a,
+    // log(c)·g_a] — proving the rewritten factor drives RFormula's
+    // own term algebra, not just simple sums
+    val got = Formula.modelMatrix(frame, "y ~ log(c)*g")
+      .orderBy("label").collect()
+    val want = Seq((1.0, 2.0, "a"), (4.0, 5.0, "b"),
+      (9.0, 8.0, "a"), (16.0, 11.0, "b")).sortBy(_._1)
+    got.zip(want).foreach { case (r, (y, c, g)) =>
+      val ga = if (g == "a") 1.0 else 0.0
+      assert(math.abs(r.getDouble(1) - math.log(c)) < 1e-12)
+      assert(r.getDouble(2) == ga)
+      assert(math.abs(r.getDouble(3) - math.log(c) * ga) < 1e-12,
+        s"$y: interaction ${r.getDouble(3)} != ${math.log(c) * ga}")
+    }
+  }
+
   test("materialized term names skip existing columns") {
     import spark.implicits._
     // a frame already carrying graftTerm0 must not have it overwritten
