@@ -44,7 +44,12 @@ object Bench {
         "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r
           .findAllMatchIn(qSpan.getOrElse(""))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        // NonFatal only: the intended catch is a missing/corrupt prior
+        // file; swallowing OOM/InterruptedException here would silently
+        // disable the tripwire AND hide a dying JVM (round-10 ADVICE)
+        case scala.util.control.NonFatal(_) => Map.empty
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -66,7 +66,12 @@ object PlanAudit {
           "^(q[0-9a-z_]+)\\s.*rt_mb=\\s*([0-9.]+)".r.findFirstMatchIn(l)
             .map(m => m.group(1) -> m.group(2).toDouble)
         }.toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        // NonFatal only (round-10 ADVICE): the intended catch is a
+        // missing PLANS.md; a fatal error must not silently disable
+        // the tripwire
+        case scala.util.control.NonFatal(_) => Map.empty
+      }
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>

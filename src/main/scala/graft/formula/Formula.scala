@@ -56,8 +56,16 @@ object Formula {
           else if (str(j) == '(') {
             depth -= 1
             if (depth == 0) {
-              j -= 1 // include a function name directly before '('
-              while (j >= 0 && isIdent(str(j))) j -= 1
+              j -= 1 // include a function name before '(' — SQL allows
+              // whitespace between name and parens (`log (c)^2`), so
+              // skip it, but only when an identifier actually precedes
+              // (otherwise the ws belongs between operators, keep it)
+              var w = j
+              while (w >= 0 && str(w).isWhitespace) w -= 1
+              if (w >= 0 && isIdent(str(w))) {
+                j = w
+                while (j >= 0 && isIdent(str(j))) j -= 1
+              }
               return j + 1
             }
           }
@@ -75,6 +83,14 @@ object Formula {
       if (j < str.length && (str(j) == '+' || str(j) == '-')) j += 1
       val idStart = j
       while (j < str.length && isIdent(str(j))) j += 1
+      // a call's argument list may sit past whitespace (`x^log (c)`):
+      // peek across it, but only bind the parens to an identifier we
+      // actually scanned (a bare `( ... )` group binds regardless)
+      if (j > idStart) {
+        var w = j
+        while (w < str.length && str(w).isWhitespace) w += 1
+        if (w < str.length && str(w) == '(') j = w
+      }
       if (j < str.length && str(j) == '(') {
         var depth = 0
         while (j < str.length) {

@@ -22,7 +22,17 @@ object StreamQueries {
     * regressions span the whole range. A production deployment with
     * near-ordered ingest should set GRAFT_STREAM_WATERMARK to
     * minutes-to-hours — state then stays proportional to actual
-    * disorder, not history length. */
+    * disorder, not history length.
+    *
+    * LATE-DATA DROP (round-10 ADVICE): attaching this watermark to the
+    * stateful pipelines (q340/q343 flatMapGroupsWithState, the
+    * stream-stream joins) means events more than this far behind the
+    * max seen event time are dropped BEFORE the stateful operator in
+    * multi-batch runs — GRAFT_STREAM_WATERMARK bounds input
+    * COMPLETENESS, not just state size. The single-batch verify run
+    * never advances the watermark mid-data so nothing drops there;
+    * operators sizing the TTL horizon must size the lateness budget
+    * with it. */
   private val streamJoinWatermark =
     sys.env.getOrElse("GRAFT_STREAM_WATERMARK", "60 days")
 

@@ -36,6 +36,14 @@ class FormulaSpec extends SparkSpec {
     assert(Formula.caretsToPower("x^-1") == "power(x,-1)")
     assert(Formula.caretsToPower("log(c)^2") == "power(log(c),2)")
     assert(Formula.caretsToPower("2^(a^2)") == "power(2,(power(a,2)))")
+    // whitespace between a function name and its parens (round-10
+    // ADVICE): SQL allows `log (c)`, so the name must ride with the
+    // operand instead of being dropped (left) or orphaned (right)
+    assert(Formula.caretsToPower("log (c)^2") == "power(log (c),2)")
+    assert(Formula.caretsToPower("x^log (c)") == "power(x,log (c))")
+    // ...but ws after a NON-call group must not swallow the operator
+    assert(Formula.caretsToPower("a * (b)^2") == "a * power((b),2)")
+    assert(Formula.caretsToPower("x ^ 2") == "power(x,2)")
   }
 
   test("I() with nested parens evaluates; NaN transforms drop rows") {
