@@ -326,8 +326,8 @@ object Quantiles {
     */
   def groupedExactLong(df: DataFrame, keys: Seq[String], valCol: String,
                        q: Double, out: String,
-                       k: Int = 1024): DataFrame =
-    groupedExactLongMulti(df, keys, valCol, Seq(q -> out), k)
+                       k: Int = 4096, pinned: Boolean = false): DataFrame =
+    groupedExactLongMulti(df, keys, valCol, Seq(q -> out), k, pinned)
 
   /** Multi-target sibling of [[groupedExactLong]]: resolves SEVERAL
     * quantiles of the same grouped column through ONE shared
@@ -342,51 +342,120 @@ object Quantiles {
     * (hi − lo)` — like quantile_cont, within one ulp of
     * `percentile`'s (1−g)·lo + g·hi form.
     */
-  /** Shared grouped-refinement setup: the checkpointed (keys, __v)
-    * projection, the per-group init row (n, per-target floor/ceil
-    * ranks, lo, hi) and the UNCHECKPOINTED initial rank-state rows
-    * (one per distinct rank across all targets — pos = q(n−1); the
-    * floor/ceil pair dedups by the rk key). `castType` is the only
-    * long-vs-double difference at this stage. */
+  /** GK warm-start knobs (round-11 verdict task 1). The init
+    * aggregation also runs one `percentile_approx` sketch per call —
+    * Greenwald-Khanna, deterministic rank error ≤ n/accuracy — probing
+    * each target quantile ± `WarmMargin`. The two probe VALUES bracket
+    * the target's true floor/ceil ranks whenever 3·(n/accuracy) covers
+    * the probe-vs-rank slack, i.e. n ≳ accuracy; below [[WarmMinN]]
+    * the bracket is not attempted (min/max init is near-free there).
+    * The bracket is a PERFORMANCE hint only: round 1 count-verifies it
+    * with sentinel bins (values outside [lo, hi] land in bins −1 / k,
+    * so a rank falling outside the bracket narrows to the outside
+    * region and the loop continues) — a wrong bracket costs one extra
+    * round, never a wrong answer, and a collapsed bracket (aLo == aHi)
+    * is still verified because `__warm` states must survive one round
+    * before they can close. Typical effect: the bracket holds
+    * ~8·n/accuracy rows, so round 1's k bins are already single values
+    * (long domains) or already under the endgame budget (double
+    * domains) — 3-4 full-data rounds collapse to 1. */
+  val WarmAccuracy = 1000
+  val WarmMargin: Double = 4.0 / WarmAccuracy
+  val WarmMinN = 2000L
+
+  /** Shared grouped-refinement setup: the pinned (keys, __v)
+    * projection, the CHECKPOINTED per-group init row (n, per-target
+    * floor/ceil ranks, min/max, GK warm probes — O(groups), reused by
+    * the final interpolation so the data is never re-aggregated) and
+    * the initial rank-state rows (one per distinct rank across all
+    * targets; warm-bracketed where the GK guarantee holds). `castType`
+    * is the only long-vs-double difference at this stage. `pinned`
+    * callers guarantee `df` is already materialized (localCheckpoint)
+    * so re-deriving the projection per round is an in-memory scan —
+    * used by q69's two sequential engine passes to share ONE pin. */
   private def groupedInit(df: DataFrame, keys: Seq[String],
-      valCol: String, qs: Seq[(Double, String)], castType: String)
+      valCol: String, qs: Seq[(Double, String)], castType: String,
+      pinned: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     require(keys.nonEmpty && qs.nonEmpty &&
       qs.forall { case (q, _) => q >= 0 && q <= 1 })
     val kCols = keys.map(F.col)
-    val data = df.select(kCols :+ F.col(valCol).cast(castType).as("__v"): _*)
+    val proj = df.select(kCols :+ F.col(valCol).cast(castType).as("__v"): _*)
       .filter(F.col("__v").isNotNull)
-      .localCheckpoint() // read once per refinement round
+    val data = if (pinned) proj
+      else proj.localCheckpoint() // read once per refinement round
     val rkExprs = qs.zipWithIndex.flatMap { case ((q, _), i) =>
       Seq(F.expr(s"cast(floor($q * (__n - 1)) as bigint)")
           .as(s"__rkLo$i"),
         F.expr(s"cast(ceil($q * (__n - 1)) as bigint)").as(s"__rkHi$i"))
     }
+    // 2 probes per target: value at quantile q∓margin (clamped). GK
+    // guarantees rank(probe) within n·margin∓n/accuracy of the target
+    // rank, so [probe_lo, probe_hi] ⊇ the target's value for n ≥
+    // WarmMinN — and round 1 verifies it by count regardless.
+    val probes = qs.flatMap { case (q, _) =>
+      Seq(math.max(0.0, q - WarmMargin), math.min(1.0, q + WarmMargin))
+    }
     val init = data.groupBy(kCols: _*)
       .agg(F.count(F.lit(1)).as("__n"),
-        F.min("__v").as("__lo"), F.max("__v").as("__hi"))
+        F.min("__v").as("__lo"), F.max("__v").as("__hi"),
+        F.percentile_approx(F.col("__v"),
+          F.array(probes.map(F.lit): _*), F.lit(WarmAccuracy)).as("__wb"))
       .select((kCols ++ Seq(F.col("__n")) ++ rkExprs ++
-        Seq(F.col("__lo"), F.col("__hi"))): _*)
+        Seq(F.col("__lo"), F.col("__hi"), F.col("__wb"))): _*)
+      .localCheckpoint() // O(groups) rows; reused by interpTargets
     val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
       Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
-    val state0 = init
-      .select((kCols ++ Seq(F.col("__n"),
-        F.explode(allRk).as("__rk"),
-        F.lit(0L).as("__off"), F.col("__lo"), F.col("__hi"))): _*)
+    val rkCols = qs.indices.flatMap(i =>
+      Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i")))
+    val exploded = init
+      .select((kCols ++ rkCols ++ Seq(F.col("__n"), F.col("__lo"),
+        F.col("__hi"), F.col("__wb"), F.explode(allRk).as("__rk"))): _*)
+    // a rank shared by several targets takes the ENVELOPE of their
+    // brackets (least/greatest skip the null non-owner branches; the
+    // trailing typed null only satisfies the ≥2-arg arity for a
+    // single-target call)
+    val nullV = F.lit(null).cast(castType)
+    val wLo = F.least(qs.indices.flatMap(i => Seq(
+      F.when(F.col("__rk") === F.col(s"__rkLo$i")
+        || F.col("__rk") === F.col(s"__rkHi$i"),
+        F.element_at(F.col("__wb"), 2 * i + 1)))) :+ nullV: _*)
+    val wHi = F.greatest(qs.indices.flatMap(i => Seq(
+      F.when(F.col("__rk") === F.col(s"__rkLo$i")
+        || F.col("__rk") === F.col(s"__rkHi$i"),
+        F.element_at(F.col("__wb"), 2 * i + 2)))) :+ nullV: _*)
+    val warm = F.col("__n") >= WarmMinN &&
+      wLo.isNotNull && wHi.isNotNull
+    val state0 = exploded
+      .select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
+        F.lit(0L).as("__off"),
+        F.when(warm, wLo).otherwise(F.col("__lo")).as("__lo"),
+        F.when(warm, wHi).otherwise(F.col("__hi")).as("__hi"),
+        warm.as("__warm"))): _*)
     (data, init, state0)
   }
 
   def groupedExactLongMulti(df: DataFrame, keys: Seq[String],
                             valCol: String, qs: Seq[(Double, String)],
-                            k: Int = 1024): DataFrame = {
+                            k: Int = 4096,
+                            pinned: Boolean = false): DataFrame = {
     val kCols = keys.map(F.col)
-    val (data, init, state0) = groupedInit(df, keys, valCol, qs, "long")
-    var state = state0.localCheckpoint()
-    var open = state.filter(F.col("__hi") > F.col("__lo")).count()
+    val (data, init, state0) =
+      groupedInit(df, keys, valCol, qs, "long", pinned)
+    // state0 is a select+explode over the checkpointed init —
+    // re-deriving it per reference is O(groups), so it is NOT
+    // checkpointed and the pre-loop open count is skipped: round 1
+    // always runs (warm states must verify anyway; a workload whose
+    // state0 is fully closed pays one empty join — trivial)
+    var state = state0
+    // a warm (GK-bracketed) state must survive one count-verifying
+    // round before it may close — its interval was never witnessed
+    val openCond = F.col("__warm") || F.col("__hi") > F.col("__lo")
+    var open = -1L // unknown until a round has counted
     var rounds = 0
-    while (open > 0 && rounds < MaxRounds) {
-      val done = state.filter(F.col("__hi") <= F.col("__lo"))
-      val pending = state.filter(F.col("__hi") > F.col("__lo"))
+    while (open != 0 && rounds < MaxRounds) {
+      val done = state.filter(!openCond)
+      val pending = state.filter(openCond)
       // bucket the open intervals: k uniform integer bins; width ≤ k
       // means every bin is one value and next round closes the
       // interval. The bin arithmetic runs in DECIMAL(38,0): in int64,
@@ -396,35 +465,49 @@ object Quantiles {
       // Decimal multiply/int-divide is exact for the full long domain
       // ((2^64)·1024 ≈ 1.9e22 ≪ 10^38) and costs one codegen'd decimal
       // op per row per round — noise next to the join it rides on.
-      val binned = data.join(pending, keys)
-        .filter(F.col("__v") >= F.col("__lo") &&
-          F.col("__v") <= F.col("__hi"))
-        .withColumn("__bin", F.expr(
-          s"""cast(((cast(__v as decimal(38,0)) - __lo) * $k)
-              div (cast(__hi as decimal(38,0)) - __lo + 1)
-              as bigint)"""))
+      // Warm states keep EVERY row of the group: values outside the
+      // unverified bracket land in sentinel bins −1 / k, so the cum
+      // counts are global and the rank's true bin is found whether or
+      // not the bracket was right. Verified states filter to their
+      // witnessed interval exactly as before (no sentinel rows).
+      val binned = data.join(F.broadcast(pending), keys)
+        .filter(F.col("__warm") || (F.col("__v") >= F.col("__lo") &&
+          F.col("__v") <= F.col("__hi")))
+        .withColumn("__bin",
+          F.when(F.col("__v") < F.col("__lo"), F.lit(-1L))
+            .when(F.col("__v") > F.col("__hi"), F.lit(k.toLong))
+            .otherwise(F.expr(
+              s"""cast(((cast(__v as decimal(38,0)) - __lo) * $k)
+                  div (cast(__hi as decimal(38,0)) - __lo + 1)
+                  as bigint)""")))
         .groupBy((kCols ++ Seq(F.col("__rk"), F.col("__bin"))): _*)
         .agg(F.count(F.lit(1)).as("__c"),
           F.min("__v").as("__bmin"), F.max("__v").as("__bmax"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__bin")
         .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1) // ≤k rows per (group, rk)
+          .unboundedPreceding, -1) // ≤k+2 rows per (group, rk)
       val next = binned
         .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
-        .join(pending.select((kCols ++ Seq(F.col("__rk"),
-          F.col("__n"), F.col("__off"))): _*), keys :+ "__rk")
-        // the bin holding local rank (__rk − __off)
+        .join(F.broadcast(pending.select((kCols ++ Seq(F.col("__rk"),
+          F.col("__n"), F.col("__off"))): _*)), keys :+ "__rk")
+        // the bin holding local rank (__rk − __off); for warm states
+        // __off = 0 and the sentinel bins make __cb global, so the
+        // same arithmetic verifies the bracket by count
         .filter(F.col("__rk") - F.col("__off") >= F.col("__cb") &&
           F.col("__rk") - F.col("__off") < F.col("__cb") + F.col("__c"))
         .select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
           (F.col("__off") + F.col("__cb")).as("__off"),
-          F.col("__bmin").as("__lo"), F.col("__bmax").as("__hi"))): _*)
+          F.col("__bmin").as("__lo"), F.col("__bmax").as("__hi"),
+          F.lit(false).as("__warm"))): _*)
       val prev = state
       state = done.unionByName(next).localCheckpoint()
       org.apache.spark.sql.GraftReleaseBridge.release(prev)
-      open = state.filter(F.col("__hi") > F.col("__lo")).count()
+      open = state.filter(openCond).count()
       rounds += 1
+      if (sys.env.contains("GRAFT_QUANTILE_DEBUG"))
+        System.err.println(s"[quantiles] round=$rounds open=$open " +
+          s"targets=${qs.size} t=${System.nanoTime() / 1000000}")
     }
     require(open == 0, s"grouped quantile did not converge in $MaxRounds rounds")
     val res = state.select((kCols ++ Seq(F.col("__rk"),
@@ -439,7 +522,7 @@ object Quantiles {
   private def interpTargets(init: DataFrame, res: DataFrame,
       keys: Seq[String], qs: Seq[(Double, String)]): DataFrame = {
     val kCols = keys.map(F.col)
-    var out = init.drop("__lo", "__hi")
+    var out = init.drop("__lo", "__hi", "__wb")
     qs.indices.foreach { i =>
       out = out
         .join(res.withColumnRenamed("__rk", s"__rkLo$i")
@@ -481,28 +564,41 @@ object Quantiles {
     */
   def groupedExactDoubleMulti(df: DataFrame, keys: Seq[String],
                               valCol: String, qs: Seq[(Double, String)],
-                              k: Int = 1024,
-                              endgame: Int = 4096): DataFrame = {
+                              k: Int = 4096,
+                              endgame: Int = 4096,
+                              pinned: Boolean = false): DataFrame = {
     val kCols = keys.map(F.col)
-    val (data, init, state0) = groupedInit(df, keys, valCol, qs, "double")
+    val (data, init, state0) =
+      groupedInit(df, keys, valCol, qs, "double", pinned)
+    // lazy state0 + unconditional round 1: see groupedExactLongMulti
     var state = state0.withColumn("__cnt", F.col("__n"))
-      .localCheckpoint()
     // a target refines while its interval is non-degenerate AND its
-    // candidate count exceeds the in-plan endgame budget
-    val openCond = F.col("__hi") > F.col("__lo") &&
-      F.col("__cnt") > endgame
-    var open = state.filter(openCond).count()
+    // candidate count exceeds the in-plan endgame budget; a warm
+    // (GK-bracketed) target must survive one count-verifying round
+    // regardless — its interval and __off were never witnessed, so
+    // neither the close-on-degenerate nor the endgame may trust them
+    val openCond = F.col("__warm") || (F.col("__hi") > F.col("__lo") &&
+      F.col("__cnt") > endgame)
+    var open = -1L // unknown until a round has counted
     var rounds = 0
-    while (open > 0 && rounds < MaxRounds) {
+    while (open != 0 && rounds < MaxRounds) {
       val done = state.filter(!openCond)
       val pending = state.filter(openCond)
-      val binned = data.join(pending, keys)
-        .filter(F.col("__v") >= F.col("__lo") &&
-          F.col("__v") <= F.col("__hi"))
-        .withColumn("__bin", F.least(F.lit((k - 1).toLong),
-          F.greatest(F.lit(0L),
-            F.floor((F.col("__v") / 2 - F.col("__lo") / 2)
-              / (F.col("__hi") / 2 - F.col("__lo") / 2) * k))))
+      // warm states keep every row (sentinel bins −1 / k outside the
+      // bracket — see groupedExactLongMulti); the `lo == hi` guard
+      // keeps a collapsed bracket's in-range rows out of the 0/0
+      // half-space division (they are all exactly lo → bin 0)
+      val binned = data.join(F.broadcast(pending), keys)
+        .filter(F.col("__warm") || (F.col("__v") >= F.col("__lo") &&
+          F.col("__v") <= F.col("__hi")))
+        .withColumn("__bin",
+          F.when(F.col("__v") < F.col("__lo"), F.lit(-1L))
+            .when(F.col("__v") > F.col("__hi"), F.lit(k.toLong))
+            .when(F.col("__lo") === F.col("__hi"), F.lit(0L))
+            .otherwise(F.least(F.lit((k - 1).toLong),
+              F.greatest(F.lit(0L),
+                F.floor((F.col("__v") / 2 - F.col("__lo") / 2)
+                  / (F.col("__hi") / 2 - F.col("__lo") / 2) * k)))))
         .groupBy((kCols ++ Seq(F.col("__rk"), F.col("__bin"))): _*)
         .agg(F.count(F.lit(1)).as("__c"),
           F.min("__v").as("__bmin"), F.max("__v").as("__bmax"))
@@ -512,19 +608,23 @@ object Quantiles {
           .unboundedPreceding, -1) // ≤k rows per (group, rk)
       val next = binned
         .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
-        .join(pending.select((kCols ++ Seq(F.col("__rk"),
-          F.col("__n"), F.col("__off"))): _*), keys :+ "__rk")
+        .join(F.broadcast(pending.select((kCols ++ Seq(F.col("__rk"),
+          F.col("__n"), F.col("__off"))): _*)), keys :+ "__rk")
         .filter(F.col("__rk") - F.col("__off") >= F.col("__cb") &&
           F.col("__rk") - F.col("__off") < F.col("__cb") + F.col("__c"))
         .select((kCols ++ Seq(F.col("__n"), F.col("__rk"),
           (F.col("__off") + F.col("__cb")).as("__off"),
           F.col("__bmin").as("__lo"), F.col("__bmax").as("__hi"),
+          F.lit(false).as("__warm"),
           F.col("__c").as("__cnt"))): _*)
       val prev = state
       state = done.unionByName(next).localCheckpoint()
       org.apache.spark.sql.GraftReleaseBridge.release(prev)
       open = state.filter(openCond).count()
       rounds += 1
+      if (sys.env.contains("GRAFT_QUANTILE_DEBUG"))
+        System.err.println(s"[quantiles] round=$rounds open=$open " +
+          s"targets=${qs.size} t=${System.nanoTime() / 1000000}")
     }
     require(open == 0,
       s"grouped double quantile did not converge in $MaxRounds rounds")
@@ -539,7 +639,7 @@ object Quantiles {
         F.col("__lo"), F.col("__hi"))): _*)
     val ew = org.apache.spark.sql.expressions.Window
       .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__v")
-    val endRows = data.join(narrow, keys)
+    val endRows = data.join(F.broadcast(narrow), keys)
       .filter(F.col("__v") >= F.col("__lo") &&
         F.col("__v") <= F.col("__hi"))
       .withColumn("__rn",

@@ -486,12 +486,11 @@ object AnalyticsQueries {
     // (ulp-identical interpolation to percentile; hash verified
     // unchanged under the 2-dp output rounding)
     // instead of native percentile's single-reducer value-map merge.
-    // NOT pinned here: groupedExactLongMulti localCheckpoints its own
-    // projection of these rows (that pin serves the per-round
-    // re-reads), so an outer pin would hold a second O(events) copy
-    // in block storage for the query's lifetime; the base aggregate
-    // recomputing the lag window once is the cheaper side of that
-    // trade at scale.
+    // Round 11: ONE outer pin of the post-window gap rows now serves
+    // BOTH consumers — the engine (pinned = true, so it skips its own
+    // checkpoint and re-derives the 2-column projection from memory
+    // per round) and the base aggregate (which previously recomputed
+    // the O(events) lag-window shuffle a second time).
     "q145_gap_stats" -> { (s, dir) =>
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("sec", "event_id")
@@ -501,11 +500,13 @@ object AnalyticsQueries {
         .withColumn("gap", F.col("sec") - F.lag("sec", 1).over(w))
         .filter(F.col("gap").isNotNull)
         .select("event_type", "gap")
+        .localCheckpoint()
       val base = gaps.groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_gaps"),
           F.round(F.avg("gap"), 2).as("mean_gap"))
       val qq = graft.ops.Quantiles.groupedExactLongMulti(gaps,
-        Seq("event_type"), "gap", Seq(0.5 -> "__p50", 0.9 -> "__p90"))
+        Seq("event_type"), "gap", Seq(0.5 -> "__p50", 0.9 -> "__p90"),
+        pinned = true)
       base.join(qq, "event_type")
         .select(F.col("event_type"), F.col("n_gaps"), F.col("mean_gap"),
           F.round(F.col("__p50"), 2).as("p50"),

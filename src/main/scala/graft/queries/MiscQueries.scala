@@ -175,17 +175,23 @@ object MiscQueries {
     // True values land on the 0.0025-dollar grid, so round(·,4) is
     // ulp-safe and the oracle hash unchanged.
     "q69_mad" -> { (s, dir) =>
+      // ONE pin serves both engine passes (round-11 verdict task 1):
+      // the deviation projection is a broadcast join over the pinned
+      // cents, so each refinement round of pass 2 re-derives it from
+      // memory instead of paying a second O(orders) checkpoint write
       val o = T.load(s, dir, "orders")
         .select(F.col("o_orderstatus"),
           F.expr("cast(round(o_totalprice * 100) as bigint)").as("__c"))
+        .localCheckpoint()
       val med = graft.ops.Quantiles.groupedExactLong(
-        o, Seq("o_orderstatus"), "__c", 0.5, "__medc")
+        o, Seq("o_orderstatus"), "__c", 0.5, "__medc", pinned = true)
       val adev = o.join(F.broadcast(med), Seq("o_orderstatus"))
         .select(F.col("o_orderstatus"),
           F.expr("abs(2L * __c - cast(round(2 * __medc) as bigint))")
             .as("__a2")) // half-cent units, exact longs
       graft.ops.Quantiles.groupedExactLong(
-          adev, Seq("o_orderstatus"), "__a2", 0.5, "__mad2")
+          adev, Seq("o_orderstatus"), "__a2", 0.5, "__mad2",
+          pinned = true)
         .select(F.col("o_orderstatus"),
           F.expr("round(__mad2 / 200, 4)").as("mad"))
     },

@@ -436,6 +436,65 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("warm-start (GK bracket) groups match native percentile, " +
+      "both engines") {
+    import spark.implicits._
+    // n = 2500 per group ≥ WarmMinN → the round-11 percentile_approx
+    // warm bracket activates and round 1 count-verifies it through
+    // the sentinel-bin path. Group shapes chosen to stress it:
+    //  g=0 dense wide domain (bracket ≈ tens of distinct values —
+    //      the one-round fast path), g=1 duplicate-heavy (3 distinct
+    //      values — the bracket COLLAPSES to one value and must still
+    //      close verified, never trusted), g=2 skewed tail (extreme
+    //      outliers far outside every bracket → sentinel bins carry
+    //      almost all mass)
+    assert(graft.ops.Quantiles.WarmMinN <= 2500,
+      "test data no longer reaches the warm path")
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 2500).map { i =>
+        val v = g match {
+          case 0 => ((i * 7919) % 100000).toLong
+          case 1 => (i % 3).toLong
+          case _ => if (i < 2400) i.toLong else i * 1000000L
+        }
+        (g.toLong, v)
+      }
+    }
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.05 -> "a", 0.5 -> "b", 0.95 -> "c")
+    val gotL = graft.ops.Quantiles
+      .groupedExactLongMulti(df, Seq("g"), "v", qs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // double engine over a fractional image of the same data
+    val ddf = df.select(F.col("g"),
+      (F.col("v") + (F.col("v") % 7) / 7.0).as("v"))
+    val gotD = graft.ops.Quantiles
+      .groupedExactDoubleMulti(ddf, Seq("g"), "v", qs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def check(got: Map[Long, (Double, Double, Double)],
+              src: org.apache.spark.sql.DataFrame): Unit = {
+      val native = src.groupBy("g").agg(
+          F.expr("percentile(v, 0.05)").as("a"),
+          F.expr("percentile(v, 0.5)").as("b"),
+          F.expr("percentile(v, 0.95)").as("c"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.keySet == native.keySet)
+      got.foreach { case (g, (a, b, c)) =>
+        val (na, nb, nc) = native(g)
+        Seq((a, na), (b, nb), (c, nc)).foreach { case (x, want) =>
+          assert(math.abs(x - want) <=
+            1e-9 * math.max(1.0, math.abs(want)),
+            s"group $g: $x != $want")
+        }
+      }
+    }
+    check(gotL, df)
+    check(gotD, ddf)
+  }
+
   test("groupedExactLong: full-long-span domains (decimal bin guard)") {
     import spark.implicits._
     // Spans that wrap the old int64 bin arithmetic: (v−lo)·1024
