@@ -245,59 +245,71 @@ object Knn {
     * and rounding/tiebreak semantics to [[bruteForceKnn]].
     *
     * `cellBits = 0` (the default) sizes the grid to the CORPUS: bits =
-    * clamp(⌈log₂(n / 256)⌉, 4, 8). Fixed cells were the round-10 sf1
+    * clamp(⌈log₂(n / 256)⌉, 4, 16). Fixed cells were the round-10 sf1
     * finding — at 10× density each cell holds 10× vectors and the
     * per-query pair work grows superlinearly (measured 35× for q207);
-    * constant per-cell occupancy restores ~linear growth until the
-    * 8-bit plan-literal cap (beyond it, switch the stats table to a
-    * broadcast join). The count is one bounded scalar job, and the
-    * result set is EXACT for every bits value, so the choice can
-    * never change an oracle hash — only the pruning economics.
+    * constant per-cell occupancy restores ~linear growth. Bits ≤ 8
+    * bake the cell stats into the plan as literals (bounded collect);
+    * bits 9..16 (round-11 verdict task 2) switch to a BROADCAST JOIN
+    * against the stats relation with TopKAgg probe ranking — same
+    * algorithm, exact same results (PipelineSpec pins the equality),
+    * no literal blow-up. The count is one bounded scalar job off the
+    * corpus pin, and the result set is EXACT for every bits value, so
+    * the choice can never change an oracle hash — only the pruning
+    * economics.
     */
   def exactKnnBnB(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int = 64,
                   cellBits: Int = 0, nprobe: Int = 4,
                   seed: Long = 11L): DataFrame = {
+    import graft.plans.VectorExpressions.{dotF, normF}
+    // per-vector norm precomputed ONCE: pair scoring is then
+    // dot/(qn*cn) — 3x fewer flops than cosineF per pair, and
+    // bit-identical to it (same kernel, same op order; zero guard kept)
+    // pinned FIRST (round-10 ADVICE: the adaptive count used to
+    // re-evaluate the whole corpus plan a second time): this pin feeds
+    // the adaptive count plus FOUR consumers — the two stats passes
+    // (cents, cellStats) and the phase-A / phase-B scoring joins.
+    // Without a pin the scan re-runs for each (measured 21.7 s → the
+    // dominant cost of q207 in r5's bench). The cell id is a cheap
+    // projection over the pin (bits ≤ 16 sign dots per row),
+    // re-derived per consumer rather than double-materialized.
+    // Bench/Verify sweep the blocks post-query.
+    val base = corpus
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
+        normF(F.col(vecCol)).as("cn"))
+      .localCheckpoint()
     val bits =
       if (cellBits > 0) cellBits
       else {
-        val n = corpus.count() // bounded scalar collect (one long)
-        math.min(8, math.max(4,
+        val n = base.count() // one long off the pin — no plan re-run
+        math.min(16, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0))
             .toInt))
       }
-    import graft.plans.VectorExpressions.{dotF, normF}
-    // the 2^cellBits cell stats are collected AND baked into the plan
-    // as literals twice (probe ranking + bounds) — the bounded-collect
-    // contract only holds while that stays O(100) rows; beyond 8 bits
-    // switch to a broadcast join against the stats relation instead
-    require(bits <= 8,
-      s"cellBits=$bits bakes 2^$bits centroid literals into the plan; max 8")
+    // ≤ 8 bits: stats collect to O(256) plan literals (the bounded-
+    // collect class). 9..16 bits: stats become a broadcast-joined
+    // relation (round-11 verdict task 2) — same algorithm, same exact
+    // results, no literal blow-up. Past 16 bits the 2^bits stats
+    // relation itself stops being broadcast material; at that corpus
+    // scale (n ≳ 16M vectors at 256/cell) ANN (ivfKnn) is the
+    // production path and exact kNN remains the audit tool.
+    require(bits <= 16,
+      s"cellBits=$bits: 2^$bits cell stats exceed the broadcast-join " +
+        "envelope; use ivfKnn (ANN) at this corpus scale")
     val planes = Srp.hyperplanes(dim, bits, seed)
     def cellOf(v: Column): Column = planes.zipWithIndex.map {
       case (h, i) =>
         F.when(dotF(v, F.typedlit(h)) > 0d, F.lit(1L << i))
           .otherwise(F.lit(0L))
     }.reduce(_ + _)
-    // per-vector norm precomputed ONCE: pair scoring is then
-    // dot/(qn*cn) — 3x fewer flops than cosineF per pair, and
-    // bit-identical to it (same kernel, same op order; zero guard kept)
     // zero-norm vectors have no direction, so the Cauchy-Schwarz cell
     // bound cannot cover them — quarantine them in sentinel cell -1,
     // which gets a manufactured always-visited stats row below (their
     // cosine is DEFINED as 0 by the kernel guard, matching cosineF)
-    // pinned: this relation feeds FOUR consumers — the two stats
-    // passes (cents, cellStats) and the phase-A / phase-B scoring
-    // joins. Without the pin the scan + cell assignment re-runs for
-    // each (measured 21.7 s → the dominant cost of q207 in r5's
-    // bench); one eager localCheckpoint materializes it once.
-    // Bench/Verify sweep the blocks post-query.
-    val assigned = corpus
-      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
-        normF(F.col(vecCol)).as("cn"))
+    val assigned = base
       .withColumn("cell", F.when(F.col("cn") === 0d, F.lit(-1L))
         .otherwise(cellOf(F.col("cvec"))))
-      .localCheckpoint()
     // centroid of each cell's NORMALIZED members + its radius, in two
     // bounded-key aggregations (shuffle rows carry (cell, dim) keys)
     val cents = assigned
@@ -320,31 +332,8 @@ object Knn {
           * F.col("ycdot") + F.col("cnorm") * F.col("cnorm")),
         F.lit(0.0))).as("r"),
         F.first(F.col("cf")).as("cf"))
-    // O(2^cellBits) rows -> plan literals (bounded collect, like the
-    // quantile histogram refinement)
-    val stats = cellStats
-      .select("cell", "cf", "r").collect()
-      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
-        row.getDouble(2)))
-      .sortBy(_._1)
-      // sentinel cell for zero-norm members: zero centroid + r = 3
-      // makes its bound 3.0 > any cosine threshold, so it is visited
-      // for every query and its members are always exact-scored
-      .prepended((-1L, Array.fill(dim)(0f), 3.0))
     val q = queries.select(F.col(idCol).as("query_id"),
       F.col(vecCol).as("qvec"), normF(F.col(vecCol)).as("qn"))
-    // one projection computes every cell's exact u.c_j and bound, and
-    // ranks cells by u.c_j (cell-id tiebreak) via array_sort on structs
-    val cellArr = F.array_sort(F.array(stats.map { case (c, cf, r) =>
-      // ANSI mode: a zero-norm query must not reach the divide; its
-      // u.c_j is defined 0, and with all its sims 0 the ub = r >= 0
-      // bound keeps every cell (no pruning), preserving exactness
-      val ucj = F.when(F.col("qn") === 0d, 0d)
-        .otherwise(dotF(F.col("qvec"), F.typedlit(cf)) / F.col("qn"))
-      F.struct((-ucj).as("negu"), F.lit(c).as("cell"),
-        (ucj + F.lit(r)).as("ub"))
-    }: _*))
-    val ranked = q.withColumn("cells", cellArr)
     def score(cand: DataFrame): DataFrame = cand
       .join(assigned.hint("shuffle_hash"), "cell")
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
@@ -353,41 +342,128 @@ object Knn {
           .otherwise(dotF(F.col("qvec"), F.col("cvec"))
             / (F.col("qn") * F.col("cn"))), 6))
       .select("query_id", "neighbor_id", "sim")
-    // phase A pinned by an eager checkpoint (n x k rows): the tq
-    // branch, the candB derivation and the final union all read it —
-    // without the pin the whole probe scoring would re-run up to 3x.
-    // Bench/Verify sweep the blocks post-query.
-    val topA = TopK.perGroup[Long](
-      score(ranked.select(F.col("query_id"), F.col("qvec"), F.col("qn"),
-        F.explode(F.expr(s"slice(cells, 1, $nprobe)")).as("pc"))
+
+    if (bits <= 8) {
+      // ---- literal path ------------------------------------------------
+      // O(2^cellBits) rows -> plan literals (bounded collect, like the
+      // quantile histogram refinement)
+      val stats = cellStats
+        .select("cell", "cf", "r").collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1).toArray,
+          row.getDouble(2)))
+        .sortBy(_._1)
+        // sentinel cell for zero-norm members: zero centroid + r = 3
+        // makes its bound 3.0 > any cosine threshold, so it is visited
+        // for every query and its members are always exact-scored
+        .prepended((-1L, Array.fill(dim)(0f), 3.0))
+      // one projection computes every cell's exact u.c_j and bound, and
+      // ranks cells by u.c_j (cell-id tiebreak) via array_sort on structs
+      val cellArr = F.array_sort(F.array(stats.map { case (c, cf, r) =>
+        // ANSI mode: a zero-norm query must not reach the divide; its
+        // u.c_j is defined 0, and with all its sims 0 the ub = r >= 0
+        // bound keeps every cell (no pruning), preserving exactness
+        val ucj = F.when(F.col("qn") === 0d, 0d)
+          .otherwise(dotF(F.col("qvec"), F.typedlit(cf)) / F.col("qn"))
+        F.struct((-ucj).as("negu"), F.lit(c).as("cell"),
+          (ucj + F.lit(r)).as("ub"))
+      }: _*))
+      val ranked = q.withColumn("cells", cellArr)
+      // phase A pinned by an eager checkpoint (n x k rows): the tq
+      // branch, the candB derivation and the final union all read it —
+      // without the pin the whole probe scoring would re-run up to 3x.
+      // Bench/Verify sweep the blocks post-query.
+      val topA = TopK.perGroup[Long](
+        score(ranked.select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+          F.explode(F.expr(s"slice(cells, 1, $nprobe)")).as("pc"))
+          .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+            F.col("pc.cell").as("cell"))),
+        Seq("query_id"), "sim", "neighbor_id", k)
+        .localCheckpoint()
+      // threshold: kth-best rounded sim among probed cells (no k
+      // candidates yet -> -2 = no pruning possible for that query)
+      val tq = topA.filter(F.col("rank") === k)
+        .select(F.col("query_id"), F.col("sim").as("tq"))
+      // phase B: slice PAST the probed prefix (disjoint by construction)
+      // and keep only cells whose bound beats the threshold
+      val candB = score(ranked
+        .join(tq, Seq("query_id"), "left_outer")
         .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
-          F.col("pc.cell").as("cell"))),
-      Seq("query_id"), "sim", "neighbor_id", k)
-      .localCheckpoint()
-    // threshold: kth-best rounded sim among probed cells (no k
-    // candidates yet -> -2 = no pruning possible for that query)
-    val tq = topA.filter(F.col("rank") === k)
-      .select(F.col("query_id"), F.col("sim").as("tq"))
-    // phase B: slice PAST the probed prefix (disjoint by construction)
-    // and keep only cells whose bound beats the threshold
-    val candB = score(ranked
-      .join(tq, Seq("query_id"), "left_outer")
-      .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
-        F.coalesce(F.col("tq"), F.lit(-2.0)).as("t"),
-        F.explode(F.expr(
-          s"slice(cells, ${nprobe + 1}, ${stats.length})")).as("pc"))
-      // a zero-norm query ties every sim at 0, so it must visit every
-      // cell for the id-asc tiebreak to be global. With the guarded
-      // ucj its bounds are 0 + r >= 0 >= t - 1e-6 (t is 0.0 or -2.0),
-      // so the main predicate already keeps every cell — the explicit
-      // disjunct just pins the invariant against future bound changes
-      .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6)
-        || F.col("qn") === 0d)
-      .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
-        F.col("pc.cell").as("cell")))
-    TopK.perGroup[Long](
-      topA.select("query_id", "neighbor_id", "sim").unionAll(candB),
-      Seq("query_id"), "sim", "neighbor_id", k)
+          F.coalesce(F.col("tq"), F.lit(-2.0)).as("t"),
+          F.explode(F.expr(
+            s"slice(cells, ${nprobe + 1}, ${stats.length})")).as("pc"))
+        // a zero-norm query ties every sim at 0, so it must visit every
+        // cell for the id-asc tiebreak to be global. With the guarded
+        // ucj its bounds are 0 + r >= 0 >= t - 1e-6 (t is 0.0 or -2.0),
+        // so the main predicate already keeps every cell — the explicit
+        // disjunct just pins the invariant against future bound changes
+        .filter(F.col("pc.ub") >= F.col("t") - F.lit(1e-6)
+          || F.col("qn") === 0d)
+        .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+          F.col("pc.cell").as("cell")))
+      TopK.perGroup[Long](
+        topA.select("query_id", "neighbor_id", "sim").unionAll(candB),
+        Seq("query_id"), "sim", "neighbor_id", k)
+    } else {
+      // ---- broadcast-stats-join path (bits 9..16, round 11) -----------
+      // Identical algorithm and EXACT same results (every phase is
+      // exhaustive over the same cell partition; PipelineSpec pins
+      // literal == join equality): the stats relation is broadcast and
+      // the per-query cell ranking runs through the bounded TopKAgg
+      // (shuffle carries O(queries × nprobe)), never a window over the
+      // O(queries × 2^bits) score relation and never a literal array.
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val sentinel = Seq((-1L, Array.fill(dim)(0f), 3.0))
+        .toDF("cell", "cf", "r")
+      val statsDf = cellStats.select(F.col("cell"), F.col("cf"), F.col("r"))
+        .unionByName(sentinel)
+        .localCheckpoint() // O(2^bits) rows; read by 2 scoring passes
+      // exact u.c_j per (query, cell) — the same guarded expression as
+      // the literal path's cellArr, evaluated against the broadcast
+      // relation; re-derived for phase B rather than materializing the
+      // O(queries × 2^bits) relation (the literal path re-evaluates
+      // its cellArr projection for phase B the same way)
+      def cellScoreAll(qdf: DataFrame): DataFrame = qdf
+        .crossJoin(F.broadcast(statsDf))
+        .withColumn("ucj", F.when(F.col("qn") === 0d, 0d)
+          .otherwise(dotF(F.col("qvec"), F.col("cf")) / F.col("qn")))
+      // probe selection: top-nprobe cells per query by (ucj desc,
+      // cell asc) — the same order the literal path's array_sort uses
+      val probes = TopK.perGroup[Long](
+        cellScoreAll(q).select(F.col("query_id"), F.col("ucj"),
+          F.col("cell")),
+        Seq("query_id"), "ucj", "cell", nprobe, rankName = "crank")
+        .localCheckpoint() // O(queries × nprobe); read twice (A + bound)
+      val topA = TopK.perGroup[Long](
+        score(probes.select("query_id", "cell").join(q, "query_id")),
+        Seq("query_id"), "sim", "neighbor_id", k)
+        .localCheckpoint()
+      val tq = topA.filter(F.col("rank") === k)
+        .select(F.col("query_id"), F.col("sim").as("tq"))
+      // the probe boundary: phase B = cells STRICTLY after it in
+      // (ucj desc, cell asc) order — the join-path equivalent of
+      // slicing past the probed prefix (disjoint by construction)
+      val bound = probes.filter(F.col("crank") === nprobe)
+        .select(F.col("query_id"), F.col("ucj").as("bu"),
+          F.col("cell").as("bc"))
+      val candB = cellScoreAll(q
+          .join(bound, Seq("query_id")) // every query ranks ≥ nprobe cells
+          .join(tq, Seq("query_id"), "left_outer")
+          .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+            F.col("bu"), F.col("bc"),
+            F.coalesce(F.col("tq"), F.lit(-2.0)).as("t")))
+        .filter(F.struct((-F.col("ucj")).as("u"), F.col("cell").as("c"))
+          > F.struct((-F.col("bu")).as("u"), F.col("bc").as("c")))
+        // zero-norm queries keep every cell (see the literal path)
+        .filter(F.col("ucj") + F.col("r") >= F.col("t") - F.lit(1e-6)
+          || F.col("qn") === 0d)
+        .select(F.col("query_id"), F.col("qvec"), F.col("qn"),
+          F.col("cell"))
+      TopK.perGroup[Long](
+        topA.select("query_id", "neighbor_id", "sim")
+          .unionAll(score(candB)),
+        Seq("query_id"), "sim", "neighbor_id", k)
+    }
   }
 
   /** Pairs of near-duplicate embeddings (cosine >= threshold) within a

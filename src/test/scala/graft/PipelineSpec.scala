@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 import graft.dedup.Dedup
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 import graft.ops.RelOps._
 import graft.similarity.Knn
 import graft.text.TextOps
@@ -77,11 +77,90 @@ class PipelineSpec extends SparkSpec {
       .filter(F.col("top") =!= F.col("mx")).count() == 0)
   }
 
+  test("exactKnnBnB literal path == broadcast-join path == brute force") {
+    // round-11 verdict task 2: bits ≤ 8 bakes cell stats into plan
+    // literals; bits ≥ 9 broadcast-joins the stats relation. Both are
+    // EXACT, so the result sets must be row-identical — and equal to
+    // plain brute force (three independent implementations)
+    val qs = emb.filterExpr("vec_id < 40")
+    val lit = Knn.exactKnnBnB(emb, qs, "vec_id", "embedding", 5,
+      cellBits = 5)
+    val join = Knn.exactKnnBnB(emb, qs, "vec_id", "embedding", 5,
+      cellBits = 10)
+    val brute = Knn.bruteForceKnn(emb, qs, "vec_id", "embedding", 5)
+    assert(lit.exceptAll(join).isEmpty && join.exceptAll(lit).isEmpty,
+      "literal vs join path diverge")
+    assert(join.exceptAll(brute).isEmpty && brute.exceptAll(join).isEmpty,
+      "join path vs brute force diverge")
+  }
+
   test("IVF knn with nprobe = all cells equals brute force") {
     val q = emb.filterExpr("vec_id < 3")
     val brute = Knn.bruteForceKnn(emb, q, "vec_id", "embedding", 5)
     val ivf = Knn.ivfKnn(emb, q, "vec_id", "embedding", "label", 5, 10)
     assert(ivf.exceptAll(brute).isEmpty && brute.exceptAll(ivf).isEmpty)
+  }
+
+  test("kernel swap: real javax.imageio codec through the stub's plans") {
+    // round-11 verdict task 3: the seam's claim is "a real codec drops
+    // in unchanged". Generate REAL PNGs, run the SAME distributed
+    // plans (decode / resize / frameSample / fingerprints — the q48/
+    // q85/q86/q166 shapes over the q47 media schema) under BOTH
+    // kernels, and pin: identical row counts + schemas, and the real
+    // kernel's features match ground truth (pixel dimensions), which
+    // no byte-arithmetic stub could fake.
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val recs = (0 until 12).map { i =>
+      val w = 8 + i; val h = 5 + 2 * i
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, ((i * 37 + x * 11 + y * 7) % 256) * 0x010101)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(im, "png", bos)
+      val bytes = bos.toByteArray
+      (MediaRecord(i.toLong, bytes, "image/png", bytes.length.toLong),
+        w, h)
+    }
+    val media = spark.createDataset(recs.map(_._1))
+    // decode (q48's plan) under both kernels
+    val stubF = Multimodal.decode(media).toDF()
+    val realF = Multimodal.decode(media, ImageIoKernel).toDF()
+    assert(stubF.schema == realF.schema)
+    assert(stubF.count() == 12 && realF.count() == 12)
+    // the real kernel reports TRUE pixel dimensions
+    val dims = realF.select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    recs.foreach { case (r, w, h) =>
+      assert(dims(r.doc_id) == ((w, h)),
+        s"doc ${r.doc_id}: decoded ${dims(r.doc_id)} != real ($w, $h)")
+    }
+    // frame sampling (q86's plan): same shape both kernels
+    val stubFr = Multimodal.frameSample(media, 3)
+    val realFr = Multimodal.frameSample(media, 3, ImageIoKernel)
+    assert(stubFr.schema == realFr.schema)
+    assert(stubFr.count() == 36 && realFr.count() == 36)
+    // resize (q85's plan): real re-encode shrinks every oversized
+    // payload and stays decodable through another real decode
+    val resized = Multimodal.resize(media, 200, ImageIoKernel)
+    val back = Multimodal.decode(resized, ImageIoKernel).toDF()
+      .select("doc_id", "n_bytes").collect()
+    assert(back.length == 12)
+    val origBytes = recs.map(r => r._1.doc_id -> r._1.n_bytes).toMap
+    back.foreach(r => assert(r.getLong(1) <= origBytes(r.getLong(0)),
+      s"resize grew doc ${r.getLong(0)}"))
+    // perceptual fingerprints (q166's plan): identical image → equal
+    // phash; constant-vs-gradient image → different phash
+    val ph = Multimodal.fingerprints(media, ImageIoKernel)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = spark.createDataset(Seq(
+      recs.head._1.copy(doc_id = 100L)))
+    val phDup = Multimodal.fingerprints(dup, ImageIoKernel)
+      .collect().head.getLong(1)
+    assert(phDup == ph(0L), "identical pixels must hash identically")
+    assert(ph.values.toSet.size > 1, "distinct images all collided")
   }
 
   test("media payload round-trips byte length; stub decode deterministic") {

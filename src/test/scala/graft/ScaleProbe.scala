@@ -77,19 +77,33 @@ object ScaleProbe {
     }
 
     // ---- exact kNN branch-and-bound (q207's core) --------------------
+    // clones carry the Sf1Gen 1e-4 component-0 jitter: EXACT clone
+    // vectors collapse the BnB bounds into zero-distance ties and the
+    // probe reads artificially flat (the round-10 finding); jittered
+    // clones measure true density growth.
     val emb = T.load(spark, sf, "embeddings")
       .select(F.col("vec_id"), F.col("embedding")).localCheckpoint()
     def repEmb(times: Int) = (0 until times).map(i => emb.select(
       (F.col("vec_id") + F.lit(i.toLong * 100000000L)).as("vec_id"),
-      F.col("embedding"))).reduce(_ unionAll _)
+      F.expr(s"transform(embedding, (x, j) -> CASE WHEN j = 0 " +
+        s"THEN cast(x + $i * 1.0e-4 as float) ELSE x END)")
+        .as("embedding"))).reduce(_ unionAll _)
     val qs = emb.filter(F.col("vec_id") < 50)
-    timed("exact-knn 1x sf0.1") {
+    // adaptive cell sizing picks bits = clamp(⌈log₂(n/256)⌉, 4, 16):
+    // 1× (2k vectors) → 4 bits, 10× (20k) → 7 bits — both literal-path;
+    // 35× (70k) → 9 bits — the round-11 BROADCAST-JOIN path, reached
+    // naturally through the same adaptive default the queries use
+    timed("exact-knn 1x sf0.1 (jittered, 4-bit literal)") {
       graft.similarity.Knn
         .exactKnnBnB(repEmb(1), qs, "vec_id", "embedding", 10).count()
     }
-    timed("exact-knn 10x sf0.1") {
+    timed("exact-knn 10x sf0.1 (jittered, 7-bit literal)") {
       graft.similarity.Knn
         .exactKnnBnB(repEmb(10), qs, "vec_id", "embedding", 10).count()
+    }
+    timed("exact-knn 35x sf0.1 (jittered, 9-bit broadcast-join)") {
+      graft.similarity.Knn
+        .exactKnnBnB(repEmb(35), qs, "vec_id", "embedding", 10).count()
     }
     spark.stop()
   }

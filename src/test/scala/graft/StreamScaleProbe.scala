@@ -87,6 +87,10 @@ object StreamScaleProbe {
       "q341_stream_topk")
     for (f <- Seq(1, 10)) {
       val dir = mkDir(f)
+      // q341's documented bound: state is DIMENSION-sized (the part
+      // catalog), not stream-sized — asserted below, not just printed
+      val nParts = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey").distinct().count()
       for (name <- targets) {
         byName.clear()
         val t0 = System.nanoTime()
@@ -98,10 +102,20 @@ object StreamScaleProbe {
           f"batches=${o.batches} max_batch_ms=${o.maxBatchMs} " +
           f"state_rows=${o.stateRows} " +
           f"state_mb=${o.stateBytes / 1048576.0}%.1f")
+        // round-11 verdict task 5: q341's keyed state must equal the
+        // part-catalog cardinality EXACTLY — one state row per key,
+        // independent of how many stream rows flowed through. A probe
+        // where state grows past the dimension means the bound
+        // argument (and the q314 web-scale fallback guidance) is wrong.
+        if (name == "q341_stream_topk")
+          require(o.stateRows == nParts,
+            s"q341 state rows ${o.stateRows} != part dimension $nParts" +
+              " — state is no longer dimension-bounded")
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
     }
+    println("[stream-probe] q341 dimension-bound assertions passed")
     spark.stop()
   }
 }
