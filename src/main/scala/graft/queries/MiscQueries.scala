@@ -51,6 +51,25 @@ object MiscQueries {
           "f2" -> "f2", "f3" -> "f3")
     },
 
+    // Formula DSL round-11 stretch: MULTI-WAY cross a*b*c (reference
+    // expands arbitrary-depth crosses, src/formula.jl:67-125
+    // `dospecials`) and I() protecting arithmetic from the term
+    // algebra — a*b*c yields all 7 terms (a, b, c, a:b, a:c, b:c,
+    // a:b:c) while I(a*b) contributes exactly ONE product column.
+    // All factors are exact-decimal numerics (int quantity, 2-dp
+    // discount/tax), so every interaction product is a bit-identical
+    // double on both engines; 6-dp rounding per the float contract.
+    "q346_formula_cross" -> { (s, dir) =>
+      Formula.modelMatrix(
+        T.load(s, dir, "lineitem")
+          .basedOn("l_quantity" -> "l_quantity",
+            "l_discount" -> "l_discount", "l_tax" -> "l_tax",
+            "y" -> "l_extendedprice / 1000.0"),
+        "y ~ l_quantity*l_discount*l_tax + I(l_quantity*l_discount)")
+        .basedOn(Seq("label" -> "round(label, 6)") ++
+          (0 to 7).map(i => s"f$i" -> s"round(f$i, 6)"): _*)
+    },
+
     // erf/erfc/digamma/lgamma custom expressions (SURVEY §2.9 gap
     // list); oracle mirrors the same A&S/asymptotic formulas.
     "q63_special_math" -> { (s, dir) =>
@@ -302,6 +321,19 @@ object MiscQueries {
                      AS DOUBLE) AS f2,
                 CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
                      AS DOUBLE) AS f3
+         FROM lineitem""",
+    // term order is RFormula's cross expansion (a*b)*c:
+    // a, b, a:b, c, a:c, b:c, a:b:c — then the I() column
+    "q346_formula_cross" ->
+      """SELECT round(l_extendedprice / 1000.0, 6) AS label,
+                round(l_quantity, 6) + 0 AS f0,
+                round(l_discount, 6) + 0 AS f1,
+                round(l_quantity * l_discount, 6) + 0 AS f2,
+                round(l_tax, 6) + 0 AS f3,
+                round(l_quantity * l_tax, 6) + 0 AS f4,
+                round(l_discount * l_tax, 6) + 0 AS f5,
+                round(l_quantity * l_discount * l_tax, 6) + 0 AS f6,
+                round(l_quantity * l_discount, 6) + 0 AS f7
          FROM lineitem""",
     "q63_special_math" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -789,6 +789,85 @@ object TrainQueries {
               cast(0 as double), (a, v) -> a + v), 6)""").as("ndcg"))
     },
 
+    // nDCG@10 with GRADED relevance (round-11 stretch 8): gains on
+    // the 2^g − 1 scale — same label = grade 2 (gain 3), ADJACENT
+    // label = grade 1 (gain 1), else 0 — over q298's deterministic
+    // ranking harness (6-dp sim, id tie-break, queries broadcast).
+    // IDCG is the ideal fold: all grade-2 docs first, then grade-1,
+    // truncated at 10; a query with zero graded candidates defines
+    // ndcg = 0 (guarded identically on both engines).
+    "q347_ndcg_graded" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") < 8)
+      val knn = graft.similarity.Knn.bruteForceKnn(
+        emb, q, "vec_id", "embedding", 10)
+      val ql = q.select(F.col("vec_id").as("query_id"),
+        F.col("label").as("qlbl"))
+      val nl = emb.select(F.col("vec_id").as("neighbor_id"),
+        F.col("label").as("nlbl"))
+      val dcg = knn.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id")
+        .agg(F.sum(F.expr(
+          """case when nlbl = qlbl then cast(3 as double)
+                  when abs(nlbl - qlbl) = 1 then cast(1 as double)
+                  else cast(0 as double) end
+             / log2(cast(rank + 1 as double))""")).as("dcg"))
+      val counts = emb.select(F.col("vec_id").as("cid"),
+          F.col("label").as("nlbl"))
+        .join(F.broadcast(ql), F.col("cid") =!= F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.when(F.expr("nlbl = qlbl"), 1)).as("n2"),
+          F.count(F.when(F.expr("abs(nlbl - qlbl) = 1"), 1)).as("n1"))
+      dcg.join(counts, "query_id")
+        .select(F.col("query_id"), F.col("n2"), F.col("n1"),
+          F.expr("round(dcg, 6)").as("dcg"),
+          F.expr("""round(case when n2 + n1 = 0 then cast(0 as double)
+            else dcg / (
+              aggregate(transform(
+                  sequence(1, cast(least(n2, 10) as int)),
+                  r -> 3 / log2(cast(r + 1 as double))),
+                cast(0 as double), (a, v) -> a + v)
+              + case when n2 < 10 and n1 > 0 then
+                  aggregate(transform(
+                      sequence(cast(n2 + 1 as int),
+                        cast(least(n2 + n1, 10) as int)),
+                      r -> 1 / log2(cast(r + 1 as double))),
+                    cast(0 as double), (a, v) -> a + v)
+                else cast(0 as double) end) end, 6)""").as("ndcg"))
+    },
+
+    // recall@10 under TIE-SAFE ordering (round-11 stretch 8): the
+    // fraction of a query's relevant docs captured in the top 10,
+    // normalized by min(n_rel, 10) so a full page of hits scores 1.
+    // "Tie-safe" = the ranking both engines replay exactly: sims
+    // rounded to 6 dp (so near-ties become REAL ties) with the id-asc
+    // tie-break — a raw-float ordering would let last-ulp noise flip
+    // the k-boundary between engines.
+    "q348_recall_at_k" -> { (s, dir) =>
+      val emb = T.load(s, dir, "embeddings")
+      val q = emb.filter(F.col("vec_id") < 20)
+      val knn = graft.similarity.Knn.bruteForceKnn(
+        emb, q, "vec_id", "embedding", 10)
+      val ql = q.select(F.col("vec_id").as("query_id"),
+        F.col("label").as("qlbl"))
+      val nl = emb.select(F.col("vec_id").as("neighbor_id"),
+        F.col("label").as("nlbl"))
+      val hits = knn.join(F.broadcast(ql), "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id")
+        .agg(F.count(F.when(F.expr("nlbl = qlbl"), 1)).as("hits"))
+      val nrel = emb.select(F.col("vec_id").as("cid"),
+          F.col("label").as("nlbl"))
+        .join(F.broadcast(ql), F.col("cid") =!= F.col("query_id")
+          && F.col("nlbl") === F.col("qlbl"))
+        .groupBy("query_id").agg(F.count(F.lit(1)).as("n_rel"))
+      hits.join(nrel, "query_id")
+        .select(F.col("query_id"), F.col("hits"), F.col("n_rel"),
+          F.expr("round(hits / cast(least(n_rel, 10) as double), 6)")
+            .as("recall_at_10"))
+    },
+
     // t-closeness audit (Li et al. 2007) — the third leg of the
     // privacy trilogy (q237 k-anonymity, q286 l-diversity): per QI
     // group, the EMD between the group's ordered sensitive
@@ -1660,6 +1739,65 @@ object TrainQueries {
                for r in range(1, least(n_rel, 10) + 1)]),
               (a, b) -> a + b), 6) + 0 AS ndcg
           FROM dcg JOIN nr USING (qid)""",
+
+    "q347_ndcg_graded" ->
+      """WITH q AS MATERIALIZED (SELECT vec_id qid, embedding,
+             label qlbl FROM embeddings WHERE vec_id < 8),
+          sims AS MATERIALIZED (SELECT qid,
+             CASE WHEN c.label = qlbl THEN 3.0::DOUBLE
+                  WHEN abs(c.label - qlbl) = 1 THEN 1.0::DOUBLE
+                  ELSE 0.0::DOUBLE END gain,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 DESC, c.vec_id) rnk
+           FROM q JOIN embeddings c ON c.vec_id != q.qid),
+          dcg AS (SELECT qid,
+                    sum(gain / log2((rnk + 1)::DOUBLE)) dcg
+                  FROM sims WHERE rnk <= 10 GROUP BY 1),
+          nr AS (SELECT qid,
+                   CAST(count(*) FILTER (WHERE c.label = qlbl)
+                     AS BIGINT) n2,
+                   CAST(count(*) FILTER (WHERE abs(c.label - qlbl) = 1)
+                     AS BIGINT) n1
+                 FROM q JOIN embeddings c ON c.vec_id != q.qid
+                 GROUP BY 1)
+          SELECT qid AS query_id, n2, n1, round(dcg, 6) + 0 AS dcg,
+            round(CASE WHEN n2 + n1 = 0 THEN 0.0::DOUBLE
+              ELSE dcg / (list_reduce(list_prepend(0.0::DOUBLE,
+                  [3 / log2((r + 1)::DOUBLE)
+                   for r in range(1, least(n2, 10) + 1)]),
+                  (a, b) -> a + b)
+                + CASE WHEN n2 < 10 AND n1 > 0 THEN
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      [1 / log2((r + 1)::DOUBLE)
+                       for r in range(n2 + 1,
+                         least(n2 + n1, 10) + 1)]),
+                      (a, b) -> a + b)
+                  ELSE 0.0::DOUBLE END) END, 6) + 0 AS ndcg
+          FROM dcg JOIN nr USING (qid)""",
+
+    "q348_recall_at_k" ->
+      """WITH q AS MATERIALIZED (SELECT vec_id qid, embedding,
+             label qlbl FROM embeddings WHERE vec_id < 20),
+          sims AS MATERIALIZED (SELECT qid,
+             CASE WHEN c.label = qlbl THEN 1 ELSE 0 END relv,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 DESC, c.vec_id) rnk
+           FROM q JOIN embeddings c ON c.vec_id != q.qid),
+          h AS (SELECT qid, CAST(count(*) FILTER (WHERE relv = 1)
+                  AS BIGINT) hits
+                FROM sims WHERE rnk <= 10 GROUP BY 1),
+          nr AS (SELECT qid, CAST(count(*) AS BIGINT) n_rel
+                 FROM q JOIN embeddings c
+                   ON c.vec_id != q.qid AND c.label = q.qlbl
+                 GROUP BY 1)
+          SELECT qid AS query_id, hits, n_rel,
+            round(hits / least(n_rel, 10)::DOUBLE, 6) + 0
+              AS recall_at_10
+          FROM h JOIN nr USING (qid)""",
 
     "q299_tcloseness" ->
       """WITH c AS MATERIALIZED (SELECT c_nationkey, c_mktsegment,

@@ -82,6 +82,50 @@ class FormulaSpec extends SparkSpec {
     }
   }
 
+  test("multi-way cross a*b*c expands to all 7 terms") {
+    import spark.implicits._
+    // reference expands arbitrary-depth crosses (src/formula.jl:67-125,
+    // dospecials): a*b*c ≡ a + b + c + a:b + a:c + b:c + a:b:c — with
+    // numeric factors the design matrix is exactly those 7 columns
+    val df = Seq((1.0, 2.0, 3.0, 5.0), (2.0, 3.0, 5.0, 7.0),
+      (3.0, 5.0, 7.0, 11.0), (4.0, 7.0, 11.0, 13.0))
+      .toDF("y", "a", "b", "c")
+    val got = Formula.modelMatrix(df, "y ~ a*b*c")
+      .orderBy("label").collect()
+    assert(got.head.length == 8, // label + 7 terms
+      s"expected 7 cross terms, got ${got.head.length - 1}")
+    val want = Seq((1.0, 2.0, 3.0, 5.0), (2.0, 3.0, 5.0, 7.0),
+      (3.0, 5.0, 7.0, 11.0), (4.0, 7.0, 11.0, 13.0))
+    got.zip(want).foreach { case (r, (y, a, b, c)) =>
+      assert(r.getDouble(0) == y)
+      val terms = (1 to 7).map(r.getDouble).toSet
+      val wantTerms = Set(a, b, c, a * b, a * c, b * c, a * b * c)
+      assert(terms == wantTerms, s"y=$y: $terms != $wantTerms")
+    }
+  }
+
+  test("I(a*b) is arithmetic (one term), not a cross") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 3.0, 5.0), (3.0, 5.0, 7.0))
+      .toDF("y", "a", "b")
+    val got = Formula.modelMatrix(df, "y ~ I(a*b)")
+      .orderBy("label").collect()
+    assert(got.head.length == 2, // label + the single product column
+      s"I(a*b) must be ONE term, got ${got.head.length - 1}")
+    got.foreach { r =>
+      val (y, f0) = (r.getDouble(0), r.getDouble(1))
+      val (a, b) = Seq((1.0, 2.0, 3.0), (2.0, 3.0, 5.0), (3.0, 5.0, 7.0))
+        .find(_._1 == y).map(t => (t._2, t._3)).get
+      assert(f0 == a * b, s"y=$y: $f0 != ${a * b}")
+    }
+    // and the cross of an I() factor still works: I(a*b)*b ≡
+    // I(a*b) + b + I(a*b):b (3 terms)
+    val crossed = Formula.modelMatrix(df, "y ~ I(a*b)*b")
+      .orderBy("label").collect()
+    assert(crossed.head.length == 4,
+      s"I(a*b)*b must be 3 terms, got ${crossed.head.length - 1}")
+  }
+
   test("materialized term names skip existing columns") {
     import spark.implicits._
     // a frame already carrying graftTerm0 must not have it overwritten

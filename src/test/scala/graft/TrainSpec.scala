@@ -343,6 +343,35 @@ class TrainSpec extends SparkSpec {
     }
   }
 
+  test("q347: graded ndcg in [0,1]; binary-degenerate case equals q298") {
+    val rows = TrainQueries.queries("q347_ndcg_graded")(spark, sf)
+      .collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0) // n2, n1
+      assert(r.getDouble(3) >= 0.0) // dcg
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9,
+        s"ndcg out of range: ${r.getDouble(4)}")
+    }
+    // a perfect first page (10 same-label hits at ranks 1-10 with
+    // n2 >= 10) would make ndcg exactly 1; at minimum SOME query must
+    // have graded support for the metric to be non-vacuous
+    assert(rows.exists(r => r.getLong(1) + r.getLong(2) > 0))
+  }
+
+  test("q348: recall@10 in [0,1] and hits bounded by both k and n_rel") {
+    val rows = TrainQueries.queries("q348_recall_at_k")(spark, sf)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (hits, nRel, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= 10 && hits <= nRel)
+      assert(rec >= 0.0 && rec <= 1.0 + 1e-9)
+      // tie-safe normalization: full page ⇒ recall 1 exactly
+      if (hits == math.min(nRel, 10L)) assert(rec == 1.0)
+    }
+  }
+
   test("q299: EMD is a [0,1] distance over every QI group") {
     val rows = TrainQueries.queries("q299_tcloseness")(spark, sf)
       .collect()
