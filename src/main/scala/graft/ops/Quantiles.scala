@@ -515,24 +515,26 @@ object Quantiles {
     interpTargets(init, res, keys, qs)
   }
 
-  /** Shared final pivot: map each target's floor/ceil resolved-rank
-    * values back to one row per group and interpolate — 2 joins per
-    * target against the O(groups·targets) resolved-rank relation
-    * (broadcast-sized by construction). */
+  /** Shared final pivot: fold the resolved-rank relation to ONE
+    * rank→value map row per group and join it to init once —
+    * 2 aggregation-shuffle ops total, independent of target count
+    * (round 11; the previous 2-joins-per-target shape planned 8 joins
+    * for a 4-quantile profile). Both relations are O(groups) rows;
+    * every floor/ceil lookup is an element_at on the map. */
   private def interpTargets(init: DataFrame, res: DataFrame,
       keys: Seq[String], qs: Seq[(Double, String)]): DataFrame = {
     val kCols = keys.map(F.col)
-    var out = init.drop("__lo", "__hi", "__wb")
-    qs.indices.foreach { i =>
-      out = out
-        .join(res.withColumnRenamed("__rk", s"__rkLo$i")
-          .withColumnRenamed("__val", s"__vLo$i"), keys :+ s"__rkLo$i")
-        .join(res.withColumnRenamed("__rk", s"__rkHi$i")
-          .withColumnRenamed("__val", s"__vHi$i"), keys :+ s"__rkHi$i")
-    }
+    val rkMap = res.groupBy(kCols: _*)
+      .agg(F.map_from_entries(
+        F.collect_list(F.struct(F.col("__rk"), F.col("__val"))))
+        .as("__rkv"))
+    val out = init.drop("__lo", "__hi", "__wb").join(rkMap, keys)
     val outCols = qs.zipWithIndex.map { case ((q, name), i) =>
-      F.expr(s"""cast(__vLo$i as double) + ($q * (__n - 1) - __rkLo$i)
-          * (cast(__vHi$i as double) - __vLo$i)""").as(name)
+      F.expr(
+        s"""cast(element_at(__rkv, __rkLo$i) as double)
+            + ($q * (__n - 1) - __rkLo$i)
+            * (cast(element_at(__rkv, __rkHi$i) as double)
+               - element_at(__rkv, __rkLo$i))""").as(name)
     }
     out.select((kCols ++ outCols): _*)
   }
