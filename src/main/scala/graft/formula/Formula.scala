@@ -192,6 +192,34 @@ object Formula {
   def modelMatrix(df: DataFrame, formula: String): DataFrame = {
     val (df2, formula2) = expandFunctionTerms(df, formula)
     val clean = df2.na.drop("any")
+    // NUMERIC-ONLY fast path (round 11): when the label and every
+    // resolved factor are numeric, the design matrix is just column
+    // products in term order — emit them as codegen'd expressions.
+    // The VectorAssembler/Interaction route costs ~10× (per-row ML
+    // vector UDFs; measured 1.8 s vs 0.2 s at 600k×8). The parser
+    // (GraftFormulaBridge → RFormulaParser) stays the single source
+    // of term-algebra truth, and value parity is exact: a k-factor
+    // numeric interaction is the left-to-right double product in
+    // both paths, the label is the same cast. Any categorical factor
+    // falls through to RFormula (one-hot contrasts need the fitted
+    // level order).
+    val numeric = scala.util.Try {
+      val (label, terms) = org.apache.spark.ml.feature
+        .GraftFormulaBridge.resolvedTerms(formula2, clean.schema)
+      val numericCols = clean.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] => f.name
+      }.toSet
+      if (numericCols.contains(label) &&
+          terms.forall(_.forall(numericCols.contains))) {
+        val fCols = terms.zipWithIndex.map { case (fs, i) =>
+          fs.map(c => F.col(c).cast("double")).reduce(_ * _).as(s"f$i")
+        }
+        Some(clean.select(
+          F.col(label).cast("double").as("label") +: fCols: _*))
+      } else None
+    }.toOption.flatten
+    if (numeric.isDefined) return numeric.get
     val rf = new RFormula()
       .setFormula(formula2)
       .setFeaturesCol("__features")
@@ -210,8 +238,12 @@ object Formula {
       if (meta.size >= 0) meta.size
       else out.select(F.size(vector_to_array(F.col("__features"))))
         .first().getInt(0)
+    // ONE vector→array conversion per row (vector_to_array is a UDF,
+    // so Catalyst does not CSE repeated calls — the old per-column
+    // form paid width× conversions per row, ~1.5 s at 600k×9)
     val cols = (0 until width).map(i =>
-      F.element_at(vector_to_array(F.col("__features")), i + 1).as(s"f$i"))
-    out.select(F.col("label") +: cols: _*)
+      F.element_at(F.col("__arr"), i + 1).as(s"f$i"))
+    out.withColumn("__arr", vector_to_array(F.col("__features")))
+      .select(F.col("label") +: cols: _*)
   }
 }
