@@ -126,6 +126,40 @@ class FormulaSpec extends SparkSpec {
       s"I(a*b)*b must be 3 terms, got ${crossed.head.length - 1}")
   }
 
+  test("dot expansion and mixed paths agree: numeric fast path vs " +
+      "RFormula route") {
+    import spark.implicits._
+    // y ~ . on an all-numeric frame rides the round-11 fast path;
+    // forcing the same formula through RFormula (by adding-then-
+    // dropping nothing numeric changes) must give identical values —
+    // here checked against hand arithmetic for both shapes
+    val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (9.0, 8.0, 7.0))
+      .toDF("y", "a", "b")
+    val dot = Formula.modelMatrix(df, "y ~ .").orderBy("label").collect()
+    assert(dot.head.length == 3) // label + a + b
+    dot.zip(Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (9.0, 8.0, 7.0)))
+      .foreach { case (r, (y, a, b)) =>
+        assert(r.getDouble(0) == y && r.getDouble(1) == a
+          && r.getDouble(2) == b)
+      }
+    // term-algebra simplification holds on the fast path too:
+    // a:a dedups to a (R semantics), so y ~ a + a:a is ONE feature
+    val dedup = Formula.modelMatrix(df, "y ~ a + a:a")
+      .orderBy("label").collect()
+    assert(dedup.head.length == 2, "a:a must simplify into a")
+    // a categorical column forces the RFormula route for the SAME
+    // term algebra — numeric columns keep plain passthrough values
+    val mixed = Seq((1.0, 2.0, "x"), (4.0, 5.0, "y"), (9.0, 8.0, "x"))
+      .toDF("y", "a", "g")
+    val viaRf = Formula.modelMatrix(mixed, "y ~ a + g")
+      .orderBy("label").collect()
+    viaRf.zip(Seq((1.0, 2.0, 1.0), (4.0, 5.0, 0.0), (9.0, 8.0, 1.0)))
+      .foreach { case (r, (y, a, gx)) =>
+        assert(r.getDouble(0) == y && r.getDouble(1) == a
+          && r.getDouble(2) == gx)
+      }
+  }
+
   test("materialized term names skip existing columns") {
     import spark.implicits._
     // a frame already carrying graftTerm0 must not have it overwritten
