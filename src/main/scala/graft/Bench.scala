@@ -119,7 +119,12 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // min over the SUCCESSFUL reps: a transient single-rep failure
+      // (e.g. a GC-starved checkpoint timeout) should not -1 a query
+      // that produced N-1 good timings; all-reps-failed stays -1 and
+      // the name lands in "errors" (deduped below) either way.
+      val good = times.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     // The consumer captures only the LAST 2000 chars of stdout, so the
     // JSON line must stay short enough to land in that window intact
@@ -148,7 +153,8 @@ object Bench {
     }
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errJson =
+      errors.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Tripwire: vs the prior run of the SAME file. Sub-second queries
     // are exempt (JVM noise dwarfs them); the threshold matches the
     // r7 verdict's "q232 went 3.2x unnoticed" bar.

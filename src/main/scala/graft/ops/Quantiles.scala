@@ -363,6 +363,22 @@ object Quantiles {
   val WarmMargin: Double = 4.0 / WarmAccuracy
   val WarmMinN = 2000L
 
+  /** The grouped engines hint `broadcast()` on every state-side join —
+    * the state relation is lazily planned (no stats), so without the
+    * hint Spark picks an SMJ that re-shuffles the FULL data relation
+    * every refinement round (the single biggest constant found in the
+    * round-11 warm-start work). But the state is O(groups × targets)
+    * rows, and these are PUBLIC entry points: a high-cardinality group
+    * key must not force a driver-side broadcast each round (driver OOM
+    * at the 100 TB scale this engine targets — round-12 ADVICE). The
+    * hint is therefore gated on the init row count (already computed:
+    * init is checkpointed before the loop); past the bound the joins
+    * fall back to the planner's shuffle join, which is the right plan
+    * at that cardinality anyway. ~4M state rows ≈ a few hundred MB
+    * broadcast — comfortably under executor memory, far under driver
+    * OOM territory. */
+  val BroadcastStateMaxRows: Long = 4L * 1000 * 1000
+
   /** Shared grouped-refinement setup: the pinned (keys, __v)
     * projection, the CHECKPOINTED per-group init row (n, per-target
     * floor/ceil ranks, min/max, GK warm probes — O(groups), reused by
@@ -435,6 +451,16 @@ object Quantiles {
     (data, init, state0)
   }
 
+  /** Broadcast-or-identity for the state-side joins: hint only while
+    * the worst-case state row count (groups × 2 ranks per target) is
+    * under [[BroadcastStateMaxRows]]. `init` is checkpointed, so the
+    * count is an in-memory O(groups) scan, paid once per engine call. */
+  private def stateHint(init: DataFrame,
+      targets: Int): DataFrame => DataFrame =
+    if (init.count() * 2L * targets <= BroadcastStateMaxRows)
+      F.broadcast
+    else identity
+
   def groupedExactLongMulti(df: DataFrame, keys: Seq[String],
                             valCol: String, qs: Seq[(Double, String)],
                             k: Int = 4096,
@@ -442,6 +468,7 @@ object Quantiles {
     val kCols = keys.map(F.col)
     val (data, init, state0) =
       groupedInit(df, keys, valCol, qs, "long", pinned)
+    val hintState = stateHint(init, qs.size)
     // state0 is a select+explode over the checkpointed init —
     // re-deriving it per reference is O(groups), so it is NOT
     // checkpointed and the pre-loop open count is skipped: round 1
@@ -470,7 +497,7 @@ object Quantiles {
       // counts are global and the rank's true bin is found whether or
       // not the bracket was right. Verified states filter to their
       // witnessed interval exactly as before (no sentinel rows).
-      val binned = data.join(F.broadcast(pending), keys)
+      val binned = data.join(hintState(pending), keys)
         .filter(F.col("__warm") || (F.col("__v") >= F.col("__lo") &&
           F.col("__v") <= F.col("__hi")))
         .withColumn("__bin",
@@ -489,7 +516,7 @@ object Quantiles {
           .unboundedPreceding, -1) // ≤k+2 rows per (group, rk)
       val next = binned
         .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
-        .join(F.broadcast(pending.select((kCols ++ Seq(F.col("__rk"),
+        .join(hintState(pending.select((kCols ++ Seq(F.col("__rk"),
           F.col("__n"), F.col("__off"))): _*)), keys :+ "__rk")
         // the bin holding local rank (__rk − __off); for warm states
         // __off = 0 and the sentinel bins make __cb global, so the
@@ -572,6 +599,7 @@ object Quantiles {
     val kCols = keys.map(F.col)
     val (data, init, state0) =
       groupedInit(df, keys, valCol, qs, "double", pinned)
+    val hintState = stateHint(init, qs.size)
     // lazy state0 + unconditional round 1: see groupedExactLongMulti
     var state = state0.withColumn("__cnt", F.col("__n"))
     // a target refines while its interval is non-degenerate AND its
@@ -590,7 +618,7 @@ object Quantiles {
       // bracket — see groupedExactLongMulti); the `lo == hi` guard
       // keeps a collapsed bracket's in-range rows out of the 0/0
       // half-space division (they are all exactly lo → bin 0)
-      val binned = data.join(F.broadcast(pending), keys)
+      val binned = data.join(hintState(pending), keys)
         .filter(F.col("__warm") || (F.col("__v") >= F.col("__lo") &&
           F.col("__v") <= F.col("__hi")))
         .withColumn("__bin",
@@ -610,7 +638,7 @@ object Quantiles {
           .unboundedPreceding, -1) // ≤k rows per (group, rk)
       val next = binned
         .withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0L)))
-        .join(F.broadcast(pending.select((kCols ++ Seq(F.col("__rk"),
+        .join(hintState(pending.select((kCols ++ Seq(F.col("__rk"),
           F.col("__n"), F.col("__off"))): _*)), keys :+ "__rk")
         .filter(F.col("__rk") - F.col("__off") >= F.col("__cb") &&
           F.col("__rk") - F.col("__off") < F.col("__cb") + F.col("__c"))
@@ -641,7 +669,7 @@ object Quantiles {
         F.col("__lo"), F.col("__hi"))): _*)
     val ew = org.apache.spark.sql.expressions.Window
       .partitionBy((kCols :+ F.col("__rk")): _*).orderBy("__v")
-    val endRows = data.join(F.broadcast(narrow), keys)
+    val endRows = data.join(hintState(narrow), keys)
       .filter(F.col("__v") >= F.col("__lo") &&
         F.col("__v") <= F.col("__hi"))
       .withColumn("__rn",

@@ -33,6 +33,30 @@ object TrainQueries {
     * two constants must move together. */
   private[graft] val BpeMerges = 4
 
+  /** q347's graded-nDCG normalizer over (dcg, n2, n1). Both aggregate
+    * folds are guarded (n2 > 0 / n1 > 0): Spark's `sequence(1, 0)` is
+    * the DESCENDING [1, 0], whose r = 0 term divides by log2(1) = 0 —
+    * an unguarded n2 = 0 query with adjacent-label support would get
+    * IDCG = Infinity and a silent ndcg = 0 while the oracle's empty
+    * `range(1, 1)` keeps only the grade-1 terms. Shared with TrainSpec
+    * so the test exercises the exact production expression. */
+  private[graft] val gradedNdcgExpr: String =
+    """round(case when n2 + n1 = 0 then cast(0 as double)
+            else dcg / (
+              case when n2 > 0 then
+                aggregate(transform(
+                    sequence(1, cast(least(n2, 10) as int)),
+                    r -> 3 / log2(cast(r + 1 as double))),
+                  cast(0 as double), (a, v) -> a + v)
+                else cast(0 as double) end
+              + case when n2 < 10 and n1 > 0 then
+                  aggregate(transform(
+                      sequence(cast(n2 + 1 as int),
+                        cast(least(n2 + n1, 10) as int)),
+                      r -> 1 / log2(cast(r + 1 as double))),
+                    cast(0 as double), (a, v) -> a + v)
+                else cast(0 as double) end) end, 6)"""
+
   /** One BPE pair-count round over the paren-wrapped vocabulary:
     * (pa, pb, n) weighted by word count. The wrap `(l)(o)(w)` makes
     * token boundaries explicit, so `replace(rep, '(a)(b)', '(ab)')`
@@ -822,19 +846,7 @@ object TrainQueries {
       dcg.join(counts, "query_id")
         .select(F.col("query_id"), F.col("n2"), F.col("n1"),
           F.expr("round(dcg, 6)").as("dcg"),
-          F.expr("""round(case when n2 + n1 = 0 then cast(0 as double)
-            else dcg / (
-              aggregate(transform(
-                  sequence(1, cast(least(n2, 10) as int)),
-                  r -> 3 / log2(cast(r + 1 as double))),
-                cast(0 as double), (a, v) -> a + v)
-              + case when n2 < 10 and n1 > 0 then
-                  aggregate(transform(
-                      sequence(cast(n2 + 1 as int),
-                        cast(least(n2 + n1, 10) as int)),
-                      r -> 1 / log2(cast(r + 1 as double))),
-                    cast(0 as double), (a, v) -> a + v)
-                else cast(0 as double) end) end, 6)""").as("ndcg"))
+          F.expr(gradedNdcgExpr).as("ndcg"))
     },
 
     // recall@10 under TIE-SAFE ordering (round-11 stretch 8): the

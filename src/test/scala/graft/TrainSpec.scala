@@ -359,6 +359,41 @@ class TrainSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(1) + r.getLong(2) > 0))
   }
 
+  test("q347 normalizer: n2=0 with n1>0 yields a positive finite ndcg") {
+    // The sf data never produces a query with zero same-label docs but
+    // some adjacent-label docs, so pin the guard directly: Spark's
+    // sequence(1, 0) is DESCENDING [1, 0] and its r=0 term divides by
+    // log2(1) = 0 — without the n2 > 0 guard this shape gets
+    // IDCG = Infinity and ndcg silently 0, diverging from DuckDB's
+    // empty range(1, 1). IDCG here must be the grade-1 fold alone.
+    import spark.implicits._
+    val shapes = Seq(
+      (1.5, 0L, 3L),   // the hazard shape: grade-1 support only
+      (0.0, 0L, 0L),   // no graded support at all -> defined 0
+      (3.0, 2L, 0L),   // grade-2 support only
+      (4.0, 2L, 3L))   // both grades
+      .toDF("dcg", "n2", "n1")
+    val got = shapes
+      .select(F.col("n2"), F.col("n1"),
+        F.expr(TrainQueries.gradedNdcgExpr).as("ndcg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def idcg(n2: Long, n1: Long): Double = {
+      val g2 = (1L to math.min(n2, 10L)).map(r => 3.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+      val g1 = if (n2 < 10 && n1 > 0)
+        ((n2 + 1) to math.min(n2 + n1, 10L)).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+      else 0.0
+      g2 + g1
+    }
+    def exp(dcg: Double, n2: Long, n1: Long): Double =
+      if (n2 + n1 == 0) 0.0
+      else BigDecimal(dcg / idcg(n2, n1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((0L, 3L)) == exp(1.5, 0L, 3L) && got((0L, 3L)) > 0.0)
+    assert(got((0L, 0L)) == 0.0)
+    assert(got((2L, 0L)) == exp(3.0, 2L, 0L))
+    assert(got((2L, 3L)) == exp(4.0, 2L, 3L))
+  }
+
   test("q348: recall@10 in [0,1] and hits bounded by both k and n_rel") {
     val rows = TrainQueries.queries("q348_recall_at_k")(spark, sf)
       .collect()
