@@ -362,7 +362,8 @@ object Dedup {
     * Input: pairs (id1, id2). Output: (id, component) where component =
     * min id reachable. Deterministic.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      endgameMaxEdges: Long = CcEndgameMaxEdges): DataFrame = {
     // localCheckpoint (eager), not persist: the pair graph usually sits
     // on an expensive upstream (LSH + verify); a lazy persist lets the
     // loop's parallel branches race the first materialization and
@@ -377,6 +378,27 @@ object Dedup {
       pairs.select(F.col("id1").as("a"), F.col("id2").as("b"))
         .union(pairs.select(F.col("id2").as("a"), F.col("id1").as("b")))
         .distinct())
+    // driver endgame (see [[CcEndgameMaxEdges]]): a pair graph inside
+    // the bounded-collect budget is labeled by union-find in one job
+    // instead of O(diameter) propagation rounds; the distributed loop
+    // below is the path for everything larger.
+    if (edges.count() <= endgameMaxEdges) {
+      val idType = pairs.schema("id1").dataType
+      val es = edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = unionFind(es)
+      val rows = Seq.newBuilder[(Long, Long)]
+      val iter = comp.entrySet().iterator()
+      while (iter.hasNext) {
+        val kv = iter.next()
+        rows += ((kv.getKey, kv.getValue))
+      }
+      release(spark, edgeIds)
+      import spark.implicits._
+      return rows.result().toDF("id", "comp")
+        .select(F.col("id").cast(idType).as("id"),
+          F.col("comp").cast(idType).as("comp"))
+    }
     var labels = edges.select(F.col("a").as("id"))
       .distinct()
       .withColumn("comp", F.col("id"))
@@ -391,13 +413,16 @@ object Dedup {
         .agg(F.min("comp").as("ncomp"))
       // localCheckpoint TRUNCATES the lineage: without it the iterative
       // plan nests one join deeper per round and analysis/execution
-      // blow up exponentially (measured OOM at ~8 rounds).
+      // blow up exponentially (measured OOM at ~8 rounds). Lazy mark:
+      // the changed count scans every partition, materializing the
+      // checkpoint in the same job (one job/round, not two).
       val (updated, ids) = checkpointTracked(
         labels.join(neighborMin, Seq("id"), "left_outer")
           .select(F.col("id"),
             F.least(F.col("comp"),
               F.coalesce(F.col("ncomp"), F.col("comp"))).as("comp"),
-            F.col("comp").as("old")))
+            F.col("comp").as("old")),
+        eager = false)
       changed = updated.filter(F.col("comp") =!= F.col("old")).count()
       release(spark, prevIds) // previous round: superseded, now unreferenced
       prevIds = ids
@@ -441,18 +466,69 @@ object Dedup {
           (F.col("n1") + F.col("n2") - F.col("common")), 6).as("jac"))
   }
 
-  /** Eager localCheckpoint plus the block-manager RDD ids it pinned, so
-    * iterative ops can release superseded rounds. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  /** localCheckpoint plus the block-manager RDD ids it pinned, so
+    * iterative ops can release superseded rounds. `eager = false`
+    * marks the checkpoint lazily — the RDD registers as persistent at
+    * mark time (so the ids are still captured here) but materializes
+    * on the first job that scans it, letting a convergence count fuse
+    * the checkpoint job away (round 12). */
+  private def checkpointTracked(df: DataFrame,
+      eager: Boolean = true): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val ck = df.localCheckpoint()
+    val ck = df.localCheckpoint(eager)
     (ck, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
   private def release(spark: SparkSession, ids: Set[Int]): Unit = {
     val m = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => m.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Driver-endgame bound for the connected-components loops: once the
+    * (contracted) edge set is at most this many rows, finish with one
+    * BOUNDED collect + union-find instead of more distributed rounds.
+    * Every distributed CC round costs 3-5 shuffle stages of pure fixed
+    * overhead regardless of data volume — measured ~0.4 s/round at
+    * sf0.1 on a 3,800-edge mutual-kNN graph that union-find labels in
+    * microseconds. 64k (lo, hi) pairs ≈ 1 MB on the driver, the same
+    * bounded-collect budget as [[graft.ops.Quantiles]]' endgame
+    * (DefaultCollectLimit) and the q242/q249 precedents. At 100 TB the
+    * star loop contracts the graph ~geometrically, so the endgame
+    * replaces only the LAST O(log) rounds — the distributed path is
+    * unchanged above the bound. */
+  val CcEndgameMaxEdges = 65536L
+
+  /** Union-find with union-by-min + path compression over a bounded
+    * edge array: root of every component IS its minimum id (unions
+    * always point the larger root at the smaller), matching the
+    * min-label / star-forest contract exactly. Returns (id → comp) for
+    * every id incident to an edge. */
+  private def unionFind(es: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = p
+        p = gp
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new java.util.HashMap[Long, Long](es.length * 2)
+    es.foreach { case (a, b) =>
+      out.put(a, find(a))
+      out.put(b, find(b))
+    }
+    out
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -475,8 +551,8 @@ object Dedup {
     * read off directly. Output matches [[connectedComponents]] exactly:
     * (id, comp = min reachable id) for every id in `pairs`.
     */
-  def connectedComponentsStar(pairs: DataFrame,
-                              maxIter: Int = 30): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30,
+      endgameMaxEdges: Long = CcEndgameMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the pair graph ONCE before deriving nodes and edges:
     // both need it, and the upstream is usually the expensive part
@@ -493,9 +569,10 @@ object Dedup {
     release(spark, pIds) // nodes + e0 are checkpointed; p is superseded
     var edges = e0._1
     var edgeIds = e0._2
+    var nEdges = edges.count() // in-memory scan of the fresh checkpoint
     var it = 0
-    var changed = 1L
-    while (changed > 0 && it < maxIter) {
+    var changed = -1L // unknown until a round has tallied
+    while (changed != 0 && nEdges > endgameMaxEdges && it < maxIter) {
       // large-star over the symmetric direction set
       val dir = edges.select(F.col("lo").as("u"), F.col("hi").as("v"))
         .union(edges.select(F.col("hi").as("u"), F.col("lo").as("v")))
@@ -503,7 +580,7 @@ object Dedup {
         .withColumn("m", F.least(F.col("u"), F.col("mv")))
       // no distinct here: |ls| <= |edges| with or without duplicates
       // (one row per v>u direction), small-star's groupBy and the
-      // final ss.distinct() absorb them — dropping the mid-round
+      // final tally's groupBy absorb them — dropping the mid-round
       // dedup saves one shuffle per round without unbounding anything
       val ls = dir.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -516,31 +593,65 @@ object Dedup {
         .select(F.col("m").as("lo"), F.col("v").as("hi")) // v >= m
         .union(mins2.select(F.col("m").as("lo"), F.col("u").as("hi")))
         .filter(F.col("lo") =!= F.col("hi"))
-        .distinct()
-      // truncate per-round lineage growth; release the superseded round
-      // once the convergence count no longer needs it
-      val (ssCk, ids) = checkpointTracked(ss)
-      // symmetric multiset diff in ONE job (both sides are distinct
-      // edge sets, so ±1 tallies per key suffice): two exceptAll
-      // counts here doubled the per-round job tax
-      changed = ssCk.select(F.col("lo"), F.col("hi"), F.lit(1L).as("d"))
-        .union(edges.select(F.col("lo"), F.col("hi"), F.lit(-1L).as("d")))
-        .groupBy("lo", "hi").agg(F.sum("d").as("d"))
-        .filter(F.col("d") =!= 0L).count()
+      // ONE (lo, hi) aggregation yields BOTH the deduped new edge set
+      // and the convergence test: tag small-star rows and previous
+      // edges, group on the edge key, and compare presence flags —
+      // this replaces ss.distinct() PLUS a separate symmetric-diff
+      // aggregation (one exchange per round, not two, over the same
+      // rows). The tally checkpoint is marked LAZY so the changed
+      // count materializes it in the same job.
+      val (tally, ids) = checkpointTracked(
+        ss.select(F.col("lo"), F.col("hi"),
+            F.lit(1).as("s"), F.lit(0).as("e"))
+          .union(edges.select(F.col("lo"), F.col("hi"),
+            F.lit(0).as("s"), F.lit(1).as("e")))
+          .groupBy("lo", "hi")
+          .agg(F.max("s").as("inSs"), F.max("e").as("inE")),
+        eager = false)
+      // the same fused job also tallies the surviving edge count, so
+      // the endgame gate costs no extra pass
+      val row = tally.agg(
+        F.sum(F.when(F.col("inSs") =!= F.col("inE"), 1L).otherwise(0L))
+          .as("chg"),
+        F.sum(F.when(F.col("inSs") === 1, 1L).otherwise(0L)).as("ne"))
+        .first()
+      changed = row.getLong(0)
+      nEdges = row.getLong(1)
       release(spark, edgeIds)
-      edges = ssCk
+      edges = tally.filter(F.col("inSs") === 1).select("lo", "hi")
       edgeIds = ids
       it += 1
     }
-    // fail LOUDLY on non-convergence: a mid-run edge set can hold two
-    // labels for one hi node, and the join below would silently fan
-    // out duplicate (id, comp) rows — corrupted cardinalities beat no
-    // answer only if the caller knows.
-    require(changed == 0,
-      s"connectedComponentsStar did not converge in $maxIter rounds")
+    val forest = if (changed == 0) edges // converged: already a star forest
+    else {
+      // driver endgame: the (contracted) edge set fits the bounded
+      // collect — finish with union-find (root = component min, same
+      // contract as the star forest) instead of more O(stages)-cost
+      // rounds. Fail LOUDLY if maxIter ran out above the bound: a
+      // mid-run edge set can hold two labels for one hi node, and the
+      // read-off join would silently fan out duplicate (id, comp) rows.
+      require(nEdges <= endgameMaxEdges,
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+      val idType = pairs.schema("id1").dataType
+      val es = edges
+        .select(F.col("lo").cast("long"), F.col("hi").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = unionFind(es)
+      val memberRows = comp.entrySet().iterator()
+      val members = Seq.newBuilder[(Long, Long)]
+      while (memberRows.hasNext) {
+        val kv = memberRows.next()
+        if (kv.getKey != kv.getValue) members += ((kv.getKey, kv.getValue))
+      }
+      release(spark, edgeIds)
+      import spark.implicits._
+      members.result().toDF("hi", "lo")
+        .select(F.col("lo").cast(idType).as("lo"),
+          F.col("hi").cast(idType).as("hi"))
+    }
     // star forest: members are hi→lo; roots (and isolated nodes from
     // self-pairs) label themselves
-    nodes.join(edges.select(F.col("hi").as("id"), F.col("lo").as("comp")),
+    nodes.join(forest.select(F.col("hi").as("id"), F.col("lo").as("comp")),
         Seq("id"), "left_outer")
       .select(F.col("id"), F.coalesce(F.col("comp"), F.col("id")).as("comp"))
   }

@@ -189,37 +189,77 @@ object Formula {
     * reference's model.frame complete-cases semantics over evaluated
     * terms.
     */
-  def modelMatrix(df: DataFrame, formula: String): DataFrame = {
+  def modelMatrix(df: DataFrame, formula: String): DataFrame =
+    modelMatrixVia(df, formula, forceMl = false)
+
+  /** Bound on categorical cardinality for the contrast fast path: the
+    * level set is ONE bounded driver collect (RFormula's own
+    * StringIndexer fit collects the same set), and past this width an
+    * exploded f0..fk design matrix stops being a sane frame anyway —
+    * wider factors keep the ML route. */
+  val MaxContrastLevels = 256
+
+  /** `forceMl = true` pins the RFormula/VectorAssembler route —
+    * FormulaSpec uses it to assert fast path == ML path
+    * column-for-column. */
+  private[graft] def modelMatrixVia(df: DataFrame, formula: String,
+      forceMl: Boolean): DataFrame = {
     val (df2, formula2) = expandFunctionTerms(df, formula)
     val clean = df2.na.drop("any")
-    // NUMERIC-ONLY fast path (round 11): when the label and every
-    // resolved factor are numeric, the design matrix is just column
-    // products in term order — emit them as codegen'd expressions.
-    // The VectorAssembler/Interaction route costs ~10× (per-row ML
-    // vector UDFs; measured 1.8 s vs 0.2 s at 600k×8). The parser
+    // Expression fast path (rounds 11-12): when the label is numeric
+    // and every resolved term is either all-numeric (interaction =
+    // codegen'd column product) or ONE categorical factor (treatment
+    // contrast = `when(col === level, 1.0)` indicators over the
+    // fitted alphabetical level order, dropping the last level —
+    // exactly RFormula's StringIndexer(alphabetAsc) + OneHotEncoder
+    // (dropLast) under an intercept), the design matrix is plain
+    // codegen'd expressions. The VectorAssembler/Interaction route
+    // costs ~10× (per-row ML vector UDFs; measured 1.8 s vs 0.2 s at
+    // 600k×8 numeric, and q62's categorical shape 3× — see
+    // FormulaSpec's column-for-column equality pin). The parser
     // (GraftFormulaBridge → RFormulaParser) stays the single source
-    // of term-algebra truth, and value parity is exact: a k-factor
-    // numeric interaction is the left-to-right double product in
-    // both paths, the label is the same cast. Any categorical factor
-    // falls through to RFormula (one-hot contrasts need the fitted
-    // level order).
-    val numeric = scala.util.Try {
-      val (label, terms) = org.apache.spark.ml.feature
-        .GraftFormulaBridge.resolvedTerms(formula2, clean.schema)
-      val numericCols = clean.schema.fields.collect {
-        case f if f.dataType.isInstanceOf[
-          org.apache.spark.sql.types.NumericType] => f.name
-      }.toSet
-      if (numericCols.contains(label) &&
-          terms.forall(_.forall(numericCols.contains))) {
-        val fCols = terms.zipWithIndex.map { case (fs, i) =>
-          fs.map(c => F.col(c).cast("double")).reduce(_ * _).as(s"f$i")
+    // of term-algebra truth. Falls through to RFormula for: a
+    // no-intercept formula (contrast coding changes), a categorical
+    // INSIDE an interaction (Interaction's full-dummy expansion), a
+    // non-numeric/non-string factor, or a factor wider than
+    // [[MaxContrastLevels]].
+    val fast = if (forceMl) None else scala.util.Try {
+      val (label, terms, hasIntercept) = org.apache.spark.ml.feature
+        .GraftFormulaBridge.resolvedTermsWithIntercept(
+          formula2, clean.schema)
+      val fieldType = clean.schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      def isNum(c: String) = fieldType.get(c)
+        .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      def isStr(c: String) = fieldType.get(c)
+        .contains(org.apache.spark.sql.types.StringType)
+      val ok = isNum(label) && hasIntercept &&
+        terms.forall(fs =>
+          fs.forall(isNum) || (fs.size == 1 && isStr(fs.head)))
+      if (!ok) None
+      else {
+        val catCols = terms.filter(fs => isStr(fs.head)).map(_.head)
+          .distinct
+        val levels: Map[String, Seq[String]] = catCols.map { c =>
+          c -> clean.select(c).distinct()
+            .limit(MaxContrastLevels + 1)
+            .collect().map(_.getString(0)).toSeq.sorted
+        }.toMap
+        if (levels.values.exists(_.size > MaxContrastLevels)) None
+        else {
+          val fCols = terms.flatMap { fs =>
+            if (fs.size == 1 && isStr(fs.head))
+              levels(fs.head).dropRight(1).map(l =>
+                F.when(F.col(fs.head) === l, 1.0).otherwise(0.0))
+            else
+              Seq(fs.map(c => F.col(c).cast("double")).reduce(_ * _))
+          }.zipWithIndex.map { case (c, i) => c.as(s"f$i") }
+          Some(clean.select(
+            F.col(label).cast("double").as("label") +: fCols: _*))
         }
-        Some(clean.select(
-          F.col(label).cast("double").as("label") +: fCols: _*))
-      } else None
+      }
     }.toOption.flatten
-    if (numeric.isDefined) return numeric.get
+    if (fast.isDefined) return fast.get
     val rf = new RFormula()
       .setFormula(formula2)
       .setFeaturesCol("__features")

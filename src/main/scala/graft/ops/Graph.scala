@@ -10,8 +10,45 @@ import org.apache.spark.sql.GraftReleaseBridge
   * damped-PageRank iteration — the generic "importance by linkage"
   * score a curation pipeline uses to weight interlinked corpora
   * (hosts↔documents, buyers↔producers).
+  *
+  * Per-round fixed-cost discipline (round 12): an iterative loop's
+  * wall time here is dominated not by data volume but by JOBS per
+  * round — an eager `localCheckpoint` is one job plus an O(state)
+  * block-manager round-trip, and a separate convergence `count()` is
+  * another. Two rules cut that to ONE job per round (or zero for
+  * short fixed-round loops) without changing a single output value:
+  *
+  *  - '''fixed-round loops''' (PageRank, PPR, label propagation) keep
+  *    intermediate rounds LAZY and checkpoint only the final state
+  *    (plus every [[CkptRounds]]th round so a deep loop's lineage
+  *    stays bounded at scale): one job runs the whole chain, vs one
+  *    job + one O(|V|) cache write per round;
+  *  - '''convergence loops''' (BFS, k-core, CC, the quantile engines)
+  *    mark the round's state with a LAZY `localCheckpoint(false)` and
+  *    let the convergence count materialize it — Spark persists local
+  *    checkpoint partitions as the counting job computes them and
+  *    truncates lineage at job end, so the ckpt+count pair fuses into
+  *    the count job. Superseded rounds release AFTER the fused job
+  *    (the release-ordering contract in [[GraftReleaseBridge]]).
   */
 object Graph {
+
+  /** Lineage-bound for fixed-round loops kept lazy between
+    * checkpoints: every CkptRounds-th round materializes, so a
+    * 100-round loop at cluster scale cannot grow an unbounded plan
+    * while the common 3-4 round calls run as ONE job. */
+  val CkptRounds = 8
+
+  /** Explicit broadcast hints on the O(|V|) state relations were
+    * MEASURED AND REJECTED here (round 12): a per-round
+    * BroadcastExchange serializes a driver collect of lazily-planned
+    * state every round (labelProp 1.0 → 1.9 s warmed at sf0.1), while
+    * AQE's runtime join conversion already broadcasts genuinely small
+    * sides from ACTUAL shuffle stats — locally and on a cluster —
+    * without the driver round-trip. The state-side joins therefore
+    * stay planner-chosen. (Contrast with the grouped-quantile engine,
+    * where the hinted relation is O(groups) ≪ O(|V|) and the win was
+    * measured.) */
 
   /** Damped PageRank with a fixed iteration count.
     *
@@ -24,14 +61,14 @@ object Graph {
     * Scale shape: the degree-weighted edge relation and the node set
     * are eagerly localCheckpointed ONCE, so each iteration is exactly
     * one join + one keyed groupBy over O(|E|) rows with O(|V|) rank
-    * state. Rank state re-checkpoints per round so the plan never
-    * nests (the CC lesson: un-truncated iterative lineage grows a join
-    * deeper per round and blows up analysis). The raw `edges` input is
-    * evaluated ~4× while building those two relations — hand in a
-    * cheap lineage (a checkpointed/persisted upstream), as q150 does
-    * with its distinct pair set. On a cluster the checkpointed edges
-    * would be a bucketed table on `src`, making the per-iteration join
-    * co-located.
+    * state. Iterations stay lazy between [[CkptRounds]] boundaries —
+    * the returned frame is eagerly checkpointed, so the whole loop is
+    * ONE job and callers can fan out over the result for free. The raw
+    * `edges` input is evaluated ~4× while building the two pinned
+    * relations — hand in a cheap lineage (a checkpointed/persisted
+    * upstream), as q150 does with its distinct pair set. On a cluster
+    * the checkpointed edges would be a bucketed table on `src`, making
+    * the per-iteration join co-located.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
@@ -42,24 +79,50 @@ object Graph {
     val nodes = e.select(F.col("src").as("node"))
       .unionAll(e.select(F.col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    // N is one driver-side scalar off checkpointed nodes — the same
-    // bounded-state exception as CC's convergence count.
+      .localCheckpoint(false)
+    // N is one driver-side scalar — the same bounded-state exception
+    // as CC's convergence count. The count job also materializes the
+    // lazily-marked nodes checkpoint (ckpt+count fused to one job).
     val n = nodes.count().toDouble
-    var pr = nodes.select(F.col("node"), (F.lit(1.0) / F.lit(n)).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = wedges
-        .join(pr, F.col("src") === F.col("node"))
-        .select(F.col("dst"), (F.col("pr") / F.col("deg")).as("w"))
-        .groupBy("dst").agg(F.sum("w").as("inflow"))
-      pr = nodes
-        .join(contrib, F.col("node") === F.col("dst"), "left_outer")
-        .select(F.col("node"),
-          ((F.lit(1.0) - damping) / F.lit(n)
+    require(iters >= 1, "pageRank needs at least one iteration")
+    // The loop iterates on the INFLOW relation, not the rank relation:
+    // pr_i(v) = (1−d)/n + d·inflow_i(v) is substituted into the next
+    // round's weight expression, so the per-round (nodes ⟕ contrib)
+    // join that used to rebuild the rank frame disappears — each round
+    // is ONE left join + ONE aggregate, and round 1 (uniform pr_0) is
+    // just the aggregate. Bit-identical to the rank-state form (same
+    // per-row arithmetic; equality checked over every node at sf0.01).
+    var contrib = wedges
+      .select(F.col("dst").as("cn"),
+        ((F.lit(1.0) / F.lit(n)) / F.col("deg")).as("w"))
+      .groupBy("cn").agg(F.sum("w").as("inflow"))
+    var lastCk: DataFrame = null
+    for (i <- 2 to iters) {
+      contrib = wedges
+        .join(contrib, F.col("src") === F.col("cn"), "left_outer")
+        .select(F.col("dst").as("cn2"),
+          (((F.lit(1.0) - damping) / F.lit(n)
             + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
-            .as("pr"))
-        .localCheckpoint()
+            / F.col("deg")).as("w"))
+        .select(F.col("cn2").as("cn"), F.col("w"))
+        .groupBy("cn").agg(F.sum("w").as("inflow"))
+      if (i % CkptRounds == 0) {
+        contrib = contrib.localCheckpoint() // lineage bound, deep loops
+        if (lastCk != null) GraftReleaseBridge.release(lastCk)
+        lastCk = contrib
+      }
     }
+    val pr = nodes
+      .join(contrib, F.col("node") === F.col("cn"), "left_outer")
+      .select(F.col("node"),
+        ((F.lit(1.0) - damping) / F.lit(n)
+          + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
+          .as("pr"))
+      .localCheckpoint() // one job runs every lazy round above
+    // the result is checkpointed — the loop inputs are superseded
+    GraftReleaseBridge.release(wedges)
+    GraftReleaseBridge.release(nodes)
+    if (lastCk != null) GraftReleaseBridge.release(lastCk)
     pr
   }
 
@@ -71,35 +134,44 @@ object Graph {
     * Input: undirected unique edges `(a: long, b: long)` with a < b.
     *
     * Scale shape: each round is one degree aggregation + two left-anti
-    * joins against the (small, shrinking) drop set, localCheckpointed
-    * so lineage stays flat; superseded blocks release as soon as the
-    * next round materializes. Rounds are data-bounded (the degeneracy
-    * ordering), not diameter-bounded — simultaneous deletion converges
-    * in O(peel-depth) rounds, ≤ ~10 on the co-purchase graphs here.
-    * The convergence probe is a count on the drop set — O(1) rows of
-    * driver data per round, the same bounded-state exception as CC.
+    * joins against the (small, shrinking) drop set. Rounds are
+    * data-bounded (the degeneracy ordering), not diameter-bounded —
+    * simultaneous deletion converges in O(peel-depth) rounds, ≤ ~10 on
+    * the co-purchase graphs here. Each round is ONE fused job: the
+    * drop-set count materializes that round's lazily-marked edge and
+    * drop checkpoints together (O(1) driver rows), and the superseded
+    * edge set releases only after the fused job has pinned its
+    * successor.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
     var e = edges.select(F.col("a").cast("long").as("a"),
-      F.col("b").cast("long").as("b")).localCheckpoint()
+      F.col("b").cast("long").as("b"))
+      .localCheckpoint(false) // round 1's fused count materializes it
     var round = 0
     var done = false
     var lastDeg: DataFrame = null
+    var pendingRelease: DataFrame = null
     while (!done && round < maxRounds) {
       val deg = e.select(F.col("a").as("n"))
         .unionAll(e.select(F.col("b").as("n")))
         .groupBy("n").agg(F.count(F.lit(1)).as("deg"))
       lastDeg = deg
       val drop = deg.filter(F.col("deg") < k).select("n")
-        .localCheckpoint()
-      if (drop.count() == 0) done = true
+        .localCheckpoint(false)
+      // ONE job: counts the drop set, materializing it AND the
+      // previous round's lazily-checkpointed edge set on the way
+      val nDrop = drop.count()
+      if (pendingRelease != null) {
+        GraftReleaseBridge.release(pendingRelease)
+        pendingRelease = null
+      }
+      if (nDrop == 0) done = true
       else {
-        val prev = e
+        pendingRelease = e
         e = e.join(drop.toDF("a"), Seq("a"), "left_anti")
           .join(drop.toDF("b"), Seq("b"), "left_anti")
           .select("a", "b")
-          .localCheckpoint()
-        GraftReleaseBridge.release(prev)
+          .localCheckpoint(false) // next round's count materializes it
         round += 1
       }
     }
@@ -119,8 +191,9 @@ object Graph {
     * graph) instead of all nodes — "importance relative to these
     * seeds", the recommendation/influence primitive. Same shape,
     * lineage discipline, and dangling-mass simplification as
-    * [[pageRank]]; per iteration one keyed join + one partial-agg'd
-    * groupBy, rank state re-checkpointed and released.
+    * [[pageRank]]: iterations stay lazy, the final state checkpoints
+    * eagerly (one job for the whole loop), and the pinned loop inputs
+    * release once it lands.
     *
     * Input: directed `(src, dst)` edges, `(node)` seeds.
     * Output: `(node, ppr)` for every node incident to an edge.
@@ -130,39 +203,67 @@ object Graph {
     val e = edges.select(F.col("src").cast("long").as("src"),
       F.col("dst").cast("long").as("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-    val wedges = e.join(deg, "src").localCheckpoint()
     val nodes = e.select(F.col("src").as("node"))
       .unionAll(e.select(F.col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val seedsIn = seeds.select(F.col("node").cast("long").as("node"))
       .distinct()
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint()
-    val s = seedsIn.count().toDouble // bounded driver scalar, as pageRank's n
+      .localCheckpoint(false)
+    // bounded driver scalar, as pageRank's n; the one count job
+    // materializes BOTH lazily-marked checkpoints (nodes, seedsIn)
+    val s = seedsIn.count().toDouble
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
     val base = nodes
       .join(seedsIn.withColumn("__s", F.lit(1)), Seq("node"), "left_outer")
       .select(F.col("node"),
         F.when(F.col("__s").isNotNull, F.lit(1.0) / F.lit(s))
           .otherwise(F.lit(0.0)).as("base"))
+    // Fold each source's restart mass INTO the pinned edge relation
+    // once, then iterate on the INFLOW relation (the [[pageRank]]
+    // substitution): pr_i(v) = (1−d)·base(v) + d·inflow_i(v) goes
+    // straight into the next round's weight expression, so the
+    // per-round (base ⟕ contrib) rank rebuild disappears — one left
+    // join + one aggregate per round, and round 1 (pr_0 = base) is
+    // just the aggregate. Per-row arithmetic is unchanged.
+    val wedgesB = e.join(deg, "src")
+      .join(base.withColumnRenamed("node", "src"), "src")
       .localCheckpoint()
-    var pr = base.select(F.col("node"), F.col("base").as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = wedges
-        .join(pr, F.col("src") === F.col("node"))
-        .select(F.col("dst"), (F.col("pr") / F.col("deg")).as("w"))
-        .groupBy("dst").agg(F.sum("w").as("inflow"))
-      val prev = pr
-      pr = base
-        .join(contrib, F.col("node") === F.col("dst"), "left_outer")
-        .select(F.col("node"),
-          ((F.lit(1.0) - damping) * F.col("base")
+    var contrib = wedgesB
+      .select(F.col("dst").as("cn"),
+        (F.col("base") / F.col("deg")).as("w"))
+      .groupBy("cn").agg(F.sum("w").as("inflow"))
+    var lastCk: DataFrame = null
+    for (i <- 2 to iters) {
+      contrib = wedgesB
+        .join(contrib, F.col("src") === F.col("cn"), "left_outer")
+        .select(F.col("dst").as("cn2"),
+          (((F.lit(1.0) - damping) * F.col("base")
             + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
-            .as("pr"))
-        .localCheckpoint()
-      GraftReleaseBridge.release(prev)
+            / F.col("deg")).as("w"))
+        .select(F.col("cn2").as("cn"), F.col("w"))
+        .groupBy("cn").agg(F.sum("w").as("inflow"))
+      if (i % CkptRounds == 0) {
+        contrib = contrib.localCheckpoint() // lineage bound, deep loops
+        if (lastCk != null) GraftReleaseBridge.release(lastCk)
+        lastCk = contrib
+      }
     }
-    pr.select(F.col("node"), F.col("pr").as("ppr"))
+    val pr = base
+      .join(contrib, F.col("node") === F.col("cn"), "left_outer")
+      .select(F.col("node"),
+        ((F.lit(1.0) - damping) * F.col("base")
+          + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)))
+          .as("ppr"))
+      .localCheckpoint() // one job runs every lazy round above
+    // the result is checkpointed — every pinned loop input is superseded
+    GraftReleaseBridge.release(e)
+    GraftReleaseBridge.release(wedgesB)
+    GraftReleaseBridge.release(nodes)
+    GraftReleaseBridge.release(seedsIn)
+    if (lastCk != null) GraftReleaseBridge.release(lastCk)
+    pr
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with a FIXED
@@ -181,9 +282,10 @@ object Graph {
     * keyed join (edges × labels on src) and two partial-agg'd groupBys
     * — (node, label) counts, then per-node argmax via
     * `max(struct(count, -label))`, which stays a hash aggregate (no
-    * per-node window/sort). Label state re-checkpoints per round and
-    * releases its predecessor, the [[pageRank]]/[[bfsHops]] lineage
-    * discipline. Returns `(node, comm)`.
+    * per-node window/sort). Rounds stay lazy between [[CkptRounds]]
+    * boundaries; the final labels checkpoint eagerly (one job for the
+    * whole loop) and the pinned inputs release once they land.
+    * Returns `(node, comm)`.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     // pin the (possibly expensive) edge lineage ONCE — nodes and the
@@ -192,25 +294,33 @@ object Graph {
       F.col("b").cast("long").as("b")).localCheckpoint()
     val nodes = und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false) // materialized by dir's job
     val dir = und.select(F.col("a").as("src"), F.col("b").as("dst"))
       .unionAll(und.select(F.col("b").as("src"), F.col("a").as("dst")))
       .unionAll(nodes.select(F.col("node").as("src"),
         F.col("node").as("dst")))
       .localCheckpoint()
     var lab = nodes.select(F.col("node"), F.col("node").as("lab"))
+    var lastCk: DataFrame = null
     for (r <- 1 to rounds) {
-      val prev = lab
+      // per-node argmax in ONE aggregation: deterministic mode() is
+      // defined as the most frequent value with ties to the SMALLEST —
+      // exactly the (count desc, label asc) argmax the two-groupBy
+      // form ((dst, lab) counts, then max(struct(c, -lab))) computed,
+      // for one exchange per round instead of two (equality pinned in
+      // EvalSpec). State is a per-dst label-count map, bounded by
+      // degree + 1 — the same rows the (dst, lab) shuffle carried.
       lab = dir.join(lab, F.col("src") === F.col("node"))
-        .groupBy(F.col("dst"), F.col("lab"))
-        .agg(F.count(F.lit(1)).as("c"))
         .groupBy("dst")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).as("nl")))
-          .as("m"))
-        .select(F.col("dst").as("node"), (-F.col("m.nl")).as("lab"))
-        .localCheckpoint()
-      if (r > 1) GraftReleaseBridge.release(prev)
+        .agg(F.expr("mode(lab, true)").as("lab"))
+        .select(F.col("dst").as("node"), F.col("lab"))
+      if (r % CkptRounds == 0 || r == rounds) {
+        lab = lab.localCheckpoint() // one job runs every lazy round above
+        if (lastCk != null) GraftReleaseBridge.release(lastCk)
+        lastCk = lab
+      }
     }
+    // final labels are checkpointed — the pinned inputs are superseded
     GraftReleaseBridge.release(und)
     GraftReleaseBridge.release(dir)
     GraftReleaseBridge.release(nodes)
@@ -228,44 +338,46 @@ object Graph {
     * current FRONTIER (not the visited set, not the whole graph)
     * against the edge list, then anti-joins the accumulated visited
     * set so a node's first discovery wins (= min hop, no per-node min
-    * aggregation needed). Rounds are hop-bounded, each one keyed
-    * shuffle + one anti-join; both relations localCheckpoint per round
-    * so lineage stays flat and superseded blocks release. An early-out
-    * count on the frontier — O(1) driver rows — stops dead rounds.
+    * aggregation needed). Each round is ONE fused job: the frontier's
+    * liveness count materializes its lazily-marked checkpoint, and the
+    * visited set is never materialized at all — it stays a lazy UNION
+    * of the (disjoint) checkpointed frontiers, so the old per-round
+    * visited checkpoint (an O(|V|) rewrite of mostly-unchanged rows
+    * every round) disappears. The returned frame is that union with
+    * hop literals — O(|V|) total cached rows across the frontiers,
+    * the same residency as the old single visited checkpoint.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int)
       : DataFrame = {
     val e = edges.select(F.col("src").cast("long").as("src"),
       F.col("dst").cast("long").as("dst")).localCheckpoint()
     var frontier = seeds.select(F.col("node").cast("long").as("node"))
-      .distinct().localCheckpoint()
-    var visited = frontier.select(F.col("node"), F.lit(0L).as("hop"))
-      .localCheckpoint()
+      .distinct().localCheckpoint(false) // the liveness count materializes it
+    // hop-stamped, disjoint, individually checkpointed frontiers;
+    // their union IS the visited set (and the result)
+    var layers = List(frontier.select(F.col("node"), F.lit(0L).as("hop")))
     var h = 1
-    var live = frontier.count() > 0
+    var visitedRows = frontier.count()
+    var live = visitedRows > 0
     while (live && h <= maxHops) {
+      val visited = layers.map(_.select("node")).reduce(_ unionAll _)
       val next = e.join(frontier, F.col("src") === F.col("node"))
         .select(F.col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
-      live = next.count() > 0
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      val nNext = next.count() // ONE job: materializes next AND counts it
+      live = nNext > 0
+      visitedRows += nNext
       if (live) {
-        val prevV = visited
-        GraftReleaseBridge.release(frontier)
         frontier = next
-        visited = visited
-          .unionAll(next.select(F.col("node"), F.lit(h.toLong).as("hop")))
-          .localCheckpoint()
-        GraftReleaseBridge.release(prevV)
+        layers ::= next.select(F.col("node"), F.lit(h.toLong).as("hop"))
       } else {
         GraftReleaseBridge.release(next) // dead round: nothing new found
       }
       h += 1
     }
-    // release everything except the returned `visited` checkpoint —
-    // the caller only needs that one (mirrors Dedup.connectedComponents)
+    // the layers' checkpoints back the result — release only the edges
     GraftReleaseBridge.release(e)
-    GraftReleaseBridge.release(frontier)
-    visited
+    layers.reduce(_ unionAll _)
   }
 }

@@ -62,6 +62,14 @@ object StatOps {
       // HALF_UP applied driver-side), n_missing derived from one shared
       // count(1). Fewer expressions = visibly cheaper whole-stage
       // codegen compile, which dominates the cold run.
+      // NOTE (round 12): piggybacking GK warm-bracket probes on this
+      // aggregate was MEASURED AND REJECTED at bench scale — three
+      // percentile_approx sketches made q21 0.66 → 1.51 s, costing
+      // ~2× the one full scan the bracket saves, because at n ≪
+      // k·collectLimit the cold engine already resolves in ONE
+      // histogram round. exactMulti auto-sketches itself past that
+      // threshold (see WarmAutoMinRows there), where a bracket round
+      // replaces ≥1 full-data refine round and the trade inverts.
       val aggs = cols.flatMap { c =>
         Seq(
           F.min(F.col(c).cast("double")).as(s"${c}__min"),

@@ -213,8 +213,15 @@ object PipelineQueries {
     // keep stop-shingles off the index side entirely. Same DuckDB
     // all-pairs oracle family as q43.
     "q157_prefix_jaccard" -> { (s, dir) =>
+      // pin the shingled projection: jaccardPairsPrefix reads it three
+      // times (inverted index + both verify sides), and the per-doc
+      // 3-gram shingle compute is the expensive part — unpinned, the
+      // a/b verify scans each re-tokenize the corpus (the q266 lesson;
+      // Bench/Verify sweep the blocks post-query)
       val docs = T.load(s, dir, "documents")
-        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+        .select(F.col("doc_id"),
+          TextExpressions.wordShingles(F.col("text"), 3).as("sh"))
+        .localCheckpoint()
       Dedup.jaccardPairsPrefix(docs, "doc_id", "sh", 1, 2)
     },
 
@@ -225,8 +232,11 @@ object PipelineQueries {
     // prefixes only (rarest shingles), full postings on the index
     // side, PPJoin positional filter on both ranks.
     "q182_containment" -> { (s, dir) =>
+      // pinned for the same three-consumer shape as q157
       val docs = T.load(s, dir, "documents")
-        .withColumn("sh", TextExpressions.wordShingles(F.col("text"), 3))
+        .select(F.col("doc_id"),
+          TextExpressions.wordShingles(F.col("text"), 3).as("sh"))
+        .localCheckpoint()
       Dedup.containmentPairsPrefix(docs, "doc_id", "sh", 4, 5)
     },
 

@@ -86,6 +86,70 @@ object StreamQueries {
     s.table(name)
   }
 
+  /** q341's web-scale fallback, BUILT (round-12 verdict task 4; it was
+    * previously documentation pointing at q314). Same output contract
+    * as the exact path — the true top-10 (l_partkey, n, qty) by count
+    * — with streaming state INDEPENDENT of key cardinality:
+    *
+    *  1. the stream folds into ONE CountMin sketch row (O(width·depth)
+    *     counters — the only streaming state, vs O(distinct keys) on
+    *     the exact path; past the documented 10⁹-key / ~170 GB ceiling
+    *     this is the difference between a dashboard and an outage);
+    *  2. candidates come from probing the PART DIMENSION (l_partkey is
+    *     an FK into the part catalog, so the catalog is a complete key
+    *     universe) against the broadcast sketch — a partition-prunable
+    *     catalog SCAN, zero state — keeping every key whose estimate
+    *     reaches (10th-largest estimate − slack·N/width). CM estimates
+    *     are one-sided (est ≥ true), so with the q314-asserted sizing
+    *     bound est ≤ true + slack·N/width the candidate set provably
+    *     contains the true top-10; the bound's e^−depth per-key
+    *     failure probability is the same documented class as banded
+    *     LSH recall (q41/q266);
+    *  3. the EXACT re-check aggregates only rows of candidate keys
+    *     (broadcast left-semi — candidates are a filter output, tiny)
+    *     and takes the true top-10 with the exact path's (n desc, key
+    *     asc) ordering, so false candidates cannot surface.
+    *
+    * StreamSpec runs this at two key-cardinality scales and asserts
+    * the streaming state is ONE row at both — the "independent of
+    * distinct keys" claim, mechanically. */
+  private[graft] def streamTopKSketch(s: SparkSession, dir: String,
+      width: Int = 8192, depth: Int = 4, slack: Int = 20): DataFrame = {
+    import graft.sketch.CountMin
+    import graft.functions.CounterArrayAgg
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val cells = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(dir)
+      .select(F.explode(F.expr(CountMin.cellsOfHashExpr(
+        "xxhash64(l_partkey)", width, depth))).as("__i"))
+      .agg(CounterArrayAgg.counters(F.col("__i"), width * depth).as("cm"))
+    val cm = runStateful(s, cells, uniq("stream_topk_cm"))
+    val li = T.load(s, dir, "lineitem")
+    val n = li.agg(F.count(F.lit(1)).as("__n"))
+    val est = T.load(s, dir, "part")
+      .select(F.col("p_partkey").as("l_partkey"))
+      .crossJoin(F.broadcast(cm))
+      .withColumn("__est", F.expr(CountMin.estimateExpr(
+        "cm", "xxhash64(l_partkey)", width, depth)))
+    // 10th-largest estimate via TakeOrdered (bounded), then the
+    // one-sided candidate filter
+    val t10 = est.orderBy(F.col("__est").desc, F.col("l_partkey").asc)
+      .limit(10).agg(F.min("__est").as("__t10"))
+    val cands = est.crossJoin(F.broadcast(t10))
+      .crossJoin(F.broadcast(n))
+      .filter(F.col("__est") >= F.col("__t10")
+        - F.lit(slack.toLong) * F.col("__n") / F.lit(width.toLong))
+      .select("l_partkey")
+    li.join(F.broadcast(cands), Seq("l_partkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("l_quantity").cast("long")).as("qty"))
+      .orderBy(F.col("n").desc, F.col("l_partkey").asc)
+      .limit(10)
+      .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
+  }
+
   /** State TTL for the keyed streaming operators (q340/q343): a
     * user's state is evicted this long past their LAST event
     * (event-time timeout against the stream watermark), so the state
@@ -628,17 +692,25 @@ object StreamQueries {
     // no monotone growth to evict; the web-scale fallback is q314's
     // fixed-width CountMin + heap.
     "q341_stream_topk" -> { (s, dir) =>
-      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
-      val cnt = s.readStream.schema(schema)
-        .option("pathGlobFilter", "lineitem.parquet")
-        .parquet(dir)
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).as("n"),
-          F.sum(F.col("l_quantity").cast("long")).as("qty"))
-      runStateful(s, cnt, uniq("stream_topk"))
-        .orderBy(F.col("n").desc, F.col("l_partkey").asc)
-        .limit(10)
-        .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
+      // GRAFT_STREAM_TOPK_SKETCH=1 switches to the web-scale fallback
+      // (CountMin stream state + exact candidate re-check, state
+      // independent of key cardinality — built round 12, default OFF:
+      // the exact path below stays the registered oracle contract)
+      if (sys.env.get("GRAFT_STREAM_TOPK_SKETCH").contains("1"))
+        streamTopKSketch(s, dir)
+      else {
+        val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+        val cnt = s.readStream.schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(dir)
+          .groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.col("l_quantity").cast("long")).as("qty"))
+        runStateful(s, cnt, uniq("stream_topk"))
+          .orderBy(F.col("n").desc, F.col("l_partkey").asc)
+          .limit(10)
+          .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
+      }
     },
 
     // Streaming right-to-be-forgotten — the stream-side twin of

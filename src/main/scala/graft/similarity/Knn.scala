@@ -278,11 +278,13 @@ object Knn {
     val base = corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cvec"),
         normF(F.col(vecCol)).as("cn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // the adaptive count materializes it
     val bits =
       if (cellBits > 0) cellBits
       else {
-        val n = base.count() // one long off the pin — no plan re-run
+        // one long; the count job also materializes the lazily-marked
+        // pin (ckpt+count fused — round 12), so the plan still runs once
+        val n = base.count()
         math.min(16, math.max(4,
           math.ceil(math.log(math.max(1.0, n / 256.0)) / math.log(2.0))
             .toInt))
@@ -310,18 +312,23 @@ object Knn {
     val assigned = base
       .withColumn("cell", F.when(F.col("cn") === 0d, F.lit(-1L))
         .otherwise(cellOf(F.col("cvec"))))
-    // centroid of each cell's NORMALIZED members + its radius, in two
-    // bounded-key aggregations (shuffle rows carry (cell, dim) keys)
+    // centroid of each cell's NORMALIZED members + its radius, in ONE
+    // bounded-key aggregation: 64 per-dimension avg aggregates over the
+    // (cell)-keyed rows (round 12 — the posexplode formulation carried
+    // 64×n rows through TWO exchanges for the same numbers; per-dim avg
+    // of element_at(cvec, i)/cn is the identical double arithmetic in
+    // the identical per-cell row order)
     val cents = assigned
       .filter(F.col("cell") >= 0)
-      .select(F.col("cell"), F.col("cn").as("nrm"),
-        F.posexplode(F.col("cvec")).as(Seq("pos", "x")))
-      .withColumn("y", F.col("x").cast("double") / F.col("nrm"))
-      .groupBy("cell", "pos").agg(F.avg("y").as("cy"))
       .groupBy("cell")
-      .agg(F.expr(
-        "transform(array_sort(collect_list(struct(pos, cy))), s -> cast(s.cy as float))")
-        .as("cf"))
+      .agg(F.avg(F.col("cvec").getItem(0).cast("double") / F.col("cn"))
+          .as("c0"),
+        (1 until dim).map(i =>
+          F.avg(F.col("cvec").getItem(i).cast("double") / F.col("cn"))
+            .as(s"c$i")): _*)
+      .select(F.col("cell"),
+        F.array((0 until dim).map(i =>
+          F.col(s"c$i").cast("float")): _*).as("cf"))
       .withColumn("cnorm", F.sqrt(dotF(F.col("cf"), F.col("cf"))))
     val cellStats = assigned
       .join(F.broadcast(cents), "cell")

@@ -28,6 +28,30 @@ object DataStream {
       .format(format)
       .load(dir)
 
+  /** Real-time line-channel ingestion — Spark parity for the
+    * reference's UNIX-pipe DataStream (`cat data.csv | julia
+    * streaming.jl`, doc/sections/09_datastreams.md:36-62: a fifo of
+    * delimited lines consumed as they arrive). The transport is
+    * Spark's socket source — a TCP line channel, the network sibling
+    * of a local pipe; each line is one delimited record parsed against
+    * the PINNED schema with `from_csv`, the same schema-first contract
+    * as [[openStream]] (the reference infers on the fly; here the
+    * caller passes the schema it would have inferred — malformed lines
+    * yield null columns instead of killing the channel). Dev/test
+    * transport only, exactly like the reference's pipe: the socket
+    * source is not replayable, so production ingest stays on the
+    * file-based [[openStream]] path (or a durable log). */
+  def openSocketStream(spark: SparkSession, host: String, port: Int,
+                       schema: StructType, sep: String = ","): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(F.from_csv(F.col("value"),
+        schema, Map("sep" -> sep)).as("r"))
+      .select(F.col("r.*"))
+
   /** Running column aggregates over the stream: sum/prod/mean per
     * numeric column (reference streaming sum/prod/mean,
     * src/datastream.jl:87-247). prod via exp∘Σlog (positive inputs),

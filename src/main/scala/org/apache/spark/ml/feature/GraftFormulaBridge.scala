@@ -21,4 +21,15 @@ object GraftFormulaBridge {
     val resolved = RFormulaParser.parse(formula).resolve(schema)
     (resolved.label, resolved.terms)
   }
+
+  /** [[resolvedTerms]] plus the parsed intercept flag — the
+    * categorical fast path needs it because RFormula's one-hot
+    * contrast (dropLast) only holds under an intercept; `~ x - 1`
+    * formulas keep the ML route. */
+  def resolvedTermsWithIntercept(formula: String, schema: StructType)
+      : (String, Seq[Seq[String]], Boolean) = {
+    val parsed = RFormulaParser.parse(formula)
+    val resolved = parsed.resolve(schema)
+    (resolved.label, resolved.terms, parsed.hasIntercept)
+  }
 }

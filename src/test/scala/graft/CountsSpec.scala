@@ -85,6 +85,33 @@ class CountsSpec extends AnyFunSuite {
         "changed the tests/queries):\n" + viols.mkString("\n"))
   }
 
+  test("README cites the LATEST committed driver gate, with its count") {
+    // round-12 verdict stretch 9: "Latest driver gate CORRECTNESS_rN:
+    // X/X" went stale in round 11 (README cited r10 after r11 ran).
+    // Gate it mechanically: N must be the highest committed
+    // CORRECTNESS_r*.json and X/X must be that file's green count.
+    val files = Option(new java.io.File(".").listFiles()).get
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    assert(files.nonEmpty, "no committed driver-gate files found")
+    val latest = files.maxBy(f =>
+      "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val rN = "\\d+".r.findFirstIn(latest.getName).get.toInt
+    val green = "\"hash_match\": true".r
+      .findAllMatchIn(readFile(latest)).size
+    val readme = readFile(new java.io.File("README.md"))
+    val cite =
+      """Latest driver gate CORRECTNESS_r0*(\d+):\s*\**(\d+)/(\d+)""".r
+        .findFirstMatchIn(readme)
+    assert(cite.isDefined,
+      "README must cite 'Latest driver gate CORRECTNESS_rN: X/X'")
+    val m = cite.get
+    assert(m.group(1).toInt == rN,
+      s"README cites r${m.group(1)}; latest committed gate is r$rN")
+    assert(m.group(2).toInt == green && m.group(3).toInt == green,
+      s"README cites ${m.group(2)}/${m.group(3)}; " +
+        s"CORRECTNESS_r$rN has $green green rows")
+  }
+
   test("gate would have caught the round-9 slip (324 vs 325)") {
     // Round 9 shipped docs saying 324 while the live count was 325.
     val stale = "sbt test  # 324 ScalaTest cases\n" +

@@ -118,6 +118,44 @@ class CsvSpec extends SparkSpec {
     assert(ReadTable.readtable(spark, gz.toString).count() == 2)
   }
 
+  test("bzip2 source reads transparently") {
+    // reference corpus hazard (test/data/compressed/movies.csv.bz2,
+    // asserted parse-success by test/io.jl): Spark/Hadoop decode .bz2
+    // natively, same extension-driven path as .gz
+    val raw = "a,b\n1,2\n3,4\n"
+    val bz = dir.resolve("z.csv.bz2")
+    val os = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(Files.newOutputStream(bz))
+    os.write(raw.getBytes); os.close()
+    val df = ReadTable.readtable(spark, bz.toString)
+    assert(df.count() == 2 && df.schema("a").dataType == IntegerType)
+  }
+
+  test("corrupt UTF-8 bytes parse without failing the read") {
+    // reference corpus hazard (test/data/utf8/corrupt_utf8.csv +
+    // short_corrupt_utf8.csv, asserted parse-success by
+    // test/io.jl:29-30): rows carrying invalid UTF-8 byte sequences
+    // must not abort ingestion — the malformed bytes decode to
+    // replacement characters, every row survives, and WELL-FORMED
+    // rows in the same file keep their exact values
+    val p = dir.resolve("corrupt.csv")
+    val out = Files.newOutputStream(p)
+    out.write("name,n\n".getBytes("UTF-8"))
+    out.write("ok,1\n".getBytes("UTF-8"))
+    // invalid sequences: a lone continuation byte, an overlong-ish
+    // truncated 3-byte lead, and a bare 0xFF
+    out.write("bad".getBytes("UTF-8"))
+    out.write(Array[Byte](0x80.toByte, 0xE2.toByte, 0xFF.toByte))
+    out.write(",2\n".getBytes("UTF-8"))
+    out.write("fine,3\n".getBytes("UTF-8"))
+    out.close()
+    val df = ReadTable.readtable(spark, p.toString)
+    assert(df.count() == 3, "corrupt UTF-8 must not drop or abort rows")
+    val byN = df.collect().map(r => r.getInt(1) -> r.getString(0)).toMap
+    assert(byN(1) == "ok" && byN(3) == "fine")
+    assert(byN(2).startsWith("bad")) // garbled tail tolerated, row kept
+  }
+
   test("explicit colnames override and nrows limit") {
     val p = fixture("names.csv", "a,b\n1,2\n3,4\n5,6\n")
     val df = ReadTable.readtable(spark, p,

@@ -50,6 +50,37 @@ class EvalSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("labelProp's one-agg mode() round equals the two-agg argmax") {
+    // the round-12 one-exchange round uses mode(lab, deterministic):
+    // most frequent label, ties to the SMALLEST — pin it against the
+    // explicit (count desc, label asc) argmax on a tie-heavy graph
+    // (even cycles + bridges force repeated count ties)
+    val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val edges = (cyc ++ Seq((3L, 20L), (20L, 21L), (21L, 22L),
+      (7L, 30L), (30L, 31L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    for (rounds <- Seq(1, 2, 4)) {
+      val got = graft.ops.Graph.labelPropagation(edges, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: the pre-round-12 two-aggregation formulation,
+      // replayed on the same directed relation (both directions +
+      // self-loops), same fixed round count
+      val und = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+      val dir = und.flatMap(e => Seq(e, e.swap)) ++ nodes.map(n => (n, n))
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = dir.groupBy(_._2).map { case (dst, es) =>
+          val counts = es.groupBy(e => lab(e._1))
+            .map { case (l, g) => (l, g.size) }
+          dst -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == lab, s"rounds=$rounds")
+    }
+  }
+
   test("stupid-backoff scores are log-probabilities (<= 0)") {
     val rows = EvalQueries.queries("q235_stupid_backoff")(spark, sf)
       .collect()

@@ -85,13 +85,18 @@ class PipelineSpec extends SparkSpec {
     val qs = emb.filterExpr("vec_id < 40")
     val lit = Knn.exactKnnBnB(emb, qs, "vec_id", "embedding", 5,
       cellBits = 5)
-    val join = Knn.exactKnnBnB(emb, qs, "vec_id", "embedding", 5,
-      cellBits = 10)
     val brute = Knn.bruteForceKnn(emb, qs, "vec_id", "embedding", 5)
-    assert(lit.exceptAll(join).isEmpty && join.exceptAll(lit).isEmpty,
-      "literal vs join path diverge")
-    assert(join.exceptAll(brute).isEmpty && brute.exceptAll(join).isEmpty,
-      "join path vs brute force diverge")
+    // two join-path bit widths: 10 (the ScaleProbe 100× operating
+    // point, round 12) and 11 — the path must be exact at every width
+    for (bits <- Seq(10, 11)) {
+      val join = Knn.exactKnnBnB(emb, qs, "vec_id", "embedding", 5,
+        cellBits = bits)
+      assert(lit.exceptAll(join).isEmpty && join.exceptAll(lit).isEmpty,
+        s"literal vs join path (bits=$bits) diverge")
+      assert(join.exceptAll(brute).isEmpty
+        && brute.exceptAll(join).isEmpty,
+        s"join path (bits=$bits) vs brute force diverge")
+    }
   }
 
   test("IVF knn with nprobe = all cells equals brute force") {
@@ -529,15 +534,30 @@ class PipelineSpec extends SparkSpec {
     val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
     val pairs = (chain ++ clique ++ Seq((70L, 71L), (90L, 90L)))
       .toDF("id1", "id2")
+    // all four paths must agree: the bounded union-find ENDGAME both
+    // variants take below CcEndgameMaxEdges, and the distributed loops
+    // forced by endgameMaxEdges = 0 (round 12 — the endgame must be a
+    // pure shortcut, never a different answer)
     val star = Dedup.connectedComponentsStar(pairs)
+    val starLoop = Dedup.connectedComponentsStar(pairs,
+      endgameMaxEdges = 0)
     val prop = Dedup.connectedComponents(pairs, maxIter = 100)
-    assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty)
+    val propLoop = Dedup.connectedComponents(pairs, maxIter = 100,
+      endgameMaxEdges = 0)
+    for (other <- Seq(starLoop, prop, propLoop)) {
+      assert(star.exceptAll(other).isEmpty && other.exceptAll(star).isEmpty)
+    }
     // and on the real LSH dup graph of the corpus
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "sh", 0.8)
       .select(F.col("id1"), F.col("id2"))
     val starR = Dedup.connectedComponentsStar(lsh)
+    val starLoopR = Dedup.connectedComponentsStar(lsh,
+      endgameMaxEdges = 0)
     val propR = Dedup.connectedComponents(lsh)
-    assert(starR.exceptAll(propR).isEmpty && propR.exceptAll(starR).isEmpty)
+    for (other <- Seq(starLoopR, propR)) {
+      assert(starR.exceptAll(other).isEmpty
+        && other.exceptAll(starR).isEmpty)
+    }
   }
 
   test("tfidf: rare tokens outscore ubiquitous ones; df=N scores 0") {

@@ -105,6 +105,14 @@ object ScaleProbe {
       graft.similarity.Knn
         .exactKnnBnB(repEmb(35), qs, "vec_id", "embedding", 10).count()
     }
+    // round-12 verdict task 5: a SECOND point on the bits 9-16 join
+    // path (100× → 200k vectors → 10 bits through the same adaptive
+    // default), so the path rated to bits 16 has its own scaling
+    // curve — one point is a reading, two are a slope
+    timed("exact-knn 100x sf0.1 (jittered, 10-bit broadcast-join)") {
+      graft.similarity.Knn
+        .exactKnnBnB(repEmb(100), qs, "vec_id", "embedding", 10).count()
+    }
     spark.stop()
   }
 }

@@ -331,4 +331,110 @@ class StreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
   }
+
+  test("socket DataStream ingests typed rows from a live line channel") {
+    // round-12 stretch: the reference's UNIX-pipe ingestion
+    // (doc/sections/09_datastreams.md:36-62) on Spark's socket source —
+    // lines written to a TCP channel arrive as schema-typed rows
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("n", IntegerType)))
+    val server = new java.net.ServerSocket(0) // ephemeral port
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("alpha,1", "beta,2", "not-an-int,oops", "gamma,3")
+        .foreach(out.println)
+      out.flush()
+      // keep the channel open until the reader is done (closing early
+      // can fail the source mid-test); the main thread closes `server`
+      Thread.sleep(30000)
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = graft.streaming.DataStream
+      .openSocketStream(spark, "localhost", port, schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("socket_smoke").start()
+    try {
+      // socket data arrives asynchronously — poll the sink
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.length < 4 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("socket_smoke").collect()
+      }
+      assert(rows.length == 4, s"got ${rows.length} rows")
+      val byName = rows.map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(byName("alpha").contains(1) && byName("beta").contains(2)
+        && byName("gamma").contains(3))
+      // a malformed line types to null, it does not kill the channel
+      assert(byName("not-an-int").isEmpty)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
+  test("q341 sketch fallback: exact top-10 with state independent of keys") {
+    // round-12 verdict task 4: the CountMin + exact-recheck fallback
+    // must return the SAME top-10 as the exact path, while its
+    // streaming state stays ONE sketch row at BOTH key-cardinality
+    // scales (the exact path's state is O(distinct keys) — 300 vs
+    // 6000 here; past the documented 10⁹-key ceiling only the
+    // fallback survives)
+    import spark.implicits._
+    val stateRows =
+      scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        if (p.name != null && rows > 0)
+          stateRows.put(p.name, math.max(
+            stateRows.getOrElse(p.name, 0L), rows))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      for ((nKeys, tag) <- Seq((300, "a"), (6000, "b"))) {
+        val dir = s"/tmp/q341_sketch_$tag"
+        new java.io.File(dir).mkdirs()
+        // skewed counts so the top-10 is well-separated: key i gets
+        // 1 + (i % 97 == 0 ? 40 + i/97 : i % 3) rows
+        val li = (0 until nKeys).flatMap { i =>
+          val reps = 1 + (if (i % 97 == 0) 40 + i / 97 else i % 3)
+          Seq.fill(reps)((i.toLong, (i % 7 + 1).toLong))
+        }.toDF("l_partkey", "l_quantity")
+        TestIO.writeSingleParquet(li, dir, "lineitem.parquet")
+        TestIO.writeSingleParquet(
+          (0 until nKeys).map(_.toLong).toDF("p_partkey"),
+          dir, "part.parquet")
+        val got = graft.queries.StreamQueries
+          .streamTopKSketch(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val want = li.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum("l_quantity").as("qty"))
+          .orderBy(F.col("n").desc, F.col("l_partkey").asc).limit(10)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(got.toSeq == want.toSeq, s"nKeys=$nKeys")
+      }
+      // one state row per run — NOT 300 / 6000: the sketch is the
+      // whole streaming state at every key cardinality
+      val cmRuns = stateRows.filter(_._1.startsWith("stream_topk_cm"))
+      assert(cmRuns.size == 2, s"expected 2 sketch runs: $stateRows")
+      cmRuns.foreach { case (n, rows) =>
+        assert(rows == 1L, s"$n state rows $rows != 1")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
 }
