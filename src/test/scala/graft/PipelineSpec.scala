@@ -560,6 +560,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("CC star loop -> endgame HANDOFF: rounds contract, then union-find") {
+    import spark.implicits._
+    // the scale-critical path: the edge set STARTS above the endgame
+    // bound, so distributed star rounds must run first and the
+    // union-find takes over only after contraction — exercised here
+    // with a tiny bound (so the test stays fast) on a graph whose
+    // chains need real contraction: 400 chains of 50 nodes + one big
+    // chain of 2,000 nodes (high diameter), 21,999 edges total
+    val chains =
+      (0 until 400).flatMap { c =>
+        val base = 10000L + c * 100L
+        (0L until 49L).map(i => (base + i, base + i + 1))
+      } ++ (0L until 1999L).map(i => (1000000L + i, 1000000L + i + 1))
+    val pairs = chains.toDF("id1", "id2")
+    // bound 5,000 < 21,999 edges: rounds run, contract below the
+    // bound, then the endgame finishes — must equal both pure paths
+    val hybrid = Dedup.connectedComponentsStar(pairs,
+      endgameMaxEdges = 5000)
+    val pureLoop = Dedup.connectedComponentsStar(pairs,
+      endgameMaxEdges = 0)
+    val pureEndgame = Dedup.connectedComponentsStar(pairs,
+      endgameMaxEdges = 1000000)
+    assert(hybrid.exceptAll(pureLoop).isEmpty
+      && pureLoop.exceptAll(hybrid).isEmpty, "hybrid != pure loop")
+    assert(hybrid.exceptAll(pureEndgame).isEmpty
+      && pureEndgame.exceptAll(hybrid).isEmpty, "hybrid != pure endgame")
+    // components read off correctly: every chain labels to its min
+    val got = hybrid.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 400 * 50 + 2000)
+    assert(got.forall { case (id, comp) =>
+      if (id >= 1000000L) comp == 1000000L
+      else comp == 10000L + ((id - 10000L) / 100L) * 100L
+    })
+  }
+
   test("tfidf: rare tokens outscore ubiquitous ones; df=N scores 0") {
     import spark.implicits._
     val docs = Seq(
