@@ -242,8 +242,12 @@ object Dedup {
     val ex = base.select(F.col("id"), F.col("sz"),
         F.explode(F.col("sh")).as("shv"))
       .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
-    val dfreq = ex.groupBy("shh").agg(F.count(F.lit(1)).as("df"))
-    val ranked = ex.join(dfreq, "shh")
+    // document frequency via a count window over the shh partition —
+    // ONE shuffle of the exploded relation where the groupBy(shh) +
+    // join-back form shuffled it twice (round 12; identical df values,
+    // identical ranks, so downstream prefixes and pairs are unchanged)
+    val ranked = ex
+      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shh")))
       .withColumn("rn", F.row_number().over(
         Window.partitionBy("id").orderBy("df", "shh")))
     val prefix = ranked.filter(F.col("rn") <= F.col("sz")
@@ -316,8 +320,12 @@ object Dedup {
     val ex = base.select(F.col("id"), F.col("sz"),
         F.explode(F.col("sh")).as("shv"))
       .withColumn("shh", F.xxhash64(F.col("shv"))).drop("shv")
-    val dfreq = ex.groupBy("shh").agg(F.count(F.lit(1)).as("df"))
-    val ranked = ex.join(dfreq, "shh")
+    // document frequency via a count window over the shh partition —
+    // ONE shuffle of the exploded relation where the groupBy(shh) +
+    // join-back form shuffled it twice (round 12; identical df values,
+    // identical ranks, so downstream prefixes and pairs are unchanged)
+    val ranked = ex
+      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shh")))
       .withColumn("rn", F.row_number().over(
         Window.partitionBy("id").orderBy("df", "shh")))
     // probe side: prefix only; index side: full postings (rank kept
