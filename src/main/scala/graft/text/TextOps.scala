@@ -163,10 +163,12 @@ object TextOps {
 
   /** TF-IDF over a tokenized corpus: explode tokens → tf per (doc,
     * token), df per token → tfidf = tf * ln(N / df). Two shuffles
-    * (doc-token, token), both on compact keys. The token↔df join is
-    * left to AQE: on a web-scale corpus the vocabulary is far past
-    * broadcast size, so no broadcast hint is forced. The corpus size N
-    * is a 1-row aggregate cross-joined into the plan — one job, no
+    * (doc-token, token), both on compact keys. The tf relation holds
+    * exactly one row per distinct (doc, token), so document frequency
+    * is a count WINDOW over its token partition (round 12) — the old
+    * distinct → groupBy(tok) → join-back shape re-shuffled the
+    * exploded relation for the same numbers. The corpus size N is a
+    * 1-row aggregate cross-joined into the plan — one job, no
     * driver-side count() action.
     */
   def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
@@ -176,13 +178,13 @@ object TextOps {
       .agg(F.count(F.lit(1)).as("tf"))
     val nDf = docs.agg(
       F.count_distinct(F.col(idCol)).cast("double").as("__n"))
-    val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
-      .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
-    tf.join(df_, "tok")
+    tf.withColumn("df", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .crossJoin(nDf) // 1 row → broadcast NL join, stays one job
       .withColumn("tfidf",
         F.col("tf") * F.log(F.col("__n") / F.col("df")))
-      .drop("__n")
+      // column order matches the pre-fusion join-on-tok output
+      .select("tok", idCol, "tf", "df", "tfidf")
   }
 
   /** BM25 relevance scores per (doc, token) — the ranking-function
@@ -203,9 +205,11 @@ object TextOps {
       F.explode(F.col(tokCol)).as("tok"))
     val tf = ex.groupBy(idCol, "tok")
       .agg(F.count(F.lit(1)).as("tf"), F.first("__dl").as("dl"))
-    val df_ = ex.select(F.col(idCol), F.col("tok")).distinct()
-      .groupBy("tok").agg(F.count(F.lit(1)).as("df"))
-    tf.join(df_, "tok")
+    // df via a count window over tf's token partition (one row per
+    // distinct (doc, token) by construction) — same round-12 fusion
+    // as tfidf above
+    tf.withColumn("df", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .crossJoin(statsDf) // 1 row → broadcast NL join
       .withColumn("idf",
         F.log((F.col("__n") - F.col("df") + 0.5) /
@@ -215,7 +219,8 @@ object TextOps {
           (F.col("tf") +
             F.lit(k1) * (F.lit(1 - b) +
               F.lit(b) * F.col("dl") / F.col("__avgdl"))))
-      .drop("__n", "__avgdl")
+      // column order matches the pre-fusion join-on-tok output
+      .select("tok", idCol, "tf", "dl", "df", "idf", "bm25")
   }
 
   /** Content flags for quality filtering: email/url/digit-run counts +
