@@ -389,8 +389,12 @@ object Dedup {
     // driver endgame (see [[CcEndgameMaxEdges]]): a pair graph inside
     // the bounded-collect budget is labeled by union-find in one job
     // instead of O(diameter) propagation rounds; the distributed loop
-    // below is the path for everything larger.
-    if (edges.count() <= endgameMaxEdges) {
+    // below is the path for everything larger. Only INTEGRAL id types
+    // take it — the endgame casts ids to long, which would truncate
+    // doubles/decimals (merging distinct components) and null out
+    // strings (round-12 ADVICE); everything else falls through to the
+    // cast-free distributed loop.
+    if (integralIds(pairs) && edges.count() <= endgameMaxEdges) {
       val idType = pairs.schema("id1").dataType
       val es = edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -507,6 +511,20 @@ object Dedup {
     * unchanged above the bound. */
   val CcEndgameMaxEdges = 65536L
 
+  /** Gate for the union-find endgames: they cast ids to long for the
+    * driver-side forest, which is only lossless for integral types.
+    * Doubles/decimals would truncate (1.2 and 1.7 both become 1,
+    * merging distinct components); strings cast to null and crash the
+    * Row.getLong read (round-12 ADVICE). Non-integral ids stay on the
+    * distributed loops, which never cast. */
+  private def integralIds(pairs: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq("id1", "id2").forall(c => pairs.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
   /** Union-find with union-by-min + path compression over a bounded
     * edge array: root of every component IS its minimum id (unions
     * always point the larger root at the smaller), matching the
@@ -580,7 +598,11 @@ object Dedup {
     var nEdges = edges.count() // in-memory scan of the fresh checkpoint
     var it = 0
     var changed = -1L // unknown until a round has tallied
-    while (changed != 0 && nEdges > endgameMaxEdges && it < maxIter) {
+    // non-integral ids can't take the long-cast endgame (see
+    // [[integralIds]]) — they iterate to full convergence instead
+    val canEndgame = integralIds(pairs)
+    while (changed != 0 && (!canEndgame || nEdges > endgameMaxEdges)
+        && it < maxIter) {
       // large-star over the symmetric direction set
       val dir = edges.select(F.col("lo").as("u"), F.col("hi").as("v"))
         .union(edges.select(F.col("hi").as("u"), F.col("lo").as("v")))
@@ -635,10 +657,11 @@ object Dedup {
       // driver endgame: the (contracted) edge set fits the bounded
       // collect — finish with union-find (root = component min, same
       // contract as the star forest) instead of more O(stages)-cost
-      // rounds. Fail LOUDLY if maxIter ran out above the bound: a
-      // mid-run edge set can hold two labels for one hi node, and the
+      // rounds. Fail LOUDLY if maxIter ran out above the bound (or on
+      // non-integral ids, which never take the endgame): a mid-run
+      // edge set can hold two labels for one hi node, and the
       // read-off join would silently fan out duplicate (id, comp) rows.
-      require(nEdges <= endgameMaxEdges,
+      require(canEndgame && nEdges <= endgameMaxEdges,
         s"connectedComponentsStar did not converge in $maxIter rounds")
       val idType = pairs.schema("id1").dataType
       val es = edges

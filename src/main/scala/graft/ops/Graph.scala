@@ -56,7 +56,9 @@ object Graph {
     * directions for an undirected graph). Output: `(node, pr)` for
     * every node incident to an edge; Σ pr = 1 when no node is dangling
     * (dangling nodes receive rank but redistribute nothing — the
-    * standard simplification).
+    * standard simplification). Requires `iters >= 1` (round 12; the
+    * inflow-fold loop has no iteration-0 state to return — callers
+    * wanting the uniform base vector compute 1/n directly).
     *
     * Scale shape: the degree-weighted edge relation and the node set
     * are eagerly localCheckpointed ONCE, so each iteration is exactly
@@ -177,11 +179,25 @@ object Graph {
     }
     // on a maxRounds exit lastDeg is stale (it predates the final edge
     // filter) — recompute so the contract (degrees inside the returned
-    // subgraph) holds on every exit path
+    // subgraph) holds on every exit path. The recompute is checkpointed
+    // and counted so the final LAZILY-marked edge checkpoint
+    // materializes before its superseded predecessor (pendingRelease)
+    // is released; without this both stayed pinned for the session on
+    // this exit path (round-12 ADVICE).
     val deg = if (done && lastDeg != null) lastDeg
-      else e.select(F.col("a").as("n"))
-        .unionAll(e.select(F.col("b").as("n")))
-        .groupBy("n").agg(F.count(F.lit(1)).as("deg"))
+      else {
+        val d = e.select(F.col("a").as("n"))
+          .unionAll(e.select(F.col("b").as("n")))
+          .groupBy("n").agg(F.count(F.lit(1)).as("deg"))
+          .localCheckpoint(false)
+        d.count() // one job: materializes d AND the final edge ckpt
+        if (pendingRelease != null) {
+          GraftReleaseBridge.release(pendingRelease)
+          pendingRelease = null
+        }
+        GraftReleaseBridge.release(e) // d is pinned; e is superseded
+        d
+      }
     deg.filter(F.col("deg") >= k)
       .select(F.col("n").as("node"), F.col("deg"))
   }
@@ -197,6 +213,8 @@ object Graph {
     *
     * Input: directed `(src, dst)` edges, `(node)` seeds.
     * Output: `(node, ppr)` for every node incident to an edge.
+    * Requires `iters >= 1` (same inflow-fold contract as
+    * [[pageRank]]).
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {

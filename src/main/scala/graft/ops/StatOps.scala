@@ -68,7 +68,8 @@ object StatOps {
       // ~2× the one full scan the bracket saves, because at n ≪
       // k·collectLimit the cold engine already resolves in ONE
       // histogram round. exactMulti auto-sketches itself past that
-      // threshold (see WarmAutoMinRows there), where a bracket round
+      // threshold (the inline n > k·collectLimit gate in exactMulti's
+      // sketchCols filter), where a bracket round
       // replaces ≥1 full-data refine round and the trade inverts.
       val aggs = cols.flatMap { c =>
         Seq(

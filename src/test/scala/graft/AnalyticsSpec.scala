@@ -199,6 +199,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(graft.ops.Graph.kCore(edges, 4).count() == 0)
   }
 
+  test("kCore maxRounds exit recomputes degrees on the peeled subgraph") {
+    import spark.implicits._
+    // round-12 verdict stretch: the maxRounds exit path recomputes
+    // degrees (lastDeg predates the final edge filter) — pin it with a
+    // run forced to stop after ONE peel round. Path 1-2-3-4-5 plus
+    // triangle 6-7-8, k=2: round 1 drops the endpoints {1,5}; the
+    // surviving subgraph is 2-3-4 (degs 1,2,1) + the triangle. A stale
+    // lastDeg would report pre-filter degrees and keep {2,4}.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L)).toDF("a", "b")
+    val got = graft.ops.Graph.kCore(edges, 2, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 2L),
+      s"maxRounds exit returned stale degrees: $got")
+    // and run to convergence the same graph peels to the triangle
+    val full = graft.ops.Graph.kCore(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(6L -> 2L, 7L -> 2L, 8L -> 2L))
+  }
+
   test("q186 distributed peel equals driver-side simultaneous peeling") {
     val ol = T.load(spark, sf, "lineitem")
       .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p"))

@@ -85,31 +85,76 @@ class CountsSpec extends AnyFunSuite {
         "changed the tests/queries):\n" + viols.mkString("\n"))
   }
 
-  test("README cites the LATEST committed driver gate, with its count") {
-    // round-12 verdict stretch 9: "Latest driver gate CORRECTNESS_rN:
-    // X/X" went stale in round 11 (README cited r10 after r11 ran).
-    // Gate it mechanically: N must be the highest committed
-    // CORRECTNESS_r*.json and X/X must be that file's green count.
-    val files = Option(new java.io.File(".").listFiles()).get
-      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
-    assert(files.nonEmpty, "no committed driver-gate files found")
-    val latest = files.maxBy(f =>
-      "\\d+".r.findFirstIn(f.getName).get.toInt)
-    val rN = "\\d+".r.findFirstIn(latest.getName).get.toInt
-    val green = "\"hash_match\": true".r
-      .findAllMatchIn(readFile(latest)).size
-    val readme = readFile(new java.io.File("README.md"))
+  /** Pure checker for the driver-gate citation (testable below).
+    * Given the set of TRACKED gate filenames and the green count of
+    * the latest one, returns violations against the README text. */
+  private[graft] def gateCiteViolations(trackedGates: Seq[String],
+      greenOfLatest: Int, readme: String): Seq[String] = {
+    if (trackedGates.isEmpty) return Seq("no committed driver-gate " +
+      "files found (git ls-files CORRECTNESS_r*.json is empty)")
+    val rN = trackedGates
+      .map(n => "\\d+".r.findFirstIn(n).get.toInt).max
     val cite =
       """Latest driver gate CORRECTNESS_r0*(\d+):\s*\**(\d+)/(\d+)""".r
         .findFirstMatchIn(readme)
-    assert(cite.isDefined,
+    if (cite.isEmpty) return Seq(
       "README must cite 'Latest driver gate CORRECTNESS_rN: X/X'")
     val m = cite.get
-    assert(m.group(1).toInt == rN,
+    val v1 = if (m.group(1).toInt != rN) Seq(
       s"README cites r${m.group(1)}; latest committed gate is r$rN")
-    assert(m.group(2).toInt == green && m.group(3).toInt == green,
+    else Nil
+    val v2 = if (m.group(2).toInt != greenOfLatest ||
+        m.group(3).toInt != greenOfLatest) Seq(
       s"README cites ${m.group(2)}/${m.group(3)}; " +
-        s"CORRECTNESS_r$rN has $green green rows")
+        s"CORRECTNESS_r$rN has $greenOfLatest green rows")
+    else Nil
+    v1 ++ v2
+  }
+
+  test("README cites the LATEST committed driver gate, with its count") {
+    // round-12 verdict stretch 9, repaired in round 13: "Latest
+    // driver gate CORRECTNESS_rN: X/X" must cite the newest gate file
+    // the builder could have known about. Discovery is restricted to
+    // GIT-TRACKED files: the driver drops CORRECTNESS_r{N+1}.json
+    // into the worktree (sometimes untracked) AFTER the builder's
+    // final commit, and a working-directory glob would retroactively
+    // red the build at every round boundary (the round-12 judge hit
+    // exactly that). `git ls-files` sees only what a commit could
+    // have cited.
+    val tracked = {
+      val p = new ProcessBuilder("git", "ls-files",
+        "CORRECTNESS_r*.json").redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toList
+      p.waitFor()
+      out.filter(_.matches("CORRECTNESS_r\\d+\\.json"))
+    }
+    assert(tracked.nonEmpty, "git ls-files found no gate files")
+    val latest = tracked.maxBy(n =>
+      "\\d+".r.findFirstIn(n).get.toInt)
+    val green = "\"hash_match\": true".r
+      .findAllMatchIn(readFile(new java.io.File(latest))).size
+    val viols = gateCiteViolations(tracked, green,
+      readFile(new java.io.File("README.md")))
+    assert(viols.isEmpty, viols.mkString("\n"))
+  }
+
+  test("gate survives an untracked newer driver file (round boundary)") {
+    // Simulates the round-12 judge failure: the driver wrote an
+    // untracked CORRECTNESS_r13.json after the builder's last commit.
+    // The checker only sees TRACKED names, so a README citing r12 is
+    // green even though r13 exists on disk...
+    val readme = "Latest driver gate CORRECTNESS_r12: **347/347**"
+    val tracked = Seq("CORRECTNESS_r11.json", "CORRECTNESS_r12.json")
+    assert(gateCiteViolations(tracked, 347, readme).isEmpty,
+      "untracked newer gate file must not stale the citation")
+    // ...but a stale citation of a TRACKED newer gate is still caught,
+    val trackedNewer = tracked :+ "CORRECTNESS_r13.json"
+    val v = gateCiteViolations(trackedNewer, 350, readme)
+    assert(v.exists(_.contains("latest committed gate is r13")), s"$v")
+    // ...as is a wrong green count for the right round.
+    val v2 = gateCiteViolations(tracked, 345, readme)
+    assert(v2.exists(_.contains("345 green rows")), s"$v2")
   }
 
   test("gate would have caught the round-9 slip (324 vs 325)") {

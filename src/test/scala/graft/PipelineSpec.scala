@@ -595,6 +595,36 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("CC with non-integral ids skips the long-cast endgame") {
+    import spark.implicits._
+    // round-12 ADVICE: the union-find endgame casts ids to long, so
+    // double ids 1.2 and 1.7 would BOTH truncate to 1 and merge two
+    // distinct components; string ids would cast to null and crash.
+    // Non-integral ids must route to the cast-free distributed loops.
+    val dbl = Seq((1.2, 2.5), (1.7, 3.5)).toDF("id1", "id2")
+    for (cc <- Seq(Dedup.connectedComponents(dbl),
+        Dedup.connectedComponentsStar(dbl))) {
+      val got = cc.collect().map(r => r.getDouble(0) -> r.getDouble(1))
+        .toMap
+      assert(got == Map(1.2 -> 1.2, 2.5 -> 1.2, 1.7 -> 1.7, 3.5 -> 1.7),
+        s"double ids merged/mangled: $got")
+    }
+    val str = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id1", "id2")
+    for (cc <- Seq(Dedup.connectedComponents(str),
+        Dedup.connectedComponentsStar(str))) {
+      val got = cc.collect().map(r => r.getString(0) -> r.getString(1))
+        .toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+        "x" -> "x", "y" -> "x"), s"string ids mislabeled: $got")
+    }
+    // integral ids still take the endgame path and agree with a
+    // forced distributed run (the gate must not change answers)
+    val ints = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val a = Dedup.connectedComponentsStar(ints)
+    val b = Dedup.connectedComponentsStar(ints, endgameMaxEdges = 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("tfidf: rare tokens outscore ubiquitous ones; df=N scores 0") {
     import spark.implicits._
     val docs = Seq(
