@@ -206,23 +206,33 @@ object Formula {
       forceMl: Boolean): DataFrame = {
     val (df2, formula2) = expandFunctionTerms(df, formula)
     val clean = df2.na.drop("any")
-    // Expression fast path (rounds 11-12): when the label is numeric
-    // and every resolved term is either all-numeric (interaction =
-    // codegen'd column product) or ONE categorical factor (treatment
-    // contrast = `when(col === level, 1.0)` indicators over the
-    // fitted alphabetical level order, dropping the last level —
-    // exactly RFormula's StringIndexer(alphabetAsc) + OneHotEncoder
-    // (dropLast) under an intercept), the design matrix is plain
-    // codegen'd expressions. The VectorAssembler/Interaction route
-    // costs ~10× (per-row ML vector UDFs; measured 1.8 s vs 0.2 s at
-    // 600k×8 numeric, and q62's categorical shape 3× — see
-    // FormulaSpec's column-for-column equality pin). The parser
+    // Expression fast path (rounds 11-13): when the label is numeric
+    // and every factor of every resolved term is numeric or string,
+    // the design matrix is plain codegen'd expressions:
+    //   - a STANDALONE categorical term = treatment contrast —
+    //     `when(col === level, 1.0)` indicators over the fitted
+    //     alphabetical level order, dropping the last level (exactly
+    //     RFormula's StringIndexer(alphabetAsc) + OneHotEncoder
+    //     (dropLast) under an intercept);
+    //   - an INTERACTION term = the outer product of its factor
+    //     encodings, first factor outermost, where a categorical
+    //     factor encodes FULL-dummy (all k levels — RFormula routes
+    //     interactions through ml.Interaction, which one-hots nominal
+    //     inputs without dropping a reference level; the reference's
+    //     expandcols does the same level-indicator product,
+    //     src/formula.jl:205-215) and a numeric factor is itself;
+    //   - an all-numeric term = the codegen'd column product.
+    // The VectorAssembler/Interaction route costs ~10× (per-row ML
+    // vector UDFs; measured 1.8 s vs 0.2 s at 600k×8 numeric, and
+    // q62's categorical shape 3× — see FormulaSpec's
+    // column-for-column equality pins). The parser
     // (GraftFormulaBridge → RFormulaParser) stays the single source
     // of term-algebra truth. Falls through to RFormula for: a
-    // no-intercept formula (contrast coding changes), a categorical
-    // INSIDE an interaction (Interaction's full-dummy expansion), a
-    // non-numeric/non-string factor, or a factor wider than
-    // [[MaxContrastLevels]].
+    // no-intercept formula (contrast coding changes), a
+    // non-numeric/non-string factor, a factor wider than
+    // [[MaxContrastLevels]], or a term whose indicator outer product
+    // exceeds that same width (a when()-chain that wide stops being
+    // codegen-friendly; the exploded f0..fk frame stops being sane).
     val fast = if (forceMl) None else scala.util.Try {
       val (label, terms, hasIntercept) = org.apache.spark.ml.feature
         .GraftFormulaBridge.resolvedTermsWithIntercept(
@@ -234,25 +244,36 @@ object Formula {
       def isStr(c: String) = fieldType.get(c)
         .contains(org.apache.spark.sql.types.StringType)
       val ok = isNum(label) && hasIntercept &&
-        terms.forall(fs =>
-          fs.forall(isNum) || (fs.size == 1 && isStr(fs.head)))
+        terms.forall(_.forall(c => isNum(c) || isStr(c)))
       if (!ok) None
       else {
-        val catCols = terms.filter(fs => isStr(fs.head)).map(_.head)
-          .distinct
+        val catCols = terms.flatten.filter(isStr).distinct
         val levels: Map[String, Seq[String]] = catCols.map { c =>
           c -> clean.select(c).distinct()
             .limit(MaxContrastLevels + 1)
             .collect().map(_.getString(0)).toSeq.sorted
         }.toMap
-        if (levels.values.exists(_.size > MaxContrastLevels)) None
+        def termWidth(fs: Seq[String]): Long =
+          fs.map(c => if (isStr(c)) levels(c).size.toLong else 1L)
+            .product
+        if (levels.values.exists(_.size > MaxContrastLevels) ||
+            terms.exists(termWidth(_) > MaxContrastLevels)) None
         else {
+          // full-dummy factor encoding for interaction terms
+          def enc(c: String): Seq[org.apache.spark.sql.Column] =
+            if (isStr(c)) levels(c).map(l =>
+              F.when(F.col(c) === l, 1.0).otherwise(0.0))
+            else Seq(F.col(c).cast("double"))
           val fCols = terms.flatMap { fs =>
             if (fs.size == 1 && isStr(fs.head))
               levels(fs.head).dropRight(1).map(l =>
                 F.when(F.col(fs.head) === l, 1.0).otherwise(0.0))
             else
-              Seq(fs.map(c => F.col(c).cast("double")).reduce(_ * _))
+              // outer product, first factor outermost — for an
+              // all-numeric term this folds to the same left-assoc
+              // column product as before
+              fs.map(enc).reduce((acc, nxt) =>
+                for (a <- acc; b <- nxt) yield a * b)
           }.zipWithIndex.map { case (c, i) => c.as(s"f$i") }
           Some(clean.select(
             F.col(label).cast("double").as("label") +: fCols: _*))

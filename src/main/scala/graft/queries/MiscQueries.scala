@@ -70,6 +70,26 @@ object MiscQueries {
           (0 to 7).map(i => s"f$i" -> s"round(f$i, 6)"): _*)
     },
 
+    // Formula CATEGORICAL INTERACTIONS (round-13): factor:numeric and
+    // factor:factor terms expand as level-indicator outer products on
+    // the expression fast path — the reference's expandcols
+    // (src/formula.jl:205-215). RFormula parity: a factor INSIDE an
+    // interaction encodes full-dummy (all levels), only standalone
+    // terms drop the reference level; first factor varies slowest.
+    // l_quantity*l_returnflag → quantity, rf∈{A,N}, quantity×rf∈{A,N,R};
+    // l_returnflag:l_linestatus → rf×ls over {A,N,R}×{F,O}.
+    "q349_formula_interact" -> { (s, dir) =>
+      Formula.modelMatrix(
+        T.load(s, dir, "lineitem")
+          .basedOn("l_quantity" -> "l_quantity",
+            "l_returnflag" -> "l_returnflag",
+            "l_linestatus" -> "l_linestatus",
+            "y" -> "l_extendedprice / 1000.0"),
+        "y ~ l_quantity*l_returnflag + l_returnflag:l_linestatus")
+        .basedOn(Seq("label" -> "round(label, 6)") ++
+          (0 to 11).map(i => s"f$i" -> s"round(f$i, 6)"): _*)
+    },
+
     // erf/erfc/digamma/lgamma custom expressions (SURVEY §2.9 gap
     // list); oracle mirrors the same A&S/asymptotic formulas.
     "q63_special_math" -> { (s, dir) =>
@@ -334,6 +354,34 @@ object MiscQueries {
                 round(l_discount * l_tax, 6) + 0 AS f5,
                 round(l_quantity * l_discount * l_tax, 6) + 0 AS f6,
                 round(l_quantity * l_discount, 6) + 0 AS f7
+         FROM lineitem""",
+    // term order: (quantity*rf cross) = quantity, rf, quantity:rf —
+    // then rf:ls; interaction factors full-dummy, standalone dropLast
+    "q349_formula_interact" ->
+      """SELECT round(l_extendedprice / 1000.0, 6) AS label,
+                round(l_quantity, 6) + 0 AS f0,
+                CAST(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f1,
+                CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END
+                     AS DOUBLE) AS f2,
+                round(l_quantity * CASE WHEN l_returnflag = 'A'
+                      THEN 1 ELSE 0 END, 6) + 0 AS f3,
+                round(l_quantity * CASE WHEN l_returnflag = 'N'
+                      THEN 1 ELSE 0 END, 6) + 0 AS f4,
+                round(l_quantity * CASE WHEN l_returnflag = 'R'
+                      THEN 1 ELSE 0 END, 6) + 0 AS f5,
+                CAST(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f6,
+                CAST(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f7,
+                CAST(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f8,
+                CAST(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f9,
+                CAST(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f10,
+                CAST(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+                     THEN 1 ELSE 0 END AS DOUBLE) AS f11
          FROM lineitem""",
     "q63_special_math" ->
       s"""SELECT l_orderkey, l_linenumber,

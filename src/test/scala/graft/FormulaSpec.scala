@@ -186,9 +186,9 @@ class FormulaSpec extends SparkSpec {
       assert(!fast.queryExecution.executedPlan.toString.contains("UDF"),
         s"$f did not take the expression path")
     }
-    // fall-through shapes stay on the ML route and stay correct:
-    // categorical INSIDE an interaction, and a no-intercept formula
-    for (f <- Seq("y ~ a + g:c", "y ~ g - 1")) {
+    // fall-through shape stays on the ML route and stays correct:
+    // a no-intercept formula (contrast coding changes)
+    for (f <- Seq("y ~ g - 1")) {
       val out = Formula.modelMatrix(df, f)
       val ml = Formula.modelMatrixVia(df, f, forceMl = true)
       assert(out.columns.sameElements(ml.columns), s"$f columns")
@@ -196,6 +196,47 @@ class FormulaSpec extends SparkSpec {
         .zip(ml.orderBy("label").collect())
         .foreach { case (r1, r2) => assert(r1 == r2, s"$f: $r1 != $r2") }
     }
+  }
+
+  test("categorical INTERACTION fast path == RFormula, column for column") {
+    import spark.implicits._
+    // round-12 verdict task 4: factor:numeric and factor:factor terms
+    // must reproduce ml.Interaction's full-dummy outer product (first
+    // factor outermost, ALL k levels inside an interaction — only
+    // standalone terms drop the reference level) as plain when()
+    // indicator products — same columns, same order, same values.
+    val df = Seq(
+      (1.0, 2.0, 3.0, "b", "v"), (4.0, 5.0, 6.0, "a", "w"),
+      (9.0, 8.0, 7.0, "c", "v"), (16.0, 11.0, 13.0, "a", "u"),
+      (25.0, 3.0, 2.0, "b", "u"), (36.0, 7.0, 9.0, "c", "w"),
+      (49.0, 1.0, 4.0, "b", "w"))
+      .toDF("y", "c", "a", "g", "h")
+    for (f <- Seq("y ~ a*g", "y ~ g:h", "y ~ a + g:c",
+        "y ~ g*h", "y ~ a:g:h", "y ~ g + g:h + c",
+        "y ~ log(c) + a:g")) {
+      val fast = Formula.modelMatrix(df, f)
+      val ml = Formula.modelMatrixVia(df, f, forceMl = true)
+      assert(fast.columns.sameElements(ml.columns), s"$f columns")
+      fast.orderBy("label").collect()
+        .zip(ml.orderBy("label").collect())
+        .foreach { case (r1, r2) => assert(r1 == r2, s"$f: $r1 != $r2") }
+      // the interaction shapes ride the expression path: no ML UDFs
+      assert(!fast.queryExecution.executedPlan.toString.contains("UDF"),
+        s"$f did not take the expression path")
+    }
+    // hand-check one shape: y ~ g:h on 3×3 levels = 9 indicator
+    // columns ordered g-outer/h-inner; each row lights exactly one
+    val gh = Formula.modelMatrix(df, "y ~ g:h").orderBy("label")
+      .collect()
+    assert(gh.head.length == 1 + 9)
+    gh.foreach { r =>
+      val ones = (1 to 9).map(r.getDouble).count(_ == 1.0)
+      val zeros = (1 to 9).map(r.getDouble).count(_ == 0.0)
+      assert(ones == 1 && zeros == 8, s"not a one-hot product: $r")
+    }
+    // row y=1 has g=b (index 1 of a,b,c), h=v (index 1 of u,v,w):
+    // lit column = 1*3 + 1 = index 4 → f4
+    assert(gh.head.getDouble(0) == 1.0 && gh.head.getDouble(5) == 1.0)
   }
 
   test("materialized term names skip existing columns") {
