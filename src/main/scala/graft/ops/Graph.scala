@@ -143,12 +143,18 @@ object Graph {
     * drop-set count materializes that round's lazily-marked edge and
     * drop checkpoints together (O(1) driver rows), and the superseded
     * edge set releases only after the fused job has pinned its
-    * successor.
+    * successor. The INPUT edge relation is checkpointed EAGERLY, like
+    * every sibling loop's: round 12 marked it lazy and q186 regressed
+    * +15% driver-to-driver — folding the expensive upstream (q186's
+    * ΣC(k,2) co-purchase pair build) into the first fused count job
+    * costs more than the one job the mark saves. Round-13 min-of-5
+    * A/B at sf0.1: lazy input {2.43, 2.20} s, eager input + lazy
+    * rounds {1.98, 2.00} s (control q232 steady) — see SCALE.md.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
     var e = edges.select(F.col("a").cast("long").as("a"),
       F.col("b").cast("long").as("b"))
-      .localCheckpoint(false) // round 1's fused count materializes it
+      .localCheckpoint() // EAGER: keep the upstream out of round 1
     var round = 0
     var done = false
     var lastDeg: DataFrame = null
@@ -160,8 +166,6 @@ object Graph {
       lastDeg = deg
       val drop = deg.filter(F.col("deg") < k).select("n")
         .localCheckpoint(false)
-      // ONE job: counts the drop set, materializing it AND the
-      // previous round's lazily-checkpointed edge set on the way
       val nDrop = drop.count()
       if (pendingRelease != null) {
         GraftReleaseBridge.release(pendingRelease)

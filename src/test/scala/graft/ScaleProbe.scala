@@ -113,6 +113,40 @@ object ScaleProbe {
       graft.similarity.Knn
         .exactKnnBnB(repEmb(100), qs, "vec_id", "embedding", 10).count()
     }
+
+    // ---- CC endgame crossover (round-12 verdict task 6) --------------
+    // The union-find endgame claims to replace only the LAST O(log)
+    // rounds: grow the chain graph past CcEndgameMaxEdges and prove
+    // the bound degrades gracefully — the star loop must converge to
+    // the forest ON ITS OWN when the converged edge set (nodes −
+    // components, constant for chains) can never fit the 65,536-edge
+    // collect budget. Chains of 50 nodes at stride-64 bases make the
+    // expected label pure arithmetic: comp(id) = (id div 64) * 64.
+    //  - 1,200 chains → 58.8k edges ≤ bound: endgame engages at once;
+    //  - 40,000 chains → 1.96M edges, forest 1.96M > bound: the
+    //    endgame is disabled-BY-SIZE for the entire run, so a
+    //    converged, fully-correct result here is the distributed
+    //    loop's own (the require inside connectedComponentsStar fails
+    //    loudly if 30 rounds ever stop sufficing).
+    import spark.implicits._
+    def chains(n: Int) = spark.range(0L, n.toLong * 49L).select(
+      ((F.col("id") / 49).cast("long") * 64L
+        + F.col("id") % 49).as("id1"),
+      ((F.col("id") / 49).cast("long") * 64L
+        + F.col("id") % 49 + 1L).as("id2"))
+    def assertCc(n: Int, tag: String): Long = {
+      val cc = graft.dedup.Dedup.connectedComponentsStar(chains(n))
+      val bad = cc.filter(
+        F.col("comp") =!= F.expr("(id div 64) * 64")).count()
+      require(bad == 0L, s"cc-crossover $tag: $bad mislabeled nodes")
+      cc.count()
+    }
+    timed("cc-star 1200 chains / 58.8k edges (endgame engages)") {
+      assertCc(1200, "below-bound")
+    }
+    timed("cc-star 40k chains / 1.96M edges (endgame disabled-by-size)") {
+      assertCc(40000, "above-bound")
+    }
     spark.stop()
   }
 }

@@ -437,4 +437,61 @@ class StreamSpec extends SparkSpec {
       }
     } finally spark.streams.removeListener(listener)
   }
+
+  test("q341 auto-gate flips to the sketch path on key cardinality") {
+    // round-12 verdict stretch 7: the fallback switches AUTOMATICALLY
+    // on the key dimension's cardinality (streamTopKAuto), not only
+    // via the env override. Crossing the threshold must flip the
+    // PATH (observable in the streaming state rows: O(keys) exact vs
+    // ONE sketch row) while the top-10 output stays identical.
+    import spark.implicits._
+    val stateRows =
+      scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        if (p.name != null && rows > 0)
+          stateRows.put(p.name, math.max(
+            stateRows.getOrElse(p.name, 0L), rows))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val nKeys = 300
+      val dir = "/tmp/q341_autogate"
+      new java.io.File(dir).mkdirs()
+      val li = (0 until nKeys).flatMap { i =>
+        val reps = 1 + (if (i % 97 == 0) 40 + i / 97 else i % 3)
+        Seq.fill(reps)((i.toLong, (i % 7 + 1).toLong))
+      }.toDF("l_partkey", "l_quantity")
+      TestIO.writeSingleParquet(li, dir, "lineitem.parquet")
+      TestIO.writeSingleParquet(
+        (0 until nKeys).map(_.toLong).toDF("p_partkey"),
+        dir, "part.parquet")
+      // 300 keys ≤ default budget → exact path (O(keys) state)
+      val exact = graft.queries.StreamQueries
+        .streamTopKAuto(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // budget of 1 key → the same call flips to the sketch path
+      val flipped = graft.queries.StreamQueries
+        .streamTopKAuto(spark, dir, maxExactKeys = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(exact.toSeq == flipped.toSeq,
+        s"paths disagree: ${exact.toSeq} vs ${flipped.toSeq}")
+      val exactRuns = stateRows.filter(_._1.startsWith("stream_topk"))
+        .filterNot(_._1.startsWith("stream_topk_cm"))
+      val cmRuns = stateRows.filter(_._1.startsWith("stream_topk_cm"))
+      assert(exactRuns.size == 1 && exactRuns.head._2 == nKeys.toLong,
+        s"exact path state: $stateRows")
+      assert(cmRuns.size == 1 && cmRuns.head._2 == 1L,
+        s"sketch path state: $stateRows")
+    } finally spark.streams.removeListener(listener)
+  }
 }
