@@ -738,11 +738,15 @@ object AnalyticsQueries {
         .withColumn("woe", F.log(
           ((F.col("pos") + 0.5) / F.col("tp"))
             / ((F.col("neg") + 0.5) / F.col("tn"))))
+        // floor-form 6-dp rounding (round-13 cross-scale sweep): the
+        // identical IEEE op sequence in both engines, and the BIGINT
+        // floor also normalizes a −0.0 iv_part (DuckDB's round keeps
+        // the sign of a tiny negative; Spark's drops it).
         .select(F.col("bucket"), F.col("pos"), F.col("neg"),
-          F.round(F.col("woe"), 6).as("woe"),
-          F.round((F.col("pos").cast("double") / F.col("tp")
+          (F.floor(F.col("woe") * 1e6 + 0.5) / 1e6).as("woe"),
+          (F.floor((F.col("pos").cast("double") / F.col("tp")
             - F.col("neg").cast("double") / F.col("tn"))
-            * F.col("woe"), 6).as("iv_part"))
+            * F.col("woe") * 1e6 + 0.5) / 1e6).as("iv_part"))
     },
 
     // First-order Markov transition matrix over per-user event-type
@@ -872,9 +876,15 @@ object AnalyticsQueries {
             .filterExpr("r_name = 'EUROPE'")),
           F.col("n_regionkey") === F.col("r_regionkey"))
         .select(F.col("s_suppkey"), F.col("s_name"))
+      // floor-form cent rounding: the unit-price ratio lands on exact
+      // half-cents (278.085 at sf0.1) where Spark's decimal-repr
+      // HALF_UP and DuckDB's binary round() split; floor(x*100+0.5)
+      // /100 is the identical IEEE op sequence in both engines
+      // (round-13 cross-scale sweep).
       val ps = T.load(s, dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.round(F.expr("l_extendedprice / l_quantity"), 2))
+        .agg(F.min(F.expr(
+          "floor(l_extendedprice / l_quantity * 100 + 0.5) / 100"))
           .as("cost"))
       val p = T.load(s, dir, "part").filterExpr("p_size = 15")
         .select("p_partkey")
@@ -1623,11 +1633,11 @@ object AnalyticsQueries {
           tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM per)
          SELECT bucket, CAST(pos AS BIGINT) AS pos,
                 CAST(neg AS BIGINT) AS neg,
-                round(ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6)
-                  AS woe,
-                round((pos::DOUBLE / tp - neg::DOUBLE / tn)
-                  * ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn)), 6)
-                  AS iv_part
+                floor(ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn))
+                  * 1e6 + 0.5) / 1e6 AS woe,
+                floor((pos::DOUBLE / tp - neg::DOUBLE / tn)
+                  * ln(((pos + 0.5) / tp) / ((neg + 0.5) / tn))
+                  * 1e6 + 0.5) / 1e6 AS iv_part
          FROM per CROSS JOIN tot""",
     "q195_markov" ->
       """WITH o AS (SELECT event_type, lead(event_type) OVER
@@ -1694,7 +1704,7 @@ object AnalyticsQueries {
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q169_min_cost_supp" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
-                min(round(l_extendedprice / l_quantity, 2)) AS cost
+                min(floor(l_extendedprice / l_quantity * 100 + 0.5) / 100) AS cost
               FROM lineitem GROUP BY 1, 2),
           cand AS (SELECT p_partkey, s_name, cost
               FROM ps

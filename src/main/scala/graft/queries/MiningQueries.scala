@@ -182,13 +182,20 @@ object MiningQueries {
           F.col("__p.at").as("t0"), F.col("__p.vc").as("v0"),
           F.col("__n.at").as("t1"), F.col("__n.vc").as("v1"))
         .filter(F.col("g") === 1 && F.col("t0").isNotNull)
+        // floor-form 6-dp rounding (round-13 cross-scale sweep): the
+        // exact integer numerator/denominator division can land on an
+        // exact 6-dp half, where Spark's decimal-repr HALF_UP and
+        // DuckDB's binary round() split; floor(x*1e6+0.5)/1e6 is the
+        // identical IEEE op sequence in both engines.
         .select(F.col("user_id"), F.col("sec"),
-          F.when(F.col("t1").isNull, F.round(F.col("v0") / 100.0, 6))
-            .otherwise(F.round(
+          F.when(F.col("t1").isNull,
+              F.floor(F.col("v0") / 100.0 * 1e6 + 0.5) / 1e6)
+            .otherwise(F.floor(
               (F.col("v0") * (F.col("t1") - F.col("t0"))
                 + (F.col("v1") - F.col("v0")) * (F.col("sec") - F.col("t0")))
                 .cast("double")
-                / ((F.col("t1") - F.col("t0")) * 100).cast("double"), 6))
+                / ((F.col("t1") - F.col("t0")) * 100).cast("double")
+                * 1e6 + 0.5) / 1e6)
             .as("v"))
     },
 
@@ -308,11 +315,17 @@ object MiningQueries {
                     0L, (a, x) -> a + x)""").as("syllables"),
           F.col("sentences"))
         .filter(F.col("words") > 0)
+        // floor-form 4-dp rounding (round-13 cross-scale sweep): with
+        // small integer counts the Flesch formula lands on exact 4-dp
+        // halves (28.19375 at sf0.1) where Spark's decimal-repr
+        // HALF_UP and DuckDB's binary round() split; floor(x*1e4+0.5)
+        // /1e4 is the identical IEEE op sequence in both engines.
         .select(F.col("doc_id"), F.col("words"), F.col("syllables"),
           F.col("sentences"),
-          F.round(F.lit(206.835)
+          (F.floor((F.lit(206.835)
             - F.lit(1.015) * F.col("words") / F.col("sentences")
-            - F.lit(84.6) * F.col("syllables") / F.col("words"), 4)
+            - F.lit(84.6) * F.col("syllables") / F.col("words"))
+            * 1e4 + 0.5) / 1e4)
             .as("flesch"))
     },
 
@@ -567,10 +580,10 @@ object MiningQueries {
                     AS v1
                 FROM u)
           SELECT user_id, sec,
-            CASE WHEN t1 IS NULL THEN round(v0 / 100.0, 6)
-                 ELSE round(CAST(v0 * (t1 - t0)
+            CASE WHEN t1 IS NULL THEN floor(v0 / 100.0 * 1e6 + 0.5) / 1e6
+                 ELSE floor(CAST(v0 * (t1 - t0)
                         + (v1 - v0) * (sec - t0) AS DOUBLE)
-                      / ((t1 - t0) * 100), 6) END AS v
+                      / ((t1 - t0) * 100) * 1e6 + 0.5) / 1e6 END AS v
           FROM w WHERE g = 1 AND t0 IS NOT NULL""",
     "q215_snm_linkage" ->
       """WITH r AS (SELECT p_partkey, p_name,
@@ -646,8 +659,9 @@ object MiningQueries {
                   CAST(sentences AS BIGINT) AS sentences
                 FROM w)
           SELECT doc_id, words, syllables, sentences,
-            round(206.835 - 1.015 * words / sentences
-              - 84.6 * syllables / words, 4) AS flesch
+            floor((206.835::DOUBLE - 1.015::DOUBLE * words / sentences
+              - 84.6::DOUBLE * syllables / words) * 1e4 + 0.5) / 1e4
+              AS flesch
           FROM c WHERE words > 0""",
     "q219_kaplan_meier" ->
       """WITH pu AS (SELECT user_id,

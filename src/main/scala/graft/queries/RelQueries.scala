@@ -76,11 +76,20 @@ object RelQueries {
 
     // diff + percent_change via lag (reference src/operators.jl:58).
     "q15_lag_diff" -> { (s, dir) =>
+      // pct is an unconstrained ratio, so round(pct, 6) has exact-half
+      // knife edges ((57.63-6.4)/6.4 = 8.0046875 at sf0.1): Spark's
+      // round (HALF_UP on the shortest decimal repr) and DuckDB's (on
+      // the binary value) disagree there. floor(x*1e6 + 0.5)/1e6 is
+      // the same IEEE op sequence in both engines on the same input
+      // double — bit-identical by construction (round-13 cross-scale
+      // sweep). dv is a 2-dp money difference, ≥5e-7 from any 6-dp
+      // half, so its round() stays.
       T.load(s, dir, "events")
         .diff("value", "dv", Seq("user_id"), Seq("ts", "event_id"))
         .percentChange("value", "pct", Seq("user_id"), Seq("ts", "event_id"))
         .basedOn("event_id" -> "event_id", "user_id" -> "user_id",
-          "dv" -> "round(dv, 6)", "pct" -> "round(pct, 6)")
+          "dv" -> "round(dv, 6)",
+          "pct" -> "floor(pct * 1e6 + 0.5) / 1e6")
     },
 
     // Ranking family over partitions (SURVEY §2.5 — "free in Spark").
@@ -167,7 +176,7 @@ object RelQueries {
     "q15_lag_diff" ->
       """SELECT event_id, user_id,
          round(value - lag(value) OVER w, 6) + 0 AS dv,
-         round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 6) + 0 AS pct
+         floor((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) * 1e6 + 0.5) / 1e6 AS pct
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q16_rank" ->

@@ -499,11 +499,15 @@ object StreamQueries {
           F.col("id").as("event_id"))
     },
 
-    // Streaming exact dedup at the door: dropDuplicates on the 8-byte
-    // text hash as documents stream in, then kept-docs per lang (exact
-    // dup groups are single-lang in this corpus, so the projection is
-    // deterministic regardless of WHICH row of a dup group the stream
-    // saw first). Bounded-state watermark variant in StreamSpec.
+    // Streaming exact dedup at the door: dropDuplicates on the
+    // (lang, 8-byte text hash) pair as documents stream in, then
+    // kept-docs per lang. The dedup key INCLUDES lang: dup groups
+    // span languages at sf0.1 (7 texts recur under a second lang —
+    // the round-13 cross-scale sweep caught a text-only key
+    // attributing each to whichever lang the stream saw first, a
+    // race the batch oracle can't express), so per-lang keying is
+    // what makes kept-docs-per-lang deterministic at every scale.
+    // Bounded-state watermark variant in StreamSpec.
     "q96_stream_dedup" -> { (s, dir) =>
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream
@@ -511,7 +515,7 @@ object StreamQueries {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .withColumn("__key", F.xxhash64(F.col("text")))
-      val kept = DataStream.dedupStream(src, Seq("__key"))
+      val kept = DataStream.dedupStream(src, Seq("lang", "__key"))
         .select("doc_id", "lang")
       runStateful(s, kept, uniq("stream_dedup"), mode = "append")
         .groupBy("lang")

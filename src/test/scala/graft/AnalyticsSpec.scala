@@ -150,7 +150,8 @@ class AnalyticsSpec extends SparkSpec {
     // derived supply relation — Catalyst decorrelates it independently
     val want = spark.sql(
       """WITH ps AS (SELECT l_partkey, l_suppkey,
-               min(round(l_extendedprice / l_quantity, 2)) AS cost
+               min(floor(l_extendedprice / l_quantity * 100 + 0.5) / 100)
+                 AS cost
              FROM lineitem GROUP BY 1, 2),
           elig AS (SELECT s_suppkey, s_name FROM supplier
              JOIN nation ON s_nationkey = n_nationkey
@@ -166,6 +167,42 @@ class AnalyticsSpec extends SparkSpec {
       .toSet
     assert(got == want)
     assert(got.nonEmpty)
+  }
+
+  test("floor-form rounding matches DuckDB on the sf0.1 knife-edge rows") {
+    // Round-13 cross-scale sweep: round(x, d) diverges between Spark
+    // (HALF_UP on the shortest decimal repr of the double) and DuckDB
+    // (rounds the binary value) exactly when x sits on an exact d-dp
+    // half. q15/q169/q194/q214/q218 now emit floor(x*10^d + 0.5)/10^d
+    // — the same IEEE op sequence in both engines — and these literals
+    // pin the DuckDB-computed values for the four knife-edge rows the
+    // sf0.1 sweep caught (each was previously one digit off).
+    // literals are CAST to DOUBLE because both engines parse bare
+    // decimal literals as DECIMAL — the queries operate on double
+    // parquet columns, so double semantics are what must be pinned
+    val got = spark.sql(
+      """SELECT floor((CAST(57.63 AS DOUBLE) - CAST(6.4 AS DOUBLE))
+                  / CAST(6.4 AS DOUBLE) * 1e6 + 0.5) / 1e6,
+                floor(CAST(6674.04 AS DOUBLE) / CAST(24.0 AS DOUBLE)
+                  * 100 + 0.5) / 100,
+                floor((CAST(206.835 AS DOUBLE)
+                       - CAST(1.015 AS DOUBLE) * 64 / 1
+                       - CAST(84.6 AS DOUBLE) * 86 / 64)
+                  * 1e4 + 0.5) / 1e4,
+                floor((CAST(206.835 AS DOUBLE)
+                       - CAST(1.015 AS DOUBLE) * 64 / 1
+                       - CAST(84.6 AS DOUBLE) * 102 / 64)
+                  * 1e4 + 0.5) / 1e4""").head()
+    assert(got.getDouble(0) == 8.004687)  // q15 pct; round() said .688
+    assert(got.getDouble(1) == 278.08)    // q169 cost; round() said .09
+    assert(got.getDouble(2) == 28.1938)   // q218 flesch (doc 1271)
+    assert(got.getDouble(3) == 7.0438)    // q218 flesch (doc 2548)
+    // the old Spark round() answer, for contrast: the decimal-repr
+    // HALF_UP reads 8.0046875 as an exact half and rounds it up,
+    // while the engines' shared double sits just below
+    assert(spark.sql(
+      """SELECT round((CAST(57.63 AS DOUBLE) - CAST(6.4 AS DOUBLE))
+           / CAST(6.4 AS DOUBLE), 6)""").head().getDouble(0) == 8.004688)
   }
 
   test("q179 semi-join EXISTS equals distinct-late-order count") {
