@@ -102,6 +102,37 @@ class StreamSpec extends SparkSpec {
     assert(kept.count() == 3)
   }
 
+  test("per-lang dedup key is arrival-order immune for cross-lang dup texts") {
+    // q96 regression (round-13 cross-scale sweep): with a text-only
+    // dedup key, a text recurring under a SECOND language was kept
+    // only for whichever lang the stream saw first — per-lang counts
+    // depended on arrival order. Keying on (lang, hash) must yield
+    // the same per-lang counts for both arrival orders, equal to the
+    // batch count(DISTINCT text) per lang.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(name: String, batches: Seq[Seq[(String, String)]]): Map[String, Long] = {
+      val ms = MemoryStream[(String, String)]
+      val src = ms.toDS().toDF("lang", "text")
+        .withColumn("__key", F.xxhash64(F.col("text")))
+      val kept = graft.streaming.DataStream
+        .dedupStream(src, Seq("lang", "__key"))
+      val q = kept.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val enFirst = run("dedup_enfirst",
+      Seq(Seq("en" -> "T", "en" -> "U"), Seq("de" -> "T", "en" -> "T")))
+    val deFirst = run("dedup_defirst",
+      Seq(Seq("de" -> "T"), Seq("en" -> "T", "en" -> "U", "en" -> "U")))
+    val want = Map("en" -> 2L, "de" -> 1L) // batch DISTINCT text per lang
+    assert(enFirst == want, s"en-first arrival: $enFirst")
+    assert(deFirst == want, s"de-first arrival: $deFirst")
+  }
+
   test("throttleStream keeps earliest-n and times out strictly after window end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
