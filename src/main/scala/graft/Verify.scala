@@ -10,10 +10,14 @@ object Verify {
     // the driver passes exactly two args, so its behavior is unchanged.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=false runs the dump with adaptive execution off
+    // (invariance-audit aid: results must not depend on AQE re-plans;
+    // the driver never sets it, so its behavior is unchanged)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
