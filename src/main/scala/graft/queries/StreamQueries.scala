@@ -150,16 +150,48 @@ object StreamQueries {
       .select(F.col("l_partkey"), F.col("n"), F.col("qty"))
   }
 
+  /** Measured exact-path state cost per distinct key for q341: one
+    * HDFSBackedStateStore row holding (key, UnsafeRow(n, qty)) plus
+    * store overhead ≈ 170 bytes. The budget below divides by this. */
+  private[graft] val StreamTopKBytesPerKey = 170L
+
   /** Exact-path state budget for q341: the exact top-k keeps ONE
     * state row per distinct key, so the key-universe cardinality is
-    * the state size. 10⁸ keys ≈ 17 GB of cluster-wide store (the
-    * documented outage line is ~10⁹ / 170 GB); past the budget the
-    * CountMin fallback's one-row state is the only shape that
-    * survives. The gate reads the key DIMENSION's row count — q341's
-    * key is an FK into the part catalog, and a parquet count(*) is
-    * footer metadata, not a scan — the same cheap-observable pattern
-    * as the quantile engine's n > k·collectLimit auto-sketch gate. */
-  private[graft] val StreamTopKMaxExactKeys = 100000000L
+    * the state size. The budget is a configurable cluster-wide state
+    * allowance — GRAFT_STREAM_TOPK_STATE_BUDGET as a size string
+    * ("17g", "512m", "64k", or raw bytes; system property wins over
+    * env so tests can drive it) — divided by [[StreamTopKBytesPerKey]].
+    * Default "17g" ≈ 10⁸ keys (the documented outage line is ~10⁹ /
+    * 170 GB); past the budget the CountMin fallback's one-row state
+    * is the only shape that survives. The gate reads the key
+    * DIMENSION's row count — q341's key is an FK into the part
+    * catalog, and a parquet count(*) is footer metadata, not a scan —
+    * the same cheap-observable pattern as the quantile engine's
+    * n > k·collectLimit auto-sketch gate. Read per call (a def, not a
+    * cached val) so an operator redeploy with a new allowance takes
+    * effect without a JVM bounce. */
+  private[graft] def streamTopKMaxExactKeys: Long = {
+    val raw = sys.props.get("graft.stream.topk.state.budget")
+      .orElse(sys.env.get("GRAFT_STREAM_TOPK_STATE_BUDGET"))
+      .getOrElse("17g")
+    math.max(1L, parseSizeBytes(raw) / StreamTopKBytesPerKey)
+  }
+
+  /** Anchored size parse — "17g" / "512m" / "64k" / "123456" (bytes).
+    * Rejects anything else (same fail-loud contract as
+    * [[parseIntervalMs]]: a mis-typed budget must not silently
+    * become a different budget). */
+  private[graft] def parseSizeBytes(s: String): Long = {
+    val m = """^(\d+)\s*([kmg]?)b?$""".r
+      .findFirstMatchIn(s.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"bad size: $s"))
+    m.group(1).toLong * (m.group(2) match {
+      case "k" => 1024L
+      case "m" => 1024L * 1024
+      case "g" => 1024L * 1024 * 1024
+      case _ => 1L
+    })
+  }
 
   /** q341's registered path with the round-13 AUTO-GATE: exact
     * per-key streaming state while the key universe fits the budget,
@@ -167,7 +199,7 @@ object StreamQueries {
     * GRAFT_STREAM_TOPK_SKETCH=1 forces it). Both paths return the
     * same top-10 contract — StreamSpec pins the flip. */
   private[graft] def streamTopKAuto(s: SparkSession, dir: String,
-      maxExactKeys: Long = StreamTopKMaxExactKeys): DataFrame = {
+      maxExactKeys: Long = streamTopKMaxExactKeys): DataFrame = {
     val forced = sys.env.get("GRAFT_STREAM_TOPK_SKETCH").contains("1")
     if (forced ||
         s.read.parquet(s"$dir/part.parquet").count() > maxExactKeys)

@@ -525,4 +525,84 @@ class StreamSpec extends SparkSpec {
         s"sketch path state: $stateRows")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("q341 state-budget override gates the path in both directions") {
+    // round-13 verdict task 2: the exact-keys budget is derived from
+    // a configurable state allowance, not a fixed constant. Drive the
+    // system-property form of GRAFT_STREAM_TOPK_STATE_BUDGET both
+    // ways across the SAME 300-key input: a 1k allowance (6 keys)
+    // must force the sketch; a 17g allowance (~10^8 keys) must force
+    // the exact path. Same observable as the auto-gate test: O(keys)
+    // exact state vs ONE sketch row, identical top-10 either way.
+    import spark.implicits._
+    val stateRows =
+      scala.collection.concurrent.TrieMap[String, Long]()
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        if (p.name != null && rows > 0)
+          stateRows.put(p.name, math.max(
+            stateRows.getOrElse(p.name, 0L), rows))
+      }
+    }
+    val BudgetProp = "graft.stream.topk.state.budget"
+    spark.streams.addListener(listener)
+    try {
+      // budget parse is anchored: garbage and fractional sizes reject
+      assert(graft.queries.StreamQueries.parseSizeBytes("17g")
+        == 17L * 1024 * 1024 * 1024)
+      assert(graft.queries.StreamQueries.parseSizeBytes("512MB")
+        == 512L * 1024 * 1024)
+      assert(graft.queries.StreamQueries.parseSizeBytes("4096") == 4096L)
+      intercept[IllegalArgumentException] {
+        graft.queries.StreamQueries.parseSizeBytes("0.5g")
+      }
+      intercept[IllegalArgumentException] {
+        graft.queries.StreamQueries.parseSizeBytes("lots")
+      }
+      val nKeys = 300
+      val dir = "/tmp/q341_budget_override"
+      new java.io.File(dir).mkdirs()
+      val li = (0 until nKeys).flatMap { i =>
+        val reps = 1 + (if (i % 97 == 0) 40 + i / 97 else i % 3)
+        Seq.fill(reps)((i.toLong, (i % 7 + 1).toLong))
+      }.toDF("l_partkey", "l_quantity")
+      TestIO.writeSingleParquet(li, dir, "lineitem.parquet")
+      TestIO.writeSingleParquet(
+        (0 until nKeys).map(_.toLong).toDF("p_partkey"),
+        dir, "part.parquet")
+      // force-sketch below: 1k / 170 B = 6 keys < 300
+      sys.props(BudgetProp) = "1k"
+      assert(graft.queries.StreamQueries.streamTopKMaxExactKeys == 6L)
+      val sketch = graft.queries.StreamQueries
+        .streamTopKAuto(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // force-exact above: 17g covers ~10^8 keys >= 300
+      sys.props(BudgetProp) = "17g"
+      assert(graft.queries.StreamQueries.streamTopKMaxExactKeys
+        > 100000000L)
+      val exact = graft.queries.StreamQueries
+        .streamTopKAuto(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(exact.toSeq == sketch.toSeq,
+        s"paths disagree: ${exact.toSeq} vs ${sketch.toSeq}")
+      val exactRuns = stateRows.filter(_._1.startsWith("stream_topk"))
+        .filterNot(_._1.startsWith("stream_topk_cm"))
+      val cmRuns = stateRows.filter(_._1.startsWith("stream_topk_cm"))
+      assert(exactRuns.size == 1 && exactRuns.head._2 == nKeys.toLong,
+        s"exact path state: $stateRows")
+      assert(cmRuns.size == 1 && cmRuns.head._2 == 1L,
+        s"sketch path state: $stateRows")
+    } finally {
+      sys.props.remove(BudgetProp)
+      spark.streams.removeListener(listener)
+    }
+  }
 }

@@ -61,6 +61,11 @@ def main():
         else:
             print(f"PASS   {name}: rows={len(ra)}")
             n_pass += 1
+    # Symmetric MISS check: a dump present only on the B side (extra or
+    # renamed query dir) must fail too, not pass silently.
+    for name in sorted(names_b - set(names_a)):
+        print(f"MISS   {name}: absent from {dir_a}")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
