@@ -95,7 +95,8 @@ object Dedup {
       .withColumn("jac",
         F.expr("""size(array_intersect(sh1, sh2)) /
                   cast(size(array_union(sh1, sh2)) as double)"""))
-      .select(F.col("id1"), F.col("id2"), F.round(F.col("jac"), 3).as("jac"))
+      .select(F.col("id1"), F.col("id2"),
+        (F.floor(F.col("jac") * 1e3 + 0.5) / 1e3).as("jac"))
   }
 
   /** MinHash near-dup pipeline: signatures → LSH buckets → exact verify
@@ -139,7 +140,8 @@ object Dedup {
       .withColumn("jac",
         F.expr("""size(array_intersect(sh1, sh2)) /
                   cast(size(array_union(sh1, sh2)) as double)"""))
-      .select(F.col("id1"), F.col("id2"), F.round(F.col("jac"), 3).as("jac"))
+      .select(F.col("id1"), F.col("id2"),
+        (F.floor(F.col("jac") * 1e3 + 0.5) / 1e3).as("jac"))
       .filter(F.col("jac") >= threshold)
   }
 
@@ -184,8 +186,9 @@ object Dedup {
       .groupBy(F.col(s"a.$idCol").as("id1"), F.col(s"b.$idCol").as("id2"),
         F.col("a.sz").as("sz1"), F.col("b.sz").as("sz2"))
       .agg(F.count(F.lit(1)).as("common"))
-      .withColumn("jac", F.round(
-        F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common")), 3))
+      .withColumn("jac", F.floor(
+        F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+          * 1e3 + 0.5) / 1e3)
       .filter(F.col("jac") >= threshold)
       .select("id1", "id2", "jac")
   }
@@ -273,9 +276,10 @@ object Dedup {
     val a = base.select(F.col("id").as("id1"), F.col("sh").as("sh1"))
     val b = base.select(F.col("id").as("id2"), F.col("sh").as("sh2"))
     cands.join(a, "id1").join(b, "id2")
-      .withColumn("jac", F.round(
+      .withColumn("jac", F.floor(
         F.expr("""size(array_intersect(sh1, sh2)) /
-                  cast(size(array_union(sh1, sh2)) as double)"""), 3))
+                  cast(size(array_union(sh1, sh2)) as double)""")
+          * 1e3 + 0.5) / 1e3)
       .filter(F.col("jac") >= F.lit(tauNum.toDouble / tauDen))
       .select("id1", "id2", "jac")
   }
@@ -349,9 +353,10 @@ object Dedup {
     val a = base.select(F.col("id").as("inner_id"), F.col("sh").as("sh1"))
     val b = base.select(F.col("id").as("outer_id"), F.col("sh").as("sh2"))
     cands.join(a, "inner_id").join(b, "outer_id")
-      .withColumn("cont", F.round(
+      .withColumn("cont", F.floor(
         F.expr("""size(array_intersect(sh1, sh2)) /
-                  cast(size(sh1) as double)"""), 3))
+                  cast(size(sh1) as double)""")
+          * 1e3 + 0.5) / 1e3)
       .filter(F.col("cont") >= F.lit(tauNum.toDouble / tauDen))
       .select("inner_id", "outer_id", "cont")
   }
@@ -474,8 +479,9 @@ object Dedup {
       .join(sizes.select(F.col("g").as("g2"), F.col("n").as("n2")), "g2")
       .select(F.col("g1"), F.col("g2"), F.col("common"),
         F.col("n1"), F.col("n2"),
-        F.round(F.col("common").cast("double") /
-          (F.col("n1") + F.col("n2") - F.col("common")), 6).as("jac"))
+        (F.floor(F.col("common").cast("double") /
+          (F.col("n1") + F.col("n2") - F.col("common"))
+          * 1e6 + 0.5) / 1e6).as("jac"))
   }
 
   /** localCheckpoint plus the block-manager RDD ids it pinned, so

@@ -199,6 +199,13 @@ object Formula {
     * wider factors keep the ML route. */
   val MaxContrastLevels = 256
 
+  /** Test-only observability of the route taken by the LAST
+    * modelMatrix call (FormulaSpec's width-gate case asserts the
+    * fallback engages at term width > [[MaxContrastLevels]] instead
+    * of compiling a pathological when()-chain). Not part of the API;
+    * racy under concurrent modelMatrix calls, which tests don't do. */
+  @volatile private[graft] var lastPathWasFast: Boolean = false
+
   /** `forceMl = true` pins the RFormula/VectorAssembler route —
     * FormulaSpec uses it to assert fast path == ML path
     * column-for-column. */
@@ -280,6 +287,7 @@ object Formula {
         }
       }
     }.toOption.flatten
+    lastPathWasFast = fast.isDefined
     if (fast.isDefined) return fast.get
     val rf = new RFormula()
       .setFormula(formula2)

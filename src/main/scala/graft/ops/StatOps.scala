@@ -180,8 +180,9 @@ object StatOps {
       .join(F.broadcast(ns), groupCol)
       .crossJoin(F.broadcast(n))
       .groupBy(groupCol)
-      .agg(F.round(F.max(F.abs(
+      .agg((F.floor(F.max(F.abs(
         F.col("scum").cast("double") / F.col("__sn")
-          - F.col("cum").cast("double") / F.col("__n"))), 6).as("ks"))
+          - F.col("cum").cast("double") / F.col("__n")))
+          * 1e6 + 0.5) / 1e6).as("ks"))
   }
 }

@@ -107,13 +107,13 @@ object AnalyticsQueries {
       agg.filter(F.col("n") >= 2 &&
           F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") =!= 0.0)
         .select(F.col("user_id"), F.col("n"),
-          F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")), 4)
+          (F.floor(((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))) * 1e4 + 0.5) / 1e4)
             .as("slope"),
-          F.round((F.col("sy")
+          (F.floor(((F.col("sy")
             - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
               / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-              * F.col("sx")) / F.col("n"), 4).as("intercept"))
+              * F.col("sx")) / F.col("n")) * 1e4 + 0.5) / 1e4).as("intercept"))
     },
 
     // Edit distance (fuzzy matching for dedup pipelines): most-similar
@@ -215,9 +215,8 @@ object AnalyticsQueries {
     "q82_zscore" -> { (s, dir) =>
       val w = Window.partitionBy("event_type")
       T.load(s, dir, "events")
-        .withColumn("z", F.round(
-          (F.col("value") - F.avg("value").over(w)) /
-            F.stddev_samp(F.col("value")).over(w), 6))
+        .withColumn("z", (F.floor(((F.col("value") - F.avg("value").over(w)) /
+            F.stddev_samp(F.col("value")).over(w)) * 1e6 + 0.5) / 1e6))
         .basedOn("event_id" -> "event_id", "event_type" -> "event_type",
           "z" -> "z")
     },
@@ -321,8 +320,8 @@ object AnalyticsQueries {
         .groupBy(F.year(F.col("o_orderdate")).as("yr"))
         .agg(
           F.count(F.lit(1)).as("n_lines"),
-          F.round(F.sum(F.when(F.col("n2.n_name") === "NATION_1",
-            F.col("vol")).otherwise(0.0)) / F.sum("vol"), 6)
+          (F.floor((F.sum(F.when(F.col("n2.n_name") === "NATION_1",
+            F.col("vol")).otherwise(0.0)) / F.sum("vol")) * 1e6 + 0.5) / 1e6)
             .as("mkt_share"))
     },
 
@@ -380,7 +379,7 @@ object AnalyticsQueries {
         .agg((F.avg("l_quantity") * 0.2).as("qty_thresh"))
       lb.join(thresh, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+        .agg((F.floor((F.sum("l_extendedprice") / 7.0) * 1e2 + 0.5) / 1e2).as("avg_yearly"))
     },
 
     // TPC-H Q18 shape (large-volume orders): GROUP BY + HAVING on the
@@ -474,7 +473,7 @@ object AnalyticsQueries {
         .groupBy("day").agg(F.count(F.lit(1)).as("wau"))
       dau.join(wau, "day")
         .select(F.col("day"), F.col("dau"), F.col("wau"),
-          F.round(F.col("dau") / F.col("wau"), 4).as("stickiness"))
+          (F.floor((F.col("dau") / F.col("wau")) * 1e4 + 0.5) / 1e4).as("stickiness"))
     },
 
     // Inter-event-time profile per event type: per-user event-sequence
@@ -503,14 +502,14 @@ object AnalyticsQueries {
         .localCheckpoint()
       val base = gaps.groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_gaps"),
-          F.round(F.avg("gap"), 2).as("mean_gap"))
+          (F.floor((F.avg("gap")) * 1e2 + 0.5) / 1e2).as("mean_gap"))
       val qq = graft.ops.Quantiles.groupedExactLongMulti(gaps,
         Seq("event_type"), "gap", Seq(0.5 -> "__p50", 0.9 -> "__p90"),
         pinned = true)
       base.join(qq, "event_type")
         .select(F.col("event_type"), F.col("n_gaps"), F.col("mean_gap"),
-          F.round(F.col("__p50"), 2).as("p50"),
-          F.round(F.col("__p90"), 2).as("p90"))
+          (F.floor((F.col("__p50")) * 1e2 + 0.5) / 1e2).as("p50"),
+          (F.floor((F.col("__p90")) * 1e2 + 0.5) / 1e2).as("p90"))
     },
 
     // TPC-H Q15 shape (top supplier): the `WHERE total_revenue =
@@ -544,7 +543,7 @@ object AnalyticsQueries {
     "q148_revenue_gini" -> { (s, dir) =>
       val custRev = T.load(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).as("rev"))
+        .agg((F.floor((F.sum("o_totalprice")) * 1e2 + 0.5) / 1e2).as("rev"))
       val cust = T.load(s, dir, "customer")
         .select("c_custkey", "c_nationkey")
       val w = Window.partitionBy("c_nationkey")
@@ -553,9 +552,9 @@ object AnalyticsQueries {
         .withColumn("i", F.row_number().over(w))
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).as("n_cust"),
-          F.round(F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+          (F.floor((F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
               / (F.count(F.lit(1)) * F.sum("rev"))
-            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)), 6)
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6)
             .as("gini"))
     },
 
@@ -659,7 +658,7 @@ object AnalyticsQueries {
       val o = T.load(s, dir, "orders")
         .filter(F.col("o_totalprice") > 0)
         .withColumn("c",
-          F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+          (F.floor((F.col("o_totalprice") * 100) * 1e0 + 0.5) / 1e0).cast("long"))
         .withColumn("d", F.floor(F.col("c")
           / F.pow(F.lit(10.0),
             F.length(F.col("c").cast("string")) - 1)).cast("int"))
@@ -669,8 +668,8 @@ object AnalyticsQueries {
         .agg(F.sum("n").as("nt"))
       counts.join(F.broadcast(tot), "o_orderpriority")
         .select(F.col("o_orderpriority"), F.col("d"), F.col("n"),
-          F.round(F.col("n") / F.col("nt"), 6).as("freq"),
-          F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 6)
+          (F.floor((F.col("n") / F.col("nt")) * 1e6 + 0.5) / 1e6).as("freq"),
+          (F.floor((F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))) * 1e6 + 0.5) / 1e6)
             .as("benford"))
     },
 
@@ -764,7 +763,7 @@ object AnalyticsQueries {
       val tot = tr.groupBy("cur").agg(F.sum("n").as("tot"))
       tr.join(F.broadcast(tot), "cur")
         .select(F.col("cur"), F.col("nxt"), F.col("n"),
-          F.round(F.col("n").cast("double") / F.col("tot"), 6).as("p"))
+          (F.floor((F.col("n").cast("double") / F.col("tot")) * 1e6 + 0.5) / 1e6).as("p"))
     },
 
     // EWMA smoothing of the daily event-count series per type (the
@@ -783,12 +782,12 @@ object AnalyticsQueries {
         .agg(F.count(F.lit(1)).cast("double").as("n"))
         .withColumn("vals", F.collect_list("n").over(w))
         .select(F.col("event_type"), F.col("day"),
-          F.round(F.expr(
+          (F.floor((F.expr(
             """aggregate(
                  zip_with(vals, sequence(size(vals) - 1, 0, -1),
                           (v, i) -> v * pow(0.9D, i)),
                  0D, (a, x) -> a + x)
-               / ((1 - pow(0.9D, size(vals))) / 0.1D)"""), 6).as("ewma"))
+               / ((1 - pow(0.9D, size(vals))) / 0.1D)""")) * 1e6 + 0.5) / 1e6).as("ewma"))
     },
 
     // Poisson-bootstrap confidence interval for the per-type mean
@@ -821,10 +820,10 @@ object AnalyticsQueries {
       val repMeans = rep.groupBy("event_type", "b")
         .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).as("m"))
       val base = T.load(s, dir, "events").groupBy("event_type")
-        .agg(F.round(F.avg("value"), 4).as("mean_value"))
+        .agg((F.floor((F.avg("value")) * 1e4 + 0.5) / 1e4).as("mean_value"))
       repMeans.groupBy("event_type")
-        .agg(F.round(F.expr("percentile(m, 0.025)"), 4).as("ci_lo"),
-          F.round(F.expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+        .agg((F.floor((F.expr("percentile(m, 0.025)")) * 1e4 + 0.5) / 1e4).as("ci_lo"),
+          (F.floor((F.expr("percentile(m, 0.975)")) * 1e4 + 0.5) / 1e4).as("ci_hi"))
         .join(base, "event_type")
         .select("event_type", "mean_value", "ci_lo", "ci_hi")
     },
@@ -1032,12 +1031,12 @@ object AnalyticsQueries {
         .join(F.broadcast(T.load(s, dir, "part")),
           F.col("l_partkey") === F.col("p_partkey"))
         .within("cents" ->
-          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          "cast(floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0 as bigint)")
         .agg(
           F.sum(F.expr("case when p_type = 'PROMO' then cents else 0 end"))
             .as("promo_c"),
           F.sum("cents").as("tot_c"))
-        .select(F.round(F.expr("100.0 * promo_c / tot_c"), 4)
+        .select((F.floor((F.expr("100.0 * promo_c / tot_c")) * 1e4 + 0.5) / 1e4)
           .as("promo_share"))
     },
 
@@ -1171,7 +1170,7 @@ object AnalyticsQueries {
         .cast("long").as("n_wedges"))
       tri.crossJoin(wtot)
         .select(F.col("n_triangles"), F.col("n_wedges"),
-          F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
+          (F.floor((F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")) * 1e6 + 0.5) / 1e6)
             .as("clustering_coef"))
     },
 
@@ -1198,9 +1197,9 @@ object AnalyticsQueries {
         .join(na.toDF("p2", "n_b"), F.col("b") === F.col("p2")).drop("p2")
         .crossJoin(F.broadcast(nOrders))
         .select(F.col("a"), F.col("b"), F.col("nab"),
-          F.round(F.col("nab") * F.col("n_orders") /
-            (F.col("n_a") * F.col("n_b")), 4).as("lift"),
-          F.round(F.col("nab") / F.col("n_orders"), 6).as("support"))
+          (F.floor((F.col("nab") * F.col("n_orders") /
+            (F.col("n_a") * F.col("n_b"))) * 1e4 + 0.5) / 1e4).as("lift"),
+          (F.floor((F.col("nab") / F.col("n_orders")) * 1e6 + 0.5) / 1e6).as("support"))
     },
 
     // Last-touch attribution: each purchase credits the most recent
@@ -1271,9 +1270,9 @@ object AnalyticsQueries {
                   sum(xh * xh) AS sxx
                 FROM d GROUP BY 1)
           SELECT user_id, CAST(n AS BIGINT) AS n,
-            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-              / n, 4) AS intercept
+            floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e4 + 0.5) / 1e4 AS slope,
+            floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+              / n) * 1e4 + 0.5) / 1e4 AS intercept
           FROM a
           WHERE n >= 2 AND n * sxx - sx * sx != 0""",
     "q121_resample_ffill" ->
@@ -1353,8 +1352,8 @@ object AnalyticsQueries {
          FROM a JOIN b ON a.band IS NOT DISTINCT FROM b.band""",
     "q82_zscore" ->
       """SELECT event_id, event_type,
-           round((value - avg(value) OVER w) /
-                 stddev_samp(value) OVER w, 6) + 0 AS z
+           floor(((value - avg(value) OVER w) /
+                 stddev_samp(value) OVER w) * 1e6 + 0.5) / 1e6 + 0 AS z
          FROM events WINDOW w AS (PARTITION BY event_type)""",
     "q83_vec_norm" ->
       """SELECT vec_id,
@@ -1405,10 +1404,10 @@ object AnalyticsQueries {
     "q135_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+           floor((sum(CASE WHEN n2.n_name = 'NATION_1'
                           THEN l_extendedprice * (1.0 - l_discount)
                           ELSE 0.0 END)
-                 / sum(l_extendedprice * (1.0 - l_discount)), 6)
+                 / sum(l_extendedprice * (1.0 - l_discount))) * 1e6 + 0.5) / 1e6
              AS mkt_share
          FROM lineitem
          JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
@@ -1435,7 +1434,7 @@ object AnalyticsQueries {
                      WHERE p_brand = 'Brand#7'),
           a AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
                 FROM lb GROUP BY 1)
-         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         SELECT floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
          FROM lb JOIN a USING (l_partkey)
          WHERE l_quantity < qty_thresh""",
     "q141_big_orders" ->
@@ -1485,7 +1484,7 @@ object AnalyticsQueries {
                         AS day,
                       user_id
                     FROM du) GROUP BY 1)
-         SELECT day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+         SELECT day, dau, wau, floor((dau * 1.0 / wau) * 1e4 + 0.5) / 1e4 AS stickiness
          FROM dau JOIN wau USING (day)""",
     "q145_gap_stats" ->
       """WITH g AS (SELECT event_type,
@@ -1496,9 +1495,9 @@ object AnalyticsQueries {
                             CAST(floor(epoch(ts)) AS BIGINT) AS sec
                           FROM events))
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-                round(avg(gap), 2) AS mean_gap,
-                round(quantile_cont(gap, 0.5), 2) AS p50,
-                round(quantile_cont(gap, 0.9), 2) AS p90
+                floor((avg(gap)) * 1e2 + 0.5) / 1e2 AS mean_gap,
+                floor((quantile_cont(gap, 0.5)) * 1e2 + 0.5) / 1e2 AS p50,
+                floor((quantile_cont(gap, 0.9)) * 1e2 + 0.5) / 1e2 AS p90
          FROM g WHERE gap IS NOT NULL
          GROUP BY 1""",
     "q147_top_supplier" ->
@@ -1513,15 +1512,15 @@ object AnalyticsQueries {
               JOIN supplier ON l_suppkey = s_suppkey
          WHERE total_revenue = mx""",
     "q148_revenue_gini" ->
-      """WITH cr AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      """WITH cr AS (SELECT o_custkey, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS rev
                      FROM orders GROUP BY 1),
           r AS (SELECT c_nationkey, rev,
                   row_number() OVER (PARTITION BY c_nationkey
                     ORDER BY rev, o_custkey) AS i
                 FROM cr JOIN customer ON o_custkey = c_custkey)
          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
-           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
-             - (count(*) + 1.0) / count(*), 6) AS gini
+           floor((2.0 * sum(i * rev) / (count(*) * sum(rev))
+             - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini
          FROM r GROUP BY 1""",
     "q149_equidepth_hist" ->
       """SELECT event_type, CAST(bucket AS INT) AS bucket,
@@ -1585,7 +1584,7 @@ object AnalyticsQueries {
          GROUP BY 1""",
     "q154_benford" ->
       """WITH o AS (SELECT o_orderpriority,
-                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                CAST(floor((o_totalprice * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS c
               FROM orders WHERE o_totalprice > 0),
           d AS (SELECT o_orderpriority,
                 CAST(floor(c / pow(10, length(CAST(c AS VARCHAR)) - 1))
@@ -1596,8 +1595,8 @@ object AnalyticsQueries {
           tot AS (SELECT o_orderpriority, sum(n) AS nt
                   FROM counts GROUP BY 1)
          SELECT o_orderpriority, d, CAST(n AS BIGINT) AS n,
-                round(n / nt, 6) AS freq,
-                round(log10(1.0 + 1.0 / d), 6) AS benford
+                floor((n / nt) * 1e6 + 0.5) / 1e6 AS freq,
+                floor((log10(1.0 + 1.0 / d)) * 1e6 + 0.5) / 1e6 AS benford
          FROM counts JOIN tot USING (o_orderpriority)""",
     "q160_burst_detect" ->
       """WITH e AS (SELECT user_id,
@@ -1647,7 +1646,7 @@ object AnalyticsQueries {
                  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
           tot AS (SELECT cur, sum(n) AS tot FROM tr GROUP BY 1)
          SELECT cur, nxt, CAST(n AS BIGINT) AS n,
-                round(n::DOUBLE / tot, 6) AS p
+                floor((n::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS p
          FROM tr JOIN tot USING (cur)""",
     "q187_ewma" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1658,9 +1657,9 @@ object AnalyticsQueries {
                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS vals
              FROM d)
           SELECT event_type, day,
-            round(list_sum(list_transform(vals,
+            floor((list_sum(list_transform(vals,
                     (x, i) -> x * pow(0.9, len(vals) - i)))
-                  / ((1 - pow(0.9, len(vals))) / 0.1), 6) AS ewma
+                  / ((1 - pow(0.9, len(vals))) / 0.1)) * 1e6 + 0.5) / 1e6 AS ewma
           FROM w""",
     "q161_bootstrap_ci" ->
       """WITH rep AS (SELECT event_type, b,
@@ -1677,11 +1676,11 @@ object AnalyticsQueries {
                 FROM rep),
           m AS (SELECT event_type, b, sum(w * value) / sum(w) AS m
                 FROM w GROUP BY 1, 2),
-          base AS (SELECT event_type, round(avg(value), 4) AS mean_value
+          base AS (SELECT event_type, floor((avg(value)) * 1e4 + 0.5) / 1e4 AS mean_value
                    FROM events GROUP BY 1)
          SELECT event_type, mean_value,
-                round(quantile_cont(m, 0.025), 4) AS ci_lo,
-                round(quantile_cont(m, 0.975), 4) AS ci_hi
+                floor((quantile_cont(m, 0.025)) * 1e4 + 0.5) / 1e4 AS ci_lo,
+                floor((quantile_cont(m, 0.975)) * 1e4 + 0.5) / 1e4 AS ci_hi
          FROM m JOIN base USING (event_type)
          GROUP BY 1, 2""",
     // every event covers exactly the 4 slide-aligned windows ending
@@ -1782,14 +1781,14 @@ object AnalyticsQueries {
          GROUP BY 1""",
     "q175_promo_share" ->
       """WITH c AS (SELECT p_type,
-              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              CAST(floor((l_extendedprice * (1 - l_discount) * 100) * 1e0 + 0.5) / 1e0
                 AS BIGINT) AS cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
               AND l_shipdate < TIMESTAMP '1996-04-01')
-          SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+          SELECT floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
               THEN cents ELSE 0 END) AS BIGINT)
-            / CAST(sum(cents) AS BIGINT), 4) AS promo_share
+            / CAST(sum(cents) AS BIGINT)) * 1e4 + 0.5) / 1e4 AS promo_share
           FROM c""",
     "q176_supplier_parts" ->
       """SELECT p_brand, p_type, p_size,
@@ -1846,7 +1845,7 @@ object AnalyticsQueries {
               FROM deg)
           SELECT CAST(tri.c AS BIGINT) AS n_triangles,
                  w.wedges AS n_wedges,
-                 round(3.0 * tri.c / w.wedges, 6) AS clustering_coef
+                 floor((3.0 * tri.c / w.wedges) * 1e6 + 0.5) / 1e6 AS clustering_coef
           FROM tri CROSS JOIN w""",
     "q181_market_basket" ->
       """WITH ol AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -1857,8 +1856,8 @@ object AnalyticsQueries {
               FROM ol a JOIN ol b ON a.o = b.o AND a.p < b.p
               GROUP BY 1, 2 HAVING count(*) >= 2)
           SELECT a, b, CAST(nab AS BIGINT) AS nab,
-                 round(1.0 * nab * n_orders / (x.np * y.np), 4) AS lift,
-                 round(1.0 * nab / n_orders, 6) AS support
+                 floor((1.0 * nab * n_orders / (x.np * y.np)) * 1e4 + 0.5) / 1e4 AS lift,
+                 floor((1.0 * nab / n_orders) * 1e6 + 0.5) / 1e6 AS support
           FROM pairs
           JOIN na x ON pairs.a = x.p
           JOIN na y ON pairs.b = y.p

@@ -89,15 +89,15 @@ object AuditQueries {
       val n = cnt.agg(F.sum("c").as("n_total"))
       val micro = cnt.crossJoin(F.broadcast(n))
         .select(F.col("w"),
-          F.expr("""cast(round(-log2(cast(c as double) / n_total), 6)
+          F.expr("""cast(floor((-log2(cast(c as double) / n_total)) * 1e6 + 0.5) / 1e6
             * 1000000 as bigint)""").as("micro_bits"))
       tok.join(micro, "w")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).as("n_tokens"),
           F.sum("micro_bits").as("sum_micro"))
         .select(F.col("doc_id"), F.col("n_tokens"),
-          F.expr("""round(cast(sum_micro as double) / 1000000
-            / n_tokens, 6)""").as("bits_per_token"))
+          F.expr("""floor((cast(sum_micro as double) / 1000000
+            / n_tokens) * 1e6 + 0.5) / 1e6""").as("bits_per_token"))
         .orderBy(F.col("bits_per_token").desc, F.col("doc_id").asc)
         .limit(20)
     },
@@ -134,15 +134,15 @@ object AuditQueries {
       // |sp/1e6 − sy| = |sp − 1e6·sy| / 1e6: the cross-bin sum stays
       // an exact BIGINT, immune to partial-agg accumulation order
       val ece = bins.agg(
-        F.expr("""round(cast(sum(abs(sp - 1000000 * sy)) as double)
-          / 1000000 / sum(n), 6)""").as("ece"))
+        F.expr("""floor((cast(sum(abs(sp - 1000000 * sy)) as double)
+          / 1000000 / sum(n)) * 1e6 + 0.5) / 1e6""").as("ece"))
       bins.crossJoin(F.broadcast(ece))
         .select(F.col("bin"), F.col("n"),
-          F.expr("round(cast(sp as double) / 1000000 / n, 6)")
+          F.expr("floor((cast(sp as double) / 1000000 / n) * 1e6 + 0.5) / 1e6")
             .as("mean_conf"),
-          F.expr("round(cast(sy as double) / n, 6)").as("obs_rate"),
-          F.expr("""round(abs(cast(sp as double) / 1000000 / n
-            - cast(sy as double) / n), 6)""").as("gap"),
+          F.expr("floor((cast(sy as double) / n) * 1e6 + 0.5) / 1e6").as("obs_rate"),
+          F.expr("""floor((abs(cast(sp as double) / 1000000 / n
+            - cast(sy as double) / n)) * 1e6 + 0.5) / 1e6""").as("gap"),
           F.col("ece"))
         .orderBy("bin")
     },
@@ -161,7 +161,7 @@ object AuditQueries {
       val pur = T.load(s, dir, "events")
         .filter(F.col("event_type") === "purchase")
         .select(F.col("event_id"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val reps = pur.select(F.col("cents"), F.explode(F.expr(
           """transform(sequence(0, 31), b -> struct(b as b,
              ((event_id % 1000003) * 2654435761
@@ -179,7 +179,7 @@ object AuditQueries {
         .agg(F.sum(F.expr("w * cents")).as("swc"),
           F.sum("w").as("sw"))
         .select(F.col("replica"),
-          F.expr("round(cast(swc as double) / sw / 100, 6)")
+          F.expr("floor((cast(swc as double) / sw / 100) * 1e6 + 0.5) / 1e6")
             .as("boot_mean"))
       // percentile-audit: BOUNDED — input is the replica aggregate,
       // exactly 32 rows total (one per Poisson-bootstrap replica), so
@@ -187,10 +187,10 @@ object AuditQueries {
       // scale. See SCALE.md §percentile-audit.
       val ci = reps.agg(
         F.min("boot_mean").as("ci_lo"),
-        F.expr("round(percentile(boot_mean, 0.5), 6)").as("ci_med"),
+        F.expr("floor((percentile(boot_mean, 0.5)) * 1e6 + 0.5) / 1e6").as("ci_med"),
         F.max("boot_mean").as("ci_hi"))
       val point = pur.agg(F.count(F.lit(1)).as("n"),
-        F.expr("round(cast(sum(cents) as double) / count(1) / 100, 6)")
+        F.expr("floor((cast(sum(cents) as double) / count(1) / 100) * 1e6 + 0.5) / 1e6")
           .as("point_mean"))
       reps.crossJoin(F.broadcast(ci)).crossJoin(F.broadcast(point))
         .select(F.col("replica"), F.col("boot_mean"), F.col("n"),
@@ -229,11 +229,11 @@ object AuditQueries {
           .as("spe"))
       n.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(pe))
         .select(F.col("n"), F.col("agree"),
-          F.expr("round(cast(agree as double) / n, 6)").as("po"),
-          F.expr("""round(cast(spe as double)
-            / (cast(n as double) * n), 6)""").as("pe"))
+          F.expr("floor((cast(agree as double) / n) * 1e6 + 0.5) / 1e6").as("po"),
+          F.expr("""floor((cast(spe as double)
+            / (cast(n as double) * n)) * 1e6 + 0.5) / 1e6""").as("pe"))
         .selectExpr("n", "agree", "po", "pe",
-          "round((po - pe) / (1 - pe), 6) as kappa")
+          "floor(((po - pe) / (1 - pe)) * 1e6 + 0.5) / 1e6 as kappa")
     },
 
     // PSI drift monitor — population stability index of the `value`
@@ -251,7 +251,7 @@ object AuditQueries {
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"),
           F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
         .localCheckpoint() // feeds bounds AND both halves
       val bounds = ev.agg(
         F.min("sec").as("t0"), F.max("sec").as("t1"),
@@ -275,9 +275,9 @@ object AuditQueries {
         // per-bin terms become exact 1e-8-unit integers BEFORE the
         // sum, so partial-agg accumulation order cannot drift the
         // float result between engines
-        .agg(F.expr("""round(cast(sum(cast(round((pa - pb)
-          * ln(pa / pb) * 100000000) as bigint)) as double)
-          / 100000000, 6)""").as("psi"))
+        .agg(F.expr("""floor((cast(sum(cast(floor(((pa - pb)
+          * ln(pa / pb) * 100000000) * 1e0 + 0.5) / 1e0 as bigint)) as double)
+          / 100000000) * 1e6 + 0.5) / 1e6""").as("psi"))
         .withColumn("stable", F.col("psi") < 0.1)
         .orderBy("event_type")
     },
@@ -297,7 +297,7 @@ object AuditQueries {
         .agg(F.count(F.lit(1)).as("n_events"),
           F.count_distinct(F.expr("cast(ts as date)")).as("active_days"),
           F.sum(F.expr("""case when event_type != 'purchase'
-            then cast(round(value * 100) as bigint) else 0 end"""))
+            then cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint) else 0 end"""))
             .as("value_cents"),
           F.max(F.when(F.col("event_type") === "purchase", 1L)
             .otherwise(0L)).as("y"))
@@ -335,9 +335,9 @@ object AuditQueries {
           """case when n = nh then 0.0
              else cast(ny - nhy as double) / (n - nh) end as pl""")
         .selectExpr("feature", "threshold", "n", "nh",
-          s"""round(${hTerm("p0")}
+          s"""floor((${hTerm("p0")}
              - (cast(nh as double) / n) * ${hTerm("ph")}
-             - (cast(n - nh as double) / n) * ${hTerm("pl")}, 6)
+             - (cast(n - nh as double) / n) * ${hTerm("pl")}) * 1e6 + 0.5) / 1e6
              as gain""")
         .orderBy(F.col("gain").desc, F.col("feature").asc,
           F.col("threshold").asc)
@@ -369,7 +369,7 @@ object AuditQueries {
           "cohort_week")
         .select(F.col("cohort_week"), F.col("age_week"),
           F.col("n_active"), F.col("cohort_n"),
-          F.expr("round(cast(n_active as double) / cohort_n, 6)")
+          F.expr("floor((cast(n_active as double) / cohort_n) * 1e6 + 0.5) / 1e6")
             .as("retention"))
         .orderBy("cohort_week", "age_week")
     },
@@ -440,7 +440,7 @@ object AuditQueries {
         .select(F.col("source"), F.col("rank").cast("long").as("rank"),
           F.col("sh"),
           F.col("df"), F.col("n_docs"),
-          F.expr("round(cast(df as double) / n_docs, 6)")
+          F.expr("floor((cast(df as double) / n_docs) * 1e6 + 0.5) / 1e6")
             .as("doc_frac"),
           (F.col("df") * 10 >= F.col("n_docs") * 3).as("boilerplate"))
         .orderBy("source", "rank")
@@ -479,11 +479,11 @@ object AuditQueries {
           // a degenerate class (no positives / no negatives — the
           // sf0.01 corpus has ALL users purchasing) defines its rate
           // as 0 rather than erroring under ANSI division
-          F.expr("""round(case when p = 0 then 0.0
-            else cast(tp as double) / p end, 6)""").as("tpr"),
-          F.expr("""round(case when n = 0 then 0.0
-            else cast(fp as double) / n end, 6)""").as("fpr"))
-        .withColumn("j", F.expr("round(tpr - fpr, 6)"))
+          F.expr("""floor((case when p = 0 then 0.0
+            else cast(tp as double) / p end) * 1e6 + 0.5) / 1e6""").as("tpr"),
+          F.expr("""floor((case when n = 0 then 0.0
+            else cast(fp as double) / n end) * 1e6 + 0.5) / 1e6""").as("fpr"))
+        .withColumn("j", F.expr("floor((tpr - fpr) * 1e6 + 0.5) / 1e6"))
       val best = curve.orderBy(F.col("j").desc, F.col("cut").asc)
         .limit(1).select(F.col("cut").as("best_cut"))
       curve.crossJoin(F.broadcast(best))
@@ -508,18 +508,17 @@ object AuditQueries {
         F.count(F.lit(1)).as("n_sources"),
         F.sum(F.expr("cast(c as decimal(38,0)) * c")).as("sc2"))
       val ent = c.join(byLang.select("lang", "n"), "lang")
-        .select(F.col("lang"), F.expr("""cast(round(
-          -(cast(c as double) / n) * ln(cast(c as double) / n)
-          * 100000000) as bigint)""").as("t"))
+        .select(F.col("lang"), F.expr("""cast(floor((-(cast(c as double) / n) * ln(cast(c as double) / n)
+          * 100000000) * 1e0 + 0.5) / 1e0 as bigint)""").as("t"))
         .groupBy("lang").agg(F.sum("t").as("st"))
       byLang.join(ent, "lang")
         .select(F.col("lang"), F.col("n"), F.col("n_sources"),
-          F.expr("""round(cast(sc2 as double)
-            / (cast(n as double) * n), 6)""").as("hhi"),
-          F.expr("round(cast(st as double) / 100000000, 6)")
+          F.expr("""floor((cast(sc2 as double)
+            / (cast(n as double) * n)) * 1e6 + 0.5) / 1e6""").as("hhi"),
+          F.expr("floor((cast(st as double) / 100000000) * 1e6 + 0.5) / 1e6")
             .as("entropy"),
-          F.expr("""round((cast(n as double) * n)
-            / cast(sc2 as double), 6)""").as("effective_sources"))
+          F.expr("""floor(((cast(n as double) * n)
+            / cast(sc2 as double)) * 1e6 + 0.5) / 1e6""").as("effective_sources"))
         .orderBy("lang")
     },
 
@@ -561,7 +560,7 @@ object AuditQueries {
         .select(F.col("et"), (-F.col("m.nw")).as("best_wk"))
       cs.join(F.broadcast(best), F.col("event_type") === F.col("et"))
         .select(F.col("event_type"), F.col("wk"), F.col("c"),
-          F.expr("round(cast(wcusum as double) / n_weeks, 6)")
+          F.expr("floor((cast(wcusum as double) / n_weeks) * 1e6 + 0.5) / 1e6")
             .as("cusum"),
           (F.col("wk") === F.col("best_wk")).as("change_point"))
         .orderBy("event_type", "wk")
@@ -584,9 +583,9 @@ object AuditQueries {
           F.sum(F.expr(
             "cast(n_chars as decimal(38,0)) * n_chars")).as("sxx"))
         .select(F.col("source"), F.col("nh"),
-          F.expr("""cast(round(nh * round(sqrt(
+          F.expr("""cast(floor((nh * floor((sqrt(
             (cast(sxx as double) - cast(sx as double) * cast(sx as double) / nh)
-            / (nh - 1)), 6) * 1000000) as bigint)""").as("w_micro"))
+            / (nh - 1))) * 1e6 + 0.5) / 1e6 * 1000000) * 1e0 + 0.5) / 1e0 as bigint)""").as("w_micro"))
       val tot = m.agg(F.sum("w_micro").as("wsum"))
       // DECIMAL(38,0) before the B·w product (int64 wraps once
       // N_h·S_h·1e6·B passes 2^63 — a billion-doc stratum); Spark's
@@ -604,7 +603,7 @@ object AuditQueries {
       val left = ranked.agg((F.lit(B) - F.sum("base")).as("leftover"))
       ranked.crossJoin(F.broadcast(left))
         .select(F.col("source"), F.col("nh"),
-          F.expr("round(cast(w_micro as double) / 1000000, 6)")
+          F.expr("floor((cast(w_micro as double) / 1000000) * 1e6 + 0.5) / 1e6")
             .as("weight"),
           (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1L)
             .otherwise(0L)).as("alloc"))
@@ -626,14 +625,14 @@ object AuditQueries {
     "q329_robust_means" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val cuts = graft.ops.Quantiles.groupedExactLongMulti(
           ev, Seq("event_type"), "cents",
           Seq(0.05 -> "__q05", 0.95 -> "__q95", 0.5 -> "__q50"))
         .select(F.col("event_type"),
           F.expr("cast(floor(__q05) as bigint)").as("lo"),
           F.expr("cast(ceil(__q95) as bigint)").as("hi"),
-          F.expr("round(__q50 / 100, 6)").as("median"))
+          F.expr("floor((__q50 / 100) * 1e6 + 0.5) / 1e6").as("median"))
       ev.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n"),
@@ -645,11 +644,11 @@ object AuditQueries {
           F.sum(F.expr("""case when cents between lo and hi
             then 1 else 0 end""")).as("ntrim"))
         .select(F.col("event_type"), F.col("n"), F.col("median"),
-          F.expr("round(cast(sc as double) / n / 100, 6)").as("mean"),
-          F.expr("round(cast(swin as double) / n / 100, 6)")
+          F.expr("floor((cast(sc as double) / n / 100) * 1e6 + 0.5) / 1e6").as("mean"),
+          F.expr("floor((cast(swin as double) / n / 100) * 1e6 + 0.5) / 1e6")
             .as("winsorized_mean"),
-          F.expr("""round(case when ntrim = 0 then 0.0
-            else cast(strim as double) / ntrim / 100 end, 6)""")
+          F.expr("""floor((case when ntrim = 0 then 0.0
+            else cast(strim as double) / ntrim / 100 end) * 1e6 + 0.5) / 1e6""")
             .as("trimmed_mean"))
         .orderBy("event_type")
     },
@@ -666,7 +665,7 @@ object AuditQueries {
         .select(F.col("user_id"), F.col("event_id"),
           F.col("event_type"),
           F.expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val pur = ev.filter(F.col("event_type") === "purchase")
         .select(F.col("user_id"), F.col("event_id").as("pid"),
           F.col("sec").as("psec"), F.col("cents"))
@@ -691,8 +690,8 @@ object AuditQueries {
             .otherwise(0L)).as("attributed_cents"))
         .select(F.col("week"), F.col("n_purchases"),
           F.col("n_attributed"),
-          F.expr("""round(cast(n_attributed as double)
-            / n_purchases, 6)""").as("attach_rate"),
+          F.expr("""floor((cast(n_attributed as double)
+            / n_purchases) * 1e6 + 0.5) / 1e6""").as("attach_rate"),
           F.col("attributed_cents"))
         .orderBy("week")
     },
@@ -738,14 +737,14 @@ object AuditQueries {
         .crossJoin(F.broadcast(n))
         .withColumn("atrisk", F.expr("n_subjects - gone"))
         .withColumn("lnterm", F.expr(
-          """cast(round(ln(greatest(1 - cast(d as double) / atrisk,
-             0.000000000001)) * 100000000) as bigint)"""))
+          """cast(floor((ln(greatest(1 - cast(d as double) / atrisk,
+             0.000000000001)) * 100000000) * 1e0 + 0.5) / 1e0 as bigint)"""))
       RelOps.globalPrefixSum(withPre, "lnterm", "lnpre",
           Seq(Ordering("t_days")))
         .select(F.col("t_days"), F.col("d"), F.col("cens"),
           F.col("atrisk"),
-          F.expr("""round(exp(cast(lnpre + lnterm as double)
-            / 100000000), 6)""").as("survival"))
+          F.expr("""floor((exp(cast(lnpre + lnterm as double)
+            / 100000000)) * 1e6 + 0.5) / 1e6""").as("survival"))
         .orderBy("t_days")
     },
 
@@ -772,24 +771,24 @@ object AuditQueries {
       val rowTot = tr.groupBy("from_t").agg(F.sum("nab").as("na"))
       val pm = tr.join(rowTot, "from_t")
         .select(F.col("from_t"), F.col("to_t"),
-          F.expr("round(cast(nab as double) / na, 8)").as("pr"))
+          F.expr("floor((cast(nab as double) / na) * 1e8 + 0.5) / 1e8").as("pr"))
         .localCheckpoint() // 8 iterations read it
       val states = pm.select(F.col("from_t").as("st"))
         .unionAll(pm.select(F.col("to_t").as("st"))).distinct()
         .localCheckpoint()
       val k = states.count() // bounded: O(event types) scalar
       var pi = states.select(F.col("st"),
-        F.expr(s"round(1.0 / $k, 8)").as("v"))
+        F.expr(s"floor((1.0 / $k) * 1e8 + 0.5) / 1e8").as("v"))
       for (_ <- 1 to 8) {
         pi = pi.join(pm, F.col("st") === F.col("from_t"))
           .groupBy(F.col("to_t"))
-          .agg(F.expr("""round(cast(sum(cast(round(v * pr * 100000000)
-            as bigint)) as double) / 100000000, 8)""").as("v"))
+          .agg(F.expr("""floor((cast(sum(cast(floor((v * pr * 100000000) * 1e0 + 0.5) / 1e0
+            as bigint)) as double) / 100000000) * 1e8 + 0.5) / 1e8""").as("v"))
           .withColumnRenamed("to_t", "st")
       }
       pi.join(rowTot, F.col("st") === F.col("from_t"), "left")
         .select(F.col("st").as("state"),
-          F.expr("round(v, 6)").as("pi"),
+          F.expr("floor((v) * 1e6 + 0.5) / 1e6").as("pi"),
           F.coalesce(F.col("na"), F.lit(0L)).as("n_out"))
         .orderBy("state")
     },
@@ -803,7 +802,7 @@ object AuditQueries {
     "q333_gini_lorenz" -> { (s, dir) =>
       val per = T.load(s, dir, "events")
         .groupBy("user_id")
-        .agg(F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .agg(F.sum(F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)"))
           .as("cents"))
       val ranked = RelOps.globalRowNumber(per, "rk",
         Seq(Ordering("cents"), Ordering("user_id")))
@@ -813,8 +812,8 @@ object AuditQueries {
         F.sum(F.expr("cast(cents as decimal(38,0))")).as("s"),
         F.sum(F.expr("cast(rk as decimal(38,0)) * cents")).as("rs"))
       val gini = mom.select(F.col("n"), F.col("s"),
-        F.expr("""round(cast(2 * rs - (n + 1) * s as double)
-          / (cast(n as double) * cast(s as double)), 6)""")
+        F.expr("""floor((cast(2 * rs - (n + 1) * s as double)
+          / (cast(n as double) * cast(s as double))) * 1e6 + 0.5) / 1e6""")
           .as("gini"))
       val dec = ranked.crossJoin(F.broadcast(mom.select("n")))
         .groupBy(F.expr("(rk - 1) * 10 div n + 1").as("decile"))
@@ -829,7 +828,7 @@ object AuditQueries {
         .crossJoin(F.broadcast(gini))
         .select(F.col("decile"), F.col("n_users"),
           F.col("decile_cents"),
-          F.expr("round(cast(cum_cents as double) / s, 6)")
+          F.expr("floor((cast(cum_cents as double) / s) * 1e6 + 0.5) / 1e6")
             .as("cum_share"),
           F.col("gini"))
         .orderBy("decile")
@@ -844,7 +843,7 @@ object AuditQueries {
     // corpus SHOULD fail — the flag is reported, not asserted.
     "q334_benford" -> { (s, dir) =>
       val d = T.load(s, dir, "events")
-        .select(F.expr("cast(round(value * 100) as bigint)").as("cents"))
+        .select(F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
         .filter(F.col("cents") > 0)
         .select(F.expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
           .as("digit"))
@@ -853,18 +852,18 @@ object AuditQueries {
       val tot = d.agg(F.sum("n").as("nt"))
       val terms = d.crossJoin(F.broadcast(tot))
         .select(F.col("digit"), F.col("n"), F.col("nt"),
-          F.expr("round(log10(1.0 + 1.0 / digit), 8)").as("pexp"))
+          F.expr("floor((log10(1.0 + 1.0 / digit)) * 1e8 + 0.5) / 1e8").as("pexp"))
         .withColumn("chiterm", F.expr(
-          """cast(round(pow(cast(n as double) - pexp * nt, 2)
-             / (pexp * nt) * 100000000) as bigint)"""))
+          """cast(floor((pow(cast(n as double) - pexp * nt, 2)
+             / (pexp * nt) * 100000000) * 1e0 + 0.5) / 1e0 as bigint)"""))
         .localCheckpoint()
       val chi = terms.agg(F.expr(
-        "round(cast(sum(chiterm) as double) / 100000000, 6)")
+        "floor((cast(sum(chiterm) as double) / 100000000) * 1e6 + 0.5) / 1e6")
         .as("chi2"))
       terms.crossJoin(F.broadcast(chi))
         .select(F.col("digit"), F.col("n"),
-          F.expr("round(cast(n as double) / nt, 6)").as("obs_p"),
-          F.expr("round(pexp, 6)").as("exp_p"),
+          F.expr("floor((cast(n as double) / nt) * 1e6 + 0.5) / 1e6").as("obs_p"),
+          F.expr("floor((pexp) * 1e6 + 0.5) / 1e6").as("exp_p"),
           F.col("chi2"),
           (F.col("chi2") <= 15.507).as("benford_ok"))
         .orderBy("digit")
@@ -883,7 +882,7 @@ object AuditQueries {
       val ev = T.load(s, dir, "events")
         .filter(F.col("event_type") =!= "purchase")
         .select(F.col("event_type"),
-          F.expr("cast(round(value * 100) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val per = ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).as("na"),
           F.sum(F.expr("cast(cents as decimal(38,0))")).as("sc"))
@@ -893,21 +892,21 @@ object AuditQueries {
         F.sum("sc").as("sct"))
       val terms = per.crossJoin(F.broadcast(tot))
         .select(F.col("event_type"), F.col("na"),
-          F.expr("round(cast(na as double) / nt, 6)").as("p_log"),
+          F.expr("floor((cast(na as double) / nt) * 1e6 + 0.5) / 1e6").as("p_log"),
           F.col("sc"), F.col("nt"), F.col("k"), F.col("sct"),
-          F.expr("""round(cast(nt as double) * cast(sc as double)
-            / (k * cast(na as double)), 6)""").as("ips_term"))
+          F.expr("""floor((cast(nt as double) * cast(sc as double)
+            / (k * cast(na as double))) * 1e6 + 0.5) / 1e6""").as("ips_term"))
         .localCheckpoint()
       val v = terms.agg(
-        F.expr("""round(cast(sum(cast(round(ips_term * 1000000)
+        F.expr("""floor((cast(sum(cast(floor((ips_term * 1000000) * 1e0 + 0.5) / 1e0
           as bigint)) as double) / 1000000
-          / max(nt), 6)""").as("v_ips"),
-        F.expr("round(cast(max(sct) as double) / max(nt) / 100, 6)")
+          / max(nt)) * 1e6 + 0.5) / 1e6""").as("v_ips"),
+        F.expr("floor((cast(max(sct) as double) / max(nt) / 100) * 1e6 + 0.5) / 1e6")
           .as("v_naive"))
       terms.crossJoin(F.broadcast(v))
         .select(F.col("event_type"), F.col("na"), F.col("p_log"),
-          F.expr("round(ips_term / 100, 6)").as("ips_cents_term"),
-          F.expr("round(v_ips / 100, 6)").as("v_ips"),
+          F.expr("floor((ips_term / 100) * 1e6 + 0.5) / 1e6").as("ips_cents_term"),
+          F.expr("floor((v_ips / 100) * 1e6 + 0.5) / 1e6").as("v_ips"),
           F.col("v_naive"))
         .orderBy("event_type")
     },
@@ -973,7 +972,7 @@ object AuditQueries {
           F.sum(F.col("b.new_types")).as("cum_vocab"))
         .select(F.col("batch"), F.col("n_tokens"), F.col("new_types"),
           F.col("cum_vocab"),
-          F.expr("round(cast(new_types as double) / n_tokens, 6)")
+          F.expr("floor((cast(new_types as double) / n_tokens) * 1e6 + 0.5) / 1e6")
             .as("novelty_rate"))
         .orderBy("batch")
     },
@@ -1113,8 +1112,8 @@ object AuditQueries {
         .crossJoin(F.broadcast(tot))
         .select(F.col("policy"), F.col("n_docs"), F.col("n_clusters"),
           F.col("n_kept"), F.col("chars_total"), F.col("chars_kept"),
-          F.expr("""round(cast(chars_kept as double)
-            / chars_total, 6)""").as("kept_frac"))
+          F.expr("""floor((cast(chars_kept as double)
+            / chars_total) * 1e6 + 0.5) / 1e6""").as("kept_frac"))
         .orderBy("policy")
     }
   )
@@ -1156,9 +1155,9 @@ object AuditQueries {
              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                for i in range(1, len(t) - 1)]) s FROM toks),
           jp AS (SELECT a.doc_id id1, b.doc_id id2,
-             round(len(list_intersect(a.s, b.s)) /
+             floor((len(list_intersect(a.s, b.s)) /
                CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                    AS DOUBLE), 3) jac
+                    AS DOUBLE)) * 1e3 + 0.5) / 1e3 jac
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.85),
           edges AS (SELECT id1 a, id2 b FROM pairs
@@ -1199,7 +1198,7 @@ object AuditQueries {
             CAST(n_kept AS BIGINT) n_kept,
             CAST(chars_total AS BIGINT) chars_total,
             CAST(chars_kept AS BIGINT) chars_kept,
-            round(chars_kept::DOUBLE / chars_total, 6) + 0
+            floor((chars_kept::DOUBLE / chars_total) * 1e6 + 0.5) / 1e6 + 0
               AS kept_frac
           FROM pol CROSS JOIN tot ORDER BY "policy"""",
 
@@ -1223,26 +1222,26 @@ object AuditQueries {
 
     "q335_ips_value" ->
       """WITH ev AS (SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) cents
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents
            FROM events WHERE event_type != 'purchase'),
           per AS MATERIALIZED (SELECT event_type, count(*) na,
              sum(cents::DECIMAL(38,0)) sc FROM ev GROUP BY 1),
           tot AS (SELECT sum(na) nt, count(*) k, sum(sc) sct
                   FROM per),
           terms AS (SELECT event_type, na,
-             round(na::DOUBLE / nt, 6) + 0 p_log,
+             floor((na::DOUBLE / nt) * 1e6 + 0.5) / 1e6 + 0 p_log,
              nt, k, sct,
-             round(nt::DOUBLE * sc::DOUBLE / (k * na::DOUBLE), 6)
+             floor((nt::DOUBLE * sc::DOUBLE / (k * na::DOUBLE)) * 1e6 + 0.5) / 1e6
                + 0 ips_term
            FROM per CROSS JOIN tot),
           v AS (SELECT
-             round(sum(CAST(round(ips_term * 1000000) AS BIGINT))
-               ::DOUBLE / 1000000 / max(nt), 6) + 0 v_ips_c,
-             round(max(sct)::DOUBLE / max(nt) / 100, 6) + 0 v_naive
+             floor((sum(CAST(floor((ips_term * 1000000) * 1e0 + 0.5) / 1e0 AS BIGINT))
+               ::DOUBLE / 1000000 / max(nt)) * 1e6 + 0.5) / 1e6 + 0 v_ips_c,
+             floor((max(sct)::DOUBLE / max(nt) / 100) * 1e6 + 0.5) / 1e6 + 0 v_naive
            FROM terms)
           SELECT event_type, CAST(na AS BIGINT) na, p_log,
-            round(ips_term / 100, 6) + 0 AS ips_cents_term,
-            round(v_ips_c / 100, 6) + 0 AS v_ips, v_naive
+            floor((ips_term / 100) * 1e6 + 0.5) / 1e6 + 0 AS ips_cents_term,
+            floor((v_ips_c / 100) * 1e6 + 0.5) / 1e6 + 0 AS v_ips, v_naive
           FROM terms CROSS JOIN v ORDER BY event_type""",
 
     "q336_session_paths" ->
@@ -1287,7 +1286,7 @@ object AuditQueries {
           SELECT a.batch, CAST(a.n_tokens AS BIGINT) n_tokens,
             CAST(a.new_types AS BIGINT) new_types,
             CAST(sum(b.new_types) AS BIGINT) cum_vocab,
-            round(a.new_types::DOUBLE / a.n_tokens, 6) + 0
+            floor((a.new_types::DOUBLE / a.n_tokens) * 1e6 + 0.5) / 1e6 + 0
               AS novelty_rate
           FROM per a JOIN per b ON b.batch <= a.batch
           GROUP BY a.batch, a.n_tokens, a.new_types
@@ -1344,15 +1343,15 @@ object AuditQueries {
            FROM byt CROSS JOIN n),
           tm AS (SELECT t_days, d, cens,
              n_subjects - gone atrisk,
-             CAST(round(ln(greatest(1 - d::DOUBLE
+             CAST(floor((ln(greatest(1 - d::DOUBLE
                / (n_subjects - gone), 0.000000000001))
-               * 100000000) AS BIGINT) lnterm
+               * 100000000) * 1e0 + 0.5) / 1e0 AS BIGINT) lnterm
            FROM pre)
           SELECT t_days, CAST(d AS BIGINT) d,
             CAST(cens AS BIGINT) cens, CAST(atrisk AS BIGINT) atrisk,
-            round(exp(sum(lnterm) OVER (ORDER BY t_days
+            floor((exp(sum(lnterm) OVER (ORDER BY t_days
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              ::DOUBLE / 100000000), 6) + 0 AS survival
+              ::DOUBLE / 100000000)) * 1e6 + 0.5) / 1e6 + 0 AS survival
           FROM tm ORDER BY t_days""",
 
     "q332_markov_stationary" -> {
@@ -1368,16 +1367,16 @@ object AuditQueries {
           rowtot AS MATERIALIZED (SELECT from_t, sum(nab) na
            FROM tr GROUP BY 1),
           pm AS MATERIALIZED (SELECT tr.from_t, to_t,
-             round(nab::DOUBLE / na, 8) pr
+             floor((nab::DOUBLE / na) * 1e8 + 0.5) / 1e8 pr
            FROM tr JOIN rowtot USING (from_t)),
           states AS MATERIALIZED (SELECT DISTINCT st FROM
              (SELECT from_t st FROM pm
               UNION ALL SELECT to_t FROM pm) x),
           kk AS (SELECT count(*) k FROM states),
-          v0 AS MATERIALIZED (SELECT st, round(1.0 / k, 8) v
+          v0 AS MATERIALIZED (SELECT st, floor((1.0 / k) * 1e8 + 0.5) / 1e8 v
            FROM states CROSS JOIN kk),
           $rounds
-          SELECT st AS state, round(v, 6) + 0 AS pi,
+          SELECT st AS state, floor((v) * 1e6 + 0.5) / 1e6 + 0 AS pi,
             CAST(coalesce(na, 0) AS BIGINT) n_out
           FROM v8 LEFT JOIN rowtot ON rowtot.from_t = v8.st
           ORDER BY 1"""
@@ -1385,21 +1384,21 @@ object AuditQueries {
 
     "q333_gini_lorenz" ->
       """WITH per AS (SELECT user_id,
-             sum(CAST(round(value * 100) AS BIGINT)) cents
+             sum(CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT)) cents
            FROM events GROUP BY 1),
           r AS (SELECT user_id, cents,
              row_number() OVER (ORDER BY cents, user_id) rk FROM per),
           mom AS (SELECT count(*) n, sum(cents::DECIMAL(38,0)) s,
              sum(rk::DECIMAL(38,0) * cents) rs FROM r),
           g AS (SELECT n, s,
-             round(CAST(2 * rs - (n + 1) * s AS DOUBLE)
-               / (n::DOUBLE * s::DOUBLE), 6) + 0 gini FROM mom),
+             floor((CAST(2 * rs - (n + 1) * s AS DOUBLE)
+               / (n::DOUBLE * s::DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 gini FROM mom),
           dec AS (SELECT (rk - 1) * 10 // n + 1 decile,
              count(*) n_users, sum(cents) decile_cents
            FROM r CROSS JOIN (SELECT n FROM mom) m GROUP BY 1)
           SELECT a.decile, CAST(a.n_users AS BIGINT) n_users,
             CAST(a.decile_cents AS BIGINT) decile_cents,
-            round(sum(b.decile_cents)::DOUBLE / max(g.s::DOUBLE), 6)
+            floor((sum(b.decile_cents)::DOUBLE / max(g.s::DOUBLE)) * 1e6 + 0.5) / 1e6
               + 0 AS cum_share,
             max(g.gini) + 0 AS gini
           FROM dec a JOIN dec b ON b.decile <= a.decile CROSS JOIN g
@@ -1409,22 +1408,22 @@ object AuditQueries {
     "q334_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
                AS BIGINT) digit, count(*) n
-           FROM (SELECT CAST(round(value * 100) AS BIGINT) cents
+           FROM (SELECT CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents
                  FROM events) x
            WHERE cents > 0 GROUP BY 1),
           t AS (SELECT sum(n) nt FROM d),
           terms AS (SELECT digit, n, nt,
-             round(log10(1.0 + 1.0 / digit), 8) pexp,
-             CAST(round(pow(n::DOUBLE
-               - round(log10(1.0 + 1.0 / digit), 8) * nt, 2)
-               / (round(log10(1.0 + 1.0 / digit), 8) * nt)
-               * 100000000) AS BIGINT) chiterm
+             floor((log10(1.0 + 1.0 / digit)) * 1e8 + 0.5) / 1e8 pexp,
+             CAST(floor((pow(n::DOUBLE
+               - floor((log10(1.0 + 1.0 / digit)) * 1e8 + 0.5) / 1e8 * nt, 2)
+               / (floor((log10(1.0 + 1.0 / digit)) * 1e8 + 0.5) / 1e8 * nt)
+               * 100000000) * 1e0 + 0.5) / 1e0 AS BIGINT) chiterm
            FROM d CROSS JOIN t),
-          chi AS (SELECT round(sum(chiterm)::DOUBLE / 100000000, 6)
+          chi AS (SELECT floor((sum(chiterm)::DOUBLE / 100000000) * 1e6 + 0.5) / 1e6
                + 0 chi2 FROM terms)
           SELECT digit, CAST(n AS BIGINT) n,
-            round(n::DOUBLE / nt, 6) + 0 AS obs_p,
-            round(pexp, 6) + 0 AS exp_p, chi2,
+            floor((n::DOUBLE / nt) * 1e6 + 0.5) / 1e6 + 0 AS obs_p,
+            floor((pexp) * 1e6 + 0.5) / 1e6 + 0 AS exp_p, chi2,
             chi2 <= 15.507 AS benford_ok
           FROM terms CROSS JOIN chi ORDER BY digit""",
 
@@ -1451,7 +1450,7 @@ object AuditQueries {
                  FROM x) t
            GROUP BY 1)
           SELECT x.event_type, wk, CAST(c AS BIGINT) c,
-            round(wcusum::DOUBLE / n_weeks, 6) + 0 AS cusum,
+            floor((wcusum::DOUBLE / n_weeks) * 1e6 + 0.5) / 1e6 + 0 AS cusum,
             wk = best_wk AS change_point
           FROM x JOIN b ON x.event_type = b.event_type
           ORDER BY x.event_type, wk""",
@@ -1462,9 +1461,9 @@ object AuditQueries {
              sum(n_chars::DECIMAL(38,0) * n_chars) sxx
            FROM documents GROUP BY 1),
           w AS (SELECT source, nh,
-             CAST(round(nh * round(sqrt(
+             CAST(floor((nh * floor((sqrt(
                (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / nh)
-               / (nh - 1)), 6) * 1000000) AS BIGINT) w_micro
+               / (nh - 1))) * 1e6 + 0.5) / 1e6 * 1000000) * 1e0 + 0.5) / 1e0 AS BIGINT) w_micro
            FROM m),
           t AS (SELECT sum(w_micro) wsum FROM w),
           q AS (SELECT source, nh, w_micro,
@@ -1477,30 +1476,30 @@ object AuditQueries {
              1000 - sum(base) OVER () leftover
            FROM q)
           SELECT source, CAST(nh AS BIGINT) nh,
-            round(w_micro::DOUBLE / 1000000, 6) + 0 AS weight,
+            floor((w_micro::DOUBLE / 1000000) * 1e6 + 0.5) / 1e6 + 0 AS weight,
             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
               AS BIGINT) alloc
           FROM r ORDER BY source""",
 
     "q329_robust_means" ->
       """WITH ev AS MATERIALIZED (SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) cents FROM events),
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents FROM events),
           cuts AS (SELECT event_type,
              CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) lo,
              CAST(ceil(quantile_cont(cents, 0.95)) AS BIGINT) hi,
-             round(quantile_cont(cents, 0.5) / 100, 6) + 0 median
+             floor((quantile_cont(cents, 0.5) / 100) * 1e6 + 0.5) / 1e6 + 0 median
            FROM ev GROUP BY 1)
           SELECT ev.event_type, CAST(count(*) AS BIGINT) n,
             max(median) + 0 AS median,
-            round(sum(cents)::DOUBLE / count(*) / 100, 6) + 0 AS mean,
-            round(sum(greatest(least(cents, hi), lo))::DOUBLE
-              / count(*) / 100, 6) + 0 AS winsorized_mean,
-            round(CASE WHEN sum(CASE WHEN cents BETWEEN lo AND hi
+            floor((sum(cents)::DOUBLE / count(*) / 100) * 1e6 + 0.5) / 1e6 + 0 AS mean,
+            floor((sum(greatest(least(cents, hi), lo))::DOUBLE
+              / count(*) / 100) * 1e6 + 0.5) / 1e6 + 0 AS winsorized_mean,
+            floor((CASE WHEN sum(CASE WHEN cents BETWEEN lo AND hi
                 THEN 1 ELSE 0 END) = 0 THEN 0.0
               ELSE sum(CASE WHEN cents BETWEEN lo AND hi
                 THEN cents ELSE 0 END)::DOUBLE
                 / sum(CASE WHEN cents BETWEEN lo AND hi
-                  THEN 1 ELSE 0 END) / 100 END, 6) + 0
+                  THEN 1 ELSE 0 END) / 100 END) * 1e6 + 0.5) / 1e6 + 0
               AS trimmed_mean
           FROM ev JOIN cuts USING (event_type)
           GROUP BY ev.event_type
@@ -1509,7 +1508,7 @@ object AuditQueries {
     "q330_last_touch" ->
       """WITH ev AS MATERIALIZED (SELECT user_id, event_id,
              event_type, CAST(floor(epoch(ts)) AS BIGINT) sec,
-             CAST(round(value * 100) AS BIGINT) cents FROM events),
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents FROM events),
           pur AS (SELECT user_id, event_id pid, sec psec, cents
                   FROM ev WHERE event_type = 'purchase'),
           clk AS (SELECT user_id, sec csec FROM ev
@@ -1524,8 +1523,8 @@ object AuditQueries {
             CAST(count(*) AS BIGINT) n_purchases,
             CAST(sum(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) n_attributed,
-            round(sum(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END)
-              ::DOUBLE / count(*), 6) + 0 AS attach_rate,
+            floor((sum(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END)
+              ::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 + 0 AS attach_rate,
             CAST(sum(CASE WHEN csec IS NOT NULL THEN cents ELSE 0 END)
               AS BIGINT) attributed_cents
           FROM att GROUP BY 1 ORDER BY 1""",
@@ -1575,7 +1574,7 @@ object AuditQueries {
            FROM df JOIN nd USING (source))
           SELECT source, CAST(rank AS BIGINT) rank, sh,
             CAST(df AS BIGINT) df, CAST(n_docs AS BIGINT) n_docs,
-            round(df::DOUBLE / n_docs, 6) + 0 AS doc_frac,
+            floor((df::DOUBLE / n_docs) * 1e6 + 0.5) / 1e6 + 0 AS doc_frac,
             df * 10 >= n_docs * 3 AS boilerplate
           FROM rk WHERE rank <= 10
           ORDER BY source, rank""",
@@ -1598,14 +1597,14 @@ object AuditQueries {
            GROUP BY 1),
           j AS (SELECT cut, CAST(tp AS BIGINT) tp,
              CAST(fp AS BIGINT) fp,
-             round(CASE WHEN p = 0 THEN 0.0
-               ELSE tp::DOUBLE / p END, 6) + 0 tpr,
-             round(CASE WHEN n = 0 THEN 0.0
-               ELSE fp::DOUBLE / n END, 6) + 0 fpr,
-             round(round(CASE WHEN p = 0 THEN 0.0
-                 ELSE tp::DOUBLE / p END, 6)
-               - round(CASE WHEN n = 0 THEN 0.0
-                 ELSE fp::DOUBLE / n END, 6), 6) + 0 j
+             floor((CASE WHEN p = 0 THEN 0.0
+               ELSE tp::DOUBLE / p END) * 1e6 + 0.5) / 1e6 + 0 tpr,
+             floor((CASE WHEN n = 0 THEN 0.0
+               ELSE fp::DOUBLE / n END) * 1e6 + 0.5) / 1e6 + 0 fpr,
+             floor((floor((CASE WHEN p = 0 THEN 0.0
+                 ELSE tp::DOUBLE / p END) * 1e6 + 0.5) / 1e6
+               - floor((CASE WHEN n = 0 THEN 0.0
+                 ELSE fp::DOUBLE / n END) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 + 0 j
            FROM curve),
           b AS (SELECT cut best_cut FROM j
                 ORDER BY j DESC, cut LIMIT 1)
@@ -1619,15 +1618,14 @@ object AuditQueries {
           bl AS (SELECT lang, sum(c) n, count(*) n_sources,
              sum(c::DECIMAL(38,0) * c) sc2
            FROM c GROUP BY 1),
-          e AS (SELECT c.lang, sum(CAST(round(
-             -(c::DOUBLE / n) * ln(c::DOUBLE / n) * 100000000)
+          e AS (SELECT c.lang, sum(CAST(floor((-(c::DOUBLE / n) * ln(c::DOUBLE / n) * 100000000) * 1e0 + 0.5) / 1e0
              AS BIGINT)) st
            FROM c JOIN bl USING (lang) GROUP BY 1)
           SELECT lang, CAST(n AS BIGINT) n,
             CAST(n_sources AS BIGINT) n_sources,
-            round(sc2::DOUBLE / (n::DOUBLE * n), 6) + 0 AS hhi,
-            round(st::DOUBLE / 100000000, 6) + 0 AS entropy,
-            round((n::DOUBLE * n) / sc2::DOUBLE, 6) + 0
+            floor((sc2::DOUBLE / (n::DOUBLE * n)) * 1e6 + 0.5) / 1e6 + 0 AS hhi,
+            floor((st::DOUBLE / 100000000) * 1e6 + 0.5) / 1e6 + 0 AS entropy,
+            floor(((n::DOUBLE * n) / sc2::DOUBLE) * 1e6 + 0.5) / 1e6 + 0
               AS effective_sources
           FROM bl JOIN e USING (lang)
           ORDER BY lang""",
@@ -1648,18 +1646,18 @@ object AuditQueries {
                  JOIN (SELECT pred l, sum(c) cs FROM cm GROUP BY 1) cc
                    USING (l))
           SELECT CAST(n AS BIGINT) n, CAST(agree AS BIGINT) agree,
-            round(agree::DOUBLE / n, 6) + 0 AS po,
-            round(spe::DOUBLE / (n::DOUBLE * n), 6) + 0 AS pe,
-            round((round(agree::DOUBLE / n, 6)
-              - round(spe::DOUBLE / (n::DOUBLE * n), 6))
-              / (1 - round(spe::DOUBLE / (n::DOUBLE * n), 6)), 6) + 0
+            floor((agree::DOUBLE / n) * 1e6 + 0.5) / 1e6 + 0 AS po,
+            floor((spe::DOUBLE / (n::DOUBLE * n)) * 1e6 + 0.5) / 1e6 + 0 AS pe,
+            floor(((floor((agree::DOUBLE / n) * 1e6 + 0.5) / 1e6
+              - floor((spe::DOUBLE / (n::DOUBLE * n)) * 1e6 + 0.5) / 1e6)
+              / (1 - floor((spe::DOUBLE / (n::DOUBLE * n)) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 + 0
               AS kappa
           FROM n CROSS JOIN d CROSS JOIN pe""",
 
     "q320_psi_drift" ->
       """WITH ev AS MATERIALIZED (SELECT event_type,
              CAST(floor(epoch(ts)) AS BIGINT) sec,
-             CAST(round(value * 100) AS BIGINT) cents
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents
            FROM events),
           b AS (SELECT min(sec) t0, max(sec) t1, min(cents) c0,
                   max(cents) c1 FROM ev),
@@ -1677,17 +1675,17 @@ object AuditQueries {
              greatest(nb::DOUBLE / tb, 0.0001) pb
            FROM cnt JOIN tot USING (event_type))
           SELECT event_type,
-            round(sum(CAST(round((pa - pb) * ln(pa / pb) * 100000000)
-              AS BIGINT))::DOUBLE / 100000000, 6) + 0 AS psi,
-            round(sum(CAST(round((pa - pb) * ln(pa / pb) * 100000000)
-              AS BIGINT))::DOUBLE / 100000000, 6) + 0 < 0.1 AS stable
+            floor((sum(CAST(floor(((pa - pb) * ln(pa / pb) * 100000000) * 1e0 + 0.5) / 1e0
+              AS BIGINT))::DOUBLE / 100000000) * 1e6 + 0.5) / 1e6 + 0 AS psi,
+            floor((sum(CAST(floor(((pa - pb) * ln(pa / pb) * 100000000) * 1e0 + 0.5) / 1e0
+              AS BIGINT))::DOUBLE / 100000000) * 1e6 + 0.5) / 1e6 + 0 < 0.1 AS stable
           FROM p GROUP BY 1 ORDER BY 1""",
 
     "q321_info_gain" ->
       """WITH per AS (SELECT user_id, count(*) n_events,
              count(DISTINCT CAST(ts AS DATE)) active_days,
              sum(CASE WHEN event_type != 'purchase'
-               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               THEN CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) ELSE 0 END)
                value_cents,
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y
            FROM events GROUP BY 1),
@@ -1718,15 +1716,14 @@ object AuditQueries {
            FROM c)
           SELECT feature, threshold, CAST(n AS BIGINT) n,
             CAST(nh AS BIGINT) nh,
-            round((CASE WHEN p0 <= 0 OR p0 >= 1 THEN 0
+            floor(((CASE WHEN p0 <= 0 OR p0 >= 1 THEN 0
                 ELSE -(p0) * log2(p0) - (1 - p0) * log2(1 - p0) END)
               - (nh::DOUBLE / n)
                 * (CASE WHEN ph <= 0 OR ph >= 1 THEN 0
                    ELSE -(ph) * log2(ph) - (1 - ph) * log2(1 - ph) END)
               - ((n - nh)::DOUBLE / n)
                 * (CASE WHEN pl <= 0 OR pl >= 1 THEN 0
-                   ELSE -(pl) * log2(pl) - (1 - pl) * log2(1 - pl) END),
-              6) + 0 AS gain
+                   ELSE -(pl) * log2(pl) - (1 - pl) * log2(1 - pl) END)) * 1e6 + 0.5) / 1e6 + 0 AS gain
           FROM q
           ORDER BY gain DESC, feature, threshold""",
 
@@ -1742,7 +1739,7 @@ object AuditQueries {
           SELECT cohort_week, age_week,
             CAST(n_active AS BIGINT) n_active,
             CAST(cohort_n AS BIGINT) cohort_n,
-            round(n_active::DOUBLE / cohort_n, 6) + 0 AS retention
+            floor((n_active::DOUBLE / cohort_n) * 1e6 + 0.5) / 1e6 + 0 AS retention
           FROM act JOIN sz ON sz.w0 = act.cohort_week
           ORDER BY cohort_week, age_week""",
 
@@ -1772,12 +1769,12 @@ object AuditQueries {
           cnt AS (SELECT w, count(*) c FROM tok GROUP BY 1),
           n AS (SELECT sum(c) n_total FROM cnt),
           micro AS (SELECT w,
-             CAST(round(-log2(c::DOUBLE / n_total), 6) * 1000000
+             CAST(floor((-log2(c::DOUBLE / n_total)) * 1e6 + 0.5) / 1e6 * 1000000
                AS BIGINT) micro_bits
            FROM cnt CROSS JOIN n)
           SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
-            round(CAST(sum(micro_bits) AS DOUBLE) / 1000000
-              / count(*), 6) + 0 AS bits_per_token
+            floor((CAST(sum(micro_bits) AS DOUBLE) / 1000000
+              / count(*)) * 1e6 + 0.5) / 1e6 + 0 AS bits_per_token
           FROM tok JOIN micro USING (w)
           GROUP BY doc_id
           ORDER BY bits_per_token DESC, doc_id
@@ -1794,13 +1791,13 @@ object AuditQueries {
              sum((1000000 * k) // (k + v + 1)) sp,
              sum(y) sy
            FROM per GROUP BY 1),
-          e AS (SELECT round(sum(abs(sp - 1000000 * sy))::DOUBLE
-                  / 1000000 / sum(n), 6) + 0 ece
+          e AS (SELECT floor((sum(abs(sp - 1000000 * sy))::DOUBLE
+                  / 1000000 / sum(n)) * 1e6 + 0.5) / 1e6 + 0 ece
                 FROM bins)
           SELECT CAST(bin AS BIGINT) bin, CAST(n AS BIGINT) n,
-            round(sp::DOUBLE / 1000000 / n, 6) + 0 AS mean_conf,
-            round(sy::DOUBLE / n, 6) + 0 AS obs_rate,
-            round(abs(sp::DOUBLE / 1000000 / n - sy::DOUBLE / n), 6)
+            floor((sp::DOUBLE / 1000000 / n) * 1e6 + 0.5) / 1e6 + 0 AS mean_conf,
+            floor((sy::DOUBLE / n) * 1e6 + 0.5) / 1e6 + 0 AS obs_rate,
+            floor((abs(sp::DOUBLE / 1000000 / n - sy::DOUBLE / n)) * 1e6 + 0.5) / 1e6
               + 0 AS gap,
             ece
           FROM bins CROSS JOIN e
@@ -1808,7 +1805,7 @@ object AuditQueries {
 
     "q318_poisson_bootstrap" ->
       """WITH pur AS (SELECT event_id,
-             CAST(round(value * 100) AS BIGINT) cents
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents
            FROM events WHERE event_type = 'purchase'),
           reps AS (SELECT cents, b AS "replica",
              (((event_id % 1000003) * 2654435761
@@ -1823,14 +1820,14 @@ object AuditQueries {
                   ELSE 5 END w
            FROM reps),
           means AS (SELECT CAST("replica" AS BIGINT) "replica",
-             round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100, 6)
+             floor((CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100) * 1e6 + 0.5) / 1e6
                + 0 boot_mean
            FROM w GROUP BY 1),
           ci AS (SELECT min(boot_mean) ci_lo,
-             round(quantile_cont(boot_mean, 0.5), 6) + 0 ci_med,
+             floor((quantile_cont(boot_mean, 0.5)) * 1e6 + 0.5) / 1e6 + 0 ci_med,
              max(boot_mean) ci_hi FROM means),
           pt AS (SELECT CAST(count(*) AS BIGINT) n,
-             round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6)
+             floor((CAST(sum(cents) AS DOUBLE) / count(*) / 100) * 1e6 + 0.5) / 1e6
                + 0 point_mean
            FROM pur)
           SELECT "replica", boot_mean, n, point_mean, ci_lo, ci_med,

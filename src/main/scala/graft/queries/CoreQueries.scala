@@ -24,13 +24,13 @@ object CoreQueries {
       li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .by(
           Seq("l_returnflag", "l_linestatus"),
-          "sum_qty" -> "round(sum(l_quantity), 2)",
-          "sum_base_price" -> "round(sum(l_extendedprice), 2)",
-          "sum_disc_price" -> "round(sum(l_extendedprice * (1 - l_discount)), 2)",
-          "sum_charge" -> "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)",
-          "avg_qty" -> "round(avg(l_quantity), 6)",
-          "avg_price" -> "round(avg(l_extendedprice), 6)",
-          "avg_disc" -> "round(avg(l_discount), 6)",
+          "sum_qty" -> "floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2",
+          "sum_base_price" -> "floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2",
+          "sum_disc_price" -> "floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2",
+          "sum_charge" -> "floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2",
+          "avg_qty" -> "floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6",
+          "avg_price" -> "floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6",
+          "avg_disc" -> "floor((avg(l_discount)) * 1e6 + 0.5) / 1e6",
           "count_order" -> "count(*)")
     },
 
@@ -122,13 +122,13 @@ object CoreQueries {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_tpch1" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_extendedprice), 6) AS avg_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+         floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+         floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2 AS sum_charge,
+         floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+         floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6 AS avg_price,
+         floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'

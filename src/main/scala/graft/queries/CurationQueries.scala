@@ -109,8 +109,7 @@ object CurationQueries {
       val counts = docs.groupBy("lang").agg(F.count(F.lit(1)).as("n_orig"))
       val rates = counts
         .crossJoin(counts.agg(F.min("n_orig").as("__mn"))) // 1 row
-        .withColumn("rate", F.round(
-          F.sqrt(F.col("__mn").cast("double") / F.col("n_orig")), 6))
+        .withColumn("rate", (F.floor((F.sqrt(F.col("__mn").cast("double") / F.col("n_orig"))) * 1e6 + 0.5) / 1e6))
       val kept = Sampling.bernoulliByRate(
           docs.join(F.broadcast(rates.select("lang", "rate")), "lang"),
           "doc_id", "rate")
@@ -158,9 +157,8 @@ object CurationQueries {
       val w = Window.orderBy(F.col("c").desc, F.col("tok").asc)
       top.crossJoin(tot)
         .withColumn("rank", F.row_number().over(w))
-        .withColumn("coverage", F.round(
-          F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).cast("double") / F.col("__tot"), 6))
+        .withColumn("coverage", (F.floor((F.sum("c").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / F.col("__tot")) * 1e6 + 0.5) / 1e6))
         .select("tok", "c", "rank", "coverage")
     },
 
@@ -307,9 +305,9 @@ object CurationQueries {
       val w = Window.partitionBy("label")
       c.select(F.col("label"),
         (F.col("pos") + 1).cast("bigint").as("pos"),
-        F.round(F.col("c"), 6).as("centroid"),
-        F.round(F.col("c")
-          / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w)), 6).as("unit"))
+        (F.floor((F.col("c")) * 1e6 + 0.5) / 1e6).as("centroid"),
+        (F.floor((F.col("c")
+          / F.sqrt(F.sum(F.col("c") * F.col("c")).over(w))) * 1e6 + 0.5) / 1e6).as("unit"))
     },
 
     // Bloom-filtered decontamination (broadcast 2^20-bit filter, k=5
@@ -424,10 +422,9 @@ object CurationQueries {
       g2.join(c3, "tri").join(c2, "big")
         .groupBy("doc_id")
         .agg(F.sum("n").cast("long").as("n_grams"),
-          F.round(
-            F.sum(F.col("n") * F.log(
+          (F.floor((F.sum(F.col("n") * F.log(
               F.col("c3").cast("double") / (F.col("c2") + F.lit(5.0d))))
-              / F.sum("n"), 6)
+              / F.sum("n")) * 1e6 + 0.5) / 1e6)
             .as("lm_score"))
     },
 
@@ -456,7 +453,7 @@ object CurationQueries {
             / (F.col("n") - 1)))
       val alloc = per.crossJoin(per.agg(F.sum("w").as("tw")))
         .select(F.col("source"), F.greatest(F.lit(1L),
-          F.round(F.lit(100) * F.col("w") / F.col("tw"))
+          (F.floor((F.lit(100) * F.col("w") / F.col("tw")) * 1e0 + 0.5) / 1e0)
             .cast("long")).as("k"))
       val ranked = d.withColumn("r", F.row_number().over(
         Window.partitionBy("source").orderBy(
@@ -561,11 +558,11 @@ object CurationQueries {
         .withColumn("t", TextOps.tokens("text"))
         .withColumn("n_words", F.expr("size(t)"))
         .withColumn("mean_word_len", F.expr(
-          "round(aggregate(t, 0L, (a, x) -> a + length(x)) " +
-            "/ cast(size(t) as double), 6)"))
+          "floor((aggregate(t, 0L, (a, x) -> a + length(x)) " +
+            "/ cast(size(t) as double)) * 1e6 + 0.5) / 1e6"))
         .withColumn("alpha_frac", F.expr(
-          "round(size(filter(t, x -> x rlike '[a-z]')) " +
-            "/ cast(size(t) as double), 6)"))
+          "floor((size(filter(t, x -> x rlike '[a-z]')) " +
+            "/ cast(size(t) as double)) * 1e6 + 0.5) / 1e6"))
         .withColumn("stop_hits",
           F.expr(TextOps.markerScoreExpr("t", stop)).cast("long"))
         .withColumn("keep", F.expr(
@@ -594,11 +591,10 @@ object CurationQueries {
         .filter(F.col("r") <= 200)
       ranked.groupBy("source").agg(
           F.count(F.lit(1)).as("n_top"),
-          F.round(
-            (F.count(F.lit(1)) * F.sum(F.log("r") * F.log("f"))
+          (F.floor(((F.count(F.lit(1)) * F.sum(F.log("r") * F.log("f"))
               - F.sum(F.log("r")) * F.sum(F.log("f"))) /
             (F.count(F.lit(1)) * F.sum(F.log("r") * F.log("r"))
-              - F.sum(F.log("r")) * F.sum(F.log("r"))), 4)
+              - F.sum(F.log("r")) * F.sum(F.log("r")))) * 1e4 + 0.5) / 1e4)
             .as("zipf_slope"))
         // singleton-vocab guard: n_top = 1 makes the OLS denominator 0
         .filter(F.col("n_top") >= 2)
@@ -660,9 +656,9 @@ object CurationQueries {
           F.count(F.lit(1)).as("n_types"),
           F.sum(F.expr("c * ln(c)")).as("__sclnc"))
         .select(F.col("doc_id"), F.col("n_tok"), F.col("n_types"),
-          F.round(F.log(F.col("n_tok"))
-            - F.col("__sclnc") / F.col("n_tok"), 6).as("entropy"),
-          F.round(F.col("n_types") / F.col("n_tok"), 6).as("ttr"))
+          (F.floor((F.log(F.col("n_tok"))
+            - F.col("__sclnc") / F.col("n_tok")) * 1e6 + 0.5) / 1e6).as("entropy"),
+          (F.floor((F.col("n_types") / F.col("n_tok")) * 1e6 + 0.5) / 1e6).as("ttr"))
     },
 
     // Per-doc surprisal under the corpus unigram LM (mean bits/token,
@@ -688,8 +684,8 @@ object CurationQueries {
           F.sum(F.expr("c * ln(cg)")).as("__s"))
         .crossJoin(F.broadcast(n))
         .select(F.col("doc_id"), F.col("n_tok"),
-          F.round((F.log(F.col("nn")) * F.col("n_tok") - F.col("__s"))
-            / (F.col("n_tok") * F.expr("ln(2)")), 6).as("bits_per_tok"))
+          (F.floor(((F.log(F.col("nn")) * F.col("n_tok") - F.col("__s"))
+            / (F.col("n_tok") * F.expr("ln(2)"))) * 1e6 + 0.5) / 1e6).as("bits_per_tok"))
     },
 
     // Mutual information between two categorical metadata columns
@@ -710,9 +706,9 @@ object CurationQueries {
         .join(F.broadcast(ms), "source")
         .crossJoin(F.broadcast(tot))
         .agg(F.count(F.lit(1)).as("n_cells"),
-          F.round(F.sum((F.col("c") / F.col("n"))
+          (F.floor((F.sum((F.col("c") / F.col("n"))
             * F.log(F.col("c") * F.col("n")
-              / (F.col("cl") * F.col("cs")))), 6).as("mi"))
+              / (F.col("cl") * F.col("cs"))))) * 1e6 + 0.5) / 1e6).as("mi"))
     },
 
     // Dataset card: the one-row corpus profile every release ships
@@ -727,7 +723,7 @@ object CurationQueries {
         F.count(F.lit(1)).as("n_docs"),
         F.countDistinct(F.col("source")).as("n_sources"),
         F.countDistinct(F.col("lang")).as("n_langs"),
-        F.round(F.avg("n_chars"), 2).as("mean_chars"),
+        (F.floor((F.avg("n_chars")) * 1e2 + 0.5) / 1e2).as("mean_chars"),
         F.countDistinct(F.md5(F.col("text"))).as("__uniq"))
       val toks = docs
         .select(F.size(TextOps.tokens("text")).cast("long").as("nt"))
@@ -735,7 +731,7 @@ object CurationQueries {
       base.crossJoin(F.broadcast(toks))
         .select(F.col("n_docs"), F.col("n_sources"), F.col("n_langs"),
           F.col("mean_chars"), F.col("total_tokens"),
-          F.round(F.lit(1.0) - F.col("__uniq") / F.col("n_docs"), 6)
+          (F.floor((F.lit(1.0) - F.col("__uniq") / F.col("n_docs")) * 1e6 + 0.5) / 1e6)
             .as("dup_frac"))
     },
 
@@ -815,8 +811,8 @@ object CurationQueries {
         .join(uni.toDF("y", "cy"), "y")
         .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
         .select(F.col("x"), F.col("y"), F.col("cxy"),
-          F.round(F.log(F.col("cxy") * F.col("n1") * F.col("n1")
-            / (F.col("n2") * F.col("cx") * F.col("cy"))), 6).as("pmi"))
+          (F.floor((F.log(F.col("cxy") * F.col("n1") * F.col("n1")
+            / (F.col("n2") * F.col("cx") * F.col("cy")))) * 1e6 + 0.5) / 1e6).as("pmi"))
         .topK(20, Ordering("pmi", desc = true), Ordering("x"),
           Ordering("y"))
     },
@@ -883,8 +879,8 @@ object CurationQueries {
           "right_outer")
         .select(F.col("doc_id"), F.col("n_shingles"),
           F.coalesce(F.col("n_boiler"), F.lit(0L)).as("n_boiler"),
-          F.round(F.coalesce(F.col("n_boiler"), F.lit(0L))
-            / F.col("n_shingles"), 6).as("boiler_frac"))
+          (F.floor((F.coalesce(F.col("n_boiler"), F.lit(0L))
+            / F.col("n_shingles")) * 1e6 + 0.5) / 1e6).as("boiler_frac"))
     }
   )
 
@@ -899,8 +895,8 @@ object CurationQueries {
                  FROM toks GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
                 CAST(count(*) AS BIGINT) AS n_types,
-                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
-                round(count(*) * 1.0 / sum(c), 6) AS ttr
+                floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1e6 + 0.5) / 1e6 AS entropy,
+                floor((count(*) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6 AS ttr
          FROM tf GROUP BY 1""",
     "q188_surprisal" ->
       """WITH toks AS (SELECT doc_id,
@@ -913,22 +909,21 @@ object CurationQueries {
           uni AS (SELECT tok, sum(c) AS cg FROM tf GROUP BY 1),
           n AS (SELECT CAST(sum(cg) AS DOUBLE) AS nn FROM uni)
          SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tok,
-                round((ln(any_value(n.nn)) * sum(tf.c)
+                floor(((ln(any_value(n.nn)) * sum(tf.c)
                        - sum(tf.c * ln(uni.cg)))
-                      / (sum(tf.c) * ln(2)), 6) AS bits_per_tok
+                      / (sum(tf.c) * ln(2))) * 1e6 + 0.5) / 1e6 AS bits_per_tok
          FROM tf JOIN uni USING (tok) CROSS JOIN n
          GROUP BY 1""",
     "q167_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                round(avg(n_chars), 2) AS mean_chars,
+                floor((avg(n_chars)) * 1e2 + 0.5) / 1e2 AS mean_chars,
                 (SELECT CAST(sum(len(list_filter(
                      string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> ''))) AS BIGINT)
                  FROM documents) AS total_tokens,
-                round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*),
-                      6) AS dup_frac
+                floor((1.0 - count(DISTINCT md5(text)) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS dup_frac
          FROM documents""",
     "q163_scd2" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents),
@@ -975,7 +970,7 @@ object CurationQueries {
                   GROUP BY 1, 2),
           n2 AS (SELECT CAST(sum(cxy) AS DOUBLE) AS n2 FROM big)
          SELECT b.x AS x, b.y AS y, b.cxy AS cxy,
-                round(ln(b.cxy * n1 * n1 / (n2 * ux.cx * uy.cy)), 6)
+                floor((ln(b.cxy * n1 * n1 / (n2 * ux.cx * uy.cy))) * 1e6 + 0.5) / 1e6
                   AS pmi
          FROM big b
               JOIN uni ux ON b.x = ux.x
@@ -1026,7 +1021,7 @@ object CurationQueries {
                   GROUP BY 1)
          SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
                 CAST(n_boiler AS BIGINT) AS n_boiler,
-                round(n_boiler * 1.0 / n_shingles, 6) AS boiler_frac
+                floor((n_boiler * 1.0 / n_shingles) * 1e6 + 0.5) / 1e6 AS boiler_frac
          FROM per""",
     "q152_mutual_info" ->
       """WITH joint AS (SELECT lang, source, count(*) AS c
@@ -1035,7 +1030,7 @@ object CurationQueries {
           ml AS (SELECT lang, sum(c) AS cl FROM joint GROUP BY 1),
           ms AS (SELECT source, sum(c) AS cs FROM joint GROUP BY 1)
          SELECT CAST(count(*) AS BIGINT) AS n_cells,
-                round(sum((c / n) * ln(c * n / (cl * cs))), 6) AS mi
+                floor((sum((c / n) * ln(c * n / (cl * cs)))) * 1e6 + 0.5) / 1e6 AS mi
          FROM joint JOIN ml USING (lang) JOIN ms USING (source)
               CROSS JOIN tot""",
     "q114_ngram_lm" ->
@@ -1047,7 +1042,7 @@ object CurationQueries {
           c3 AS (SELECT tri, count(*) AS c3 FROM g GROUP BY 1),
           c2 AS (SELECT big, count(*) AS c2 FROM g GROUP BY 1)
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-            round(avg(ln(c3::DOUBLE / (c2 + 5.0))), 6) AS lm_score
+            floor((avg(ln(c3::DOUBLE / (c2 + 5.0)))) * 1e6 + 0.5) / 1e6 AS lm_score
           FROM g JOIN c3 USING (tri) JOIN c2 USING (big)
           GROUP BY 1""",
     "q126_neyman_sample" ->
@@ -1058,7 +1053,7 @@ object CurationQueries {
           FROM per WHERE n >= 2),
           tw AS (SELECT sum(w) AS tw FROM a),
           alloc AS (SELECT source,
-            greatest(1, CAST(round(100 * w / tw) AS BIGINT)) AS k
+            greatest(1, CAST(floor((100 * w / tw) * 1e0 + 0.5) / 1e0 AS BIGINT)) AS k
           FROM a CROSS JOIN tw),
           r AS (SELECT source, doc_id,
             row_number() OVER (PARTITION BY source
@@ -1119,8 +1114,8 @@ object CurationQueries {
                   CAST(len(tr.s) AS BIGINT) AS n_grams,
                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                   CASE WHEN len(tr.s) = 0 THEN 0.0
-                       ELSE round(coalesce(h.n_hits, 0)
-                                  / CAST(len(tr.s) AS DOUBLE), 6)
+                       ELSE floor((coalesce(h.n_hits, 0)
+                                  / CAST(len(tr.s) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                   END AS overlap_frac
                 FROM tr LEFT JOIN h ON tr.doc_id = h.doc_id)
           SELECT doc_id, n_grams, n_hits, overlap_frac,
@@ -1132,10 +1127,10 @@ object CurationQueries {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           m AS (SELECT doc_id,
             len(t) AS n_words,
-            round(list_sum(list_transform(t, x -> length(x)))
-                  / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
-            round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-                  / CAST(len(t) AS DOUBLE), 6) AS alpha_frac,
+            floor((list_sum(list_transform(t, x -> length(x)))
+                  / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+            floor((len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                  / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS alpha_frac,
             CAST(len(list_filter(t, x -> list_contains(
               ['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT)
               AS stop_hits
@@ -1155,10 +1150,10 @@ object CurationQueries {
                     ORDER BY f DESC, tok) AS r
                 FROM f)
           SELECT source, CAST(count(*) AS BIGINT) AS n_top,
-            round((count(*) * sum(ln(r) * ln(f))
+            floor(((count(*) * sum(ln(r) * ln(f))
                    - sum(ln(r)) * sum(ln(f))) /
                   (count(*) * sum(ln(r) * ln(r))
-                   - sum(ln(r)) * sum(ln(r))), 4) AS zipf_slope
+                   - sum(ln(r)) * sum(ln(r)))) * 1e4 + 0.5) / 1e4 AS zipf_slope
           FROM r WHERE r <= 200
           GROUP BY 1 HAVING count(*) >= 2""",
     "q130_dsir" ->
@@ -1195,7 +1190,7 @@ object CurationQueries {
                     FROM documents GROUP BY 1),
           m AS (SELECT min(n_orig) AS mn FROM c)
           SELECT lang, CAST(n_orig AS BIGINT) AS n_orig,
-            round(sqrt(CAST(mn AS DOUBLE) / n_orig), 6) AS rate,
+            floor((sqrt(CAST(mn AS DOUBLE) / n_orig)) * 1e6 + 0.5) / 1e6 AS rate,
             TRUE AS rate_ok
           FROM c CROSS JOIN m""",
     "q39_mixture" ->
@@ -1214,8 +1209,8 @@ object CurationQueries {
           rk AS (SELECT tok, c,
             row_number() OVER (ORDER BY c DESC, tok) AS rank FROM cnt)
           SELECT tok, CAST(c AS BIGINT) AS c, rank,
-            round(sum(c) OVER (ORDER BY rank
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
+            floor((sum(c) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t) * 1e6 + 0.5) / 1e6
               AS coverage
           FROM rk CROSS JOIN tot WHERE rank <= 100""",
     "q54_decontam" ->
@@ -1296,8 +1291,8 @@ object CurationQueries {
           c AS (SELECT label, z[2]::BIGINT AS pos, avg(z[1]::DOUBLE) AS c
                 FROM ex GROUP BY 1, 2)
           SELECT label, pos,
-            round(c, 6) + 0 AS centroid,
-            round(c / sqrt(sum(c*c) OVER (PARTITION BY label)), 6) + 0
+            floor((c) * 1e6 + 0.5) / 1e6 + 0 AS centroid,
+            floor((c / sqrt(sum(c*c) OVER (PARTITION BY label))) * 1e6 + 0.5) / 1e6 + 0
               AS unit
           FROM c""",
     "q112_ks_drift" ->
@@ -1315,7 +1310,7 @@ object CurationQueries {
                      ORDER BY g.x) AS scum
                  FROM grid g LEFT JOIN sx
                    ON sx.source = g.source AND sx.x = g.x)
-         SELECT source, round(max(abs(scum / sn - cum / nn)), 6) AS ks
+         SELECT source, floor((max(abs(scum / sn - cum / nn))) * 1e6 + 0.5) / 1e6 AS ks
          FROM gs JOIN ns USING (source) CROSS JOIN n
          GROUP BY source""",
     "q109_weighted_sample" ->
@@ -1400,7 +1395,7 @@ object CurationQueries {
                   GROUP BY 1, 2)
           SELECT g1, g2, CAST(common AS BIGINT) AS common,
             CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
-            round(common / CAST(s1.n + s2.n - common AS DOUBLE), 6) AS jac
+            floor((common / CAST(s1.n + s2.n - common AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jac
           FROM com
           JOIN sizes s1 ON s1.g = com.g1
           JOIN sizes s2 ON s2.g = com.g2"""

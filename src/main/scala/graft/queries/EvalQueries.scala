@@ -86,12 +86,12 @@ object EvalQueries {
       val mu = raw.agg(F.avg("raw").as("mu"))
       wt = raw.crossJoin(F.broadcast(mu))
         .select(F.col("item"),
-          F.round(F.col("raw") / F.col("mu"), 8).as("wt"))
+          (F.floor((F.col("raw") / F.col("mu")) * 1e8 + 0.5) / 1e8).as("wt"))
         .localCheckpoint()
     }
     wins.join(wt, "item")
       .select(F.col("item").as("brand"), F.col("wins").as("n_wins"),
-        F.round(F.col("wt"), 6).as("strength"))
+        (F.floor((F.col("wt")) * 1e6 + 0.5) / 1e6).as("strength"))
   }
 
   /** Greedy MMR selection: k rounds of argmax(rel − λ·max-sim-to-
@@ -119,7 +119,7 @@ object EvalQueries {
       .groupBy("vec_id").agg(F.sum(F.col("x") * F.col("qc")).as("dot"))
       .join(nv, "vec_id").crossJoin(F.broadcast(nq))
       .select(F.col("vec_id"),
-        F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).as("rel"))
+        (F.floor((F.col("dot") / (F.col("nv") * F.col("nq"))) * 1e6 + 0.5) / 1e6).as("rel"))
       .localCheckpoint()
     var selected = Vector.empty[(Int, Long, Double, Double)]
     var step = 1
@@ -138,8 +138,7 @@ object EvalQueries {
             .join(nv, "vec_id")
             .join(F.broadcast(nv.toDF("sid", "ns")), "sid")
             .groupBy("vec_id")
-            .agg(F.max(F.round(
-              F.col("dot") / (F.col("nv") * F.col("ns")), 6)).as("msim"))
+            .agg(F.max((F.floor((F.col("dot") / (F.col("nv") * F.col("ns"))) * 1e6 + 0.5) / 1e6)).as("msim"))
           rel.join(sims, "vec_id")
             .withColumn("score",
               F.col("rel") - F.lit(lam) * F.col("msim"))
@@ -319,7 +318,7 @@ object EvalQueries {
           .select(F.lit(name).as("table_name"), F.col("n_total"),
             F.col("n_removed"),
             (F.col("n_total") - F.col("n_removed")).as("n_kept"),
-            F.round(F.col("n_removed") / F.col("n_total").cast("double"), 6)
+            (F.floor((F.col("n_removed") / F.col("n_total").cast("double")) * 1e6 + 0.5) / 1e6)
               .as("removed_frac"))
       }
       row("customer", cust, forgetCust)
@@ -379,7 +378,7 @@ object EvalQueries {
             .otherwise(F.lit(0.064) / F.col("nn")))
         .groupBy("doc_id")
         .agg(F.sum("n").cast("long").as("n_grams"),
-          F.round(F.sum(F.col("n") * F.log(F.col("sc"))) / F.sum("n"), 6)
+          (F.floor((F.sum(F.col("n") * F.log(F.col("sc"))) / F.sum("n")) * 1e6 + 0.5) / 1e6)
             .as("sb_score"))
     },
 
@@ -399,8 +398,8 @@ object EvalQueries {
         .agg(F.avg("x").as("c"))
       val d = ex.join(cent, "pos")
         .groupBy("vec_id", "label", "clab")
-        .agg(F.round(F.sqrt(F.sum(
-          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6)
+        .agg((F.floor((F.sqrt(F.sum(
+          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))))) * 1e6 + 0.5) / 1e6)
           .as("d"))
       d.groupBy("vec_id", "label")
         .agg(F.max(F.when(F.col("clab") === F.col("label"), F.col("d")))
@@ -409,8 +408,8 @@ object EvalQueries {
             .as("b"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).as("n_vecs"),
-          F.round(F.avg((F.col("b") - F.col("a"))
-            / F.greatest(F.col("a"), F.col("b"))), 6).as("avg_sil"))
+          (F.floor((F.avg((F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b")))) * 1e6 + 0.5) / 1e6).as("avg_sil"))
     },
 
     // k-anonymity audit (k = 5) of customer quasi-identifiers at three
@@ -516,7 +515,7 @@ object EvalQueries {
         F.min("shard_tokens").as("mn"), F.avg("shard_tokens").as("av"))
       g.crossJoin(F.broadcast(m))
         .select(F.col("shard"), F.col("n_docs"), F.col("shard_tokens"),
-          F.round((F.col("mx") - F.col("mn")) / F.col("av"), 6)
+          (F.floor(((F.col("mx") - F.col("mn")) / F.col("av")) * 1e6 + 0.5) / 1e6)
             .as("spread"))
     },
 
@@ -536,8 +535,8 @@ object EvalQueries {
         .agg(F.avg("x").as("c"))
       val d = ex.join(cent, "pos")
         .groupBy("vec_id", "label", "clab")
-        .agg(F.round(F.sqrt(F.sum(
-          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))), 6)
+        .agg((F.floor((F.sqrt(F.sum(
+          (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))))) * 1e6 + 0.5) / 1e6)
           .as("d"))
       val pred = d.groupBy("vec_id", "label")
         .agg(F.min(F.struct(F.col("d"), F.col("clab"))).as("m"))
@@ -556,13 +555,12 @@ object EvalQueries {
         .agg(F.sum(F.col("rc") * F.col("cc")).cast("long").as("rcsum"))
       tot.crossJoin(F.broadcast(pe))
         .select(F.col("n").as("n_vecs"),
-          F.round(F.col("diag") / F.col("n").cast("double"), 6)
+          (F.floor((F.col("diag") / F.col("n").cast("double")) * 1e6 + 0.5) / 1e6)
             .as("accuracy"),
-          F.round((F.col("diag").cast("double") / F.col("n")
+          (F.floor(((F.col("diag").cast("double") / F.col("n")
             - F.col("rcsum").cast("double") / (F.col("n") * F.col("n")))
             / (F.lit(1.0)
-              - F.col("rcsum").cast("double") / (F.col("n") * F.col("n"))),
-            6).as("kappa"))
+              - F.col("rcsum").cast("double") / (F.col("n") * F.col("n")))) * 1e6 + 0.5) / 1e6).as("kappa"))
     },
 
     // Maximal Marginal Relevance (Carbonell & Goldstein 1998): top-5
@@ -600,22 +598,22 @@ object EvalQueries {
         F.sum(F.col("pre") * F.col("pre")).as("sp2"),
         F.sum(F.col("pre") * F.col("post")).as("spp"))
       val const = mom.select(
-        F.round((F.col("n") * F.col("spp") - F.col("sp") * F.col("spo"))
-          / (F.col("n") * F.col("sp2") - F.col("sp") * F.col("sp")), 6)
+        (F.floor(((F.col("n") * F.col("spp") - F.col("sp") * F.col("spo"))
+          / (F.col("n") * F.col("sp2") - F.col("sp") * F.col("sp"))) * 1e6 + 0.5) / 1e6)
           .as("theta"),
-        F.round(F.col("sp") / F.col("n"), 6).as("mpre"))
+        (F.floor((F.col("sp") / F.col("n")) * 1e6 + 0.5) / 1e6).as("mpre"))
       u.crossJoin(F.broadcast(const))
         .withColumn("adj", F.col("post")
           - F.col("theta") * (F.col("pre") - F.col("mpre")))
         .groupBy("variant")
         .agg(F.count(F.lit(1)).as("n_users"),
-          F.round(F.avg("post"), 6).as("mean_post"),
-          F.round(F.avg("adj"), 6).as("mean_adj"),
-          F.round(F.lit(1.0)
+          (F.floor((F.avg("post")) * 1e6 + 0.5) / 1e6).as("mean_post"),
+          (F.floor((F.avg("adj")) * 1e6 + 0.5) / 1e6).as("mean_adj"),
+          (F.floor((F.lit(1.0)
             - (F.avg(F.col("adj") * F.col("adj"))
               - F.avg("adj") * F.avg("adj"))
             / (F.avg(F.col("post") * F.col("post"))
-              - F.avg("post") * F.avg("post")), 6).as("var_reduction"))
+              - F.avg("post") * F.avg("post"))) * 1e6 + 0.5) / 1e6).as("var_reduction"))
     },
 
     // Join-key skew report — the diagnostic an engineer reads BEFORE
@@ -649,11 +647,11 @@ object EvalQueries {
           .crossJoin(F.broadcast(top))
           .select(F.lit(key).as("key_name"), F.col("n_keys"),
             F.col("max_freq"),
-            F.round(F.col("__p50"), 6).as("p50_freq"),
-            F.round(F.col("__p99"), 6).as("p99_freq"),
-            F.round(F.col("top10") / F.col("__tot"), 6).as("top10_share"),
-            F.round(F.sqrt(F.col("__m2") - F.col("__mu") * F.col("__mu"))
-              / F.col("__mu"), 6).as("cv"))
+            (F.floor((F.col("__p50")) * 1e6 + 0.5) / 1e6).as("p50_freq"),
+            (F.floor((F.col("__p99")) * 1e6 + 0.5) / 1e6).as("p99_freq"),
+            (F.floor((F.col("top10") / F.col("__tot")) * 1e6 + 0.5) / 1e6).as("top10_share"),
+            (F.floor((F.sqrt(F.col("__m2") - F.col("__mu") * F.col("__mu"))
+              / F.col("__mu")) * 1e6 + 0.5) / 1e6).as("cv"))
       }
       audit(li, "l_partkey")
         .unionAll(audit(li, "l_suppkey"))
@@ -750,8 +748,7 @@ object EvalQueries {
         .select(F.col("d").as("decile"), F.col("n_tokens_cum"),
           F.col("vocab_cum"),
           F.coalesce(F.col("new_types"), F.lit(0L)).as("new_types"),
-          F.round(F.col("vocab_cum") / F.col("n_tokens_cum").cast("double"),
-            6).as("ttr"))
+          (F.floor((F.col("vocab_cum") / F.col("n_tokens_cum").cast("double")) * 1e6 + 0.5) / 1e6).as("ttr"))
     },
 
     // STL-lite seasonal decomposition of the hourly revenue series per
@@ -768,7 +765,7 @@ object EvalQueries {
         .select(F.col("event_type"),
           F.expr("cast(floor(unix_timestamp(ts) / 3600) as bigint)")
             .as("h"),
-          F.round(F.col("value") * 100).cast("long").as("vc"))
+          (F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("vc"))
         .groupBy("event_type", "h").agg(F.sum("vc").as("xr"))
       val grid = hourly.groupBy("event_type")
         .agg(F.min("h").as("h0"), F.max("h").as("h1"))
@@ -789,7 +786,7 @@ object EvalQueries {
         .select(F.col("event_type").as("et2"),
           (F.col("h") % 24).as("hod2"), F.col("det"))
         .groupBy("et2", "hod2")
-        .agg(F.round(F.avg("det"), 6).as("seasonal"))
+        .agg((F.floor((F.avg("det")) * 1e6 + 0.5) / 1e6).as("seasonal"))
       t.join(seas,
           F.col("event_type") === F.col("et2")
             && (F.col("h") % 24) === F.col("hod2"))
@@ -798,21 +795,21 @@ object EvalQueries {
           (F.col("det") - F.col("seasonal")).as("resid"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_hours"),
-          F.round(F.greatest(F.lit(0.0), F.lit(1.0)
+          (F.floor((F.greatest(F.lit(0.0), F.lit(1.0)
             - (F.avg(F.col("resid") * F.col("resid"))
               - F.avg("resid") * F.avg("resid"))
             / (F.avg((F.col("trend") + F.col("resid"))
                 * (F.col("trend") + F.col("resid")))
               - F.avg(F.col("trend") + F.col("resid"))
-                * F.avg(F.col("trend") + F.col("resid")))), 6)
+                * F.avg(F.col("trend") + F.col("resid"))))) * 1e6 + 0.5) / 1e6)
             .as("f_trend"),
-          F.round(F.greatest(F.lit(0.0), F.lit(1.0)
+          (F.floor((F.greatest(F.lit(0.0), F.lit(1.0)
             - (F.avg(F.col("resid") * F.col("resid"))
               - F.avg("resid") * F.avg("resid"))
             / (F.avg((F.col("seasonal") + F.col("resid"))
                 * (F.col("seasonal") + F.col("resid")))
               - F.avg(F.col("seasonal") + F.col("resid"))
-                * F.avg(F.col("seasonal") + F.col("resid")))), 6)
+                * F.avg(F.col("seasonal") + F.col("resid"))))) * 1e6 + 0.5) / 1e6)
             .as("f_seasonal"))
     },
 
@@ -844,7 +841,7 @@ object EvalQueries {
           - F.coalesce(F.sum(F.when(F.col("ts") < "2024-01-16",
             F.col("value"))), F.lit(0.0))).as("diff"))
         .localCheckpoint() // feeds the observed stat AND the H-explode
-      val obs = u.agg(F.round(F.abs(F.avg("diff")), 6).as("stat_obs"),
+      val obs = u.agg((F.floor((F.abs(F.avg("diff"))) * 1e6 + 0.5) / 1e6).as("stat_obs"),
         F.count(F.lit(1)).as("n_users"))
       val perms = u.select(F.col("diff"),
           F.explode(F.expr(s"sequence(1, $H)")).as("p"),
@@ -853,14 +850,14 @@ object EvalQueries {
           - F.lit(2) * (F.expr("pmod((user_id % 1000003) * 2654435761 "
             + "+ p * 48271, 1000003)") % 2))
         .groupBy("p")
-        .agg(F.round(F.abs(F.avg(F.col("sign") * F.col("diff"))), 6)
+        .agg((F.floor((F.abs(F.avg(F.col("sign") * F.col("diff")))) * 1e6 + 0.5) / 1e6)
           .as("stat_p"))
       perms.crossJoin(F.broadcast(obs))
         .agg(F.first("n_users").as("n_users"),
           F.first("stat_obs").as("stat_obs"),
-          F.round((F.lit(1) + F.count(F.when(
+          (F.floor(((F.lit(1) + F.count(F.when(
             F.col("stat_p") >= F.col("stat_obs"), 1)))
-            / F.lit((H + 1).toDouble), 6).as("p_value"))
+            / F.lit((H + 1).toDouble)) * 1e6 + 0.5) / 1e6).as("p_value"))
     },
 
     // Class-balance oversampling plan — the minority-upsampling step
@@ -884,7 +881,7 @@ object EvalQueries {
       plan.join(over, "lang").crossJoin(F.broadcast(tot))
         .select(F.col("lang"), F.col("n_before"), F.col("rep_factor"),
           F.col("n_after"),
-          F.round(F.col("n_after") / F.col("ta"), 6).as("share_after"))
+          (F.floor((F.col("n_after") / F.col("ta")) * 1e6 + 0.5) / 1e6).as("share_after"))
     },
 
     // Annotation-noise audit over near-duplicate pairs (the Cleanlab-
@@ -904,13 +901,13 @@ object EvalQueries {
         .agg(F.count(F.lit(1)).as("n_pairs"),
           F.count(F.when(F.col("l1") =!= F.col("l2"), 1))
             .as("lang_mismatch"),
-          F.round(F.count(F.when(F.col("l1") =!= F.col("l2"), 1))
-            / F.count(F.lit(1)).cast("double"), 6)
+          (F.floor((F.count(F.when(F.col("l1") =!= F.col("l2"), 1))
+            / F.count(F.lit(1)).cast("double")) * 1e6 + 0.5) / 1e6)
             .as("lang_mismatch_frac"),
           F.count(F.when(F.col("s1") =!= F.col("s2"), 1))
             .as("cross_source"),
-          F.round(F.count(F.when(F.col("s1") =!= F.col("s2"), 1))
-            / F.count(F.lit(1)).cast("double"), 6)
+          (F.floor((F.count(F.when(F.col("s1") =!= F.col("s2"), 1))
+            / F.count(F.lit(1)).cast("double")) * 1e6 + 0.5) / 1e6)
             .as("cross_source_frac"))
     },
 
@@ -934,10 +931,10 @@ object EvalQueries {
           F.min("n_chars").as("__mn"))
         .filter(F.col("__m") === k + 1) // corpus big enough for the fit
         .select(F.lit(k).as("k"),
-          F.round(F.lit(1.0)
+          (F.floor((F.lit(1.0)
             / ((F.col("__sl") - F.log(F.col("__mn").cast("double")))
               / F.lit(k.toDouble)
-              - F.log(F.col("__mn").cast("double"))), 6).as("alpha"))
+              - F.log(F.col("__mn").cast("double")))) * 1e6 + 0.5) / 1e6).as("alpha"))
     },
 
     // Explicit GROUPING SETS with grouping_id — the remaining ANSI
@@ -974,8 +971,8 @@ object EvalQueries {
           ((F.col("n") - F.col("t") / 2) * (F.col("n") - F.col("t") / 2)
             / (F.col("t") / 2)).as("__x"))
         .agg(F.sum("n").cast("long").as("n_users"),
-          F.round(F.sum("__x"), 6).as("chi2"),
-          (F.round(F.sum("__x"), 6) <= 3.841459).as("srm_ok"))
+          (F.floor((F.sum("__x")) * 1e6 + 0.5) / 1e6).as("chi2"),
+          ((F.floor((F.sum("__x")) * 1e6 + 0.5) / 1e6) <= 3.841459).as("srm_ok"))
     },
 
     // One distributed BPE-training iteration (Sennrich et al. 2016):
@@ -1110,9 +1107,9 @@ object EvalQueries {
       rev.join(F.broadcast(regionRev), "region")
         .crossJoin(F.broadcast(total))
         .select(F.col("region"), F.col("nation"),
-          F.round(F.col("rev"), 4).as("rev"),
-          F.round(F.col("rev") / F.col("rrev"), 6).as("nation_share"),
-          F.round(F.col("rrev") / F.col("trev"), 6).as("region_share"))
+          (F.floor((F.col("rev")) * 1e4 + 0.5) / 1e4).as("rev"),
+          (F.floor((F.col("rev") / F.col("rrev")) * 1e6 + 0.5) / 1e6).as("nation_share"),
+          (F.floor((F.col("rrev") / F.col("trev")) * 1e6 + 0.5) / 1e6).as("region_share"))
     },
 
     // Journey predictability: Shannon entropy of the next-event-type
@@ -1134,8 +1131,8 @@ object EvalQueries {
       pairs.join(F.broadcast(tot), "cur")
         .groupBy(F.col("cur").as("event_type"))
         .agg(F.max("ntot").cast("long").as("n_trans"),
-          F.round(-F.sum((F.col("n") / F.col("ntot"))
-            * F.log(F.col("n") / F.col("ntot"))), 6).as("entropy"))
+          (F.floor((-F.sum((F.col("n") / F.col("ntot"))
+            * F.log(F.col("n") / F.col("ntot")))) * 1e6 + 0.5) / 1e6).as("entropy"))
     }
   )
 
@@ -1163,7 +1160,7 @@ object EvalQueries {
           r1 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
                  FROM wins w JOIN d1 d USING (item)),
           m1 AS MATERIALIZED (SELECT avg(raw) mu FROM r1),
-          i1 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+          i1 AS MATERIALIZED (SELECT item, floor((raw / mu) * 1e8 + 0.5) / 1e8 wt
                  FROM r1 CROSS JOIN m1),
           d2 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
                  FROM sym s JOIN i1 wi ON s.i = wi.item
@@ -1171,7 +1168,7 @@ object EvalQueries {
           r2 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
                  FROM wins w JOIN d2 d USING (item)),
           m2 AS MATERIALIZED (SELECT avg(raw) mu FROM r2),
-          i2 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+          i2 AS MATERIALIZED (SELECT item, floor((raw / mu) * 1e8 + 0.5) / 1e8 wt
                  FROM r2 CROSS JOIN m2),
           d3 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
                  FROM sym s JOIN i2 wi ON s.i = wi.item
@@ -1179,7 +1176,7 @@ object EvalQueries {
           r3 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
                  FROM wins w JOIN d3 d USING (item)),
           m3 AS MATERIALIZED (SELECT avg(raw) mu FROM r3),
-          i3 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+          i3 AS MATERIALIZED (SELECT item, floor((raw / mu) * 1e8 + 0.5) / 1e8 wt
                  FROM r3 CROSS JOIN m3),
           d4 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
                  FROM sym s JOIN i3 wi ON s.i = wi.item
@@ -1187,7 +1184,7 @@ object EvalQueries {
           r4 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
                  FROM wins w JOIN d4 d USING (item)),
           m4 AS MATERIALIZED (SELECT avg(raw) mu FROM r4),
-          i4 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+          i4 AS MATERIALIZED (SELECT item, floor((raw / mu) * 1e8 + 0.5) / 1e8 wt
                  FROM r4 CROSS JOIN m4),
           d5 AS MATERIALIZED (SELECT s.i item, sum(s.n / (wi.wt + wj.wt)) den
                  FROM sym s JOIN i4 wi ON s.i = wi.item
@@ -1195,10 +1192,10 @@ object EvalQueries {
           r5 AS MATERIALIZED (SELECT w.item, w.wins / d.den raw
                  FROM wins w JOIN d5 d USING (item)),
           m5 AS MATERIALIZED (SELECT avg(raw) mu FROM r5),
-          i5 AS MATERIALIZED (SELECT item, round(raw / mu, 8) wt
+          i5 AS MATERIALIZED (SELECT item, floor((raw / mu) * 1e8 + 0.5) / 1e8 wt
                  FROM r5 CROSS JOIN m5)
           SELECT w.item AS brand, w.wins AS n_wins,
-            round(i.wt, 6) + 0 AS strength
+            floor((i.wt) * 1e6 + 0.5) / 1e6 + 0 AS strength
           FROM wins w JOIN i5 i USING (item)""",
 
     "q232_label_prop" ->
@@ -1268,7 +1265,7 @@ object EvalQueries {
          SELECT table_name, CAST(n_total AS BIGINT) n_total,
            CAST(n_removed AS BIGINT) n_removed,
            CAST(n_total - n_removed AS BIGINT) n_kept,
-           round(n_removed / CAST(n_total AS DOUBLE), 6) removed_frac
+           floor((n_removed / CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 removed_frac
          FROM t""",
 
     "q235_stupid_backoff" ->
@@ -1310,7 +1307,7 @@ object EvalQueries {
                  LEFT JOIN cu cu3 ON h.w3 = cu3.w
                  CROSS JOIN nn)
           SELECT doc_id, CAST(sum(n) AS BIGINT) n_grams,
-            round(sum(n * ln(s)) / sum(n), 6) + 0 AS sb_score
+            floor((sum(n * ln(s)) / sum(n)) * 1e6 + 0.5) / 1e6 + 0 AS sb_score
           FROM sc GROUP BY 1""",
 
     "q236_silhouette" ->
@@ -1322,14 +1319,14 @@ object EvalQueries {
                  FROM ex),
           c AS (SELECT label clab, pos, avg(x) c FROM e2 GROUP BY 1, 2),
           d AS (SELECT vec_id, label, clab,
-                  round(sqrt(sum((x - c) * (x - c))), 6) d
+                  floor((sqrt(sum((x - c) * (x - c)))) * 1e6 + 0.5) / 1e6 d
                 FROM e2 JOIN c USING (pos) GROUP BY 1, 2, 3),
           ab AS (SELECT vec_id, label,
                    max(d) FILTER (WHERE clab = label) a,
                    min(d) FILTER (WHERE clab != label) b
                  FROM d GROUP BY 1, 2)
           SELECT label, CAST(count(*) AS BIGINT) n_vecs,
-            round(avg((b - a) / greatest(a, b)), 6) + 0 AS avg_sil
+            floor((avg((b - a) / greatest(a, b))) * 1e6 + 0.5) / 1e6 + 0 AS avg_sil
           FROM ab GROUP BY 1""",
 
     "q237_kanon_audit" ->
@@ -1394,7 +1391,7 @@ object EvalQueries {
                   avg(shard_tokens) av FROM g)
           SELECT shard, CAST(n_docs AS BIGINT) n_docs,
             CAST(shard_tokens AS BIGINT) shard_tokens,
-            round((mx - mn) / av, 6) + 0 AS spread
+            floor(((mx - mn) / av) * 1e6 + 0.5) / 1e6 + 0 AS spread
           FROM g CROSS JOIN m""",
 
     "q241_cohen_kappa" ->
@@ -1406,7 +1403,7 @@ object EvalQueries {
                  z[1]::DOUBLE x FROM ex),
           c AS (SELECT label clab, pos, avg(x) c FROM e2 GROUP BY 1, 2),
           d AS (SELECT vec_id, label, clab,
-                  round(sqrt(sum((x - c) * (x - c))), 6) d
+                  floor((sqrt(sum((x - c) * (x - c)))) * 1e6 + 0.5) / 1e6 d
                 FROM e2 JOIN c USING (pos) GROUP BY 1, 2, 3),
           p AS (SELECT label, clab AS pred FROM (
                   SELECT label, clab, row_number() OVER (
@@ -1422,10 +1419,10 @@ object EvalQueries {
                    JOIN (SELECT pred AS label, sum(c) c FROM conf
                          GROUP BY 1) cc USING (label))
           SELECT CAST(n AS BIGINT) n_vecs,
-            round(diag / CAST(n AS DOUBLE), 6) + 0 AS accuracy,
-            round((diag / CAST(n AS DOUBLE)
+            floor((diag / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 AS accuracy,
+            floor(((diag / CAST(n AS DOUBLE)
                     - rcsum / CAST(n * n AS DOUBLE))
-                  / (1.0 - rcsum / CAST(n * n AS DOUBLE)), 6) + 0
+                  / (1.0 - rcsum / CAST(n * n AS DOUBLE))) * 1e6 + 0.5) / 1e6 + 0
               AS kappa
           FROM tot CROSS JOIN marg""",
 
@@ -1444,18 +1441,18 @@ object EvalQueries {
                     sum(pre * post) spp
                   FROM u),
           con AS (SELECT
-                    round((n * spp - sp * spo)
-                          / (n * sp2 - sp * sp), 6) theta,
-                    round(sp / n, 6) mpre
+                    floor(((n * spp - sp * spo)
+                          / (n * sp2 - sp * sp)) * 1e6 + 0.5) / 1e6 theta,
+                    floor((sp / n) * 1e6 + 0.5) / 1e6 mpre
                   FROM mom),
           a AS (SELECT variant, post,
                   post - theta * (pre - mpre) adj
                 FROM u CROSS JOIN con)
           SELECT variant, CAST(count(*) AS BIGINT) n_users,
-            round(avg(post), 6) + 0 AS mean_post,
-            round(avg(adj), 6) + 0 AS mean_adj,
-            round(1.0 - (avg(adj * adj) - avg(adj) * avg(adj))
-                  / (avg(post * post) - avg(post) * avg(post)), 6) + 0
+            floor((avg(post)) * 1e6 + 0.5) / 1e6 + 0 AS mean_post,
+            floor((avg(adj)) * 1e6 + 0.5) / 1e6 + 0 AS mean_adj,
+            floor((1.0 - (avg(adj * adj) - avg(adj) * avg(adj))
+                  / (avg(post * post) - avg(post) * avg(post))) * 1e6 + 0.5) / 1e6 + 0
               AS var_reduction
           FROM a GROUP BY 1""",
 
@@ -1466,14 +1463,14 @@ object EvalQueries {
                    SELECT f FROM c1 ORDER BY f DESC, k LIMIT 10) x),
           s1 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
                    CAST(max(f) AS BIGINT) max_freq,
-                   round(quantile_cont(f, 0.5), 6) + 0 p50,
-                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   floor((quantile_cont(f, 0.5)) * 1e6 + 0.5) / 1e6 + 0 p50,
+                   floor((quantile_cont(f, 0.99)) * 1e6 + 0.5) / 1e6 + 0 p99,
                    CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
                  FROM c1),
           r1 AS (SELECT 'l_partkey' key_name, n_keys, max_freq,
                    p50 AS p50_freq, p99 AS p99_freq,
-                   round(top10 / tot, 6) + 0 top10_share,
-                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                   floor((top10 / tot) * 1e6 + 0.5) / 1e6 + 0 top10_share,
+                   floor((sqrt(m2 - mu * mu) / mu) * 1e6 + 0.5) / 1e6 + 0 cv
                  FROM s1 CROSS JOIN t1),
           c2 AS MATERIALIZED (SELECT l_suppkey k, count(*) f
                FROM lineitem GROUP BY 1),
@@ -1481,14 +1478,14 @@ object EvalQueries {
                    SELECT f FROM c2 ORDER BY f DESC, k LIMIT 10) x),
           s2 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
                    CAST(max(f) AS BIGINT) max_freq,
-                   round(quantile_cont(f, 0.5), 6) + 0 p50,
-                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   floor((quantile_cont(f, 0.5)) * 1e6 + 0.5) / 1e6 + 0 p50,
+                   floor((quantile_cont(f, 0.99)) * 1e6 + 0.5) / 1e6 + 0 p99,
                    CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
                  FROM c2),
           r2 AS (SELECT 'l_suppkey' key_name, n_keys, max_freq,
                    p50 AS p50_freq, p99 AS p99_freq,
-                   round(top10 / tot, 6) + 0 top10_share,
-                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                   floor((top10 / tot) * 1e6 + 0.5) / 1e6 + 0 top10_share,
+                   floor((sqrt(m2 - mu * mu) / mu) * 1e6 + 0.5) / 1e6 + 0 cv
                  FROM s2 CROSS JOIN t2),
           c3 AS MATERIALIZED (SELECT o_custkey k, count(*) f
                FROM orders GROUP BY 1),
@@ -1496,14 +1493,14 @@ object EvalQueries {
                    SELECT f FROM c3 ORDER BY f DESC, k LIMIT 10) x),
           s3 AS (SELECT CAST(count(*) AS BIGINT) n_keys,
                    CAST(max(f) AS BIGINT) max_freq,
-                   round(quantile_cont(f, 0.5), 6) + 0 p50,
-                   round(quantile_cont(f, 0.99), 6) + 0 p99,
+                   floor((quantile_cont(f, 0.5)) * 1e6 + 0.5) / 1e6 + 0 p50,
+                   floor((quantile_cont(f, 0.99)) * 1e6 + 0.5) / 1e6 + 0 p99,
                    CAST(sum(f) AS DOUBLE) tot, avg(f) mu, avg(f*f) m2
                  FROM c3),
           r3 AS (SELECT 'o_custkey' key_name, n_keys, max_freq,
                    p50 AS p50_freq, p99 AS p99_freq,
-                   round(top10 / tot, 6) + 0 top10_share,
-                   round(sqrt(m2 - mu * mu) / mu, 6) + 0 cv
+                   floor((top10 / tot) * 1e6 + 0.5) / 1e6 + 0 top10_share,
+                   floor((sqrt(m2 - mu * mu) / mu) * 1e6 + 0.5) / 1e6 + 0 cv
                  FROM s3 CROSS JOIN t3)
           SELECT * FROM r1 UNION ALL SELECT * FROM r2
           UNION ALL SELECT * FROM r3""",
@@ -1513,9 +1510,9 @@ object EvalQueries {
                FROM documents),
           sh AS MATERIALIZED (SELECT doc_id, $duckShingles3 s FROM toks),
           jp AS (SELECT a.doc_id id1, b.doc_id id2,
-                   round(len(list_intersect(a.s, b.s)) /
+                   floor((len(list_intersect(a.s, b.s)) /
                      CAST(len(a.s) + len(b.s)
-                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE)) * 1e3 + 0.5) / 1e3
                      AS jac,
                    list_sort(list_intersect(a.s, b.s)) shared
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
@@ -1583,13 +1580,13 @@ object EvalQueries {
             CAST(n_tokens_cum AS BIGINT) n_tokens_cum,
             CAST(vocab_cum AS BIGINT) vocab_cum,
             CAST(coalesce(nt.new_types, 0) AS BIGINT) new_types,
-            round(vocab_cum / CAST(n_tokens_cum AS DOUBLE), 6) + 0 ttr
+            floor((vocab_cum / CAST(n_tokens_cum AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 ttr
           FROM cumt JOIN cumv USING (d) LEFT JOIN nt ON nt.fd = cumt.d""",
 
     "q248_seasonal_decomp" ->
       """WITH ev AS (SELECT event_type,
                CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-               CAST(round(value * 100) AS BIGINT) AS vc
+               CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS vc
              FROM events),
           hourly AS (SELECT event_type, h, sum(vc) AS xr
                      FROM ev GROUP BY 1, 2),
@@ -1607,7 +1604,7 @@ object EvalQueries {
           t2 AS MATERIALIZED (SELECT event_type, h, x, ws / 25.0 trend,
                  x - ws / 25.0 det
                FROM t WHERE wn = 25),
-          seas AS (SELECT event_type, h % 24 hod, round(avg(det), 6)
+          seas AS (SELECT event_type, h % 24 hod, floor((avg(det)) * 1e6 + 0.5) / 1e6
                      seasonal
                    FROM t2 GROUP BY 1, 2),
           r AS (SELECT t2.event_type, trend, seasonal,
@@ -1615,15 +1612,15 @@ object EvalQueries {
                 FROM t2 JOIN seas ON t2.event_type = seas.event_type
                   AND t2.h % 24 = seas.hod)
           SELECT event_type, CAST(count(*) AS BIGINT) n_hours,
-            round(greatest(0.0, 1.0
+            floor((greatest(0.0, 1.0
               - (avg(resid * resid) - avg(resid) * avg(resid))
               / (avg((trend + resid) * (trend + resid))
-                 - avg(trend + resid) * avg(trend + resid))), 6) + 0
+                 - avg(trend + resid) * avg(trend + resid)))) * 1e6 + 0.5) / 1e6 + 0
               AS f_trend,
-            round(greatest(0.0, 1.0
+            floor((greatest(0.0, 1.0
               - (avg(resid * resid) - avg(resid) * avg(resid))
               / (avg((seasonal + resid) * (seasonal + resid))
-                 - avg(seasonal + resid) * avg(seasonal + resid))), 6)
+                 - avg(seasonal + resid) * avg(seasonal + resid)))) * 1e6 + 0.5) / 1e6
               + 0 AS f_seasonal
           FROM r GROUP BY 1""",
 
@@ -1636,9 +1633,9 @@ object EvalQueries {
                - coalesce(sum(value) FILTER (
                    WHERE ts < TIMESTAMP '2024-01-16'), 0) AS diff
              FROM events GROUP BY 1),
-          obs AS (SELECT round(abs(avg(diff)), 6) stat_obs,
+          obs AS (SELECT floor((abs(avg(diff))) * 1e6 + 0.5) / 1e6 stat_obs,
                     count(*) n_users FROM u),
-          pp AS (SELECT p, round(abs(avg(sign * diff)), 6) stat_p
+          pp AS (SELECT p, floor((abs(avg(sign * diff))) * 1e6 + 0.5) / 1e6 stat_p
                  FROM (SELECT u.diff, p.p,
                          1 - 2 * (((user_id % 1000003) * 2654435761
                            + p.p * 48271) % 1000003 % 2) AS sign
@@ -1646,8 +1643,8 @@ object EvalQueries {
                          unnest(generate_series(1, 200)) p) p) x
                  GROUP BY 1)
           SELECT CAST(n_users AS BIGINT) n_users, stat_obs + 0 AS stat_obs,
-            round((1 + count(*) FILTER (WHERE stat_p >= stat_obs))
-              / 201.0, 6) + 0 AS p_value
+            floor(((1 + count(*) FILTER (WHERE stat_p >= stat_obs))
+              / 201.0) * 1e6 + 0.5) / 1e6 + 0 AS p_value
           FROM pp CROSS JOIN obs GROUP BY n_users, stat_obs""",
 
     "q251_class_balance" ->
@@ -1665,7 +1662,7 @@ object EvalQueries {
           SELECT plan.lang, CAST(n_before AS BIGINT) n_before,
             CAST(rep_factor AS BIGINT) rep_factor,
             CAST(n_after AS BIGINT) n_after,
-            round(n_after / ta, 6) + 0 AS share_after
+            floor((n_after / ta) * 1e6 + 0.5) / 1e6 + 0 AS share_after
           FROM plan JOIN over_ ON plan.lang = over_.lang
           CROSS JOIN tot""",
 
@@ -1675,9 +1672,9 @@ object EvalQueries {
           sh AS MATERIALIZED (SELECT doc_id, $duckShingles3 s FROM toks),
           jp AS (SELECT a.doc_id id1, b.doc_id id2
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                 WHERE round(len(list_intersect(a.s, b.s)) /
+                 WHERE floor((len(list_intersect(a.s, b.s)) /
                      CAST(len(a.s) + len(b.s)
-                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE)) * 1e3 + 0.5) / 1e3
                    >= 0.85),
           m AS (SELECT d1.lang l1, d1.source s1, d2.lang l2, d2.source s2
                 FROM jp JOIN documents d1 ON jp.id1 = d1.doc_id
@@ -1685,12 +1682,12 @@ object EvalQueries {
           SELECT CAST(count(*) AS BIGINT) n_pairs,
             CAST(count(*) FILTER (WHERE l1 != l2) AS BIGINT)
               lang_mismatch,
-            round(count(*) FILTER (WHERE l1 != l2)
-              / CAST(count(*) AS DOUBLE), 6) + 0 lang_mismatch_frac,
+            floor((count(*) FILTER (WHERE l1 != l2)
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 lang_mismatch_frac,
             CAST(count(*) FILTER (WHERE s1 != s2) AS BIGINT)
               cross_source,
-            round(count(*) FILTER (WHERE s1 != s2)
-              / CAST(count(*) AS DOUBLE), 6) + 0 cross_source_frac
+            floor((count(*) FILTER (WHERE s1 != s2)
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 cross_source_frac
           FROM m""",
 
     "q253_hill_tail" ->
@@ -1699,7 +1696,7 @@ object EvalQueries {
           a AS (SELECT count(*) m, sum(ln(n_chars)) sl, min(n_chars) mn
                 FROM t)
           SELECT 50 AS k,
-            round(1.0 / ((sl - ln(mn)) / 50 - ln(mn)), 6) + 0 AS alpha
+            floor((1.0 / ((sl - ln(mn)) / 50 - ln(mn))) * 1e6 + 0.5) / 1e6 + 0 AS alpha
           FROM a WHERE m = 51""",
 
     "q256_grouping_sets" ->
@@ -1719,9 +1716,9 @@ object EvalQueries {
                     GROUP BY 1),
           t AS (SELECT CAST(sum(n) AS DOUBLE) t FROM v)
           SELECT CAST(sum(n) AS BIGINT) n_users,
-            round(sum((n - t / 2) * (n - t / 2) / (t / 2)), 6) + 0
+            floor((sum((n - t / 2) * (n - t / 2) / (t / 2))) * 1e6 + 0.5) / 1e6 + 0
               AS chi2,
-            round(sum((n - t / 2) * (n - t / 2) / (t / 2)), 6)
+            floor((sum((n - t / 2) * (n - t / 2) / (t / 2))) * 1e6 + 0.5) / 1e6
               <= 3.841459 AS srm_ok
           FROM v CROSS JOIN t""",
 
@@ -1803,9 +1800,9 @@ object EvalQueries {
              GROUP BY 1, 2),
           rr AS (SELECT region, sum(rev) rrev FROM rev GROUP BY 1),
           t AS (SELECT sum(rrev) trev FROM rr)
-          SELECT rev.region, nation, round(rev, 4) + 0 AS rev,
-            round(rev / rrev, 6) + 0 AS nation_share,
-            round(rrev / trev, 6) + 0 AS region_share
+          SELECT rev.region, nation, floor((rev) * 1e4 + 0.5) / 1e4 + 0 AS rev,
+            floor((rev / rrev) * 1e6 + 0.5) / 1e6 + 0 AS nation_share,
+            floor((rrev / trev) * 1e6 + 0.5) / 1e6 + 0 AS region_share
           FROM rev JOIN rr ON rev.region = rr.region CROSS JOIN t""",
 
     "q263_session_entropy" ->
@@ -1820,8 +1817,8 @@ object EvalQueries {
           t AS (SELECT cur, sum(n) ntot FROM c GROUP BY 1)
           SELECT c.cur AS event_type,
             CAST(max(t.ntot) AS BIGINT) AS n_trans,
-            round(-sum((n / CAST(ntot AS DOUBLE))
-              * ln(n / CAST(ntot AS DOUBLE))), 6) + 0 AS entropy
+            floor((-sum((n / CAST(ntot AS DOUBLE))
+              * ln(n / CAST(ntot AS DOUBLE)))) * 1e6 + 0.5) / 1e6 + 0 AS entropy
           FROM c JOIN t ON c.cur = t.cur GROUP BY 1"""
   )
 
@@ -1880,7 +1877,7 @@ object EvalQueries {
                               FROM e2 GROUP BY 1),
           nq AS (SELECT sqrt(sum(qc * qc)) nq FROM q0),
           rel AS MATERIALIZED (SELECT d.vec_id,
-                  round(d.d / (nv.nv * nq.nq), 6) rel
+                  floor((d.d / (nv.nv * nq.nq)) * 1e6 + 0.5) / 1e6 rel
                 FROM (SELECT vec_id, sum(x * qc) d FROM e2
                       JOIN q0 USING (pos) GROUP BY 1) d
                 JOIN nv USING (vec_id) CROSS JOIN nq),
@@ -1890,7 +1887,7 @@ object EvalQueries {
     val steps = (2 to k).map { i =>
       s"""
           sim$i AS (SELECT dd.vec_id,
-                   max(round(dd.d / (n1.nv * n2.nv), 6)) msim
+                   max(floor((dd.d / (n1.nv * n2.nv)) * 1e6 + 0.5) / 1e6) msim
                  FROM (SELECT a.vec_id, b.vec_id sid, sum(a.x * b.x) d
                        FROM e2 a JOIN e2 b ON a.pos = b.pos
                        WHERE b.vec_id IN (SELECT vec_id FROM sel${i - 1})

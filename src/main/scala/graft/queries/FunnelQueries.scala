@@ -52,8 +52,8 @@ object FunnelQueries {
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.sum("n_tok").cast("long").as("n_tokens"),
         F.count(F.when(F.col("spans") > 0, 1)).as("n_crossing"),
-        F.round(F.count(F.when(F.col("spans") > 0, 1))
-          / F.count(F.lit(1)).cast("double"), 6).as("crossing_frac"))
+        (F.floor((F.count(F.when(F.col("spans") > 0, 1))
+          / F.count(F.lit(1)).cast("double")) * 1e6 + 0.5) / 1e6).as("crossing_frac"))
 
   /** Dedup-rate-by-ingest-decile core: integer-exact decile cut
     * (bucket = max/10 + 1, one scalar broadcast) joined against a
@@ -70,8 +70,8 @@ object FunnelQueries {
       .groupBy("source", "decile")
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.count(F.col("is_dup")).as("n_dups"),
-        F.round(F.count(F.col("is_dup"))
-          / F.count(F.lit(1)).cast("double"), 6).as("dup_rate"))
+        (F.floor((F.count(F.col("is_dup"))
+          / F.count(F.lit(1)).cast("double")) * 1e6 + 0.5) / 1e6).as("dup_rate"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,11 +130,11 @@ object FunnelQueries {
       val g = docs.withColumn("t", TextOps.tokens("text"))
         .withColumn("n_words", F.expr("size(t)"))
         .withColumn("mean_word_len", F.expr(
-          "round(aggregate(t, 0L, (a, x) -> a + length(x)) " +
-            "/ cast(size(t) as double), 6)"))
+          "floor((aggregate(t, 0L, (a, x) -> a + length(x)) " +
+            "/ cast(size(t) as double)) * 1e6 + 0.5) / 1e6"))
         .withColumn("alpha_frac", F.expr(
-          "round(size(filter(t, x -> x rlike '[a-z]')) " +
-            "/ cast(size(t) as double), 6)"))
+          "floor((size(filter(t, x -> x rlike '[a-z]')) " +
+            "/ cast(size(t) as double)) * 1e6 + 0.5) / 1e6"))
         .withColumn("stop_hits",
           F.expr(TextOps.markerScoreExpr("t", stop)).cast("long"))
         .filter(F.expr(
@@ -199,16 +199,16 @@ object FunnelQueries {
             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
             CAST(count(*) FILTER (WHERE spans > 0) AS BIGINT)
               AS n_crossing,
-            round(count(*) FILTER (WHERE spans > 0)
-              / CAST(count(*) AS DOUBLE), 6) AS crossing_frac
+            floor((count(*) FILTER (WHERE spans > 0)
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS crossing_frac
           FROM m GROUP BY 1""",
     "q229_dedup_rate" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           jp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   round(len(list_intersect(a.s, b.s)) /
+                   floor((len(list_intersect(a.s, b.s)) /
                      CAST(len(a.s) + len(b.s)
-                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE)) * 1e3 + 0.5) / 1e3
                      AS jac
                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           dups AS (SELECT DISTINCT id2 AS doc_id FROM jp
@@ -220,20 +220,20 @@ object FunnelQueries {
           SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(count(*) FILTER (WHERE doc_id IN
               (SELECT doc_id FROM dups)) AS BIGINT) AS n_dups,
-            round(count(*) FILTER (WHERE doc_id IN
+            floor((count(*) FILTER (WHERE doc_id IN
               (SELECT doc_id FROM dups))
-              / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_rate
           FROM d GROUP BY 1, 2""",
     "q230_curation_funnel" ->
       s"""WITH RECURSIVE
           toks AS (SELECT doc_id, $duckToks AS t FROM documents),
           m AS (SELECT doc_id,
                   len(t) AS n_words,
-                  round(list_sum(list_transform(t, x -> length(x)))
-                        / CAST(len(t) AS DOUBLE), 6) AS mean_word_len,
-                  round(len(list_filter(t,
+                  floor((list_sum(list_transform(t, x -> length(x)))
+                        / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+                  floor((len(list_filter(t,
                           x -> regexp_matches(x, '[a-z]')))
-                        / CAST(len(t) AS DOUBLE), 6) AS alpha_frac,
+                        / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS alpha_frac,
                   CAST(len(list_filter(t, x -> list_contains(
                     ['the', 'a', 'and', 'of', 'to'], x))) AS BIGINT)
                     AS stop_hits
@@ -250,9 +250,9 @@ object FunnelQueries {
                 WHERE doc_id = keep_id),
           sh3 AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           jp AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   round(len(list_intersect(a.s, b.s)) /
+                   floor((len(list_intersect(a.s, b.s)) /
                      CAST(len(a.s) + len(b.s)
-                          - len(list_intersect(a.s, b.s)) AS DOUBLE), 3)
+                          - len(list_intersect(a.s, b.s)) AS DOUBLE)) * 1e3 + 0.5) / 1e3
                      AS jac
                  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id),
           pairs AS (SELECT id1, id2 FROM jp WHERE jac >= 0.85),
@@ -277,8 +277,8 @@ object FunnelQueries {
           dirty AS (SELECT tr.doc_id
                     FROM tr LEFT JOIN h USING (doc_id)
                     WHERE len(tr.s) > 0
-                      AND round(coalesce(h.n_hits, 0)
-                            / CAST(len(tr.s) AS DOUBLE), 6) >= 0.05),
+                      AND floor((coalesce(h.n_hits, 0)
+                            / CAST(len(tr.s) AS DOUBLE)) * 1e6 + 0.5) / 1e6 >= 0.05),
           s4 AS (SELECT doc_id FROM s3
                  WHERE doc_id % 17 != 0
                    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
@@ -296,7 +296,7 @@ object FunnelQueries {
                      - ln((cr + 1)::DOUBLE / (nr + 256)) AS lw
                  FROM bk CROSS JOIN tot),
           dn AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY 1, 2),
-          dw AS (SELECT doc_id, round(sum(n * lw), 6) AS w
+          dw AS (SELECT doc_id, floor((sum(n * lw)) * 1e6 + 0.5) / 1e6 AS w
                  FROM dn JOIN lp USING (b) GROUP BY 1),
           s5 AS (SELECT s4.doc_id FROM s4 JOIN dw USING (doc_id)
                  WHERE w >= 0)

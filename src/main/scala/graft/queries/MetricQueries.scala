@@ -67,14 +67,14 @@ object MetricQueries {
           F.col("c").as("r"),
           F.col("n_r"),
           F.coalesce(F.col("n_r_next"), F.lit(0L)).as("n_r1"),
-          F.expr("""round((c + 1) * cast(coalesce(n_r_next, 0)
-            as double) / n_r, 6)""").as("r_star"),
+          F.expr("""floor(((c + 1) * cast(coalesce(n_r_next, 0)
+            as double) / n_r) * 1e6 + 0.5) / 1e6""").as("r_star"),
           F.col("vocab"),
           F.col("n_tokens"),
-          F.expr("round(cast(n1 as double) / n_tokens, 6)")
+          F.expr("floor((cast(n1 as double) / n_tokens) * 1e6 + 0.5) / 1e6")
             .as("unseen_mass"),
-          F.expr("""round(vocab + cast(n1 as double) * (n1 - 1)
-            / (2 * (n2 + 1)), 6)""").as("chao1"))
+          F.expr("""floor((vocab + cast(n1 as double) * (n1 - 1)
+            / (2 * (n2 + 1))) * 1e6 + 0.5) / 1e6""").as("chao1"))
         .orderBy("r")
       out
     },
@@ -141,10 +141,10 @@ object MetricQueries {
         .selectExpr("n", "ay", "a1y", "a2y", "ayy", "dn",
           "det0 / det as b0", "det1 / det as b1", "det2 / det as b2")
         .selectExpr("n",
-          "round(b0, 6) as b0", "round(b1, 6) as b1",
-          "round(b2, 6) as b2",
-          """round(1 - (ayy - b0 * ay - b1 * a1y - b2 * a2y)
-             / (ayy - ay * ay / dn), 6) as r2""")
+          "floor((b0) * 1e6 + 0.5) / 1e6 as b0", "floor((b1) * 1e6 + 0.5) / 1e6 as b1",
+          "floor((b2) * 1e6 + 0.5) / 1e6 as b2",
+          """floor((1 - (ayy - b0 * ay - b1 * a1y - b2 * a2y)
+             / (ayy - ay * ay / dn)) * 1e6 + 0.5) / 1e6 as r2""")
     },
 
     // Fellegi-Sunter probabilistic record linkage (1969) — the
@@ -165,7 +165,7 @@ object MetricQueries {
           F.col("c_nationkey").as("blk1"),
           F.col("c_mktsegment").as("blk2"),
           F.expr("cast(floor(c_acctbal / 500) as long)").as("f1"),
-          F.expr("cast(round(c_acctbal * 100, 0) as long) % 97")
+          F.expr("cast(floor((c_acctbal * 100) * 1e0 + 0.5) / 1e0 as long) % 97")
             .as("f2"),
           F.expr("substring(c_name, length(c_name) - 1, 2)")
             .as("f3"))
@@ -179,12 +179,12 @@ object MetricQueries {
           .agg(F.sum(F.expr("cast(nv as decimal(38,0)) * (nv - 1)"))
             .as("sagree"), F.sum("nv").as("nn"))
         agg.select(
-          F.expr("""round(cast(sagree as double) /
-            cast(cast(nn as decimal(38,0)) * (nn - 1) as double), 6)""")
+          F.expr("""floor((cast(sagree as double) /
+            cast(cast(nn as decimal(38,0)) * (nn - 1) as double)) * 1e6 + 0.5) / 1e6""")
             .as(s"u_$field"))
           .selectExpr(s"u_$field",
-            s"round(log2(0.9 / u_$field), 6) as wa_$field",
-            s"round(log2((1 - 0.9) / (1 - u_$field)), 6) as wd_$field")
+            s"floor((log2(0.9 / u_$field)) * 1e6 + 0.5) / 1e6 as wa_$field",
+            s"floor((log2((1 - 0.9) / (1 - u_$field))) * 1e6 + 0.5) / 1e6 as wd_$field")
       }
       val w = uW("f1").crossJoin(F.broadcast(uW("f2")))
         .crossJoin(F.broadcast(uW("f3")))
@@ -202,9 +202,9 @@ object MetricQueries {
                     case when a2 = b2 then '1' else '0' end,
                     case when a3 = b3 then '1' else '0' end)
              as pattern""",
-          """round((case when a1 = b1 then wa_f1 else wd_f1 end)
+          """floor(((case when a1 = b1 then wa_f1 else wd_f1 end)
              + (case when a2 = b2 then wa_f2 else wd_f2 end)
-             + (case when a3 = b3 then wa_f3 else wd_f3 end), 6)
+             + (case when a3 = b3 then wa_f3 else wd_f3 end)) * 1e6 + 0.5) / 1e6
              as score""")
         .orderBy(F.col("score").desc, F.col("id_a"), F.col("id_b"))
         .limit(20)
@@ -237,10 +237,10 @@ object MetricQueries {
         .select(F.col("query_id"),
           F.coalesce(F.col("fr"), F.lit(0L)).cast("long")
             .as("first_rank"),
-          F.expr("""round(case when fr is null then 0
-            else 1 / cast(fr as double) end, 6)""").as("rr"))
+          F.expr("""floor((case when fr is null then 0
+            else 1 / cast(fr as double) end) * 1e6 + 0.5) / 1e6""").as("rr"))
       val mrr = perq.agg(
-        F.expr("round(avg(rr), 6)").as("mrr"))
+        F.expr("floor((avg(rr)) * 1e6 + 0.5) / 1e6").as("mrr"))
       perq.crossJoin(F.broadcast(mrr)).orderBy("query_id")
     },
 
@@ -306,10 +306,9 @@ object MetricQueries {
       val out = bg.join(left, "w1").join(right, "w2")
         .crossJoin(F.broadcast(tot))
         .selectExpr("w1", "w2", "c",
-          "round(cast(c as double) / cw1, 6) as p_mle",
-          """round((c - 0.75) / cw1
-             + ((0.75 * n1fwd) / cw1) * (cast(n1bwd as double) / n1tot),
-             6) as p_kn""")
+          "floor((cast(c as double) / cw1) * 1e6 + 0.5) / 1e6 as p_mle",
+          """floor(((c - 0.75) / cw1
+             + ((0.75 * n1fwd) / cw1) * (cast(n1bwd as double) / n1tot)) * 1e6 + 0.5) / 1e6 as p_kn""")
         .orderBy(F.col("c").desc, F.col("w1"), F.col("w2"))
         .limit(20)
       out
@@ -340,11 +339,11 @@ object MetricQueries {
            FROM coc)
           SELECT coc.c AS r, coc.n_r,
             CAST(coalesce(nxt.n_r, 0) AS BIGINT) AS n_r1,
-            round((coc.c + 1) * coalesce(nxt.n_r, 0)::DOUBLE
-              / coc.n_r, 6) + 0 AS r_star,
+            floor(((coc.c + 1) * coalesce(nxt.n_r, 0)::DOUBLE
+              / coc.n_r) * 1e6 + 0.5) / 1e6 + 0 AS r_star,
             vocab, n_tokens,
-            round(n1::DOUBLE / n_tokens, 6) + 0 AS unseen_mass,
-            round(vocab + n1::DOUBLE * (n1 - 1) / (2 * (n2 + 1)), 6)
+            floor((n1::DOUBLE / n_tokens) * 1e6 + 0.5) / 1e6 + 0 AS unseen_mass,
+            floor((vocab + n1::DOUBLE * (n1 - 1) / (2 * (n2 + 1))) * 1e6 + 0.5) / 1e6
               + 0 AS chao1
           FROM coc
           LEFT JOIN coc nxt ON nxt.c = coc.c + 1
@@ -390,44 +389,44 @@ object MetricQueries {
             det0 / det b0, det1 / det b1, det2 / det b2
           FROM dets)
           SELECT n,
-            round(b0, 6) + 0 AS b0, round(b1, 6) + 0 AS b1,
-            round(b2, 6) + 0 AS b2,
-            round(1 - (ayy - b0 * ay - b1 * a1y - b2 * a2y)
-              / (ayy - ay * ay / dn), 6) + 0 AS r2
+            floor((b0) * 1e6 + 0.5) / 1e6 + 0 AS b0, floor((b1) * 1e6 + 0.5) / 1e6 + 0 AS b1,
+            floor((b2) * 1e6 + 0.5) / 1e6 + 0 AS b2,
+            floor((1 - (ayy - b0 * ay - b1 * a1y - b2 * a2y)
+              / (ayy - ay * ay / dn)) * 1e6 + 0.5) / 1e6 + 0 AS r2
           FROM b""",
 
     "q309_fellegi_sunter" ->
       """WITH c AS MATERIALIZED (SELECT c_custkey id,
              c_nationkey blk1, c_mktsegment blk2,
              CAST(floor(c_acctbal / 500) AS BIGINT) f1,
-             CAST(round(c_acctbal * 100, 0) AS BIGINT) % 97 f2,
+             CAST(floor((c_acctbal * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) % 97 f2,
              substr(c_name, length(c_name) - 1, 2) f3
            FROM customer),
-          u1 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
-                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
+          u1 AS (SELECT floor((sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE) * 1e6 + 0.5) / 1e6 + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f1) t),
-          u2 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
-                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
+          u2 AS (SELECT floor((sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE) * 1e6 + 0.5) / 1e6 + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f2) t),
-          u3 AS (SELECT round(sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
-                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE, 6) + 0 u
+          u3 AS (SELECT floor((sum(nv::DECIMAL(38,0) * (nv - 1))::DOUBLE
+                   / (sum(nv)::DECIMAL(38,0) * (sum(nv) - 1))::DOUBLE) * 1e6 + 0.5) / 1e6 + 0 u
                  FROM (SELECT count(*) nv FROM c GROUP BY f3) t),
           w AS (SELECT
-             round(log2(0.9 / u1.u), 6) + 0 wa1,
-             round(log2((1 - 0.9) / (1 - u1.u)), 6) + 0 wd1,
-             round(log2(0.9 / u2.u), 6) + 0 wa2,
-             round(log2((1 - 0.9) / (1 - u2.u)), 6) + 0 wd2,
-             round(log2(0.9 / u3.u), 6) + 0 wa3,
-             round(log2((1 - 0.9) / (1 - u3.u)), 6) + 0 wd3
+             floor((log2(0.9 / u1.u)) * 1e6 + 0.5) / 1e6 + 0 wa1,
+             floor((log2((1 - 0.9) / (1 - u1.u))) * 1e6 + 0.5) / 1e6 + 0 wd1,
+             floor((log2(0.9 / u2.u)) * 1e6 + 0.5) / 1e6 + 0 wa2,
+             floor((log2((1 - 0.9) / (1 - u2.u))) * 1e6 + 0.5) / 1e6 + 0 wd2,
+             floor((log2(0.9 / u3.u)) * 1e6 + 0.5) / 1e6 + 0 wa3,
+             floor((log2((1 - 0.9) / (1 - u3.u))) * 1e6 + 0.5) / 1e6 + 0 wd3
            FROM u1, u2, u3)
           SELECT a.id id_a, b.id id_b,
             concat(CASE WHEN a.f1 = b.f1 THEN '1' ELSE '0' END,
                    CASE WHEN a.f2 = b.f2 THEN '1' ELSE '0' END,
                    CASE WHEN a.f3 = b.f3 THEN '1' ELSE '0' END)
               AS pattern,
-            round((CASE WHEN a.f1 = b.f1 THEN wa1 ELSE wd1 END)
+            floor(((CASE WHEN a.f1 = b.f1 THEN wa1 ELSE wd1 END)
               + (CASE WHEN a.f2 = b.f2 THEN wa2 ELSE wd2 END)
-              + (CASE WHEN a.f3 = b.f3 THEN wa3 ELSE wd3 END), 6)
+              + (CASE WHEN a.f3 = b.f3 THEN wa3 ELSE wd3 END)) * 1e6 + 0.5) / 1e6
               + 0 AS score
           FROM c a JOIN c b ON a.blk1 = b.blk1 AND a.blk2 = b.blk2
             AND a.id < b.id
@@ -441,18 +440,18 @@ object MetricQueries {
           sims AS MATERIALIZED (SELECT qid,
              CASE WHEN c.label = qlbl THEN 1 ELSE 0 END relv,
              row_number() OVER (PARTITION BY qid
-               ORDER BY round(list_cosine_similarity(
-                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               ORDER BY floor((list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6
                  DESC, c.vec_id) rnk
            FROM q JOIN embeddings c ON c.vec_id != q.qid),
           fr AS (SELECT qid, CAST(min(rnk) AS BIGINT) fr
                  FROM sims WHERE rnk <= 10 AND relv = 1 GROUP BY 1),
           perq AS (SELECT q.qid AS query_id,
              CAST(coalesce(fr.fr, 0) AS BIGINT) AS first_rank,
-             round(CASE WHEN fr.fr IS NULL THEN 0
-               ELSE 1 / fr.fr::DOUBLE END, 6) + 0 AS rr
+             floor((CASE WHEN fr.fr IS NULL THEN 0
+               ELSE 1 / fr.fr::DOUBLE END) * 1e6 + 0.5) / 1e6 + 0 AS rr
            FROM q LEFT JOIN fr ON fr.qid = q.qid),
-          m AS (SELECT round(avg(rr), 6) + 0 AS mrr FROM perq)
+          m AS (SELECT floor((avg(rr)) * 1e6 + 0.5) / 1e6 + 0 AS mrr FROM perq)
           SELECT query_id, first_rank, rr, mrr
           FROM perq CROSS JOIN m
           ORDER BY query_id""",
@@ -488,9 +487,9 @@ object MetricQueries {
                   FROM bgs GROUP BY 1),
           tot AS (SELECT CAST(count(*) AS BIGINT) n1tot FROM bgs)
           SELECT bgs.w1, bgs.w2, c,
-            round(c::DOUBLE / cw1, 6) + 0 AS p_mle,
-            round((c - 0.75) / cw1
-              + ((0.75 * n1fwd) / cw1) * (n1bwd::DOUBLE / n1tot), 6)
+            floor((c::DOUBLE / cw1) * 1e6 + 0.5) / 1e6 + 0 AS p_mle,
+            floor(((c - 0.75) / cw1
+              + ((0.75 * n1fwd) / cw1) * (n1bwd::DOUBLE / n1tot)) * 1e6 + 0.5) / 1e6
               + 0 AS p_kn
           FROM bgs JOIN lft USING (w1) JOIN rgt USING (w2)
           CROSS JOIN tot

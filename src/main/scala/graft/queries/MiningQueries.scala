@@ -64,7 +64,7 @@ object MiningQueries {
       val emb = T.load(s, dir, "embeddings")
       val knn = Knn.exactKnnBnB(emb, emb, "vec_id", "embedding", 5)
         .withColumn("di",
-          F.round((F.lit(1.0) - F.col("sim")) * 1e6).cast("long"))
+          (F.floor(((F.lit(1.0) - F.col("sim")) * 1e6) * 1e0 + 0.5) / 1e0).cast("long"))
         // n x k rows consumed by kd AND reach — pin so the BnB
         // pipeline runs once (Bench/Verify sweep blocks post-query)
         .localCheckpoint()
@@ -80,8 +80,8 @@ object MiningQueries {
         .join(sums.toDF("a", "Sa"), "a")
         .join(sums.toDF("b", "Sb"), "b")
         .groupBy(F.col("a").as("vec_id"))
-        .agg(F.round(F.max(F.col("Sa")).cast("double") / 5.0
-          * F.sum(F.lit(1.0) / F.col("Sb")), 6).as("lof"))
+        .agg((F.floor((F.max(F.col("Sa")).cast("double") / 5.0
+          * F.sum(F.lit(1.0) / F.col("Sb"))) * 1e6 + 0.5) / 1e6).as("lof"))
     },
 
     // Multi-source BFS hop distance over the customer↔supplier
@@ -186,7 +186,11 @@ object MiningQueries {
         // exact integer numerator/denominator division can land on an
         // exact 6-dp half, where Spark's decimal-repr HALF_UP and
         // DuckDB's binary round() split; floor(x*1e6+0.5)/1e6 is the
-        // identical IEEE op sequence in both engines.
+        // identical IEEE op sequence in both engines. Caveat: Spark's
+        // floor(double) returns LongType, so |x*1e6| beyond ±2^63
+        // would saturate here while DuckDB's floor stays DOUBLE — a
+        // theoretical divergence only; v is an interpolated percentage
+        // in [0, ~100], orders of magnitude inside Long range.
         .select(F.col("user_id"), F.col("sec"),
           F.when(F.col("t1").isNull,
               F.floor(F.col("v0") / 100.0 * 1e6 + 0.5) / 1e6)
@@ -264,8 +268,8 @@ object MiningQueries {
         .join(vS.toDF("S2", "v2"),
           F.col("S2") === F.col("S").bitwiseOR(F.col("bit")))
         .groupBy("channel")
-        .agg(F.round(F.sum(w24 * (F.col("v2") - F.col("v")))
-          .cast("double") / 24.0, 6).as("shapley"))
+        .agg((F.floor((F.sum(w24 * (F.col("v2") - F.col("v")))
+          .cast("double") / 24.0) * 1e6 + 0.5) / 1e6).as("shapley"))
     },
 
     // Precision-recall AUC (step interpolation at score-group
@@ -275,7 +279,7 @@ object MiningQueries {
     // score axis descending. Integer sums, two final divisions.
     "q217_pr_auc" -> { (s, dir) =>
       val g = T.load(s, dir, "events")
-        .select(F.round(F.col("value") * 100).cast("long").as("sc"),
+        .select((F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("sc"),
           F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
         .groupBy("sc").agg(F.sum("pos").as("npos"),
@@ -291,7 +295,7 @@ object MiningQueries {
           F.sum(F.col("npos").cast("double") * F.col("ctp")
             / F.col("cn")).as("__s"))
         .select(F.col("np"),
-          F.round(F.col("__s") / F.col("np"), 6).as("auc_pr"))
+          (F.floor((F.col("__s") / F.col("np")) * 1e6 + 0.5) / 1e6).as("auc_pr"))
     },
 
     // Flesch reading-ease per document: vowel-group syllable heuristic
@@ -396,7 +400,7 @@ object MiningQueries {
         .select(F.col("event_type"),
           F.expr("cast(floor(unix_timestamp(ts) / 3600) as bigint)")
             .as("h"),
-          F.round(F.col("value") * 100).cast("long").as("vc"))
+          (F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("vc"))
         .groupBy("event_type", "h").agg(F.sum("vc").as("xr"))
       val grid = hourly.groupBy("event_type")
         .agg(F.min("h").as("h0"), F.max("h").as("h1"))
@@ -430,11 +434,10 @@ object MiningQueries {
         // den = 0 (a constant series) must yield NULL, not 0/0 = NaN:
         // round(NaN) semantics differ across engines, so the guard is
         // mirrored in the oracle's nullif(den, 0)
-        .agg(F.round(
-          F.sum((F.col("x") - F.col("mu"))
+        .agg((F.floor((F.sum((F.col("x") - F.col("mu"))
             * (F.col("e.xk") - F.col("mu")))
             / F.when(F.first("den") === 0d, F.lit(null))
-              .otherwise(F.first("den")), 6).as("acf"))
+              .otherwise(F.first("den"))) * 1e6 + 0.5) / 1e6).as("acf"))
     },
 
     // Sequential-pair mining: for every ordered event-type pair
@@ -500,12 +503,12 @@ object MiningQueries {
     "q212_lof" ->
       """WITH sims AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              round(list_cosine_similarity(
-                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+              floor((list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
             FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id),
           knn AS (
             SELECT query_id, neighbor_id,
-              CAST(round((1 - sim) * 1e6) AS BIGINT) AS di,
+              CAST(floor(((1 - sim) * 1e6) * 1e0 + 0.5) / 1e0 AS BIGINT) AS di,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank
             FROM sims QUALIFY rank <= 5),
@@ -516,8 +519,8 @@ object MiningQueries {
           s AS (SELECT a, greatest(sum(rd), 1) AS S
                 FROM reach GROUP BY 1)
           SELECT r.a AS vec_id,
-            round(CAST(max(sa.S) AS DOUBLE) / 5.0
-              * sum(1.0 / sb.S), 6) AS lof
+            floor((CAST(max(sa.S) AS DOUBLE) / 5.0
+              * sum(1.0 / sb.S)) * 1e6 + 0.5) / 1e6 AS lof
           FROM reach r JOIN s sa ON sa.a = r.a
                        JOIN s sb ON sb.a = r.b
           GROUP BY 1""",
@@ -618,16 +621,16 @@ object MiningQueries {
           ch(channel, bit) AS (VALUES ('click', 1), ('error', 2),
                                       ('signup', 4), ('view', 8))
           SELECT channel,
-            round(CAST(sum((CASE (vS.S % 2) + (vS.S // 2) % 2
+            floor((CAST(sum((CASE (vS.S % 2) + (vS.S // 2) % 2
                                  + (vS.S // 4) % 2 + (vS.S // 8) % 2
                             WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
                             ELSE 6 END) * (v2.v - vS.v)) AS DOUBLE)
-              / 24.0, 6) AS shapley
+              / 24.0) * 1e6 + 0.5) / 1e6 AS shapley
           FROM ch JOIN vS ON (vS.S & ch.bit) = 0
                   JOIN vS v2 ON v2.S = (vS.S | ch.bit)
           GROUP BY 1""",
     "q217_pr_auc" ->
-      """WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS sc,
+      """WITH g AS (SELECT CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS sc,
                       sum(CASE WHEN event_type = 'purchase' THEN 1
                           ELSE 0 END) AS npos,
                       count(*) AS tot
@@ -641,8 +644,8 @@ object MiningQueries {
                     AS cn
                 FROM g)
           SELECT CAST(sum(npos) AS BIGINT) AS np,
-            round(sum(CAST(npos AS DOUBLE) * ctp / cn)
-              / sum(npos), 6) AS auc_pr
+            floor((sum(CAST(npos AS DOUBLE) * ctp / cn)
+              / sum(npos)) * 1e6 + 0.5) / 1e6 AS auc_pr
           FROM c""",
     "q218_readability" ->
       """WITH w AS (SELECT doc_id,
@@ -696,7 +699,7 @@ object MiningQueries {
     "q226_acf" ->
       """WITH ev AS (SELECT event_type,
                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-                      CAST(round(value * 100) AS BIGINT) AS vc
+                      CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS vc
                     FROM events),
           hourly AS (SELECT event_type, h, sum(vc) AS xr
                      FROM ev GROUP BY 1, 2),
@@ -728,8 +731,8 @@ object MiningQueries {
                  UNION ALL
                  SELECT event_type, x, 3, x3 FROM la)
           SELECT e.event_type, e.lag,
-            round(sum((e.x - st.mu) * (e.xk - st.mu))
-              / nullif(any_value(st.den), 0), 6) AS acf
+            floor((sum((e.x - st.mu) * (e.xk - st.mu))
+              / nullif(any_value(st.den), 0)) * 1e6 + 0.5) / 1e6 AS acf
           FROM ex e JOIN st ON st.event_type = e.event_type
           WHERE e.xk IS NOT NULL
           GROUP BY 1, 2""",

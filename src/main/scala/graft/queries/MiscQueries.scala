@@ -130,7 +130,7 @@ object MiscQueries {
         "n" -> "count(c_mktsegment)",
         "n_unique" -> "count(distinct c_mktsegment)",
         "n_missing" -> "count_if(c_mktsegment is null)",
-        "avg_len" -> "round(avg(length(c_name)), 6)")
+        "avg_len" -> "floor((avg(length(c_name))) * 1e6 + 0.5) / 1e6")
     },
 
     // Backward as-of join (time-series operator Spark SQL lacks),
@@ -220,19 +220,19 @@ object MiscQueries {
       // memory instead of paying a second O(orders) checkpoint write
       val o = T.load(s, dir, "orders")
         .select(F.col("o_orderstatus"),
-          F.expr("cast(round(o_totalprice * 100) as bigint)").as("__c"))
+          F.expr("cast(floor((o_totalprice * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("__c"))
         .localCheckpoint()
       val med = graft.ops.Quantiles.groupedExactLong(
         o, Seq("o_orderstatus"), "__c", 0.5, "__medc", pinned = true)
       val adev = o.join(F.broadcast(med), Seq("o_orderstatus"))
         .select(F.col("o_orderstatus"),
-          F.expr("abs(2L * __c - cast(round(2 * __medc) as bigint))")
+          F.expr("abs(2L * __c - cast(floor((2 * __medc) * 1e0 + 0.5) / 1e0 as bigint))")
             .as("__a2")) // half-cent units, exact longs
       graft.ops.Quantiles.groupedExactLong(
           adev, Seq("o_orderstatus"), "__a2", 0.5, "__mad2",
           pinned = true)
         .select(F.col("o_orderstatus"),
-          F.expr("round(__mad2 / 200, 4)").as("mad"))
+          F.expr("floor((__mad2 / 200) * 1e4 + 0.5) / 1e4").as("mad"))
     },
 
     // Covariance matrix, long form (reference cov, src/dataframe.jl:1514).
@@ -292,7 +292,7 @@ object MiscQueries {
       graft.ops.Fourier.dftByGroup(series, Seq("o_orderstatus"),
           Seq("o_orderkey"), "o_totalprice", 8)
         .basedOn("o_orderstatus" -> "o_orderstatus", "k" -> "k",
-          "re" -> "round(re, 2)", "im" -> "round(im, 2)")
+          "re" -> "floor((re) * 1e2 + 0.5) / 1e2", "im" -> "floor((im) * 1e2 + 0.5) / 1e2")
     },
 
     // Z-order clustering key: Morton interleave of two scan dimensions
@@ -409,7 +409,7 @@ object MiscQueries {
                 count(DISTINCT c_mktsegment) AS n_unique,
                 count(CASE WHEN c_mktsegment IS NULL THEN 1 END)
                   AS n_missing,
-                round(avg(length(c_name)), 6) AS avg_len
+                floor((avg(length(c_name))) * 1e6 + 0.5) / 1e6 AS avg_len
          FROM customer""",
     "q73_asof_join" ->
       """SELECT e.event_id, e.user_id, r.value AS asof_value
@@ -445,7 +445,7 @@ object MiscQueries {
                   quantile_cont(o_totalprice, 0.5) AS med
            FROM orders GROUP BY 1)
          SELECT o.o_orderstatus,
-           round(quantile_cont(abs(o.o_totalprice - med.med), 0.5), 4)
+           floor((quantile_cont(abs(o.o_totalprice - med.med), 0.5)) * 1e4 + 0.5) / 1e4
              AS mad
          FROM orders o JOIN med USING (o_orderstatus)
          GROUP BY 1""",
@@ -496,8 +496,8 @@ object MiscQueries {
            FROM series),
          ks AS (SELECT CAST(unnest(range(8)) AS INT) AS k)
          SELECT o_orderstatus, k,
-           round(sum(x * cos(-2 * pi() * k * idx / len)), 2) AS re,
-           round(sum(x * sin(-2 * pi() * k * idx / len)), 2) AS im
+           floor((sum(x * cos(-2 * pi() * k * idx / len))) * 1e2 + 0.5) / 1e2 AS re,
+           floor((sum(x * sin(-2 * pi() * k * idx / len))) * 1e2 + 0.5) / 1e2 AS im
          FROM sized CROSS JOIN ks GROUP BY 1, 2"""
   )
 }

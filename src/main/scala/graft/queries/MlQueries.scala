@@ -33,7 +33,7 @@ object MlQueries {
     // every stage is partial-agg'd — the 100 TB shape.
     "q196_auc" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
-        .select(F.round(F.col("value") * 100).cast("long").as("sc"),
+        .select((F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("sc"),
           F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
       val g = ev.groupBy("sc").agg(
@@ -46,8 +46,8 @@ object MlQueries {
           F.sum(F.col("npos") * F.col("cumneg")).as("__a"),
           F.sum(F.col("npos") * F.col("nneg")).as("__b"))
         .select(F.col("np"), F.col("nn"),
-          F.round((F.lit(2) * F.col("__a") + F.col("__b")).cast("double")
-            / (F.lit(2) * F.col("np") * F.col("nn")), 6).as("auc"))
+          (F.floor(((F.lit(2) * F.col("__a") + F.col("__b")).cast("double")
+            / (F.lit(2) * F.col("np") * F.col("nn"))) * 1e6 + 0.5) / 1e6).as("auc"))
     },
 
     // Score-calibration curve: 10 fixed-width score bins (bounds from
@@ -56,7 +56,7 @@ object MlQueries {
     // are pure integer arithmetic; the two ratios are the only floats.
     "q197_calibration" -> { (s, dir) =>
       val ev = T.load(s, dir, "events")
-        .select(F.round(F.col("value") * 100).cast("long").as("sc"),
+        .select((F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("sc"),
           F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
       val mx = ev.agg(F.max("sc").as("mxc"))
@@ -69,9 +69,9 @@ object MlQueries {
           F.col("sc"), F.col("pos"))
         .groupBy("bin").agg(
           F.count(F.lit(1)).as("n"),
-          F.round(F.sum("sc").cast("double")
-            / (F.count(F.lit(1)) * 100), 6).as("mean_score"),
-          F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6)
+          (F.floor((F.sum("sc").cast("double")
+            / (F.count(F.lit(1)) * 100)) * 1e6 + 0.5) / 1e6).as("mean_score"),
+          (F.floor((F.sum("pos").cast("double") / F.count(F.lit(1))) * 1e6 + 0.5) / 1e6)
             .as("pos_rate"))
     },
 
@@ -103,7 +103,7 @@ object MlQueries {
           (F.col("q") * F.log(F.col("q") * 2 / (F.col("p") + F.col("q"))))
             .as("tq"))
         .groupBy("source")
-        .agg(F.round((F.sum("tp") + F.sum("tq")) / 2, 6).as("js"))
+        .agg((F.floor(((F.sum("tp") + F.sum("tq")) / 2) * 1e6 + 0.5) / 1e6).as("js"))
     },
 
     // χ² feature selection: token-presence vs document language, the
@@ -146,12 +146,11 @@ object MlQueries {
                   F.lit(1d) / (F.col("nc")
                     * (F.col("nt") - F.col("r")).cast("double") / F.col("nt")))
                 .otherwise(0d))).as("t"))
-        .groupBy("tok").agg(F.round(
-          F.sum("t")
+        .groupBy("tok").agg((F.floor((F.sum("t")
           + F.when(F.first("r") < F.first("nt"),
               F.first("r").cast("double") / (F.first("nt") - F.first("r"))
                 * (F.first("nt") - F.first("sobs")))
-            .otherwise(0d), 6).as("chi2"))
+            .otherwise(0d)) * 1e6 + 0.5) / 1e6).as("chi2"))
         .orderBy(F.col("chi2").desc, F.col("tok").asc).limit(20)
     },
 
@@ -164,7 +163,7 @@ object MlQueries {
     "q200_target_loo" -> { (s, dir) =>
       val o = T.load(s, dir, "orders")
         .select(F.col("o_orderkey"), F.col("o_orderpriority"),
-          F.round(F.col("o_totalprice") * 100).cast("long").as("cents"))
+          (F.floor((F.col("o_totalprice") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("cents"))
       val cat = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).as("n"), F.sum("cents").as("sm"))
       o.join(F.broadcast(cat), "o_orderpriority")
@@ -172,8 +171,8 @@ object MlQueries {
           // explicit singleton guard (ANSI mode errors on /0; DuckDB
           // would too) — NULL is the defined LOO value for n = 1
           F.when(F.col("n") > 1,
-            F.round((F.col("sm") - F.col("cents")).cast("double")
-              / (F.lit(100) * (F.col("n") - 1)), 6)).as("loo_mean"))
+            (F.floor(((F.col("sm") - F.col("cents")).cast("double")
+              / (F.lit(100) * (F.col("n") - 1))) * 1e6 + 0.5) / 1e6)).as("loo_mean"))
     },
 
     // Hashing-trick featurization: tokens → 64 buckets through a
@@ -230,7 +229,7 @@ object MlQueries {
       val ev = T.load(s, dir, "events")
         .select(F.col("event_type"), F.col("event_id"),
           F.unix_timestamp(F.col("ts")).as("sec"),
-          F.round(F.col("value") * 100).cast("long").as("c"))
+          (F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("c"))
       val tot = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).as("n"), F.sum("c").as("sm"))
       val w = Window.partitionBy("event_type")
@@ -239,8 +238,8 @@ object MlQueries {
       ev.join(F.broadcast(tot), "event_type")
         .withColumn("pre", F.sum(F.col("n") * F.col("c") - F.col("sm")).over(w))
         .groupBy("event_type")
-        .agg(F.round((F.max("pre") - F.min("pre")).cast("double")
-          / (F.first("n") * 100), 6).as("cusum_range"))
+        .agg((F.floor(((F.max("pre") - F.min("pre")).cast("double")
+          / (F.first("n") * 100)) * 1e6 + 0.5) / 1e6).as("cusum_range"))
     },
 
     // SCD-2 interval reconstruction from a change log: JSON attribute
@@ -295,7 +294,7 @@ object MlQueries {
             .otherwise(F.lit(0.2d) / (F.col("n") - 2)))
         .groupBy(F.col("event_type").as("channel"))
         .agg(F.count(F.lit(1)).as("n_touches"),
-          F.round(F.sum("credit"), 6).as("credit"))
+          (F.floor((F.sum("credit")) * 1e6 + 0.5) / 1e6).as("credit"))
     },
 
     // Exact-substring duplication (Lee et al. style train-dedup
@@ -443,7 +442,7 @@ object MlQueries {
       T.load(s, dir, "events")
         .select(F.col("user_id"), F.col("event_id"),
           F.unix_timestamp(F.col("ts")).as("sec"),
-          F.round(F.col("value") * 100).cast("long").as("c"))
+          (F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long").as("c"))
         .withColumn("nxt", F.lead("sec", 1).over(byUser))
         .filter(F.col("nxt").isNotNull)
         .groupBy("user_id")
@@ -451,14 +450,14 @@ object MlQueries {
           F.sum(F.col("nxt") - F.col("sec")).as("__d"))
         .select(F.col("user_id"),
           F.when(F.col("__d") > 0,
-            F.round(F.col("__n").cast("double") / (F.col("__d") * 100), 6))
+            (F.floor((F.col("__n").cast("double") / (F.col("__d") * 100)) * 1e6 + 0.5) / 1e6))
             .as("twa"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
     "q196_auc" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS sc,
+      """WITH e AS (SELECT CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS sc,
                       CASE WHEN event_type='purchase' THEN 1 ELSE 0 END
                         AS pos
                     FROM events),
@@ -471,21 +470,21 @@ object MlQueries {
                 FROM g)
           SELECT CAST(sum(npos) AS BIGINT) AS np,
                  CAST(sum(nneg) AS BIGINT) AS nn,
-                 round(CAST(2*sum(npos*cumneg) + sum(npos*nneg)
+                 floor((CAST(2*sum(npos*cumneg) + sum(npos*nneg)
                        AS DOUBLE)
-                   / (2 * sum(npos) * sum(nneg)), 6) AS auc
+                   / (2 * sum(npos) * sum(nneg))) * 1e6 + 0.5) / 1e6 AS auc
           FROM p""",
     "q197_calibration" ->
-      """WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS sc,
+      """WITH e AS (SELECT CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS sc,
                       CASE WHEN event_type='purchase' THEN 1 ELSE 0 END
                         AS pos
                     FROM events),
           m AS (SELECT max(sc) AS mxc FROM e)
           SELECT CAST((sc*10) // (mxc+1) AS BIGINT) AS bin,
                  CAST(count(*) AS BIGINT) AS n,
-                 round(CAST(sum(sc) AS DOUBLE) / (count(*)*100), 6)
+                 floor((CAST(sum(sc) AS DOUBLE) / (count(*)*100)) * 1e6 + 0.5) / 1e6
                    AS mean_score,
-                 round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+                 floor((CAST(sum(pos) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pos_rate
           FROM e CROSS JOIN m GROUP BY 1""",
     "q198_js_divergence" ->
       """WITH sl AS (SELECT source, lang, count(*) AS c
@@ -501,9 +500,9 @@ object MlQueries {
               LEFT JOIN sl ON sl.source = st.source AND sl.lang = gl.lang
               CROSS JOIN n)
           SELECT source,
-            round((sum(CASE WHEN p > 0
+            floor(((sum(CASE WHEN p > 0
                        THEN p * ln(p*2/(p+q)) ELSE 0 END)
-                   + sum(q * ln(q*2/(p+q)))) / 2, 6) AS js
+                   + sum(q * ln(q*2/(p+q)))) / 2) * 1e6 + 0.5) / 1e6 AS js
           FROM grid GROUP BY 1""",
     "q199_chi2_tokens" ->
       """WITH toks AS (SELECT lang,
@@ -522,7 +521,7 @@ object MlQueries {
               LEFT JOIN o ON o.tok = rt.tok AND o.lang = ct.lang
               CROSS JOIN n),
           chi AS (
-            SELECT tok, round(sum(
+            SELECT tok, floor((sum(
               (o - nc*CAST(r AS DOUBLE)/nt)
                 * (o - nc*CAST(r AS DOUBLE)/nt)
                 / (nc*CAST(r AS DOUBLE)/nt)
@@ -530,19 +529,19 @@ object MlQueries {
                   ((nc-o) - nc*CAST(nt-r AS DOUBLE)/nt)
                     * ((nc-o) - nc*CAST(nt-r AS DOUBLE)/nt)
                     / (nc*CAST(nt-r AS DOUBLE)/nt)
-                ELSE 0 END), 6) AS chi2
+                ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS chi2
             FROM grid GROUP BY 1)
           SELECT tok, chi2 FROM chi
           ORDER BY chi2 DESC, tok ASC LIMIT 20""",
     "q200_target_loo" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,
-                      CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                      CAST(floor((o_totalprice*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS cents
                     FROM orders),
           cat AS (SELECT o_orderpriority, count(*) AS n, sum(cents) AS sm
                   FROM o GROUP BY 1)
           SELECT o_orderkey, o_orderpriority,
             CASE WHEN n > 1 THEN
-              round(CAST(sm - cents AS DOUBLE) / (100*(n-1)), 6)
+              floor((CAST(sm - cents AS DOUBLE) / (100*(n-1))) * 1e6 + 0.5) / 1e6
             END AS loo_mean
           FROM o JOIN cat USING (o_orderpriority)""",
     "q201_feature_hash" ->
@@ -578,7 +577,7 @@ object MlQueries {
     "q203_cusum" ->
       """WITH e AS (SELECT event_type, event_id,
                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                      CAST(round(value*100) AS BIGINT) AS c
+                      CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS c
                     FROM events),
           t AS (SELECT event_type, count(*) AS n, sum(c) AS sm
                 FROM e GROUP BY 1),
@@ -590,8 +589,7 @@ object MlQueries {
                     AS pre
                 FROM e JOIN t USING (event_type))
           SELECT event_type,
-            round(CAST(max(pre) - min(pre) AS DOUBLE) / (any_value(n)*100),
-              6) AS cusum_range
+            floor((CAST(max(pre) - min(pre) AS DOUBLE) / (any_value(n)*100)) * 1e6 + 0.5) / 1e6 AS cusum_range
           FROM p GROUP BY 1""",
     "q204_scd2" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -625,10 +623,10 @@ object MlQueries {
                 FROM t)
           SELECT event_type AS channel,
             CAST(count(*) AS BIGINT) AS n_touches,
-            round(sum(CASE WHEN n = 1 THEN 1.0
+            floor((sum(CASE WHEN n = 1 THEN 1.0
                            WHEN n = 2 THEN 0.5
                            WHEN r = 1 OR r = n THEN 0.4
-                           ELSE 0.2 / (n - 2) END), 6) AS credit
+                           ELSE 0.2 / (n - 2) END)) * 1e6 + 0.5) / 1e6 AS credit
           FROM s GROUP BY 1""",
     // Non-rolling re-derivation of the Rabin-Karp windows: per position
     // a 20-step fold — O(len·20) here vs the kernel's O(len), same
@@ -653,8 +651,8 @@ object MlQueries {
     "q207_mutual_knn" ->
       """WITH RECURSIVE sims AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              round(list_cosine_similarity(
-                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+              floor((list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
             FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id),
           knn AS (
             SELECT query_id, neighbor_id,
@@ -729,7 +727,7 @@ object MlQueries {
     "q210_time_weighted" ->
       """WITH e AS (SELECT user_id, event_id,
                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                      CAST(round(value*100) AS BIGINT) AS c
+                      CAST(floor((value*100) * 1e0 + 0.5) / 1e0 AS BIGINT) AS c
                     FROM events),
           iv AS (SELECT user_id, c, sec,
                    lead(sec) OVER (PARTITION BY user_id
@@ -740,7 +738,7 @@ object MlQueries {
                 FROM iv WHERE nxt IS NOT NULL GROUP BY 1)
           SELECT user_id,
             CASE WHEN d > 0 THEN
-              round(CAST(n AS DOUBLE) / (d*100), 6) END AS twa
+              floor((CAST(n AS DOUBLE) / (d*100)) * 1e6 + 0.5) / 1e6 END AS twa
           FROM g"""
   )
 }

@@ -55,9 +55,9 @@ object PipelineQueries {
         sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
         jp AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2,
-            round(len(list_intersect(a.s, b.s)) /
+            floor((len(list_intersect(a.s, b.s)) /
               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                   AS DOUBLE), 3) AS jac
+                   AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
         pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
@@ -77,9 +77,9 @@ object PipelineQueries {
           SELECT doc_id, lang, $duckShingles3 AS s FROM toks),
         pairs AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2,
-            round(len(list_intersect(a.s, b.s)) /
+            floor((len(list_intersect(a.s, b.s)) /
               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                   AS DOUBLE), 3) AS jac
+                   AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id $langCond)
         SELECT id1, id2, jac FROM pairs WHERE jac >= $threshold"""
   }
@@ -304,8 +304,8 @@ object PipelineQueries {
         .select(F.col("i"), F.col("j"),
           // + 0 folds -0.0 → 0.0 (a near-zero covariance rounds to a
           // sign-noise zero on one engine and not the other otherwise)
-          (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-            / (F.col("n") - 1), 6) + F.lit(0)).as("cov"))
+          ((F.floor(((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)) * 1e6 + 0.5) / 1e6) + F.lit(0)).as("cov"))
     },
 
     // Top principal component of the embedding covariance by POWER
@@ -332,8 +332,8 @@ object PipelineQueries {
           F.sum("xi").as("sx"), F.sum("xj").as("sy"))
         .crossJoin(F.broadcast(n))
         .select(F.col("i"), F.col("j"),
-          (F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-            / (F.col("n") - 1), 6) + F.lit(0)).as("cov"))
+          ((F.floor(((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - 1)) * 1e6 + 0.5) / 1e6) + F.lit(0)).as("cov"))
         .localCheckpoint() // consumed by all 3 iterations + v0
       def matvec(v: DataFrame): DataFrame = {
         val m = cov.join(F.broadcast(v), "j").groupBy("i")
@@ -349,7 +349,7 @@ object PipelineQueries {
         .select(F.when(F.col("v") >= 0, 1.0).otherwise(-1.0).as("sgn"))
       v3.crossJoin(F.broadcast(sgn))
         .select(F.col("j").as("pos"),
-          (F.round(F.col("v") * F.col("sgn"), 5) + F.lit(0)).as("loading"))
+          ((F.floor((F.col("v") * F.col("sgn")) * 1e5 + 0.5) / 1e5) + F.lit(0)).as("loading"))
     },
 
     // Label-centroid cosine confusion matrix: pairwise similarity of
@@ -364,7 +364,7 @@ object PipelineQueries {
           F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
         .withColumn("x", F.col("x").cast("double"))
       val cent = ex.groupBy("label", "pos")
-        .agg((F.round(F.avg("x"), 6) + F.lit(0)).as("c"))
+        .agg(((F.floor((F.avg("x")) * 1e6 + 0.5) / 1e6) + F.lit(0)).as("c"))
       val nrm = cent.groupBy("label")
         .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).as("nrm"))
       val a = cent.toDF("label_a", "pos", "ca")
@@ -376,7 +376,7 @@ object PipelineQueries {
         .join(F.broadcast(nrm.toDF("label_a", "na")), "label_a")
         .join(F.broadcast(nrm.toDF("label_b", "nb")), "label_b")
         .select(F.col("label_a"), F.col("label_b"),
-          (F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+          ((F.floor((F.col("dot") / (F.col("na") * F.col("nb"))) * 1e6 + 0.5) / 1e6)
             + F.lit(0)).as("cos"))
     },
 
@@ -583,7 +583,7 @@ object PipelineQueries {
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       val scored = TextOps.bm25(docs, "doc_id", "toks")
-        .withColumn("bm25", F.round(F.col("bm25"), 6))
+        .withColumn("bm25", (F.floor((F.col("bm25")) * 1e6 + 0.5) / 1e6))
       // bounded-memory top-k path (see q80)
       graft.similarity.TopK
         .perGroup[String](scored, Seq("doc_id"), "bm25", "tok", 3, "rn")
@@ -604,11 +604,11 @@ object PipelineQueries {
       val bm = TextOps.bm25(docs, "doc_id", "toks")
         .filter(F.col("tok").isin(qt: _*))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.round(F.col("bm25"), 6)), 6).as("s1"))
+        .agg((F.floor((F.sum((F.floor((F.col("bm25")) * 1e6 + 0.5) / 1e6))) * 1e6 + 0.5) / 1e6).as("s1"))
       val ti = TextOps.tfidf(docs, "doc_id", "toks")
         .filter(F.col("tok").isin(qt: _*))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.round(F.col("tfidf"), 6)), 6).as("s2"))
+        .agg((F.floor((F.sum((F.floor((F.col("tfidf")) * 1e6 + 0.5) / 1e6))) * 1e6 + 0.5) / 1e6).as("s2"))
       val r1 = graft.similarity.TopK
         .perGroup[Long](bm, Seq(), "s1", "doc_id", 100, "r1")
         .select("doc_id", "r1")
@@ -617,10 +617,9 @@ object PipelineQueries {
         .select("doc_id", "r2")
       r1.join(r2, Seq("doc_id"), "full_outer")
         .select(F.col("doc_id"), F.col("r1"), F.col("r2"),
-          F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
+          (F.floor((F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0))
               + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r2")),
-                F.lit(0.0)), 6).as("rrf"))
+                F.lit(0.0))) * 1e6 + 0.5) / 1e6).as("rrf"))
     },
 
     // Content flags (emails/urls/digit runs/digit ratio) — standard
@@ -636,7 +635,7 @@ object PipelineQueries {
       val docs = T.load(s, dir, "documents")
         .withColumn("toks", TextExpressions.wordTokens(F.col("text")))
       val scored = TextOps.tfidf(docs, "doc_id", "toks")
-        .withColumn("tfidf", F.round(F.col("tfidf"), 6))
+        .withColumn("tfidf", (F.floor((F.col("tfidf")) * 1e6 + 0.5) / 1e6))
       // bounded-memory top-k (O(docs × 3) shuffled, not O(doc-token
       // pairs)) — same (score desc, tok asc) order as a row_number
       // window; ranking on ROUNDED scores so ties match the oracle
@@ -713,8 +712,7 @@ object PipelineQueries {
         .agg(F.count(F.lit(1)).as("n_shingles"),
           F.sum(F.when(F.col("fd") === F.col("doc_id"), 1L)
             .otherwise(0L)).as("n_novel"))
-        .withColumn("novelty", F.round(
-          F.col("n_novel").cast("double") / F.col("n_shingles"), 6))
+        .withColumn("novelty", (F.floor((F.col("n_novel").cast("double") / F.col("n_shingles")) * 1e6 + 0.5) / 1e6))
     }
   )
 
@@ -742,8 +740,8 @@ object PipelineQueries {
                    z[1]::DOUBLE AS x FROM ex),
           n AS (SELECT count(*) AS n FROM embeddings)
           SELECT a.pos AS i, b.pos AS j,
-            round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
-              / (any_value(n.n) - 1), 6) + 0 AS cov
+            floor(((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
+              / (any_value(n.n) - 1)) * 1e6 + 0.5) / 1e6 + 0 AS cov
           FROM e2 a JOIN e2 b USING (vec_id) CROSS JOIN n
           GROUP BY 1, 2""",
     "q184_pca_power" ->
@@ -755,8 +753,8 @@ object PipelineQueries {
                    z[1]::DOUBLE AS x FROM ex),
           n AS (SELECT count(*) AS n FROM embeddings),
           a AS (SELECT a.pos AS i, b.pos AS j,
-              round((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
-                / (any_value(n.n) - 1), 6) + 0 AS cov
+              floor(((sum(a.x * b.x) - sum(a.x) * sum(b.x) / any_value(n.n))
+                / (any_value(n.n) - 1)) * 1e6 + 0.5) / 1e6 + 0 AS cov
             FROM e2 a JOIN e2 b USING (vec_id) CROSS JOIN n
             GROUP BY 1, 2),
           v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM a),
@@ -774,7 +772,7 @@ object PipelineQueries {
                  FROM m3),
           sg AS (SELECT CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END AS sgn
                  FROM v3 ORDER BY abs(v) DESC, j LIMIT 1)
-          SELECT v3.j AS pos, round(v3.v * sg.sgn, 5) + 0 AS loading
+          SELECT v3.j AS pos, floor((v3.v * sg.sgn) * 1e5 + 0.5) / 1e5 + 0 AS loading
           FROM v3 CROSS JOIN sg""",
     "q191_centroid_confusion" ->
       """WITH ex AS (SELECT label,
@@ -783,7 +781,7 @@ object PipelineQueries {
             FROM embeddings),
           e2 AS (SELECT label, z[2]::BIGINT - 1 AS pos, z[1]::DOUBLE AS x
                  FROM ex),
-          cent AS (SELECT label, pos, round(avg(x), 6) + 0 AS c
+          cent AS (SELECT label, pos, floor((avg(x)) * 1e6 + 0.5) / 1e6 + 0 AS c
                    FROM e2 GROUP BY 1, 2),
           nrm AS (SELECT label, sqrt(sum(c * c)) AS nrm
                   FROM cent GROUP BY 1),
@@ -792,7 +790,7 @@ object PipelineQueries {
                 FROM cent a JOIN cent b USING (pos)
                 WHERE a.label < b.label GROUP BY 1, 2)
          SELECT label_a, label_b,
-                round(dot / (na.nrm * nb.nrm), 6) + 0 AS cos
+                floor((dot / (na.nrm * nb.nrm)) * 1e6 + 0.5) / 1e6 + 0 AS cos
          FROM p JOIN nrm na ON na.label = p.label_a
                 JOIN nrm nb ON nb.label = p.label_b""",
     "q119_centroid_prune" ->
@@ -827,9 +825,9 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           pairs AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(len(list_intersect(a.s, b.s)) /
+              floor((len(list_intersect(a.s, b.s)) /
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                     AS DOUBLE), 3) AS jac
+                     AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
             FROM sh a JOIN sh b
               ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
           SELECT id1, id2, jac FROM pairs WHERE jac >= $NearDupJ""",
@@ -843,8 +841,8 @@ object PipelineQueries {
             WHERE len(t) >= 3),
           pairs AS (
             SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
-              round(len(list_intersect(a.s, b.s)) /
-                CAST(len(a.s) AS DOUBLE), 3) AS cont
+              floor((len(list_intersect(a.s, b.s)) /
+                CAST(len(a.s) AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS cont
             FROM sh a JOIN sh b
               ON ((len(a.s) < len(b.s)) OR
                   (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)))
@@ -887,25 +885,25 @@ object PipelineQueries {
         SELECT doc_id, $duckShingles3 AS s FROM toks),
       pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2,
-          round(len(list_intersect(a.s, b.s)) /
+          floor((len(list_intersect(a.s, b.s)) /
             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                 AS DOUBLE), 3) AS jac
+                 AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       SELECT id1, id2, jac, TRUE AS est_ok
       FROM pairs WHERE jac >= $NearDupJ""",
     "q44_embed_neardup" ->
       """SELECT id1, id2, sim FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-             round(list_cosine_similarity(
-               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+             floor((list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id) t
          WHERE sim >= 0.4""",
     "q45_knn_brute" ->
       """WITH sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(
-               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+             floor((list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 5)
          SELECT query_id, neighbor_id, sim,
@@ -915,8 +913,8 @@ object PipelineQueries {
     "q110_hard_negatives" ->
       """WITH sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(
-               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+             floor((list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
            FROM embeddings q JOIN embeddings c ON c.label != q.label
            WHERE q.vec_id < 5)
          SELECT query_id, neighbor_id, sim,
@@ -934,9 +932,9 @@ object PipelineQueries {
                    nullif(stddev_samp(x), 0) AS sd FROM e GROUP BY 1, 2),
           zz AS (SELECT vec_id, (x - mu) / sd AS zv
                  FROM e JOIN st USING (label, pos))
-         SELECT vec_id, round(sum(zv), 4) + 0 AS z_sum,
-           round(min(zv), 4) + 0 AS z_min,
-           round(max(zv), 4) + 0 AS z_max
+         SELECT vec_id, floor((sum(zv)) * 1e4 + 0.5) / 1e4 + 0 AS z_sum,
+           floor((min(zv)) * 1e4 + 0.5) / 1e4 + 0 AS z_min,
+           floor((max(zv)) * 1e4 + 0.5) / 1e4 + 0 AS z_max
          FROM zz GROUP BY 1""",
     // q46: replay of the IVF routing in SQL — float-cast per-label
     // centroids, 6-dp-rounded probe cosine (label tiebreak), top-3
@@ -956,15 +954,15 @@ object PipelineQueries {
             SELECT query_id, label FROM (
               SELECT q.vec_id AS query_id, cf.label,
                 row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY round(list_cosine_similarity(
-                    q.embedding::DOUBLE[], cf.c), 6) DESC, cf.label)
+                  ORDER BY floor((list_cosine_similarity(
+                    q.embedding::DOUBLE[], cf.c)) * 1e6 + 0.5) / 1e6 DESC, cf.label)
                   AS crank
               FROM embeddings q, cf WHERE q.vec_id < 5) t
             WHERE crank <= 3),
           sims AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              round(list_cosine_similarity(
-                q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+              floor((list_cosine_similarity(
+                q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
             FROM embeddings q
             JOIN probes p ON p.query_id = q.vec_id
             JOIN embeddings c ON c.label = p.label AND c.vec_id != q.vec_id
@@ -978,8 +976,8 @@ object PipelineQueries {
     "q94_ivf_fullprobe" ->
       """WITH sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(
-               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+             floor((list_cosine_similarity(
+               q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
            WHERE q.vec_id < 5)
          SELECT query_id, neighbor_id, sim,
@@ -1025,8 +1023,8 @@ object PipelineQueries {
           dup AS (
             SELECT doc_id,
               CASE WHEN len(g) = 0 THEN 0.0
-                   ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
-                              / CAST(len(g) AS DOUBLE), 6)
+                   ELSE floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                              / CAST(len(g) AS DOUBLE)) * 1e6 + 0.5) / 1e6
               END AS dup_ngram_frac
             FROM ng),
           cnt AS (
@@ -1035,7 +1033,7 @@ object PipelineQueries {
             GROUP BY 1, 2),
           top AS (
             SELECT doc_id,
-              round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+              floor((CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS top_tok_frac
             FROM cnt GROUP BY 1)
           SELECT d.doc_id, d.dup_ngram_frac,
@@ -1109,8 +1107,8 @@ object PipelineQueries {
             CAST(count(*) AS BIGINT) AS n_shingles,
             CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
               AS BIGINT) AS n_novel,
-            round(CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
-              AS DOUBLE) / count(*), 6) AS novelty
+            floor((CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS novelty
           FROM sh JOIN f USING (s)
           GROUP BY 1""",
     "q222_canonical_pick" ->
@@ -1119,9 +1117,9 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           jp AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(len(list_intersect(a.s, b.s)) /
+              floor((len(list_intersect(a.s, b.s)) /
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                     AS DOUBLE), 3) AS jac
+                     AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
           edges AS (SELECT id1 AS a, id2 AS b FROM pairs
@@ -1148,9 +1146,9 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           jp AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(len(list_intersect(a.s, b.s)) /
+              floor((len(list_intersect(a.s, b.s)) /
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                     AS DOUBLE), 3) AS jac
+                     AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
           edges AS (SELECT id1 AS a, id2 AS b FROM pairs
@@ -1183,7 +1181,7 @@ object PipelineQueries {
            FROM embeddings)
          SELECT id1, id2, sim FROM (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
-             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6 AS sim
            FROM u a JOIN u b ON a.vec_id < b.vec_id) t
          WHERE sim >= 0.95""",
     "q90_curation" ->
@@ -1192,9 +1190,9 @@ object PipelineQueries {
           sh AS (SELECT doc_id, $duckShingles3 AS s FROM toks),
           jp AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-              round(len(list_intersect(a.s, b.s)) /
+              floor((len(list_intersect(a.s, b.s)) /
                 CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-                     AS DOUBLE), 3) AS jac
+                     AS DOUBLE)) * 1e3 + 0.5) / 1e3 AS jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           pairs AS (SELECT id1, id2 FROM jp WHERE jac >= $NearDupJ),
           edges AS (SELECT id1 AS a, id2 AS b FROM pairs
@@ -1209,9 +1207,9 @@ object PipelineQueries {
           flagged AS (
             SELECT doc_id, lang, text FROM documents
             WHERE n_chars BETWEEN 150 AND 600
-              AND round((length(text) -
+              AND floor(((length(text) -
                     length(regexp_replace(text, '[0-9]', '', 'g'))) /
-                    CAST(length(text) AS DOUBLE), 6) < 0.05),
+                    CAST(length(text) AS DOUBLE)) * 1e6 + 0.5) / 1e6 < 0.05),
           exact AS (
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
@@ -1253,10 +1251,9 @@ object PipelineQueries {
                     (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY 1),
           scored AS (
             SELECT doc_id, tok,
-              round(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              floor((ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
                 * (tf.tf * 2.2)
-                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
-                6) AS bm25
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) * 1e6 + 0.5) / 1e6 AS bm25
             FROM tf JOIN dft USING (tok) CROSS JOIN stats)
           SELECT doc_id, tok, bm25, rn FROM (
             SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1275,15 +1272,12 @@ object PipelineQueries {
                  FROM ex GROUP BY 1, 2),
           dft AS (SELECT tok, count(*) AS df FROM
                     (SELECT DISTINCT doc_id, tok FROM ex) GROUP BY 1),
-          s1 AS (SELECT doc_id, round(sum(round(
-                   ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+          s1 AS (SELECT doc_id, floor((sum(floor((ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
                    * (tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
-                   6)), 6) AS s1
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS s1
                  FROM tf JOIN dft USING (tok) CROSS JOIN stats
                  WHERE tok IN ('hash', 'join') GROUP BY 1),
-          s2 AS (SELECT doc_id, round(sum(round(
-                   tf.tf * ln(nn.n / dft.df), 6)), 6) AS s2
+          s2 AS (SELECT doc_id, floor((sum(floor((tf.tf * ln(nn.n / dft.df)) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS s2
                  FROM tf JOIN dft USING (tok) CROSS JOIN nn
                  WHERE tok IN ('hash', 'join') GROUP BY 1),
           r1 AS (SELECT doc_id, row_number() OVER
@@ -1293,8 +1287,8 @@ object PipelineQueries {
                    (ORDER BY s2 DESC, doc_id) AS r2
                  FROM s2 QUALIFY r2 <= 100)
           SELECT doc_id, r1, r2,
-            round(coalesce(1.0 / (60 + r1), 0)
-                  + coalesce(1.0 / (60 + r2), 0), 6) AS rrf
+            floor((coalesce(1.0 / (60 + r1), 0)
+                  + coalesce(1.0 / (60 + r2), 0)) * 1e6 + 0.5) / 1e6 AS rrf
           FROM r1 FULL OUTER JOIN r2 USING (doc_id)""",
     "q88_content_flags" ->
       """SELECT doc_id,
@@ -1302,9 +1296,9 @@ object PipelineQueries {
              AS n_emails,
            len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
            len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
-           round((length(text) -
+           floor(((length(text) -
              length(regexp_replace(text, '[0-9]', '', 'g'))) /
-             CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+             CAST(length(text) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS digit_ratio
          FROM documents""",
     "q80_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -1316,7 +1310,7 @@ object PipelineQueries {
                  FROM documents),
           scored AS (
             SELECT doc_id, tok,
-              round(tf * ln(nn.n / dft.df), 6) AS tfidf
+              floor((tf * ln(nn.n / dft.df)) * 1e6 + 0.5) / 1e6 AS tfidf
             FROM tf JOIN dft USING (tok) CROSS JOIN nn)
           SELECT doc_id, tok, tfidf, rn FROM (
             SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1332,12 +1326,12 @@ object PipelineQueries {
           SELECT doc_id,
             length(text) AS n_chars_q,
             len(t) AS n_tokens,
-            round(list_sum(list_transform(t, x -> length(x)))
-                  / CAST(len(t) AS DOUBLE), 6) AS avg_token_len,
-            round(${duckMarkerScore(TextOps.markers.toMap.apply("en"))}
-                  / CAST(len(t) AS DOUBLE), 6) AS stopword_ratio,
-            round((length(text) - length(replace(text, ' ', '')))
-                  / CAST(length(text) AS DOUBLE), 6) AS space_ratio
+            floor((list_sum(list_transform(t, x -> length(x)))
+                  / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+            floor((${duckMarkerScore(TextOps.markers.toMap.apply("en"))}
+                  / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+            floor(((length(text) - length(replace(text, ' ', '')))
+                  / CAST(length(text) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS space_ratio
           FROM toks""",
     "q52_token_stats" ->
       """SELECT doc_id,

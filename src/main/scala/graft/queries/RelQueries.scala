@@ -26,7 +26,7 @@ object RelQueries {
     "q10_join_multikey" -> { (s, dir) =>
       val li = T.load(s, dir, "lineitem")
       val stats = li.by(Seq("l_returnflag", "l_linestatus"),
-        "grp_avg_price" -> "round(avg(l_extendedprice), 4)")
+        "grp_avg_price" -> "floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4")
       li.join(stats, Seq("l_returnflag", "l_linestatus"))
         .filterExpr("l_extendedprice > 1.8 * grp_avg_price")
         .by(Seq("l_returnflag", "l_linestatus"),
@@ -82,7 +82,11 @@ object RelQueries {
       // the binary value) disagree there. floor(x*1e6 + 0.5)/1e6 is
       // the same IEEE op sequence in both engines on the same input
       // double — bit-identical by construction (round-13 cross-scale
-      // sweep). dv is a 2-dp money difference, ≥5e-7 from any 6-dp
+      // sweep). Note the floor form rounds NEGATIVE exact halves
+      // toward +inf (half-down in magnitude), unlike round()'s
+      // away-from-zero HALF_UP — that direction change IS the
+      // cross-engine contract, applied identically on both sides.
+      // dv is a 2-dp money difference, ≥5e-7 from any 6-dp
       // half, so its round() stays.
       T.load(s, dir, "events")
         .diff("value", "dv", Seq("user_id"), Seq("ts", "event_id"))
@@ -145,7 +149,7 @@ object RelQueries {
     "q10_join_multikey" ->
       """WITH stats AS (
            SELECT l_returnflag, l_linestatus,
-                  round(avg(l_extendedprice), 4) AS grp_avg_price
+                  floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS grp_avg_price
            FROM lineitem GROUP BY 1, 2)
          SELECT l.l_returnflag, l.l_linestatus, count(*) AS n_expensive,
                 min(s.grp_avg_price) AS grp_avg_price

@@ -86,8 +86,8 @@ object RetrievalQueries {
       .join(ci.toDF("i", "ci"), "i")
       .join(ci.toDF("j", "cj"), "j")
       .select(F.col("i").as("item"), F.col("j").as("rec"),
-        F.round(F.col("cij")
-          / F.sqrt((F.col("ci") * F.col("cj")).cast("double")), 6)
+        (F.floor((F.col("cij")
+          / F.sqrt((F.col("ci") * F.col("cj")).cast("double"))) * 1e6 + 0.5) / 1e6)
           .as("sim"))
     graft.similarity.TopK
       .perGroup[Long](scored, Seq("item"), "sim", "rec", k)
@@ -196,7 +196,7 @@ object RetrievalQueries {
           sym AS (SELECT i, j, cij FROM p
                   UNION ALL SELECT j, i, cij FROM p),
           sc AS (SELECT s.i AS item, s.j AS rec,
-                   round(s.cij / sqrt(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                   floor((s.cij / sqrt(CAST(ca.c * cb.c AS DOUBLE))) * 1e6 + 0.5) / 1e6
                      AS sim
                  FROM sym s
                  JOIN ci ca ON ca.pk = s.i

@@ -234,7 +234,7 @@ object ScoreQueries {
         .agg(F.count(F.lit(1)).as("n_pairs"),
           F.sum(F.coalesce(F.col("caught"), F.lit(0L))).as("n_caught"))
         .withColumn("recall",
-          F.round(F.col("n_caught") / F.col("n_pairs").cast("double"), 6))
+          (F.floor((F.col("n_caught") / F.col("n_pairs").cast("double")) * 1e6 + 0.5) / 1e6))
     },
 
     // Decile lift / gains table — the model-scoring report: users
@@ -246,7 +246,7 @@ object ScoreQueries {
       val e = T.load(s, dir, "events")
       val score = e.filter(F.col("event_type") =!= "purchase")
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+        .agg(F.sum((F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long"))
           .as("cents"))
       val label = e.filter(F.col("event_type") === "purchase")
         .select(F.col("user_id")).distinct()
@@ -270,9 +270,9 @@ object ScoreQueries {
         .groupBy("decile")
         .agg(F.max("n_users").as("n_users"),
           F.max("n_pos").as("n_pos"),
-          F.round(F.max("n_pos") / F.max("n_users").cast("double"), 6)
+          (F.floor((F.max("n_pos") / F.max("n_users").cast("double")) * 1e6 + 0.5) / 1e6)
             .as("pos_rate"),
-          F.round(F.sum("__np2") / F.max("__tp").cast("double"), 6)
+          (F.floor((F.sum("__np2") / F.max("__tp").cast("double")) * 1e6 + 0.5) / 1e6)
             .as("cum_capture"))
     },
 
@@ -287,7 +287,7 @@ object ScoreQueries {
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).as("n_events"),
           F.count_distinct(F.col("ts").cast("date")).as("active_days"),
-          F.sum(F.round(F.col("value") * 100).cast("long"))
+          F.sum((F.floor((F.col("value") * 100) * 1e0 + 0.5) / 1e0).cast("long"))
             .as("value_cents"))
         .withColumn("variant", F.col("user_id") % 2)
         .localCheckpoint() // three covariate passes share one scan
@@ -309,10 +309,10 @@ object ScoreQueries {
           .select(F.col("mu").as("mu_c"), F.col("v").as("v_c"))
         t.crossJoin(c).select(
           F.lit(col).as("covariate"),
-          F.round(F.col("mu_t"), 6).as("mu_t"),
-          F.round(F.col("mu_c"), 6).as("mu_c"),
-          F.round((F.col("mu_t") - F.col("mu_c"))
-            / F.sqrt((F.col("v_t") + F.col("v_c")) / 2), 6).as("smd"))
+          (F.floor((F.col("mu_t")) * 1e6 + 0.5) / 1e6).as("mu_t"),
+          (F.floor((F.col("mu_c")) * 1e6 + 0.5) / 1e6).as("mu_c"),
+          (F.floor(((F.col("mu_t") - F.col("mu_c"))
+            / F.sqrt((F.col("v_t") + F.col("v_c")) / 2)) * 1e6 + 0.5) / 1e6).as("smd"))
           .withColumn("balanced", F.abs(F.col("smd")) <= 0.1)
       }
       smd("n_events").unionAll(smd("active_days"))
@@ -345,11 +345,11 @@ object ScoreQueries {
         .select(F.explode(F.array(
           F.struct(F.lit("mod").as("method"), F.col("n_keys"),
             F.col("__mm").as("n_moved"),
-            F.round(F.col("__mm") / F.col("n_keys").cast("double"), 6)
+            (F.floor((F.col("__mm") / F.col("n_keys").cast("double")) * 1e6 + 0.5) / 1e6)
               .as("moved_frac")),
           F.struct(F.lit("ring").as("method"), F.col("n_keys"),
             F.col("__rm").as("n_moved"),
-            F.round(F.col("__rm") / F.col("n_keys").cast("double"), 6)
+            (F.floor((F.col("__rm") / F.col("n_keys").cast("double")) * 1e6 + 0.5) / 1e6)
               .as("moved_frac")))).as("r"))
         .select("r.method", "r.n_keys", "r.n_moved", "r.moved_frac")
     },
@@ -400,8 +400,8 @@ object ScoreQueries {
       a.join(b, Seq("feature", "bin"))
         .groupBy("feature")
         .agg(F.max("n_bins").as("n_bins"),
-          F.round(F.sum((F.col("pa") - F.col("pb"))
-            * F.log(F.col("pa") / F.col("pb"))), 6).as("psi"))
+          (F.floor((F.sum((F.col("pa") - F.col("pb"))
+            * F.log(F.col("pa") / F.col("pb")))) * 1e6 + 0.5) / 1e6).as("psi"))
         .withColumn("drifted", F.col("psi") > 0.2)
     },
 
@@ -456,12 +456,12 @@ object ScoreQueries {
           F.sum(dx * dx).as("sxx"),
           F.sum(dy * dy).as("syy"))
       m.select(F.col("n").cast("long").as("n_edges"),
-        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        (F.floor(((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
           .cast("double")
           / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
             .cast("double")
             * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-              .cast("double")), 6).as("assortativity"))
+              .cast("double"))) * 1e6 + 0.5) / 1e6).as("assortativity"))
     },
 
     // SPRT sequential monitor — the peeking-safe A/B decision path:
@@ -567,10 +567,10 @@ object ScoreQueries {
         F.count(F.lit(1)).as("nl"))
       per.crossJoin(F.broadcast(tot))
         .select(F.col("lang"), F.col("n_docs"), F.col("chars"),
-          F.round(F.col("chars") / F.col("tot").cast("double"), 6)
+          (F.floor((F.col("chars") / F.col("tot").cast("double")) * 1e6 + 0.5) / 1e6)
             .as("actual_share"),
-          F.round((F.lit(1.0) / F.col("nl"))
-            / (F.col("chars") / F.col("tot").cast("double")), 6)
+          (F.floor(((F.lit(1.0) / F.col("nl"))
+            / (F.col("chars") / F.col("tot").cast("double"))) * 1e6 + 0.5) / 1e6)
             .as("weight"))
     },
 
@@ -609,7 +609,7 @@ object ScoreQueries {
         // raises) — same promotion on the oracle side.
         val half = z * F.sqrt(p * (F.lit(1.0) - p) / n
           + z * z / (n.cast("double") * n * 4)) / den
-        (F.round(p, 6), F.round(ctr - half, 6), F.round(ctr + half, 6))
+        ((F.floor((p) * 1e6 + 0.5) / 1e6), (F.floor((ctr - half) * 1e6 + 0.5) / 1e6), (F.floor((ctr + half) * 1e6 + 0.5) / 1e6))
       }
       val (p1, lo1, hi1) = wilson(F.col("n2"), F.col("n1"))
       val (p2, lo2, hi2) = wilson(F.col("n3"), F.col("n2"))
@@ -646,7 +646,7 @@ object ScoreQueries {
         .agg((F.count(F.col("irank")) / 10.0).as("recall10"))
       val mrr = hits.filter(F.col("brank") === 1)
         .select(F.col("query_id"),
-          F.round(F.coalesce(F.lit(1.0) / F.col("irank"), F.lit(0.0)), 6)
+          (F.floor((F.coalesce(F.lit(1.0) / F.col("irank"), F.lit(0.0))) * 1e6 + 0.5) / 1e6)
             .as("mrr"))
       recall.join(mrr, "query_id")
         .select(F.col("query_id"), F.col("recall10"), F.col("mrr"))
@@ -668,7 +668,7 @@ object ScoreQueries {
       val nd = doms.agg(F.count(F.lit(1)).as("nd"))
       var w = doms.crossJoin(F.broadcast(nd))
         .select(F.col("source"),
-          F.round(F.lit(1.0) / F.col("nd"), 8).as("wt"))
+          (F.floor((F.lit(1.0) / F.col("nd")) * 1e8 + 0.5) / 1e8).as("wt"))
         .localCheckpoint()
       for (_ <- 1 to 5) {
         val j = w.join(doms, "source")
@@ -678,7 +678,7 @@ object ScoreQueries {
             * (F.col("wt") * F.col("chars") / F.col("tot"))))
         val sw = stepped.agg(F.sum("w2").as("sw"))
         w = stepped.crossJoin(F.broadcast(sw))
-          .select(F.col("source"), F.round(F.col("w2") / F.col("sw"), 8)
+          .select(F.col("source"), (F.floor((F.col("w2") / F.col("sw")) * 1e8 + 0.5) / 1e8)
             .as("wt"))
           .localCheckpoint() // keep the 5-round lineage shallow
       }
@@ -686,8 +686,8 @@ object ScoreQueries {
       val totF = jf.agg(F.sum(F.col("wt") * F.col("chars")).as("tot"))
       jf.crossJoin(F.broadcast(totF))
         .select(F.col("source"), F.col("chars"),
-          F.round(F.col("wt"), 6).as("wt"),
-          F.round(F.col("wt") * F.col("chars") / F.col("tot"), 6)
+          (F.floor((F.col("wt")) * 1e6 + 0.5) / 1e6).as("wt"),
+          (F.floor((F.col("wt") * F.col("chars") / F.col("tot")) * 1e6 + 0.5) / 1e6)
             .as("load_share"))
     }
   )
@@ -747,9 +747,9 @@ object ScoreQueries {
           sh AS MATERIALIZED (SELECT doc_id, $duckShingles3 s FROM toks),
           ex AS MATERIALIZED (
             SELECT a.doc_id id1, b.doc_id id2,
-              round(len(list_intersect(a.s, b.s)) /
+              floor((len(list_intersect(a.s, b.s)) /
                 CAST(len(a.s) + len(b.s)
-                     - len(list_intersect(a.s, b.s)) AS DOUBLE), 3) jac
+                     - len(list_intersect(a.s, b.s)) AS DOUBLE)) * 1e3 + 0.5) / 1e3 jac
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
           exq AS MATERIALIZED (SELECT * FROM ex WHERE jac >= 0.5),
           h0 AS MATERIALIZED (
@@ -779,14 +779,14 @@ object ScoreQueries {
             count(*) n_pairs,
             CAST(sum(CASE WHEN cand.id1 IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) n_caught,
-            round(sum(CASE WHEN cand.id1 IS NOT NULL THEN 1 ELSE 0 END)
-              / CAST(count(*) AS DOUBLE), 6) + 0 recall
+            floor((sum(CASE WHEN cand.id1 IS NOT NULL THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 recall
           FROM exq LEFT JOIN cand USING (id1, id2)
           GROUP BY 1""",
 
     "q267_decile_lift" ->
       """WITH score AS (SELECT user_id,
-               sum(CAST(round(value * 100) AS BIGINT)) cents
+               sum(CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT)) cents
              FROM events WHERE event_type != 'purchase' GROUP BY 1),
           lab AS (SELECT DISTINCT user_id FROM events
                   WHERE event_type = 'purchase'),
@@ -800,8 +800,8 @@ object ScoreQueries {
                   count(*) n_users, sum(pos) n_pos, max(tp) tp
                 FROM r CROSS JOIN n GROUP BY 1)
           SELECT a.decile, a.n_users, CAST(a.n_pos AS BIGINT) n_pos,
-            round(a.n_pos / CAST(a.n_users AS DOUBLE), 6) + 0 pos_rate,
-            round(sum(b.n_pos) / CAST(max(a.tp) AS DOUBLE), 6) + 0
+            floor((a.n_pos / CAST(a.n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 pos_rate,
+            floor((sum(b.n_pos) / CAST(max(a.tp) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0
               cum_capture
           FROM d a JOIN d b ON b.decile <= a.decile
           GROUP BY a.decile, a.n_users, a.n_pos""",
@@ -811,7 +811,7 @@ object ScoreQueries {
              SELECT user_id, user_id % 2 variant,
                count(*) n_events,
                count(DISTINCT CAST(ts AS DATE)) active_days,
-               sum(CAST(round(value * 100) AS BIGINT)) value_cents
+               sum(CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT)) value_cents
              FROM events GROUP BY 1),
           uni AS (
             SELECT 'n_events' covariate, variant, count(*) n,
@@ -830,12 +830,12 @@ object ScoreQueries {
                    / (n - 1) v
                  FROM uni),
           w AS (SELECT t.covariate, t.mu mu_t, c.mu mu_c,
-                  round((t.mu - c.mu) / sqrt((t.v + c.v) / 2), 6) + 0 smd
+                  floor(((t.mu - c.mu) / sqrt((t.v + c.v) / 2)) * 1e6 + 0.5) / 1e6 + 0 smd
                 FROM (SELECT * FROM mv WHERE variant = 1) t
                 JOIN (SELECT * FROM mv WHERE variant = 0) c
                   USING (covariate))
-          SELECT covariate, round(mu_t, 6) + 0 mu_t,
-            round(mu_c, 6) + 0 mu_c, smd, abs(smd) <= 0.1 balanced
+          SELECT covariate, floor((mu_t) * 1e6 + 0.5) / 1e6 + 0 mu_t,
+            floor((mu_c) * 1e6 + 0.5) / 1e6 + 0 mu_c, smd, abs(smd) <= 0.1 balanced
           FROM w""",
 
     "q269_ring_rebalance" -> s"""
@@ -868,11 +868,11 @@ object ScoreQueries {
               sum(CASE WHEN sb != sa THEN 1 ELSE 0 END) rm
             FROM succ)
           SELECT 'mod' AS method, n_keys, CAST(mm AS BIGINT) n_moved,
-            round(mm / CAST(n_keys AS DOUBLE), 6) + 0 moved_frac
+            floor((mm / CAST(n_keys AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 moved_frac
           FROM agg
           UNION ALL
           SELECT 'ring', n_keys, CAST(rm AS BIGINT),
-            round(rm / CAST(n_keys AS DOUBLE), 6) + 0
+            floor((rm / CAST(n_keys AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0
           FROM agg""",
 
     "q270_psi_drift" ->
@@ -905,8 +905,8 @@ object ScoreQueries {
                 JOIN (SELECT * FROM p WHERE period = 1) b
                   USING (feature, bin))
           SELECT j.feature, CAST(max(nb.nb) AS BIGINT) n_bins,
-            round(sum((pa - pb) * ln(pa / pb)), 6) + 0 psi,
-            round(sum((pa - pb) * ln(pa / pb)), 6) + 0 > 0.2 drifted
+            floor((sum((pa - pb) * ln(pa / pb))) * 1e6 + 0.5) / 1e6 + 0 psi,
+            floor((sum((pa - pb) * ln(pa / pb))) * 1e6 + 0.5) / 1e6 + 0 > 0.2 drifted
           FROM j JOIN nb ON nb.feature = j.feature
           GROUP BY 1""",
 
@@ -935,9 +935,9 @@ object ScoreQueries {
                   sum(x * x)::HUGEINT sxx, sum(y * y)::HUGEINT syy
                 FROM edges JOIN dc USING (c) JOIN ds USING (sp))
           SELECT CAST(n AS BIGINT) n_edges,
-            round(CAST(n * sxy - sx * sy AS DOUBLE)
+            floor((CAST(n * sxy - sx * sy AS DOUBLE)
               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0
+                * CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6 + 0
               assortativity
           FROM m""",
 
@@ -999,9 +999,9 @@ object ScoreQueries {
           tot AS (SELECT CAST(sum(chars) AS BIGINT) tot, count(*) nl
                   FROM per)
           SELECT lang, n_docs, chars,
-            round(chars / CAST(tot AS DOUBLE), 6) + 0 AS actual_share,
-            round((1.0::DOUBLE / nl)
-              / (chars / CAST(tot AS DOUBLE)), 6) + 0 AS weight
+            floor((chars / CAST(tot AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 AS actual_share,
+            floor(((1.0::DOUBLE / nl)
+              / (chars / CAST(tot AS DOUBLE))) * 1e6 + 0.5) / 1e6 + 0 AS weight
           FROM per CROSS JOIN tot""",
 
     "q277_funnel_wilson" ->
@@ -1025,13 +1025,13 @@ object ScoreQueries {
                 SELECT 'click_to_purchase', n3, n2 FROM c),
           w AS (SELECT stage, x, n, x / CAST(n AS DOUBLE) p,
                   1.959964::DOUBLE z FROM s)
-          SELECT stage, x, n, round(p, 6) + 0 AS p,
-            round((p + z * z / (n * 2)) / (1.0 + z * z / n)
+          SELECT stage, x, n, floor((p) * 1e6 + 0.5) / 1e6 + 0 AS p,
+            floor(((p + z * z / (n * 2)) / (1.0 + z * z / n)
               - z * sqrt(p * (1.0 - p) / n + z * z / (n::DOUBLE * n * 4))
-                / (1.0 + z * z / n), 6) + 0 AS lo,
-            round((p + z * z / (n * 2)) / (1.0 + z * z / n)
+                / (1.0 + z * z / n)) * 1e6 + 0.5) / 1e6 + 0 AS lo,
+            floor(((p + z * z / (n * 2)) / (1.0 + z * z / n)
               + z * sqrt(p * (1.0 - p) / n + z * z / (n::DOUBLE * n * 4))
-                / (1.0 + z * z / n), 6) + 0 AS hi
+                / (1.0 + z * z / n)) * 1e6 + 0.5) / 1e6 + 0 AS hi
           FROM w""",
 
     "q278_ann_recall" ->
@@ -1039,8 +1039,8 @@ object ScoreQueries {
              SELECT query_id, neighbor_id, rank AS brank FROM (
                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY round(list_cosine_similarity(
-                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                   ORDER BY floor((list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6
                      DESC, c.vec_id) AS rank
                FROM embeddings q JOIN embeddings c
                  ON c.vec_id != q.vec_id
@@ -1059,8 +1059,8 @@ object ScoreQueries {
             SELECT query_id, label FROM (
               SELECT q.vec_id AS query_id, cf.label,
                 row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY round(list_cosine_similarity(
-                    q.embedding::DOUBLE[], cf.c), 6) DESC, cf.label)
+                  ORDER BY floor((list_cosine_similarity(
+                    q.embedding::DOUBLE[], cf.c)) * 1e6 + 0.5) / 1e6 DESC, cf.label)
                   AS crank
               FROM embeddings q, cf WHERE q.vec_id < 50) t
             WHERE crank <= 3),
@@ -1070,8 +1070,8 @@ object ScoreQueries {
                 row_number() OVER (PARTITION BY s.query_id
                   ORDER BY s.sim DESC, s.neighbor_id) AS rank
               FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      round(list_cosine_similarity(q.embedding::DOUBLE[],
-                        c.embedding::DOUBLE[]), 6) AS sim
+                      floor((list_cosine_similarity(q.embedding::DOUBLE[],
+                        c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6 AS sim
                     FROM embeddings q
                     JOIN probes p ON p.query_id = q.vec_id
                     JOIN embeddings c ON c.label = p.label
@@ -1082,11 +1082,11 @@ object ScoreQueries {
                 FROM brute b LEFT JOIN ivf i
                   USING (query_id, neighbor_id))
           SELECT r.query_id,
-            round(r.recall10, 6) + 0 AS recall10, m.mrr
+            floor((r.recall10) * 1e6 + 0.5) / 1e6 + 0 AS recall10, m.mrr
           FROM (SELECT query_id, count(irank) / 10.0::DOUBLE recall10
                 FROM h GROUP BY 1) r
           JOIN (SELECT query_id,
-                  round(coalesce(1.0::DOUBLE / irank, 0.0::DOUBLE), 6)
+                  floor((coalesce(1.0::DOUBLE / irank, 0.0::DOUBLE)) * 1e6 + 0.5) / 1e6
                     + 0 AS mrr
                 FROM h WHERE brank = 1) m USING (query_id)""",
 
@@ -1100,20 +1100,20 @@ object ScoreQueries {
                   * (p.wt * d.chars / t.tot)) w
                FROM $prev p JOIN doms d USING (source) CROSS JOIN t$i t),
             s$i AS MATERIALIZED (SELECT sum(w) sw FROM e$i),
-            i$i AS MATERIALIZED (SELECT source, round(w / sw, 8) wt
+            i$i AS MATERIALIZED (SELECT source, floor((w / sw) * 1e8 + 0.5) / 1e8 wt
                FROM e$i CROSS JOIN s$i)"""
       }.mkString(",\n")
       s"""WITH doms AS MATERIALIZED (SELECT source,
                CAST(sum(n_chars) AS BIGINT) chars
              FROM documents GROUP BY 1),
           w0 AS MATERIALIZED (SELECT source,
-              round(1.0::DOUBLE / (SELECT count(*) FROM doms), 8) wt
+              floor((1.0::DOUBLE / (SELECT count(*) FROM doms)) * 1e8 + 0.5) / 1e8 wt
             FROM doms),
           $iters,
           tf AS (SELECT sum(p.wt * d.chars) tot
                  FROM i5 p JOIN doms d USING (source))
-          SELECT p.source, d.chars, round(p.wt, 6) + 0 AS wt,
-            round(p.wt * d.chars / t.tot, 6) + 0 AS load_share
+          SELECT p.source, d.chars, floor((p.wt) * 1e6 + 0.5) / 1e6 + 0 AS wt,
+            floor((p.wt * d.chars / t.tot) * 1e6 + 0.5) / 1e6 + 0 AS load_share
           FROM i5 p JOIN doms d USING (source) CROSS JOIN tf t"""
     }
   )

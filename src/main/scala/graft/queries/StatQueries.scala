@@ -49,8 +49,8 @@ object StatQueries {
           (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad")))
         .filter(F.abs(F.col("rz")) > 3)
         .select(F.col("event_id"), F.col("event_type"),
-          F.round(F.col("value"), 2).as("value"),
-          F.round(F.col("rz"), 4).as("robust_z"))
+          (F.floor((F.col("value")) * 1e2 + 0.5) / 1e2).as("value"),
+          (F.floor((F.col("rz")) * 1e4 + 0.5) / 1e4).as("robust_z"))
     },
 
     // Welch's t-statistic of each source's doc length against the REST
@@ -85,10 +85,9 @@ object StatQueries {
               * (F.col("tsm") - F.col("sm")) / F.col("n2"))
             / (F.col("n2") - 1))
         .select(F.col("source"), F.col("n"),
-          F.round(F.col("m1"), 6).as("mean_len"),
-          F.round((F.col("m1") - F.col("m2"))
-            / F.sqrt(F.col("v1") / F.col("n") + F.col("v2") / F.col("n2")),
-            6).as("t_stat"))
+          (F.floor((F.col("m1")) * 1e6 + 0.5) / 1e6).as("mean_len"),
+          (F.floor(((F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n") + F.col("v2") / F.col("n2"))) * 1e6 + 0.5) / 1e6).as("t_stat"))
     },
 
     // Per-group winsorization summary: clip event values at the exact
@@ -113,15 +112,14 @@ object StatQueries {
       ev.join(F.broadcast(th), "event_type")
         .groupBy("event_type").agg(
           F.count(F.lit(1)).as("n"),
-          F.round(F.min("lo"), 6).as("lo"),
-          F.round(F.min("hi"), 6).as("hi"),
+          (F.floor((F.min("lo")) * 1e6 + 0.5) / 1e6).as("lo"),
+          (F.floor((F.min("hi")) * 1e6 + 0.5) / 1e6).as("hi"),
           F.sum(F.when(F.col("value") < F.col("lo"), 1L).otherwise(0L))
             .as("n_lo"),
           F.sum(F.when(F.col("value") > F.col("hi"), 1L).otherwise(0L))
             .as("n_hi"),
-          F.round(F.avg(
-            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))),
-            4).as("mean_winsorized"))
+          (F.floor((F.avg(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))))) * 1e4 + 0.5) / 1e4).as("mean_winsorized"))
     },
 
     // stack/melt wide→long (reference src/reshape.jl:16-27).
@@ -307,8 +305,8 @@ object StatQueries {
                quantile_cont(abs(e.value - m.med), 0.5) AS mad
              FROM events e JOIN med m USING (event_type)
              GROUP BY 1 HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0)
-         SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
-                round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+         SELECT e.event_id, e.event_type, floor((e.value) * 1e2 + 0.5) / 1e2 AS value,
+                floor(((e.value - m.med) / (1.4826 * m.mad)) * 1e4 + 0.5) / 1e4 AS robust_z
          FROM events e JOIN mad m USING (event_type)
          WHERE abs((e.value - m.med) / (1.4826 * m.mad)) > 3""",
     "q138_winsorize" ->
@@ -317,12 +315,12 @@ object StatQueries {
                        quantile_cont(value, 0.95) AS hi
                      FROM events GROUP BY 1)
          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-           round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+           floor((min(lo)) * 1e6 + 0.5) / 1e6 AS lo, floor((min(hi)) * 1e6 + 0.5) / 1e6 AS hi,
            CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
              AS n_lo,
            CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hi,
-           round(avg(greatest(lo, least(hi, value))), 4)
+           floor((avg(greatest(lo, least(hi, value)))) * 1e4 + 0.5) / 1e4
              AS mean_winsorized
          FROM events e JOIN th USING (event_type) GROUP BY 1""",
     "q123_welch_t" ->
@@ -332,12 +330,12 @@ object StatQueries {
           tot AS (SELECT count(*) AS tn, sum(n_chars) AS tsm,
             sum(n_chars * n_chars) AS tsq FROM documents)
           SELECT source, CAST(n AS BIGINT) AS n,
-            round(sm::DOUBLE / n, 6) AS mean_len,
-            round((sm::DOUBLE / n - (tsm - sm)::DOUBLE / (tn - n))
+            floor((sm::DOUBLE / n) * 1e6 + 0.5) / 1e6 AS mean_len,
+            floor(((sm::DOUBLE / n - (tsm - sm)::DOUBLE / (tn - n))
               / sqrt(((sq::DOUBLE - sm::DOUBLE * sm / n) / (n - 1)) / n
                 + (((tsq - sq)::DOUBLE
                     - (tsm - sm)::DOUBLE * (tsm - sm) / (tn - n))
-                   / (tn - n - 1)) / (tn - n)), 6) AS t_stat
+                   / (tn - n - 1)) / (tn - n))) * 1e6 + 0.5) / 1e6 AS t_stat
           FROM per CROSS JOIN tot""",
     "q17_stack" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
@@ -374,12 +372,12 @@ object StatQueries {
          GROUP BY c_mktsegment""",
     "q21_describe" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-        s"""SELECT '$c' AS col_name, round(min($c), 6) AS min,
-            round(quantile_cont($c, 0.25), 6) AS q25,
-            round(quantile_cont($c, 0.5), 6) AS median,
-            round(avg($c), 6) AS mean,
-            round(quantile_cont($c, 0.75), 6) AS q75,
-            round(max($c), 6) AS max,
+        s"""SELECT '$c' AS col_name, floor((min($c)) * 1e6 + 0.5) / 1e6 AS min,
+            floor((quantile_cont($c, 0.25)) * 1e6 + 0.5) / 1e6 AS q25,
+            floor((quantile_cont($c, 0.5)) * 1e6 + 0.5) / 1e6 AS median,
+            floor((avg($c)) * 1e6 + 0.5) / 1e6 AS mean,
+            floor((quantile_cont($c, 0.75)) * 1e6 + 0.5) / 1e6 AS q75,
+            floor((max($c)) * 1e6 + 0.5) / 1e6 AS max,
             CAST(count($c) AS DOUBLE) AS n,
             CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE)
               AS n_missing

@@ -362,11 +362,11 @@ object StreamQueries {
       // (src/datastream.jl:249-446, commented out there).
       val agg = eventsStream(s, dir)
         .groupBy("event_type")
-        .agg(F.round(F.sum("value"), 2).as("total"),
-             F.round(F.avg("value"), 6).as("mean"),
-             F.round(F.stddev_samp(F.col("value")), 6).as("sd"),
-             F.round(F.covar_samp(F.col("value"),
-               F.col("user_id").cast("double")), 4).as("cov_vu"),
+        .agg((F.floor((F.sum("value")) * 1e2 + 0.5) / 1e2).as("total"),
+             (F.floor((F.avg("value")) * 1e6 + 0.5) / 1e6).as("mean"),
+             (F.floor((F.stddev_samp(F.col("value"))) * 1e6 + 0.5) / 1e6).as("sd"),
+             (F.floor((F.covar_samp(F.col("value"),
+               F.col("user_id").cast("double"))) * 1e4 + 0.5) / 1e4).as("cov_vu"),
              F.count(F.lit(1)).as("n"))
       runStateful(s, agg, uniq("stream_agg"))
     },
@@ -932,10 +932,10 @@ object StreamQueries {
            count(*) AS n_events, round(sum(value), 2) AS total
          FROM sess GROUP BY 1, 2""",
     "q60_stream_agg" ->
-      """SELECT event_type, round(sum(value), 2) AS total,
-                round(avg(value), 6) AS mean,
-                round(stddev_samp(value), 6) AS sd,
-                round(covar_samp(value, CAST(user_id AS DOUBLE)), 4)
+      """SELECT event_type, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total,
+                floor((avg(value)) * 1e6 + 0.5) / 1e6 AS mean,
+                floor((stddev_samp(value)) * 1e6 + 0.5) / 1e6 AS sd,
+                floor((covar_samp(value, CAST(user_id AS DOUBLE))) * 1e4 + 0.5) / 1e4
                   AS cov_vu,
                 count(*) AS n
          FROM events GROUP BY event_type""",

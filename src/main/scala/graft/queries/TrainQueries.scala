@@ -41,7 +41,7 @@ object TrainQueries {
     * `range(1, 1)` keeps only the grade-1 terms. Shared with TrainSpec
     * so the test exercises the exact production expression. */
   private[graft] val gradedNdcgExpr: String =
-    """round(case when n2 + n1 = 0 then cast(0 as double)
+    """floor((case when n2 + n1 = 0 then cast(0 as double)
             else dcg / (
               case when n2 > 0 then
                 aggregate(transform(
@@ -55,7 +55,7 @@ object TrainQueries {
                         cast(least(n2 + n1, 10) as int)),
                       r -> 1 / log2(cast(r + 1 as double))),
                     cast(0 as double), (a, v) -> a + v)
-                else cast(0 as double) end) end, 6)"""
+                else cast(0 as double) end) end) * 1e6 + 0.5) / 1e6"""
 
   /** One BPE pair-count round over the paren-wrapped vocabulary:
     * (pa, pb, n) weighted by word count. The wrap `(l)(o)(w)` makes
@@ -168,14 +168,13 @@ object TrainQueries {
         (F.count(F.lit(1)) - F.sum("g")).as("n2"))
       sums.crossJoin(F.broadcast(cnt))
         .select(F.col("n1"), F.col("n2"),
-          F.expr("""round((cast(r2 as double) - cast(n1 as double)
-            * (n1 + 1)) / 2, 6)""").as("u1"),
-          F.expr("""round((cast(r2 as double) - cast(n1 as double)
+          F.expr("""floor(((cast(r2 as double) - cast(n1 as double)
+            * (n1 + 1)) / 2) * 1e6 + 0.5) / 1e6""").as("u1"),
+          F.expr("""floor(((cast(r2 as double) - cast(n1 as double)
             * (n1 + 1) - cast(n1 as double) * n2)
             / (2 * sqrt(cast(n1 as double) * n2 / 12
               * ((n1 + n2 + 1) - cast(tie as double)
-                / (cast(n1 + n2 as double) * (n1 + n2 - 1))))),
-            6)""").as("z"))
+                / (cast(n1 + n2 as double) * (n1 + n2 - 1)))))) * 1e6 + 0.5) / 1e6""").as("z"))
         .withColumn("significant", F.abs(F.col("z")) > 1.959964)
     },
 
@@ -197,7 +196,7 @@ object TrainQueries {
         .join(T.load(s, dir, "part"),
           F.col("l_partkey") === F.col("p_partkey"))
         .select(F.col("p_brand"),
-          F.expr("cast(round(l_discount * 100, 0) as bigint)").as("d"))
+          F.expr("cast(floor((l_discount * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("d"))
       val per = li.groupBy("p_brand")
         .agg(F.count(F.lit(1)).as("n"), F.sum("d").as("sm"),
           F.sum(F.col("d") * F.col("d")).as("sq"))
@@ -205,15 +204,15 @@ object TrainQueries {
         F.sum("sq").as("tsq"), F.count(F.lit(1)).as("m"))
       val z = per.crossJoin(F.broadcast(tot))
         .withColumn("z", F.expr(
-          """round((cast(sm as double) / n - cast(tsm as double) / tn)
+          """floor(((cast(sm as double) / n - cast(tsm as double) / tn)
              / sqrt(((cast(tsq as double) - cast(tsm as double) * tsm
-                 / tn) / (tn - 1)) / n), 6)"""))
+                 / tn) / (tn - 1)) / n)) * 1e6 + 0.5) / 1e6"""))
         // two-sided p = 1 - erf(|z| / sqrt(2)), A&S 7.1.26 polynomial
         // — the SAME pFromZ fragment the oracle runs, over the SAME
         // 6-dp-rounded z, so the p values are identical doubles by
         // construction (modulo a last-ulp libm exp difference the
         // 6-dp rounding absorbs)
-        .withColumn("p6", F.expr(s"round(${pFromZ("z")}, 6)"))
+        .withColumn("p6", F.expr(s"floor((${pFromZ("z")}) * 1e6 + 0.5) / 1e6"))
         .select("p_brand", "n", "z", "p6", "m")
       val ranked = RelOps.globalRowNumber(z, "bh_rank",
         Seq(Ordering("p6"), Ordering("p_brand")))
@@ -271,7 +270,7 @@ object TrainQueries {
           F.expr(s"1 / (1 + exp(-($a * s + $b)))").as("p"),
           F.col("y"))
         .agg(F.count(F.lit(1)).as("n"),
-          F.expr("round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)")
+          F.expr("floor((avg(-(y * ln(p) + (1 - y) * ln(1 - p)))) * 1e6 + 0.5) / 1e6")
             .as("logloss"))
         .select(F.lit(a).as("a"), F.lit(b).as("b"), F.col("n"),
           F.col("logloss"))
@@ -328,7 +327,7 @@ object TrainQueries {
         .join(ew.select(F.col("u").as("b"), F.col("w").as("w2")),
           F.col("w") === F.col("w2") && F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.expr("round(sum(1 / ln(cast(deg as double))), 6)")
+        .agg(F.expr("floor((sum(1 / ln(cast(deg as double)))) * 1e6 + 0.5) / 1e6")
             .as("score"),
           F.count(F.lit(1)).as("n_common"))
       val out = cand
@@ -356,10 +355,10 @@ object TrainQueries {
         .as("ssq"))
       val q = n.crossJoin(F.broadcast(tot))
         .withColumn("quota", F.expr(
-          s"round($B * sqrt(cast(n_docs as double)) / ssq, 6)"))
+          s"floor(($B * sqrt(cast(n_docs as double)) / ssq) * 1e6 + 0.5) / 1e6"))
         .withColumn("base",
           F.expr("cast(floor(quota) as bigint)"))
-        .withColumn("rem", F.expr("round(quota - base, 6)"))
+        .withColumn("rem", F.expr("floor((quota - base) * 1e6 + 0.5) / 1e6"))
       val ranked = RelOps.globalRowNumber(q, "rk",
         Seq(Ordering("rem", desc = true), Ordering("source")))
       val r = ranked.agg((F.lit(B) - F.sum("base")).as("leftover"))
@@ -385,7 +384,7 @@ object TrainQueries {
         .select(F.col("user_id"),
           F.when(F.col("event_type") === "click", 1L).otherwise(0L)
             .as("g"),
-          F.expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val per = ev.groupBy("user_id")
         .agg(F.sum(F.when(F.col("g") === 1, F.col("cents"))).as("sc"),
           F.sum(F.col("g")).as("nc"),
@@ -393,8 +392,8 @@ object TrainQueries {
           F.sum(F.lit(1L) - F.col("g")).as("np"))
         .filter(F.col("nc") > 0 && F.col("np") > 0)
         .select(F.expr(
-          """round(cast(sc as double) / nc
-             - cast(sp as double) / np, 6)""").as("d"))
+          """floor((cast(sc as double) / nc
+             - cast(sp as double) / np) * 1e6 + 0.5) / 1e6""").as("d"))
         .filter(F.col("d") =!= 0.0d)
       val dv = per
         .select(F.abs(F.col("d")).as("ad"),
@@ -412,11 +411,11 @@ object TrainQueries {
             - F.col("n").cast(DecimalType(38, 0))).as("tie"),
           F.sum("n").as("n"))
         .select(F.col("n").as("n_pairs"),
-          F.expr("round(cast(w2 as double) / 2, 6)").as("w_plus"),
-          F.expr("""round((cast(w2 as double) - cast(n as double)
+          F.expr("floor((cast(w2 as double) / 2) * 1e6 + 0.5) / 1e6").as("w_plus"),
+          F.expr("""floor(((cast(w2 as double) - cast(n as double)
               * (n + 1) / 2)
             / (2 * sqrt((2 * cast(n as double) * (n + 1) * (2 * n + 1)
-              - cast(tie as double)) / 48)), 6)""").as("z"))
+              - cast(tie as double)) / 48))) * 1e6 + 0.5) / 1e6""").as("z"))
         .withColumn("significant", F.abs(F.col("z")) > 1.959964)
     },
 
@@ -446,8 +445,8 @@ object TrainQueries {
       val rel = ann.join(maj, "item")
         .groupBy("ann")
         .agg(F.expr(
-          """cast(round(1000000 * sum(case when lbl = maj then 1
-               else 0 end) / count(*), 0) as bigint)""").as("rel"))
+          """cast(floor((1000000 * sum(case when lbl = maj then 1
+               else 0 end) / count(*)) * 1e0 + 0.5) / 1e0 as bigint)""").as("rel"))
       val w2 = Window.partitionBy("item")
         .orderBy(F.col("wt").desc, F.col("lbl").asc)
       val fused = ann.join(rel, "ann")
@@ -485,12 +484,12 @@ object TrainQueries {
       val ev = T.load(s, dir, "events")
         .select(F.col("event_id"), F.col("user_id"),
           F.col("event_type"),
-          F.expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("cents"))
       val mu = ev.groupBy("event_type")
         .agg(F.sum("cents").as("sm"), F.count(F.lit(1)).as("nt"))
       val scored = ev.join(F.broadcast(mu), "event_type")
         .select(F.col("event_id"), F.col("user_id"),
-          F.expr("round(abs(cents - cast(sm as double) / nt), 6)")
+          F.expr("floor((abs(cents - cast(sm as double) / nt)) * 1e6 + 0.5) / 1e6")
             .as("s"))
       val cal = scored.filter(F.col("user_id") % 2 === 0)
       val ranked = RelOps.globalRowNumber(cal, "rk",
@@ -506,8 +505,8 @@ object TrainQueries {
         .agg(F.first("n_cal").as("n_cal"), F.first("k").as("k"),
           F.first("qhat").as("qhat"),
           F.count(F.lit(1)).as("n_test"),
-          F.expr("""round(sum(case when s <= qhat then 1 else 0 end)
-            / cast(count(1) as double), 6)""").as("coverage"))
+          F.expr("""floor((sum(case when s <= qhat then 1 else 0 end)
+            / cast(count(1) as double)) * 1e6 + 0.5) / 1e6""").as("coverage"))
         .withColumn("covered_ok", F.col("coverage") >= 0.88)
     },
 
@@ -534,8 +533,8 @@ object TrainQueries {
         .select(F.lit(merges.size.toLong).as("n_merges"),
           F.col("vocab_words"), F.col("chars_before"),
           F.col("symbols_after"),
-          F.expr("""round(cast(symbols_after as double)
-            / chars_before, 6)""").as("compression"))
+          F.expr("""floor((cast(symbols_after as double)
+            / chars_before) * 1e6 + 0.5) / 1e6""").as("compression"))
       out
     },
 
@@ -570,7 +569,7 @@ object TrainQueries {
           F.sum(F.length(F.col("w")).cast("long")).as("n_chars"))
         .select(F.col("doc_id"), F.col("n_words"), F.col("n_tokens"),
           F.col("n_chars"),
-          F.expr("round(cast(n_tokens as double) / n_chars, 6)")
+          F.expr("floor((cast(n_tokens as double) / n_chars) * 1e6 + 0.5) / 1e6")
             .as("compression"))
     },
 
@@ -587,7 +586,7 @@ object TrainQueries {
           F.expr("size(filter(split(lower(text), '[^a-z0-9]+'), "
             + "x -> x != ''))").cast("long").as("n_toks"))
         .select(F.col("n_chars"), F.col("n_toks"),
-          F.expr("round(100 * cast(n_toks as double) / n_chars, 6)")
+          F.expr("floor((100 * cast(n_toks as double) / n_chars) * 1e6 + 0.5) / 1e6")
             .as("score"))
       d.select(F.col("n_chars"), F.col("n_toks"), F.col("score"),
           F.explode(F.expr("sequence(10, 22, 2)")).as("t"))
@@ -599,7 +598,7 @@ object TrainQueries {
             F.col("n_chars")).otherwise(0L)).as("chars_kept"))
         .select(F.col("t").cast("long").as("t"), F.col("n_kept"),
           F.col("chars_kept"),
-          F.expr("round(cast(n_kept as double) / n_docs, 6)")
+          F.expr("floor((cast(n_kept as double) / n_docs) * 1e6 + 0.5) / 1e6")
             .as("frac_kept"))
     },
 
@@ -645,7 +644,7 @@ object TrainQueries {
         .select(F.explode(F.expr(
           s"""transform(sequence(0, ${nSub - 1}), s -> struct(s as s,
               transform(slice(embedding, s * $dims + 1, $dims),
-                x -> round(cast(x as double), 8)) as c))""")).as("p"),
+                x -> floor((cast(x as double)) * 1e8 + 0.5) / 1e8) as c))""")).as("p"),
           F.col("code"))
         .select(F.col("p.s").as("s"), F.col("code"),
           F.col("p.c").as("c"))
@@ -664,7 +663,7 @@ object TrainQueries {
           .select(F.col("s"), F.col("code"),
             F.posexplode(F.col("x")).as(Seq("i", "v")))
           .groupBy("s", "code", "i")
-          .agg(F.expr("round(avg(v), 8)").as("v"))
+          .agg(F.expr("floor((avg(v)) * 1e8 + 0.5) / 1e8").as("v"))
           .groupBy("s", "code")
           .agg(F.expr(
             """transform(array_sort(collect_list(struct(i, v))),
@@ -675,7 +674,7 @@ object TrainQueries {
         .groupBy(F.col("s").cast("long").as("subspace"))
         .agg(F.count(F.lit(1)).as("n_vecs"),
           F.count_distinct(F.col("code")).as("codes_used"),
-          F.expr("round(avg(dist), 6)").as("mse"))
+          F.expr("floor((avg(dist)) * 1e6 + 0.5) / 1e6").as("mse"))
       out
     },
 
@@ -701,7 +700,7 @@ object TrainQueries {
           F.sum(F.when(F.col("iv").isNull, 1L).otherwise(0L))
             .as("n_oov"))
         .select(F.col("lang"), F.col("n_tokens"), F.col("n_oov"),
-          F.expr("round(cast(n_oov as double) / n_tokens, 6)")
+          F.expr("floor((cast(n_oov as double) / n_tokens) * 1e6 + 0.5) / 1e6")
             .as("oov_rate"))
       out
     },
@@ -736,10 +735,10 @@ object TrainQueries {
               * F.col("n1").cast(DecimalType(38, 0)))).as("dn"),
           F.first("n1").as("n1"), F.first("n2").as("n2"))
         .select(F.col("n1"), F.col("n2"),
-          F.expr("""round(cast(dn as double)
-            / (cast(n1 as double) * n2), 6)""").as("d"),
-          F.expr("""round(1.358 * sqrt((n1 + n2)
-            / (cast(n1 as double) * n2)), 6)""").as("d_crit"))
+          F.expr("""floor((cast(dn as double)
+            / (cast(n1 as double) * n2)) * 1e6 + 0.5) / 1e6""").as("d"),
+          F.expr("""floor((1.358 * sqrt((n1 + n2)
+            / (cast(n1 as double) * n2))) * 1e6 + 0.5) / 1e6""").as("d_crit"))
         .withColumn("reject", F.col("d") > F.col("d_crit"))
     },
 
@@ -757,7 +756,7 @@ object TrainQueries {
         .join(F.broadcast(cust),
           F.col("user_id") === F.col("c_custkey"))
         .select(F.col("c_mktsegment"),
-          F.expr("cast(round(value * 100, 0) as bigint)").as("sc"),
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("sc"),
           F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)
             .as("pos"))
       val g = ev.groupBy("c_mktsegment", "sc")
@@ -772,9 +771,9 @@ object TrainQueries {
           F.sum(F.col("npos") * F.col("cumneg")).as("__a"),
           F.sum(F.col("npos") * F.col("nneg")).as("__b"))
         .select(F.col("c_mktsegment"), F.col("np"), F.col("nn"),
-          F.round((F.lit(2) * F.col("__a") + F.col("__b"))
+          (F.floor(((F.lit(2) * F.col("__a") + F.col("__b"))
             .cast("double")
-            / (F.lit(2) * F.col("np") * F.col("nn")), 6).as("auc"))
+            / (F.lit(2) * F.col("np") * F.col("nn"))) * 1e6 + 0.5) / 1e6).as("auc"))
     },
 
     // NDCG@10 of the brute-force cosine ranking against same-label
@@ -806,11 +805,11 @@ object TrainQueries {
         .groupBy("query_id").agg(F.count(F.lit(1)).as("n_rel"))
       dcg.join(nrel, "query_id")
         .select(F.col("query_id"), F.col("n_rel"),
-          F.expr("round(dcg, 6)").as("dcg"),
-          F.expr("""round(dcg / aggregate(
+          F.expr("floor((dcg) * 1e6 + 0.5) / 1e6").as("dcg"),
+          F.expr("""floor((dcg / aggregate(
               transform(sequence(1, cast(least(n_rel, 10) as int)),
                 r -> 1 / log2(cast(r + 1 as double))),
-              cast(0 as double), (a, v) -> a + v), 6)""").as("ndcg"))
+              cast(0 as double), (a, v) -> a + v)) * 1e6 + 0.5) / 1e6""").as("ndcg"))
     },
 
     // nDCG@10 with GRADED relevance (round-11 stretch 8): gains on
@@ -845,7 +844,7 @@ object TrainQueries {
           F.count(F.when(F.expr("abs(nlbl - qlbl) = 1"), 1)).as("n1"))
       dcg.join(counts, "query_id")
         .select(F.col("query_id"), F.col("n2"), F.col("n1"),
-          F.expr("round(dcg, 6)").as("dcg"),
+          F.expr("floor((dcg) * 1e6 + 0.5) / 1e6").as("dcg"),
           F.expr(gradedNdcgExpr).as("ndcg"))
     },
 
@@ -876,7 +875,7 @@ object TrainQueries {
         .groupBy("query_id").agg(F.count(F.lit(1)).as("n_rel"))
       hits.join(nrel, "query_id")
         .select(F.col("query_id"), F.col("hits"), F.col("n_rel"),
-          F.expr("round(hits / cast(least(n_rel, 10) as double), 6)")
+          F.expr("floor((hits / cast(least(n_rel, 10) as double)) * 1e6 + 0.5) / 1e6")
             .as("recall_at_10"))
     },
 
@@ -924,8 +923,8 @@ object TrainQueries {
           F.first("nb").as("nb"), F.first("nn").as("nn"))
         .select(F.col("c_nationkey"), F.col("c_mktsegment"),
           F.col("n_cust"),
-          F.expr("""round(cast(gap as double)
-            / ((nb - 1) * cast(n_cust as double) * nn), 6)""")
+          F.expr("""floor((cast(gap as double)
+            / ((nb - 1) * cast(n_cust as double) * nn)) * 1e6 + 0.5) / 1e6""")
             .as("emd"))
         .withColumn("t_ok", F.col("emd") <= 0.2)
     },
@@ -973,9 +972,9 @@ object TrainQueries {
       val out = sums.crossJoin(F.broadcast(m))
         .crossJoin(F.broadcast(nNodes))
         .select(F.col("n_comms"), F.col("n_nodes"), F.col("m"),
-          F.expr("""round((4 * cast(m as decimal(38, 0))
+          F.expr("""floor(((4 * cast(m as decimal(38, 0))
               * cast(smc as decimal(38, 0)) - sdc2)
-            / (4 * cast(m as double) * m * m), 6)""")
+            / (4 * cast(m as double) * m * m)) * 1e6 + 0.5) / 1e6""")
             .as("modularity"))
       out
     },
@@ -1033,7 +1032,7 @@ object TrainQueries {
         BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
           .toDouble
       val d = T.load(s, dir, "events")
-        .select(F.expr("cast(round(value * 100, 0) as bigint)")
+        .select(F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)")
           .as("c"))
         .select(F.col("c"),
           F.expr("cast(c as double) / 100").as("x"))
@@ -1077,7 +1076,7 @@ object TrainQueries {
       }
       val out = resp
         .agg(F.expr(
-          "round(avg(ln(p1 + p2)) - ln(sqrt(2 * pi())), 6)")
+          "floor((avg(ln(p1 + p2)) - ln(sqrt(2 * pi()))) * 1e6 + 0.5) / 1e6")
           .as("avg_loglik"))
         .select(F.lit(n).as("n"), F.lit(w).as("w1"),
           F.lit(mu1).as("mu1"),
@@ -1109,8 +1108,8 @@ object TrainQueries {
       val byPred = cm.groupBy(F.col("predicted").as("cls"))
         .agg(F.sum("n").as("n_pred"))
       val acc = cm.agg(F.expr(
-        """round(sum(case when lang = predicted then n else 0 end)
-           / cast(sum(n) as double), 6)""").as("accuracy"))
+        """floor((sum(case when lang = predicted then n else 0 end)
+           / cast(sum(n) as double)) * 1e6 + 0.5) / 1e6""").as("accuracy"))
       val out = byTrue.join(byPred, Seq("cls"), "full_outer")
         .join(tp, Seq("cls"), "left")
         .select(F.col("cls"),
@@ -1122,16 +1121,16 @@ object TrainQueries {
           F.coalesce(F.col("n_pred"), F.lit(0L)).as("np"),
           F.coalesce(F.col("n_true"), F.lit(0L)).as("nt"))
         .select(F.col("cls"), F.col("tp"), F.col("fp"), F.col("fn"),
-          F.expr("""round(case when np > 0
-            then cast(tp as double) / np else 0 end, 6)""")
+          F.expr("""floor((case when np > 0
+            then cast(tp as double) / np else 0 end) * 1e6 + 0.5) / 1e6""")
             .as("precision"),
-          F.expr("""round(case when nt > 0
-            then cast(tp as double) / nt else 0 end, 6)""")
+          F.expr("""floor((case when nt > 0
+            then cast(tp as double) / nt else 0 end) * 1e6 + 0.5) / 1e6""")
             .as("recall"))
         .withColumn("f1", F.expr(
-          """round(case when precision + recall > 0
+          """floor((case when precision + recall > 0
              then 2 * precision * recall / (precision + recall)
-             else 0 end, 6)"""))
+             else 0 end) * 1e6 + 0.5) / 1e6"""))
         .crossJoin(F.broadcast(acc))
       out
     },
@@ -1146,18 +1145,18 @@ object TrainQueries {
     "q304_power_calc" -> { (s, dir) =>
       T.load(s, dir, "events")
         .select(F.col("event_type"),
-          F.expr("cast(round(value * 100, 0) as bigint)").as("c"))
+          F.expr("cast(floor((value * 100) * 1e0 + 0.5) / 1e0 as bigint)").as("c"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n"), F.sum("c").as("s1"),
           F.sum(F.col("c").cast(DecimalType(38, 0))
             * F.col("c").cast(DecimalType(38, 0))).as("s2"))
         .select(F.col("event_type"), F.col("n"),
-          F.expr("round(cast(s1 as double) / n / 100, 6)").as("mean"),
-          F.expr("""round(sqrt((cast(s2 as double) / 10000
+          F.expr("floor((cast(s1 as double) / n / 100) * 1e6 + 0.5) / 1e6").as("mean"),
+          F.expr("""floor((sqrt((cast(s2 as double) / 10000
             - (cast(s1 as double) / 100)
-              * (cast(s1 as double) / 100) / n) / (n - 1)), 6)""")
+              * (cast(s1 as double) / 100) / n) / (n - 1))) * 1e6 + 0.5) / 1e6""")
             .as("sd"),
-          F.expr("round(0.02 * (cast(s1 as double) / n / 100), 6)")
+          F.expr("floor((0.02 * (cast(s1 as double) / n / 100)) * 1e6 + 0.5) / 1e6")
             .as("mde"),
           F.expr("""cast(ceil((1.959964 + 0.841621)
               * (1.959964 + 0.841621)
@@ -1219,10 +1218,10 @@ object TrainQueries {
         .crossJoin(F.broadcast(nProbes)).crossJoin(F.broadcast(fp))
         .select(F.col("n_inserted"), F.col("bits_set"),
           F.col("n_probes"), F.col("n_fp"),
-          F.expr("round(cast(n_fp as double) / n_probes, 6)")
+          F.expr("floor((cast(n_fp as double) / n_probes) * 1e6 + 0.5) / 1e6")
             .as("fpr"),
-          F.expr(s"""round(pow(1 - exp(-($k
-            * cast(n_inserted as double)) / $m), $k), 6)""")
+          F.expr(s"""floor((pow(1 - exp(-($k
+            * cast(n_inserted as double)) / $m), $k)) * 1e6 + 0.5) / 1e6""")
             .as("fpr_theory"))
         .withColumn("calibrated",
           F.abs(F.col("fpr") - F.col("fpr_theory")) <= 0.1)
@@ -1244,7 +1243,7 @@ object TrainQueries {
           .filter(F.expr(s"year(l_shipdate) = $year"))
           .groupBy("l_partkey")
           .agg(F.sum(F.expr(
-            "cast(round(l_extendedprice * 100, 0) as bigint)"))
+            "cast(floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0 as bigint)"))
             .as("rev"))
           .orderBy(F.col("rev").desc, F.col("l_partkey").asc)
           .limit(50)
@@ -1258,10 +1257,10 @@ object TrainQueries {
       a.join(b, F.col("l_partkey") === F.col("pk2"))
         .select(F.expr("cast(greatest(ra, rb) as int)").as("d0"))
         .agg(F.count(F.lit(1)).as("n_common"),
-          F.expr("""round(coalesce((1 - 0.9) * sum(aggregate(
+          F.expr("""floor((coalesce((1 - 0.9) * sum(aggregate(
               transform(sequence(d0, 50),
                 d -> pow(0.9, d - 1) / d),
-              cast(0 as double), (acc, v) -> acc + v)), 0), 6)""")
+              cast(0 as double), (acc, v) -> acc + v)), 0)) * 1e6 + 0.5) / 1e6""")
             .as("rbo"))
         .select(F.lit(50L).as("k"), F.col("n_common"), F.col("rbo"))
     }
@@ -1310,10 +1309,10 @@ object TrainQueries {
          FROM (SELECT 1 / (1 + exp(-($ap * s + $bp))) p, s, y
                FROM d$prev) x),
         ab$r AS MATERIALIZED (SELECT
-           round($bp - (h11 * g0 - h01 * g1)
-             / (h00 * h11 - h01 * h01), 8) b,
-           round($ap - (h00 * g1 - h01 * g0)
-             / (h00 * h11 - h01 * h01), 8) a
+           floor(($bp - (h11 * g0 - h01 * g1)
+             / (h00 * h11 - h01 * h01)) * 1e8 + 0.5) / 1e8 b,
+           floor(($ap - (h00 * g1 - h01 * g0)
+             / (h00 * h11 - h01 * h01)) * 1e8 + 0.5) / 1e8 a
          FROM m$r$prev)"""
   }
 
@@ -1348,19 +1347,19 @@ object TrainQueries {
                          CAST(count(*) - sum(g) AS BIGINT) n2 FROM e)
           SELECT n1, n2, u1, z, abs(z) > 1.959964 AS significant
           FROM (SELECT n1, n2,
-                  round((r2::DOUBLE - n1::DOUBLE * (n1 + 1)) / 2, 6)
+                  floor(((r2::DOUBLE - n1::DOUBLE * (n1 + 1)) / 2) * 1e6 + 0.5) / 1e6
                     + 0 AS u1,
-                  round((r2::DOUBLE - n1::DOUBLE * (n1 + 1)
+                  floor(((r2::DOUBLE - n1::DOUBLE * (n1 + 1)
                       - n1::DOUBLE * n2)
                     / (2 * sqrt(n1::DOUBLE * n2 / 12 * ((n1 + n2 + 1)
                       - tie::DOUBLE / ((n1 + n2)::DOUBLE
-                        * (n1 + n2 - 1))))), 6) + 0 AS z
+                        * (n1 + n2 - 1)))))) * 1e6 + 0.5) / 1e6 + 0 AS z
                 FROM sums CROSS JOIN cnt) t""",
 
     "q284_bh_fdr" -> {
       val p = pFromZ("z")
       s"""WITH li AS MATERIALIZED (SELECT p_brand,
-             CAST(round(l_discount * 100, 0) AS BIGINT) d
+             CAST(floor((l_discount * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) d
            FROM lineitem JOIN part ON l_partkey = p_partkey),
           per AS (SELECT p_brand, count(*) n, sum(d) sm,
                     sum(d * d) sq
@@ -1369,11 +1368,11 @@ object TrainQueries {
                     CAST(sum(sm) AS BIGINT) tsm,
                     CAST(sum(sq) AS BIGINT) tsq, count(*) m FROM per),
           z AS (SELECT p_brand, CAST(n AS BIGINT) n, m,
-                  round((sm::DOUBLE / n - tsm::DOUBLE / tn)
+                  floor(((sm::DOUBLE / n - tsm::DOUBLE / tn)
                     / sqrt(((tsq::DOUBLE - tsm::DOUBLE * tsm / tn)
-                      / (tn - 1)) / n), 6) + 0 AS z
+                      / (tn - 1)) / n)) * 1e6 + 0.5) / 1e6 + 0 AS z
                 FROM per CROSS JOIN tot),
-          p AS (SELECT p_brand, n, m, z, round($p, 6) + 0 AS p6
+          p AS (SELECT p_brand, n, m, z, floor(($p) * 1e6 + 0.5) / 1e6 + 0 AS p6
                 FROM z),
           r AS (SELECT p_brand, n, z, p6, m,
                   row_number() OVER (ORDER BY p6, p_brand) AS bh_rank
@@ -1394,7 +1393,7 @@ object TrainQueries {
            FROM lineitem),
           $rounds,
           fin AS (SELECT CAST(count(*) AS BIGINT) n,
-              round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)
+              floor((avg(-(y * ln(p) + (1 - y) * ln(1 - p)))) * 1e6 + 0.5) / 1e6
                 + 0 AS logloss
             FROM (SELECT 1 / (1 + exp(-(a * s + b))) p, y
                   FROM d CROSS JOIN ab3) x)
@@ -1429,7 +1428,7 @@ object TrainQueries {
           wedge AS (SELECT x.u a, y.u b, x.deg
                     FROM ew x JOIN ew y ON x.w = y.w AND x.u < y.u),
           cand AS (SELECT a, b,
-                     round(sum(1 / ln(deg::DOUBLE)), 6) + 0 score,
+                     floor((sum(1 / ln(deg::DOUBLE))) * 1e6 + 0.5) / 1e6 + 0 score,
                      CAST(count(*) AS BIGINT) n_common
                    FROM wedge GROUP BY 1, 2),
           new AS (SELECT c.a, c.b, c.n_common, c.score
@@ -1444,12 +1443,12 @@ object TrainQueries {
                     GROUP BY 1),
           tot AS (SELECT sum(sqrt(n_docs::DOUBLE)) ssq FROM n),
           q AS (SELECT source, CAST(n_docs AS BIGINT) n_docs,
-                  round(100000 * sqrt(n_docs::DOUBLE) / ssq, 6) + 0
+                  floor((100000 * sqrt(n_docs::DOUBLE) / ssq) * 1e6 + 0.5) / 1e6 + 0
                     AS quota
                 FROM n CROSS JOIN tot),
           f AS (SELECT source, n_docs, quota,
                   CAST(floor(quota) AS BIGINT) base,
-                  round(quota - CAST(floor(quota) AS BIGINT), 6) rem
+                  floor((quota - CAST(floor(quota) AS BIGINT)) * 1e6 + 0.5) / 1e6 rem
                 FROM q),
           r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
                   rk FROM f),
@@ -1461,7 +1460,7 @@ object TrainQueries {
     "q289_wilcoxon" ->
       """WITH ev AS MATERIALIZED (SELECT user_id,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END g,
-             CAST(round(value * 100, 0) AS BIGINT) cents
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents
            FROM events WHERE event_type IN ('click', 'purchase')),
           per AS (SELECT user_id,
                     sum(CASE WHEN g = 1 THEN cents END) sc,
@@ -1470,7 +1469,7 @@ object TrainQueries {
                     sum(1 - g) np
                   FROM ev GROUP BY 1
                   HAVING sum(g) > 0 AND sum(1 - g) > 0),
-          d AS (SELECT round(sc::DOUBLE / nc - sp::DOUBLE / np, 6) d
+          d AS (SELECT floor((sc::DOUBLE / nc - sp::DOUBLE / np) * 1e6 + 0.5) / 1e6 d
                 FROM per),
           nz AS (SELECT abs(d) ad,
                    CASE WHEN d > 0 THEN 1 ELSE 0 END pos
@@ -1486,12 +1485,12 @@ object TrainQueries {
                      CAST(sum(n) AS BIGINT) n
                    FROM c)
           SELECT n AS n_pairs,
-            round(w2::DOUBLE / 2, 6) + 0 AS w_plus, z,
+            floor((w2::DOUBLE / 2) * 1e6 + 0.5) / 1e6 + 0 AS w_plus, z,
             abs(z) > 1.959964 AS significant
           FROM (SELECT n,  w2,
-                  round((w2::DOUBLE - n::DOUBLE * (n + 1) / 2)
+                  floor(((w2::DOUBLE - n::DOUBLE * (n + 1) / 2)
                     / (2 * sqrt((2 * n::DOUBLE * (n + 1) * (2 * n + 1)
-                      - tie::DOUBLE) / 48)), 6) + 0 AS z
+                      - tie::DOUBLE) / 48))) * 1e6 + 0.5) / 1e6 + 0 AS z
                 FROM sums) t""",
 
     "q290_label_fusion" ->
@@ -1503,9 +1502,9 @@ object TrainQueries {
                     PARTITION BY item ORDER BY cnt DESC, lbl) rn
                   FROM mc) t
                 WHERE rn = 1),
-          rel AS (SELECT ann, CAST(round(1000000
+          rel AS (SELECT ann, CAST(floor((1000000
                     * sum(CASE WHEN lbl = maj THEN 1 ELSE 0 END)
-                    / count(*), 0) AS BIGINT) rel
+                    / count(*)) * 1e0 + 0.5) / 1e0 AS BIGINT) rel
                   FROM an JOIN maj USING (item) GROUP BY 1),
           wt AS (SELECT item, lbl, sum(rel) wt
                  FROM an JOIN rel USING (ann) GROUP BY 1, 2),
@@ -1528,11 +1527,11 @@ object TrainQueries {
 
     "q291_conformal" ->
       """WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
-             CAST(round(value * 100, 0) AS BIGINT) cents FROM events),
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) cents FROM events),
           mu AS (SELECT event_type, sum(cents) sm, count(*) nt
                  FROM ev GROUP BY 1),
           scored AS MATERIALIZED (SELECT event_id, user_id,
-             round(abs(cents - sm::DOUBLE / nt), 6) s
+             floor((abs(cents - sm::DOUBLE / nt)) * 1e6 + 0.5) / 1e6 s
            FROM ev JOIN mu USING (event_type)),
           cal AS (SELECT s, row_number() OVER (ORDER BY s, event_id) rk
                   FROM scored WHERE user_id % 2 = 0),
@@ -1542,8 +1541,8 @@ object TrainQueries {
           cov AS (SELECT CAST(n_cal AS BIGINT) n_cal,
               CAST(k AS BIGINT) k, qhat,
               CAST(count(*) AS BIGINT) n_test,
-              round(sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END)
-                / CAST(count(1) AS DOUBLE), 6) + 0 AS coverage
+              floor((sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END)
+                / CAST(count(1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 AS coverage
             FROM scored CROSS JOIN qh WHERE user_id % 2 != 0
             GROUP BY 1, 2, 3)
           SELECT n_cal, k, qhat, n_test, coverage,
@@ -1569,7 +1568,7 @@ object TrainQueries {
                   FROM v$BpeMerges) x)
           SELECT CAST($BpeMerges AS BIGINT) n_merges, vocab_words,
             chars_before, symbols_after,
-            round(symbols_after::DOUBLE / chars_before, 6) + 0
+            floor((symbols_after::DOUBLE / chars_before) * 1e6 + 0.5) / 1e6 + 0
               AS compression
           FROM fin"""
     },
@@ -1591,7 +1590,7 @@ object TrainQueries {
           SELECT doc_id, CAST(count(*) AS BIGINT) n_words,
             CAST(sum(n_sub) AS BIGINT) n_tokens,
             CAST(sum(length(w)) AS BIGINT) n_chars,
-            round(sum(n_sub)::DOUBLE / sum(length(w)), 6) + 0
+            floor((sum(n_sub)::DOUBLE / sum(length(w))) * 1e6 + 0.5) / 1e6 + 0
               AS compression
           FROM docw JOIN wmap USING (w)
           GROUP BY doc_id"""
@@ -1603,7 +1602,7 @@ object TrainQueries {
                '[^a-z0-9]+'), x -> x != '')) n_toks
            FROM documents),
           sc AS (SELECT n_chars,
-                   round(100 * n_toks::DOUBLE / n_chars, 6) score
+                   floor((100 * n_toks::DOUBLE / n_chars) * 1e6 + 0.5) / 1e6 score
                  FROM d),
           g AS (SELECT sc.n_chars, sc.score, t
                 FROM sc, (SELECT unnest(range(10, 23, 2)) t) th)
@@ -1612,8 +1611,8 @@ object TrainQueries {
               AS BIGINT) AS n_kept,
             CAST(sum(CASE WHEN score >= t / 100.0 THEN n_chars
               ELSE 0 END) AS BIGINT) AS chars_kept,
-            round(sum(CASE WHEN score >= t / 100.0 THEN 1 ELSE 0 END)
-              / CAST(count(*) AS DOUBLE), 6) + 0 AS frac_kept
+            floor((sum(CASE WHEN score >= t / 100.0 THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 AS frac_kept
           FROM g GROUP BY 1""",
 
     "q294_pq" -> {
@@ -1634,7 +1633,7 @@ object TrainQueries {
                    FROM base b JOIN $cents ON b.s = $cents.s) u) t
            WHERE rn = 1)"""
       def updateSql(r: Int): String =
-        s"""u$r AS (SELECT s, code, i, round(avg(v), 8) v FROM (
+        s"""u$r AS (SELECT s, code, i, floor((avg(v)) * 1e8 + 0.5) / 1e8 v FROM (
              SELECT a$r.s, a$r.code, i, x[i] v
              FROM a$r JOIN base USING (vec_id, s),
                (SELECT unnest(range(1, 17)) i) ii) t
@@ -1655,7 +1654,7 @@ object TrainQueries {
              LIMIT 4),
           c0 AS MATERIALIZED (SELECT s, code,
              list_transform(emb[(s * 16 + 1):(s * 16 + 16)],
-               x -> round(x, 8)) c
+               x -> floor((x) * 1e8 + 0.5) / 1e8) c
            FROM sd, (SELECT unnest(range(0, 4)) s) ss),
           ${assignSql(1, "c0")},
           ${updateSql(1)},
@@ -1665,7 +1664,7 @@ object TrainQueries {
           SELECT CAST(s AS BIGINT) AS subspace,
             CAST(count(*) AS BIGINT) AS n_vecs,
             CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
-            round(avg(dist), 6) + 0 AS mse
+            floor((avg(dist)) * 1e6 + 0.5) / 1e6 + 0 AS mse
           FROM a3 GROUP BY 1"""
     },
 
@@ -1678,8 +1677,8 @@ object TrainQueries {
           SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
             CAST(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_oov,
-            round(sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
-              / count(*), 6) + 0 AS oov_rate
+            floor((sum(CASE WHEN top.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)) * 1e6 + 0.5) / 1e6 + 0 AS oov_rate
           FROM tok LEFT JOIN top ON tok.w = top.w
           GROUP BY 1"""
     },
@@ -1702,14 +1701,14 @@ object TrainQueries {
                 FROM c CROSS JOIN tot)
           SELECT n1, n2, d, d_crit, d > d_crit AS reject
           FROM (SELECT n1, n2,
-                  round(dn::DOUBLE / (n1::DOUBLE * n2), 6) + 0 AS d,
-                  round(1.358 * sqrt((n1 + n2)
-                    / (n1::DOUBLE * n2)), 6) + 0 AS d_crit
+                  floor((dn::DOUBLE / (n1::DOUBLE * n2)) * 1e6 + 0.5) / 1e6 + 0 AS d,
+                  floor((1.358 * sqrt((n1 + n2)
+                    / (n1::DOUBLE * n2))) * 1e6 + 0.5) / 1e6 + 0 AS d_crit
                 FROM m) t""",
 
     "q297_group_auc" ->
       """WITH ev AS MATERIALIZED (SELECT c_mktsegment,
-             CAST(round(value * 100, 0) AS BIGINT) sc,
+             CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) sc,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END pos
            FROM events JOIN customer ON user_id = c_custkey),
           g AS (SELECT c_mktsegment, sc, sum(pos) npos,
@@ -1722,9 +1721,9 @@ object TrainQueries {
                 FROM g)
           SELECT c_mktsegment, CAST(sum(npos) AS BIGINT) AS np,
             CAST(sum(nneg) AS BIGINT) AS nn,
-            round((2 * sum(npos * cumneg)
+            floor(((2 * sum(npos * cumneg)
               + sum(npos * nneg))::DOUBLE
-              / (2 * sum(npos) * sum(nneg)), 6) + 0 AS auc
+              / (2 * sum(npos) * sum(nneg))) * 1e6 + 0.5) / 1e6 + 0 AS auc
           FROM c GROUP BY 1""",
 
     "q298_ndcg" ->
@@ -1733,8 +1732,8 @@ object TrainQueries {
           sims AS MATERIALIZED (SELECT qid,
              CASE WHEN c.label = qlbl THEN 1 ELSE 0 END relv,
              row_number() OVER (PARTITION BY qid
-               ORDER BY round(list_cosine_similarity(
-                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               ORDER BY floor((list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6
                  DESC, c.vec_id) rnk
            FROM q JOIN embeddings c ON c.vec_id != q.qid),
           dcg AS (SELECT qid, sum(CASE WHEN relv = 1
@@ -1745,11 +1744,11 @@ object TrainQueries {
                  FROM q JOIN embeddings c
                    ON c.vec_id != q.qid AND c.label = q.qlbl
                  GROUP BY 1)
-          SELECT qid AS query_id, n_rel, round(dcg, 6) + 0 AS dcg,
-            round(dcg / list_reduce(list_prepend(0.0::DOUBLE,
+          SELECT qid AS query_id, n_rel, floor((dcg) * 1e6 + 0.5) / 1e6 + 0 AS dcg,
+            floor((dcg / list_reduce(list_prepend(0.0::DOUBLE,
               [1 / log2((r + 1)::DOUBLE)
                for r in range(1, least(n_rel, 10) + 1)]),
-              (a, b) -> a + b), 6) + 0 AS ndcg
+              (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 + 0 AS ndcg
           FROM dcg JOIN nr USING (qid)""",
 
     "q347_ndcg_graded" ->
@@ -1760,8 +1759,8 @@ object TrainQueries {
                   WHEN abs(c.label - qlbl) = 1 THEN 1.0::DOUBLE
                   ELSE 0.0::DOUBLE END gain,
              row_number() OVER (PARTITION BY qid
-               ORDER BY round(list_cosine_similarity(
-                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               ORDER BY floor((list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6
                  DESC, c.vec_id) rnk
            FROM q JOIN embeddings c ON c.vec_id != q.qid),
           dcg AS (SELECT qid,
@@ -1774,8 +1773,8 @@ object TrainQueries {
                      AS BIGINT) n1
                  FROM q JOIN embeddings c ON c.vec_id != q.qid
                  GROUP BY 1)
-          SELECT qid AS query_id, n2, n1, round(dcg, 6) + 0 AS dcg,
-            round(CASE WHEN n2 + n1 = 0 THEN 0.0::DOUBLE
+          SELECT qid AS query_id, n2, n1, floor((dcg) * 1e6 + 0.5) / 1e6 + 0 AS dcg,
+            floor((CASE WHEN n2 + n1 = 0 THEN 0.0::DOUBLE
               ELSE dcg / (list_reduce(list_prepend(0.0::DOUBLE,
                   [3 / log2((r + 1)::DOUBLE)
                    for r in range(1, least(n2, 10) + 1)]),
@@ -1786,7 +1785,7 @@ object TrainQueries {
                        for r in range(n2 + 1,
                          least(n2 + n1, 10) + 1)]),
                       (a, b) -> a + b)
-                  ELSE 0.0::DOUBLE END) END, 6) + 0 AS ndcg
+                  ELSE 0.0::DOUBLE END) END) * 1e6 + 0.5) / 1e6 + 0 AS ndcg
           FROM dcg JOIN nr USING (qid)""",
 
     "q348_recall_at_k" ->
@@ -1795,8 +1794,8 @@ object TrainQueries {
           sims AS MATERIALIZED (SELECT qid,
              CASE WHEN c.label = qlbl THEN 1 ELSE 0 END relv,
              row_number() OVER (PARTITION BY qid
-               ORDER BY round(list_cosine_similarity(
-                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+               ORDER BY floor((list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 1e6 + 0.5) / 1e6
                  DESC, c.vec_id) rnk
            FROM q JOIN embeddings c ON c.vec_id != q.qid),
           h AS (SELECT qid, CAST(count(*) FILTER (WHERE relv = 1)
@@ -1807,7 +1806,7 @@ object TrainQueries {
                    ON c.vec_id != q.qid AND c.label = q.qlbl
                  GROUP BY 1)
           SELECT qid AS query_id, hits, n_rel,
-            round(hits / least(n_rel, 10)::DOUBLE, 6) + 0
+            floor((hits / least(n_rel, 10)::DOUBLE) * 1e6 + 0.5) / 1e6 + 0
               AS recall_at_10
           FROM h JOIN nr USING (qid)""",
 
@@ -1841,8 +1840,8 @@ object TrainQueries {
             CAST(n_cust AS BIGINT) AS n_cust, emd,
             emd <= 0.2::DOUBLE AS t_ok
           FROM (SELECT c_nationkey, c_mktsegment, n_cust,
-                  round(gap::DOUBLE
-                    / ((nb - 1) * n_cust::DOUBLE * nn), 6) + 0 AS emd
+                  floor((gap::DOUBLE
+                    / ((nb - 1) * n_cust::DOUBLE * nn)) * 1e6 + 0.5) / 1e6 + 0 AS emd
                 FROM a) t""",
 
     "q300_modularity" -> {
@@ -1870,8 +1869,8 @@ object TrainQueries {
           SELECT CAST(n_comms AS BIGINT) AS n_comms,
             CAST(n_nodes AS BIGINT) AS n_nodes,
             CAST(m AS BIGINT) AS m,
-            round((4 * m * smc - sdc2)
-              / (4 * m::DOUBLE * m * m), 6) + 0 AS modularity
+            floor(((4 * m * smc - sdc2)
+              / (4 * m::DOUBLE * m * m)) * 1e6 + 0.5) / 1e6 + 0 AS modularity
           FROM sums CROSS JOIN mm CROSS JOIN nn"""
     },
 
@@ -1916,21 +1915,21 @@ object TrainQueries {
                   (1 - w) * exp(-(x - mu2) * (x - mu2) / (2 * v2))
                     / sqrt(v2) p2
                 FROM d CROSS JOIN $prev) a) b),
-            p$r AS MATERIALIZED (SELECT round(a1 / n, 8) w,
-               round(b1 / a1, 8) mu1,
-               round(c1 / a1 - (b1 / a1) * (b1 / a1), 8) v1,
-               round(b2 / a2, 8) mu2,
-               round(c2 / a2 - (b2 / a2) * (b2 / a2), 8) v2
+            p$r AS MATERIALIZED (SELECT floor((a1 / n) * 1e8 + 0.5) / 1e8 w,
+               floor((b1 / a1) * 1e8 + 0.5) / 1e8 mu1,
+               floor((c1 / a1 - (b1 / a1) * (b1 / a1)) * 1e8 + 0.5) / 1e8 v1,
+               floor((b2 / a2) * 1e8 + 0.5) / 1e8 mu2,
+               floor((c2 / a2 - (b2 / a2) * (b2 / a2)) * 1e8 + 0.5) / 1e8 v2
              FROM m$r CROSS JOIN nn)"""
       }
       s"""WITH d AS MATERIALIZED (SELECT c, c::DOUBLE / 100 x FROM (
-             SELECT CAST(round(value * 100, 0) AS BIGINT) c
+             SELECT CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) c
              FROM events) e),
           nn AS (SELECT count(*) n FROM d),
           mom AS (SELECT count(*) n, sum(c) s1, sum(c * c) s2 FROM d),
           p0 AS MATERIALIZED (SELECT 0.5::DOUBLE w,
-             round(mu - sqrt(va) / 2, 8) mu1, round(va, 8) v1,
-             round(mu + sqrt(va) / 2, 8) mu2, round(va, 8) v2
+             floor((mu - sqrt(va) / 2) * 1e8 + 0.5) / 1e8 mu1, floor((va) * 1e8 + 0.5) / 1e8 v1,
+             floor((mu + sqrt(va) / 2) * 1e8 + 0.5) / 1e8 mu2, floor((va) * 1e8 + 0.5) / 1e8 v2
            FROM (SELECT s1::DOUBLE / n / 100 mu,
                    s2::DOUBLE / 10000 / n
                      - (s1::DOUBLE / n / 100) * (s1::DOUBLE / n / 100)
@@ -1939,8 +1938,8 @@ object TrainQueries {
           ${emRound(1)},
           ${emRound(2)},
           ${emRound(3)},
-          ll AS (SELECT round(avg(ln(p1 + p2))
-                   - ln(sqrt(2 * pi())), 6) + 0 avg_loglik
+          ll AS (SELECT floor((avg(ln(p1 + p2))
+                   - ln(sqrt(2 * pi()))) * 1e6 + 0.5) / 1e6 + 0 avg_loglik
                  FROM (SELECT
                      w * exp(-(x - mu1) * (x - mu1) / (2 * v1))
                        / sqrt(v1) p1,
@@ -1948,8 +1947,8 @@ object TrainQueries {
                        / sqrt(v2) p2
                    FROM d CROSS JOIN p3) z)
           SELECT CAST(n AS BIGINT) AS n, w + 0 AS w1, mu1 + 0 AS mu1,
-            round(sqrt(v1), 8) + 0 AS sd1, mu2 + 0 AS mu2,
-            round(sqrt(v2), 8) + 0 AS sd2, avg_loglik
+            floor((sqrt(v1)) * 1e8 + 0.5) / 1e8 + 0 AS sd1, mu2 + 0 AS mu2,
+            floor((sqrt(v2)) * 1e8 + 0.5) / 1e8 + 0 AS sd2, avg_loglik
           FROM p3 CROSS JOIN nn CROSS JOIN ll"""
     },
 
@@ -1963,9 +1962,9 @@ object TrainQueries {
           bt AS (SELECT lang cls, sum(n) n_true FROM cm GROUP BY 1),
           bp AS (SELECT predicted cls, sum(n) n_pred FROM cm
                  GROUP BY 1),
-          acc AS (SELECT round(sum(CASE WHEN lang = predicted
+          acc AS (SELECT floor((sum(CASE WHEN lang = predicted
                       THEN n ELSE 0 END)
-                    / CAST(sum(n) AS DOUBLE), 6) + 0 accuracy
+                    / CAST(sum(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 + 0 accuracy
                   FROM cm),
           j AS (SELECT coalesce(bt.cls, bp.cls) cls,
                   coalesce(tpn, 0) tp,
@@ -1976,17 +1975,17 @@ object TrainQueries {
                   LEFT JOIN tpc
                     ON coalesce(bt.cls, bp.cls) = tpc.cls),
           pr AS (SELECT cls, tp, fp, fn,
-                   round(CASE WHEN np > 0 THEN tp::DOUBLE / np
-                     ELSE 0 END, 6) + 0 prec,
-                   round(CASE WHEN nt > 0 THEN tp::DOUBLE / nt
-                     ELSE 0 END, 6) + 0 rec
+                   floor((CASE WHEN np > 0 THEN tp::DOUBLE / np
+                     ELSE 0 END) * 1e6 + 0.5) / 1e6 + 0 prec,
+                   floor((CASE WHEN nt > 0 THEN tp::DOUBLE / nt
+                     ELSE 0 END) * 1e6 + 0.5) / 1e6 + 0 rec
                  FROM j)
           SELECT cls, CAST(tp AS BIGINT) AS tp,
             CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
             prec AS "precision", rec AS "recall",
-            round(CASE WHEN prec + rec > 0
+            floor((CASE WHEN prec + rec > 0
               THEN 2 * prec * rec / (prec + rec)
-              ELSE 0 END, 6) + 0 AS f1,
+              ELSE 0 END) * 1e6 + 0.5) / 1e6 + 0 AS f1,
             accuracy
           FROM pr CROSS JOIN acc"""
     },
@@ -1995,15 +1994,15 @@ object TrainQueries {
       """WITH m AS (SELECT event_type, count(*) n, sum(c) s1,
              sum(c * c) s2
            FROM (SELECT event_type,
-                   CAST(round(value * 100, 0) AS BIGINT) c
+                   CAST(floor((value * 100) * 1e0 + 0.5) / 1e0 AS BIGINT) c
                  FROM events) e
            GROUP BY 1)
           SELECT event_type, CAST(n AS BIGINT) AS n,
-            round(s1::DOUBLE / n / 100, 6) + 0 AS mean,
-            round(sqrt((s2::DOUBLE / 10000
+            floor((s1::DOUBLE / n / 100) * 1e6 + 0.5) / 1e6 + 0 AS mean,
+            floor((sqrt((s2::DOUBLE / 10000
               - (s1::DOUBLE / 100) * (s1::DOUBLE / 100) / n)
-              / (n - 1)), 6) + 0 AS sd,
-            round(0.02 * (s1::DOUBLE / n / 100), 6) + 0 AS mde,
+              / (n - 1))) * 1e6 + 0.5) / 1e6 + 0 AS sd,
+            floor((0.02 * (s1::DOUBLE / n / 100)) * 1e6 + 0.5) / 1e6 + 0 AS mde,
             CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
               * 2 * ((s2::DOUBLE / 10000
                 - (s1::DOUBLE / 100) * (s1::DOUBLE / 100) / n)
@@ -2047,9 +2046,9 @@ object TrainQueries {
             fpr_theory,
             abs(fpr - fpr_theory) <= 0.1::DOUBLE AS calibrated
           FROM (SELECT n_inserted, bits_set, n_probes, n_fp,
-                  round(n_fp::DOUBLE / n_probes, 6) + 0 AS fpr,
-                  round(pow(1 - exp(-(3 * n_inserted::DOUBLE)
-                    / 1024), 3), 6) + 0 AS fpr_theory
+                  floor((n_fp::DOUBLE / n_probes) * 1e6 + 0.5) / 1e6 + 0 AS fpr,
+                  floor((pow(1 - exp(-(3 * n_inserted::DOUBLE)
+                    / 1024), 3)) * 1e6 + 0.5) / 1e6 + 0 AS fpr_theory
                 FROM cnt CROSS JOIN fpc) z"""
     },
 
@@ -2058,7 +2057,7 @@ object TrainQueries {
              SELECT l_partkey, row_number() OVER (
                ORDER BY rev DESC, l_partkey) rk
              FROM (SELECT l_partkey,
-                     sum(CAST(round(l_extendedprice * 100, 0)
+                     sum(CAST(floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0
                        AS BIGINT)) rev
                    FROM lineitem WHERE year(l_shipdate) = 1998
                    GROUP BY 1) x) y
@@ -2067,7 +2066,7 @@ object TrainQueries {
              SELECT l_partkey, row_number() OVER (
                ORDER BY rev DESC, l_partkey) rk
              FROM (SELECT l_partkey,
-                     sum(CAST(round(l_extendedprice * 100, 0)
+                     sum(CAST(floor((l_extendedprice * 100) * 1e0 + 0.5) / 1e0
                        AS BIGINT)) rev
                    FROM lineitem WHERE year(l_shipdate) = 1999
                    GROUP BY 1) x) y
@@ -2076,10 +2075,10 @@ object TrainQueries {
                 FROM r98 JOIN r99 USING (l_partkey))
           SELECT CAST(50 AS BIGINT) AS k,
             CAST(count(*) AS BIGINT) AS n_common,
-            round(coalesce((1 - 0.9) * sum(list_reduce(
+            floor((coalesce((1 - 0.9) * sum(list_reduce(
               list_prepend(0.0::DOUBLE,
                 [pow(0.9, d - 1) / d for d in range(d0, 51)]),
-              (a, b) -> a + b)), 0), 6) + 0 AS rbo
+              (a, b) -> a + b)), 0)) * 1e6 + 0.5) / 1e6 + 0 AS rbo
           FROM c"""
   )
 }

@@ -41,7 +41,7 @@ object Knn {
       .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
     c.join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
       .withColumn("sim",
-        F.round(cosineF(F.col("qvec"), F.col("cvec")), 6))
+        F.floor(cosineF(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -65,7 +65,7 @@ object Knn {
       .orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
     c.join(F.broadcast(q), F.col("__clab") =!= F.col("__qlab"))
       .withColumn("sim",
-        F.round(cosineF(F.col("qvec"), F.col("cvec")), 6))
+        F.floor(cosineF(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -96,9 +96,9 @@ object Knn {
         || F.col("sd") === 0.0, F.lit(null)).otherwise(F.col("sd")))
       .withColumn("zv", (F.col("x") - F.col("mu")) / F.col("__sd"))
       .groupBy(idCol)
-      .agg(F.round(F.sum("zv"), 4).as("z_sum"),
-        F.round(F.min("zv"), 4).as("z_min"),
-        F.round(F.max("zv"), 4).as("z_max"))
+      .agg((F.floor(F.sum("zv") * 1e4 + 0.5) / 1e4).as("z_sum"),
+        (F.floor(F.min("zv") * 1e4 + 0.5) / 1e4).as("z_min"),
+        (F.floor(F.max("zv") * 1e4 + 0.5) / 1e4).as("z_max"))
   }
 
   /** Per-label centroids (IVF coarse quantizer learned from the data):
@@ -135,7 +135,8 @@ object Knn {
       // engines (avg noise ~1e-16 is far below float ulp) and rounding
       // removes the residual double-summation-order noise, so an
       // oracle can reproduce the routing decision exactly (q46)
-      .withColumn("csim", F.round(cosineF(F.col("qvec"), F.col("cf")), 6))
+      .withColumn("csim",
+        F.floor(cosineF(F.col("qvec"), F.col("cf")) * 1e6 + 0.5) / 1e6)
       .withColumn("crank", F.row_number().over(probeW))
       .filter(F.col("crank") <= nprobe)
       .select(F.col("query_id"), F.col("qvec"), F.col(labelCol))
@@ -146,7 +147,7 @@ object Knn {
     c.join(F.broadcast(probes), Seq(labelCol))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .withColumn("sim",
-        F.round(cosineF(F.col("qvec"), F.col("cvec")), 6))
+        F.floor(cosineF(F.col("qvec"), F.col("cvec")) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -344,10 +345,10 @@ object Knn {
     def score(cand: DataFrame): DataFrame = cand
       .join(assigned.hint("shuffle_hash"), "cell")
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
-      .withColumn("sim", F.round(
+      .withColumn("sim", F.floor(
         F.when(F.col("qn") === 0d || F.col("cn") === 0d, 0d)
           .otherwise(dotF(F.col("qvec"), F.col("cvec"))
-            / (F.col("qn") * F.col("cn"))), 6))
+            / (F.col("qn") * F.col("cn"))) * 1e6 + 0.5) / 1e6)
       .select("query_id", "neighbor_id", "sim")
 
     if (bits <= 8) {
@@ -483,7 +484,8 @@ object Knn {
       F.col(blockCol))
     a.join(b, Seq(blockCol))
       .filter(F.col("id1") < F.col("id2"))
-      .withColumn("sim", F.round(cosineF(F.col("v1"), F.col("v2")), 6))
+      .withColumn("sim",
+        F.floor(cosineF(F.col("v1"), F.col("v2")) * 1e6 + 0.5) / 1e6)
       .filter(F.col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }

@@ -58,7 +58,8 @@ object Srp {
     val a = corpus.select(F.col(idCol).as("id1"), F.col(vecCol).as("v1"))
     val b = corpus.select(F.col(idCol).as("id2"), F.col(vecCol).as("v2"))
     cands.join(a, "id1").join(b, "id2")
-      .withColumn("sim", F.round(cosineF(F.col("v1"), F.col("v2")), 6))
+      .withColumn("sim",
+        F.floor(cosineF(F.col("v1"), F.col("v2")) * 1e6 + 0.5) / 1e6)
       .filter(F.col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }

@@ -70,8 +70,9 @@ object Decontam {
       .join(hits, Seq(idCol), "left_outer")
       .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0L)))
       .withColumn("overlap_frac", F.when(F.col("n_grams") === 0, 0.0)
-        .otherwise(F.round(
-          F.col("n_hits") / F.col("n_grams").cast("double"), 6)))
+        .otherwise(F.floor(
+          F.col("n_hits") / F.col("n_grams").cast("double")
+            * 1e6 + 0.5) / 1e6))
       .select(F.col(idCol), F.col("n_grams"), F.col("n_hits"),
         F.col("overlap_frac"),
         F.when(F.col("overlap_frac") >= dirtyAt, "dirty")

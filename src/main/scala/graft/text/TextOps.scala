@@ -62,15 +62,17 @@ object TextOps {
       .withColumn("__ng", F.expr(allShinglesExpr("__t", n)))
       .select(F.col(idCol),
         F.when(F.size(F.col("__ng")) === 0, 0.0)
-          .otherwise(F.round(
-            F.lit(1.0) - F.size(F.array_distinct(F.col("__ng")))
-              .cast("double") / F.size(F.col("__ng")).cast("double"), 6))
+          .otherwise(F.floor(
+            (F.lit(1.0) - F.size(F.array_distinct(F.col("__ng")))
+              .cast("double") / F.size(F.col("__ng")).cast("double"))
+              * 1e6 + 0.5) / 1e6)
           .as("dup_ngram_frac"))
     val top = toks
       .select(F.col(idCol), F.explode(F.col("__t")).as("tok"))
       .groupBy(idCol, "tok").agg(F.count(F.lit(1)).as("c"))
-      .groupBy(idCol).agg(F.round(
-        F.max("c").cast("double") / F.sum("c").cast("double"), 6)
+      .groupBy(idCol).agg((F.floor(
+        F.max("c").cast("double") / F.sum("c").cast("double")
+          * 1e6 + 0.5) / 1e6)
         .as("top_tok_frac"))
     dup.join(top, Seq(idCol), "left_outer")
       .select(F.col(idCol), F.col("dup_ngram_frac"),

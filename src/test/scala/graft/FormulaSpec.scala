@@ -286,4 +286,35 @@ class FormulaSpec extends SparkSpec {
     val gOneHot = got.map(_.getDouble(2))
     assert(gOneHot.sameElements(Array(1.0, 0.0, 1.0, 0.0)))
   }
+
+  test("term width near MaxContrastLevels gates fast path vs fallback") {
+    import spark.implicits._
+    // r13 verdict task 5: the when()-chain width of an interaction
+    // term scales as (levels of factor1) × (levels of factor2); past
+    // MaxContrastLevels the ML fallback must engage rather than
+    // compiling a pathological codegen span. Probe BOTH sides of the
+    // boundary on the same frame: 128×2 = 256 rides the expression
+    // path, 130×2 = 260 falls back — and the fallback output is still
+    // the correct full-dummy design matrix.
+    val wide = (0 until 130).flatMap { i =>
+      Seq((i * 2 + 0.0, f"L$i%03d", "u"), (i * 2 + 1.0, f"L$i%03d", "v"))
+    }.toDF("y", "w", "h")
+    val okW = wide.filter(F.col("w") < "L128") // 128 levels × 2 = 256
+    val fast = Formula.modelMatrix(okW, "y ~ w:h")
+    assert(Formula.lastPathWasFast, "256-wide term left the fast path")
+    assert(fast.columns.length == 1 + 256)
+    assert(!fast.queryExecution.executedPlan.toString.contains("UDF"))
+    val fell = Formula.modelMatrix(wide, "y ~ w:h") // 130 × 2 = 260
+    assert(!Formula.lastPathWasFast, "260-wide term took the fast path")
+    assert(fell.columns.length == 1 + 260)
+    // fallback output is the same design matrix the ML route builds
+    val ml = Formula.modelMatrixVia(wide, "y ~ w:h", forceMl = true)
+    fell.orderBy("label").collect()
+      .zip(ml.orderBy("label").collect())
+      .foreach { case (r1, r2) => assert(r1 == r2, s"$r1 != $r2") }
+    // a 130-level STANDALONE factor stays fast (129 contrast columns
+    // ≤ MaxContrastLevels — only the term-width product tripped)
+    Formula.modelMatrix(wide, "y ~ w")
+    assert(Formula.lastPathWasFast, "130-level standalone fell back")
+  }
 }
