@@ -69,8 +69,9 @@ def main():
         # strip line comments so commented-out examples don't count
         stripped = re.sub(r"//[^\n]*", "", text)
         for m in re.finditer(r"\bround\s*\(", stripped):
-            line = text[:_orig_offset(text, stripped, m.start())].count(
-                "\n") + 1 if False else stripped[:m.start()].count("\n") + 1
+            # comment-stripping preserves newlines, so line numbers in
+            # `stripped` match the original file
+            line = stripped[:m.start()].count("\n") + 1
             arg = balanced(stripped, m.end() - 1)
             if arg is None:
                 continue
@@ -85,10 +86,6 @@ def main():
                 if show_all:
                     print(f"safe  {path}:{line} d={digits} :: {flat[:80]}")
     print(f"== {n_risky} risky, {n_safe} safe")
-
-
-def _orig_offset(text, stripped, off):  # pragma: no cover
-    return off
 
 
 if __name__ == "__main__":
