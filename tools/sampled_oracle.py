@@ -29,6 +29,9 @@ at sf0.1 within budget. Two soundness regimes:
 Usage:
   tools/sampled_oracle.py carve <sfDir> <carveDir> [mod=3]
   tools/sampled_oracle.py q41 <sfDir> <outDir> [mod=3]
+  tools/sampled_oracle.py pairs <query> <sfDir> <outDir> [mod=3]
+    (any (id1, id2)-keyed dump whose cells are pair-local — q41,
+     q157_prefix_jaccard, q159_minhash_estimate, q245_neardup_explain)
 
 Driver-side tooling only — NOT part of the shipped library.
 """
@@ -55,43 +58,46 @@ def carve(sf_dir, carve_dir, mod):
         print(f"carved {t}: {n} rows (mod {mod})")
 
 
-def q41_restricted(sf_dir, out_dir, mod):
+def pairs_restricted(query, sf_dir, out_dir, mod):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"'{sf_dir}/documents.parquet' WHERE doc_id % {mod} = 0")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))[
-        "q41_minhash_neardup"]
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))[query]
     exp = con.execute(oracle)
     e_rows, e_cols = exp.fetchall(), [d[0] for d in exp.description]
     got = con.execute(
-        f"SELECT * FROM read_parquet("
-        f"'{out_dir}/q41_minhash_neardup/*.parquet') "
+        f"SELECT * FROM read_parquet('{out_dir}/{query}/*.parquet') "
         f"WHERE id1 % {mod} = 0 AND id2 % {mod} = 0")
     g_rows, g_cols = got.fetchall(), [d[0] for d in got.description]
     gc, gr = canon(g_rows, g_cols)
     ec, er = canon(e_rows, e_cols)
     if gc != ec:
-        print(f"SCHEMA q41_restricted: {gc} vs {ec}")
+        print(f"SCHEMA {query}_restricted: {gc} vs {ec}")
         sys.exit(1)
     if gr != er:
         only_e = set(er) - set(gr)
         only_g = set(gr) - set(er)
-        print(f"ROWS q41_restricted: engine {len(gr)} vs oracle "
+        print(f"ROWS {query}_restricted: engine {len(gr)} vs oracle "
               f"{len(er)}; oracle-only {sorted(only_e)[:5]} "
               f"engine-only {sorted(only_g)[:5]}")
         sys.exit(1)
-    print(f"PASS q41_restricted: {len(gr)} carve-internal pairs "
+    print(f"PASS {query}_restricted: {len(gr)} carve-internal pairs "
           f"bit-match the quadratic oracle (mod {mod})")
 
 
 def main():
     cmd = sys.argv[1]
-    mod = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     if cmd == "carve":
+        mod = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         carve(sys.argv[2], sys.argv[3], mod)
     elif cmd == "q41":
-        q41_restricted(sys.argv[2], sys.argv[3], mod)
+        mod = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        pairs_restricted("q41_minhash_neardup", sys.argv[2],
+                         sys.argv[3], mod)
+    elif cmd == "pairs":
+        mod = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+        pairs_restricted(sys.argv[2], sys.argv[3], sys.argv[4], mod)
     else:
         sys.exit(f"unknown command {cmd}")
 
