@@ -14,6 +14,57 @@ import org.apache.spark.sql.SparkSession
   * would read as a speedup.
   */
 object Bench {
+
+  /** Dead-code-elimination sink for the calibration loops. */
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work dependent-chain integer mix (SplitMix64 finalizer):
+    * pure CPU, zero allocation, no memory traffic — a box-speed
+    * probe, not a Spark benchmark. */
+  private def mixLoop(iters: Long, seed: Long): Long = {
+    var x = seed
+    var i = 0L
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      x ^= z ^ (z >>> 31)
+      i += 1
+    }
+    x
+  }
+
+  /** Box-speed calibration (r14 verdict task 1): wall seconds for a
+    * FIXED amount of CPU work — `threads` concurrent dependent-chain
+    * mix loops of [[CalibIters]] iterations each. Two rounds running,
+    * the driver-visible bench wall was dominated by the environment
+    * (r13 builder contention, r14 a ~1.6× slower VM), costing a
+    * manual adjudication campaign each time; these probes give every
+    * bench run its own box-speed reading so walls can be compared
+    * calibration-normalized. 1-thread ≈ single-core speed (clock /
+    * steal); N-thread ≈ whole-box throughput under the same full-core
+    * load the query suite applies. min-of-2 after an untimed JIT
+    * warmup — the probe must measure the box, not the compiler. */
+  private val CalibIters = 300000000L
+
+  private def calibrate(threads: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      if (threads == 1) blackhole ^= mixLoop(CalibIters, 1L)
+      else {
+        val ts = (1 to threads).map { t =>
+          val th = new Thread(() => { blackhole ^= mixLoop(CalibIters, t.toLong) })
+          th.start(); th
+        }
+        ts.foreach(_.join())
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    blackhole ^= mixLoop(CalibIters / 10, 42L) // JIT warmup, untimed
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,10 +73,14 @@ object Bench {
     // overwrites outFile. A query landing >2.5x its prior committed
     // time gets named in the "regressions" tail so a q232-style
     // outlier surfaces at build time, not judge time.
-    val prior: Map[String, Double] =
+    val (prior: Map[String, Double], priorCalibNt: Option[Double]) =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outFile)), "UTF-8")
+        // prior box-speed probe, for the calibration-normalized
+        // tripwire below; absent in pre-r15 files → None → raw gate
+        val calibNt = "\"calib_nt\":(-?[0-9.eE+-]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
         // Anchor the parse to the "queries" object (its values are
         // plain numbers, so its span is brace-free) — scanning the
         // whole file would also pick up q-keyed numbers from any
@@ -41,15 +96,22 @@ object Bench {
           System.err.println(s"WARN Bench: prior $outFile is non-empty " +
             "but no \"queries\":{...} anchor matched — regression " +
             "tripwire disabled this run; check bench.json format drift")
-        "\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r
+        ("\"(q[0-9]+[a-z0-9_]*)\":(-?[0-9.eE+-]+)".r
           .findAllMatchIn(qSpan.getOrElse(""))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap, calibNt)
       } catch {
         // NonFatal only: the intended catch is a missing/corrupt prior
         // file; swallowing OOM/InterruptedException here would silently
         // disable the tripwire AND hide a dying JVM (round-10 ADVICE)
-        case scala.util.control.NonFatal(_) => Map.empty
+        case scala.util.control.NonFatal(_) =>
+          (Map.empty[String, Double], None)
       }
+    // Box-speed probes BEFORE the Spark session exists (nothing else
+    // competing for cores). Emitted in the JSON; the tripwire and any
+    // cross-round comparison normalize by calib_nt (the probe matching
+    // the suite's full-core load profile).
+    val calib1t = calibrate(1)
+    val calibNt = calibrate(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -155,12 +217,25 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson =
       errors.result().distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Tripwire: vs the prior run of the SAME file. Sub-second queries
-    // are exempt (JVM noise dwarfs them); the threshold matches the
-    // r7 verdict's "q232 went 3.2x unnoticed" bar.
+    // Tripwire: vs the prior run of the SAME file, CALIBRATION-
+    // NORMALIZED (r14 verdict task 1) — a query flags when its wall
+    // grew 2.5× beyond what the box-speed shift alone explains:
+    //   now/prior > 2.5 × calib_now/calib_prior.
+    // Two rounds of environment-dominated walls (r13 contention, r14 a
+    // uniformly ~1.6× slower VM) each cost a manual adjudication
+    // campaign under the raw gate. The ratio is clamped to [0.25, 4]:
+    // a corrupt probe reading must not widen the gate without bound or
+    // flag the whole suite. Pre-r15 prior files have no calib field →
+    // ratio 1.0 → the old raw gate. Sub-second queries are exempt
+    // (JVM noise dwarfs them); the threshold matches the r7 verdict's
+    // "q232 went 3.2x unnoticed" bar.
+    val calibRatio = priorCalibNt match {
+      case Some(p) => math.max(0.25, math.min(4.0, calibNt / p))
+      case None => 1.0
+    }
     val regressions = results.collect {
       case (k, v) if v >= 1.0 && prior.getOrElse(k, -1.0) > 0 &&
-        v > 2.5 * prior(k) =>
+        v > 2.5 * prior(k) * calibRatio =>
         s""""$k":{"prev":${fmt(prior(k))},"now":${fmt(v)}}"""
     }
     val regJson = regressions.mkString("{", ",", "}")
@@ -170,9 +245,9 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"errors":$errJson,"regressions":$regJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_1t":${fmt(calib1t)},"calib_nt":${fmt(calibNt)},"calib_ratio_vs_prior":${fmt(calibRatio)},"queries":$qsShort,"errors":$errJson,"regressions":$regJson,"sf":$sfNum}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_1t":$calib1t,"calib_nt":$calibNt,"calib_ratio_vs_prior":$calibRatio,"queries":$qsFull,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()
     // print LAST (after spark.stop's log lines) so nothing but sbt's

@@ -199,12 +199,17 @@ object Formula {
     * wider factors keep the ML route. */
   val MaxContrastLevels = 256
 
-  /** Test-only observability of the route taken by the LAST
+  /** Test-only observability of the route taken by this thread's LAST
     * modelMatrix call (FormulaSpec's width-gate case asserts the
     * fallback engages at term width > [[MaxContrastLevels]] instead
-    * of compiling a pathological when()-chain). Not part of the API;
-    * racy under concurrent modelMatrix calls, which tests don't do. */
-  @volatile private[graft] var lastPathWasFast: Boolean = false
+    * of compiling a pathological when()-chain). Not part of the API.
+    * Thread-local (round-14 advice): a shared @volatile would
+    * cross-talk under concurrent modelMatrix callers; per-thread
+    * state keeps the observability and removes the race. */
+  private val lastPathWasFastTl = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  private[graft] def lastPathWasFast: Boolean = lastPathWasFastTl.get()
 
   /** `forceMl = true` pins the RFormula/VectorAssembler route —
     * FormulaSpec uses it to assert fast path == ML path
@@ -287,7 +292,7 @@ object Formula {
         }
       }
     }.toOption.flatten
-    lastPathWasFast = fast.isDefined
+    lastPathWasFastTl.set(fast.isDefined)
     if (fast.isDefined) return fast.get
     val rf = new RFormula()
       .setFormula(formula2)

@@ -90,6 +90,32 @@ object MiscQueries {
           (0 to 11).map(i => s"f$i" -> s"round(f$i, 6)"): _*)
     },
 
+    // Floor-form rounding POLICY gate (round-14 verdict task 3): the
+    // corpus-wide knife-edge contract — round(x, d) is expressed as
+    // floor(x·10^d + 0.5)/10^d on BOTH engines — verified on itself,
+    // not just through the 170 queries that use it. The grid is dense
+    // in exact d-dp halves, both signs, d ∈ {0,2,3,4,6}: x = k/(2·10^d)
+    // for k ∈ [-8001, 8001] (odd k → exact half at d dp, even k → an
+    // exact d-dp value). Identical left-assoc IEEE expression on both
+    // sides, so the dump bit-matches every round at both gate scales —
+    // any future drift of the policy on either engine turns this row
+    // red. FloorPolicySpec pins the SEMANTICS (half-toward-+inf; the
+    // documented negative-half divergence from HALF_UP) against a
+    // BigDecimal reference on the same grid.
+    "q350_floor_policy" -> { (s, _) =>
+      s.range(-8001L, 8002L).toDF("k")
+        .select(F.col("k"), F.explode(F.array(
+          F.struct(F.lit(0).as("d"), F.lit(1.0).as("p")),
+          F.struct(F.lit(2).as("d"), F.lit(100.0).as("p")),
+          F.struct(F.lit(3).as("d"), F.lit(1000.0).as("p")),
+          F.struct(F.lit(4).as("d"), F.lit(10000.0).as("p")),
+          F.struct(F.lit(6).as("d"), F.lit(1000000.0).as("p"))))
+          .as("e"))
+        .select(F.col("k"), F.col("e.d").as("d"),
+          (F.floor(F.col("k").cast("double") / (F.lit(2.0) * F.col("e.p"))
+            * F.col("e.p") + 0.5) / F.col("e.p")).as("r"))
+    },
+
     // erf/erfc/digamma/lgamma custom expressions (SURVEY §2.9 gap
     // list); oracle mirrors the same A&S/asymptotic formulas.
     "q63_special_math" -> { (s, dir) =>
@@ -383,6 +409,14 @@ object MiscQueries {
                 CAST(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
                      THEN 1 ELSE 0 END AS DOUBLE) AS f11
          FROM lineitem""",
+    // same left-assoc IEEE expression as the engine side: x = k/(2·p)
+    // rounds once, then ·p, +0.5, floor, /p — bit-identical by policy
+    "q350_floor_policy" ->
+      """SELECT k, d,
+                floor(CAST(k AS DOUBLE) / (2.0 * p) * p + 0.5) / p AS r
+         FROM (SELECT range AS k FROM range(-8001, 8002)),
+              (VALUES (0, 1.0), (2, 100.0), (3, 1000.0),
+                      (4, 10000.0), (6, 1000000.0)) AS t(d, p)""",
     "q63_special_math" ->
       s"""SELECT l_orderkey, l_linenumber,
           round(${SpecialMath.erfSql("(l_discount * 10 - 0.5)")}, 6) + 0

@@ -75,13 +75,36 @@ object StreamQueries {
     val prev = s.conf.get(key)
     s.conf.set(key, math.min(8, prev.toInt).toString)
     try {
+      val t0 = System.nanoTime()
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       // AvailableNow terminates on its own; the bound is insurance so a
       // wedged stream cannot stall the driver's whole verify run.
-      q.awaitTermination(600000L); q.stop()
+      q.awaitTermination(600000L)
+      // GRAFT_STREAM_PROFILE=1: decompose the wall into micro-batch
+      // work (triggerExecution, with its addBatch/stateOps breakdown)
+      // vs everything else (query planning/start/teardown fixed cost)
+      // — the r14 verdict's streaming-fixed-cost question, answered by
+      // measurement instead of guesswork. Diagnostic only; default off.
+      if (sys.env.get("GRAFT_STREAM_PROFILE").contains("1")) {
+        val wall = (System.nanoTime() - t0) / 1e6
+        val ps = q.recentProgress
+        val trig = ps.map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L)).sum
+        val detail = {
+          import scala.jdk.CollectionConverters._
+          ps.flatMap(_.durationMs.asScala.toSeq
+              .map { case (k, v) => k -> v.toLong })
+            .groupBy(_._1).map { case (k, v) => s"$k=${v.map(_._2).sum}" }
+            .toSeq.sorted.mkString(" ")
+        }
+        System.err.println(f"[stream-profile] $name: wall=$wall%.0fms " +
+          f"batches=${ps.length} trigger=${trig}ms " +
+          f"setup+teardown=${wall - trig}%.0fms | $detail")
+      }
+      q.stop()
     } finally s.conf.set(key, prev)
     s.table(name)
   }
@@ -180,17 +203,25 @@ object StreamQueries {
   /** Anchored size parse — "17g" / "512m" / "64k" / "123456" (bytes).
     * Rejects anything else (same fail-loud contract as
     * [[parseIntervalMs]]: a mis-typed budget must not silently
-    * become a different budget). */
+    * become a different budget). Overflow rejects too (round-14
+    * advice): an unchecked multiply turns "9999999999g" into a
+    * negative Long, which the key-budget clamp would silently read
+    * as the tiniest possible budget — the opposite of fail-loud. */
   private[graft] def parseSizeBytes(s: String): Long = {
     val m = """^(\d+)\s*([kmg]?)b?$""".r
       .findFirstMatchIn(s.trim.toLowerCase)
       .getOrElse(throw new IllegalArgumentException(s"bad size: $s"))
-    m.group(1).toLong * (m.group(2) match {
+    val unit = m.group(2) match {
       case "k" => 1024L
       case "m" => 1024L * 1024
       case "g" => 1024L * 1024 * 1024
       case _ => 1L
-    })
+    }
+    try Math.multiplyExact(m.group(1).toLong, unit)
+    catch {
+      case _: ArithmeticException | _: NumberFormatException =>
+        throw new IllegalArgumentException(s"size overflows Long: $s")
+    }
   }
 
   /** q341's registered path with the round-13 AUTO-GATE: exact

@@ -43,9 +43,14 @@ class InvarianceSpec extends SparkSpec {
 
   /** Bit-faithful canonical form: every cell via String.valueOf
     * (Double.toString is the shortest-repr, so an invariance break at
-    * any magnitude shows), rows sorted. */
+    * any magnitude shows), rows sorted. Cells join on an explicit
+    * "\\u0001" separator escape (was a raw control char, which reads
+    * like mkString("") in most viewers — round-14 advice): without a
+    * separator, distinct rows with shifted cell boundaries ((1, 23)
+    * vs (12, 3)) would canonicalize identically and a real
+    * partition-invariance break could pass silently. */
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-    df.collect().map(_.toSeq.map(String.valueOf).mkString(""))
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("\u0001"))
       .toSeq.sorted
 
   private def sessionWith(shufflePartitions: Int): SparkSession = {
