@@ -48,6 +48,24 @@ object Bench {
     * warmup — the probe must measure the box, not the compiler. */
   private val CalibIters = 300000000L
 
+  /** Cumulative (steal, total) CPU jiffies from /proc/stat — None off
+    * Linux. The calibration probes are POINT readings; hypervisor
+    * steal arrives in bursts (observed r15: st 0% → 11% → 0% inside
+    * 20 minutes, tripling walls mid-burst while a probe 2 minutes
+    * earlier read near-clean), so the JSON also carries the steal
+    * fraction integrated over the WHOLE bench window — the
+    * adjudication signal for "the host was taking cycles during this
+    * run", immune to burst timing. */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        if (f.length >= 8) Some((f(7), f.sum)) else None
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def calibrate(threads: Int): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -112,6 +130,7 @@ object Bench {
     // the suite's full-core load profile).
     val calib1t = calibrate(1)
     val calibNt = calibrate(cpus.toInt)
+    val jiffies0 = cpuJiffies()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -242,12 +261,18 @@ object Bench {
     if (regressions.nonEmpty)
       System.err.println(s"[bench] WARN regressions vs prior $outFile: $regJson")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // steal integrated over the run window; -1 = unavailable
+    val stealPct = (for {
+      (s0, t0) <- jiffies0
+      (s1, t1) <- cpuJiffies()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_1t":${fmt(calib1t)},"calib_nt":${fmt(calibNt)},"calib_ratio_vs_prior":${fmt(calibRatio)},"queries":$qsShort,"errors":$errJson,"regressions":$regJson,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calib_1t":${fmt(calib1t)},"calib_nt":${fmt(calibNt)},"calib_ratio_vs_prior":${fmt(calibRatio)},"steal_pct":${fmt(stealPct)},"queries":$qsShort,"errors":$errJson,"regressions":$regJson,"sf":$sfNum}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_1t":$calib1t,"calib_nt":$calibNt,"calib_ratio_vs_prior":$calibRatio,"queries":$qsFull,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_1t":$calib1t,"calib_nt":$calibNt,"calib_ratio_vs_prior":$calibRatio,"steal_pct":$stealPct,"queries":$qsFull,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()
     // print LAST (after spark.stop's log lines) so nothing but sbt's
