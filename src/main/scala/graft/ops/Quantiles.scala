@@ -500,7 +500,10 @@ object Quantiles {
           F.array(probes.map(F.lit): _*), F.lit(WarmAccuracy)).as("__wb"))
       .select((kCols ++ Seq(F.col("__n")) ++ rkExprs ++
         Seq(F.col("__lo"), F.col("__hi"), F.col("__wb"))): _*)
-      .localCheckpoint() // O(groups) rows; reused by interpTargets
+      // LAZY: stateHint's gate count (always the next action, both
+      // engines) materializes it — ckpt+count fused to one job (r15;
+      // the eager form paid a separate materialization job per call)
+      .localCheckpoint(false) // O(groups) rows; reused by interpTargets
     val allRk = F.array_distinct(F.array(qs.indices.flatMap(i =>
       Seq(F.col(s"__rkLo$i"), F.col(s"__rkHi$i"))): _*))
     val rkCols = qs.indices.flatMap(i =>

@@ -39,6 +39,22 @@ object VectorKernels {
     val nb = norm(b)
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
+  /** Packed SRP sign bits; per-plane arithmetic identical to [[dot]]
+    * against a float-literal plane (same summation order, strict > 0). */
+  def srpBits(v: ArrayData, planes: Array[Array[Float]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val h = planes(p)
+      val n = math.min(v.numElements(), h.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+      if (s > 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
 }
 
 /** dot(a, b) over two array<float> columns, computed in double. */
@@ -82,6 +98,29 @@ case class NormF(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused signed-random-projection signature: bit i = (v · planes(i)) > 0,
+  * packed into one long. Replaces the `nbits`-deep tree of
+  * `when(dotF(v, lit(h_i)) > 0, 1L << i)` bitwise-ORs (r15): identical
+  * per-plane arithmetic (same left-to-right double summation as
+  * [[VectorKernels.dot]] against a float-literal plane, same strict
+  * `> 0` sign rule), but ONE expression and one kernel call per row —
+  * smaller generated code (the 64-plane tree dominated q101's
+  * first-execution janino cost) and no per-plane ArrayData re-walk.
+  * SrpBitsSpec pins bit-equality against the expression-tree form. */
+case class SrpBitsF(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.srpBits(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.VectorKernels.srpBits($v, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   private def e(c: Column) = GraftColumnBridge.expression(c)
   def dotF(a: Column, b: Column): Column =
@@ -89,4 +128,6 @@ object VectorExpressions {
   def cosineF(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimF(e(a), e(b)))
   def normF(a: Column): Column = GraftColumnBridge.column(NormF(e(a)))
+  def srpBitsF(v: Column, planes: Seq[Array[Float]]): Column =
+    GraftColumnBridge.column(SrpBitsF(e(v), planes.toArray))
 }

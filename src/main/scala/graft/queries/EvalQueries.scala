@@ -58,11 +58,91 @@ object EvalQueries {
     * aggregate. Per iteration: w_i' = W_i / Σ_j n_ij/(w_i+w_j),
     * normalized to mean 1 and rounded to 8 dp (both engines iterate on
     * identical rounded state, so FP summation-order noise cannot
-    * accumulate). Shared by q231 and EvalSpec. */
+    * accumulate). Shared by q231 and EvalSpec.
+    *
+    * r15 optimization (guide §1.2 "the distributed algorithm" + §5
+    * "the driver should do almost no data work" — and this is no data
+    * work): the pair aggregate is O(items²) where items is a bounded
+    * catalog attribute (25 brands), yet the plan-side MM loop cost ~45
+    * tiny Spark jobs (2 state joins + 1 scalar agg + 1 broadcast + 1
+    * eager checkpoint per iteration × 5) — measured 8.1 s in-suite at
+    * sf0.1, with build= (driver loop) 8.0 s and exec 0.2 s. The fit now
+    * collects the pair aggregate when it is provably small ([[BtFitMaxPairs]],
+    * the audited bounded-collect class: same contract as the
+    * exactKnnBnB cell stats and the quantile endgame) and runs the
+    * identical arithmetic driver-side — per-iteration state is rounded
+    * to 8 dp exactly as before, so the collected fit is bit-compatible
+    * with the plan-side loop (EvalSpec pins equality); past the bound
+    * the original plan-side loop runs unchanged (items² beyond the
+    * collect budget ⇒ the iteration relation is genuinely distributed
+    * work). */
+  private[graft] val BtFitMaxPairs = 65536
+
   private[graft] def btFit(pairAgg: DataFrame, iters: Int): DataFrame = {
-    // the pair aggregate is O(items²) — tiny relative to the input —
-    // and feeds every iteration: pin it once (the q207/q221 lesson)
-    val pa = pairAgg.localCheckpoint()
+    // bounded-collect gate: one cheap count on the tiny aggregate —
+    // lazily-marked checkpoint + count fuse to ONE job (the round-12
+    // ckpt+count discipline)
+    val pairRows = pairAgg.localCheckpoint(false)
+    if (pairRows.count() <= BtFitMaxPairs) btFitDriver(pairRows, iters)
+    else btFitPlan(pairRows, iters)
+  }
+
+  /** Driver-side MM fit over the collected pair aggregate — identical
+    * per-iteration arithmetic to [[btFitPlan]] (double ops in the same
+    * floor-form 8-dp rounding), deterministic summation order (sorted
+    * neighbor / item keys; safe because every iteration's state is
+    * rounded to 8 dp before reuse — the same argument that lets DuckDB
+    * replay the plan-side loop bit-identically). */
+  private[graft] def btFitDriver(pairAgg: DataFrame, iters: Int): DataFrame = {
+    val spark = pairAgg.sparkSession
+    val itemType = pairAgg.schema("b1").dataType
+    val rows = pairAgg.select("b1", "b2", "n", "w1").collect()
+    // wins: integer sums, order-free
+    val wins = scala.collection.mutable.LinkedHashMap[Any, Long]()
+    rows.foreach { r =>
+      val n = r.getLong(2); val w1 = r.getLong(3)
+      wins(r.get(0)) = wins.getOrElse(r.get(0), 0L) + w1
+      wins(r.get(1)) = wins.getOrElse(r.get(1), 0L) + (n - w1)
+    }
+    val items = wins.keys.toSeq.sortBy(_.toString)
+    val idx = items.zipWithIndex.toMap
+    // symmetric neighbor lists in sorted-j order (deterministic sums)
+    val nbr = Array.fill(items.size)(
+      scala.collection.mutable.ArrayBuffer[(Int, Long)]())
+    rows.foreach { r =>
+      val i = idx(r.get(0)); val j = idx(r.get(1)); val n = r.getLong(2)
+      nbr(i) += ((j, n)); nbr(j) += ((i, n))
+    }
+    val sorted = nbr.map(_.sortBy(_._1).toArray)
+    var wt = Array.fill(items.size)(1.0)
+    for (_ <- 1 to iters) {
+      val raw = items.indices.map { i =>
+        var den = 0.0
+        sorted(i).foreach { case (j, n) => den += n / (wt(i) + wt(j)) }
+        wins(items(i)).toDouble / den
+      }
+      var s = 0.0
+      raw.foreach(s += _)
+      val mu = s / raw.size
+      wt = raw.map(r => math.floor((r / mu) * 1e8 + 0.5) / 1e8).toArray
+    }
+    val out = items.indices.map { i =>
+      org.apache.spark.sql.Row(items(i), wins(items(i)),
+        math.floor(wt(i) * 1e6 + 0.5) / 1e6)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      StructType(Seq(StructField("brand", itemType),
+        StructField("n_wins", LongType, nullable = false),
+        StructField("strength", DoubleType, nullable = false))))
+  }
+
+  /** The original plan-side MM loop — the unbounded-cardinality path.
+    * `pa` arrives already pinned by [[btFit]]'s gate count (the
+    * q207/q221 lesson: it feeds every iteration). */
+  private[graft] def btFitPlan(pa: DataFrame, iters: Int): DataFrame = {
     val wins = pa.select(F.col("b1").as("item"), F.col("w1").as("w"))
       .unionAll(pa.select(F.col("b2").as("item"),
         (F.col("n") - F.col("w1")).as("w")))

@@ -80,10 +80,19 @@ object ScoreQueries {
       yield (mix(math.floorMod(poly(s"ring-$s-$v"), P)), s)).sortBy(_._1)
 
   /** Successor-shard column: smallest ring position >= h, wrapping to
-    * the ring's global minimum. filter+array_min over a literal
-    * array<struct> — whole-stage-codegen'd, O(|ring|) compares per
-    * row, zero shuffle. */
+    * the ring's global minimum; equal-position ties to the smallest
+    * shard. r15: the filter+array_min HOF form was CodegenFallback
+    * (boxed per-element lambda eval, ~24 µs/row on q269) — now a
+    * native codegen'd binary search over the sorted literal ring
+    * ([[graft.plans.RingExpressions.ringSuccessor]]), bit-identical
+    * semantics (RingSpec pins HOF == kernel on adversarial rings). */
   private def ringShard(h: org.apache.spark.sql.Column,
+                        r: Seq[(Long, Int)]): org.apache.spark.sql.Column =
+    graft.plans.RingExpressions.ringSuccessor(h, r)
+
+  /** The original HOF formulation, kept for the RingSpec equivalence
+    * gate (it IS the executable spec of the successor semantics). */
+  private[graft] def ringShardHof(h: org.apache.spark.sql.Column,
                         r: Seq[(Long, Int)]): org.apache.spark.sql.Column = {
     val arr = F.array(r.map { case (p, sh) =>
       F.struct(F.lit(p).as("p"), F.lit(sh).as("s")) }: _*)

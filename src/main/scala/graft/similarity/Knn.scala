@@ -301,11 +301,11 @@ object Knn {
       s"cellBits=$bits: 2^$bits cell stats exceed the broadcast-join " +
         "envelope; use ivfKnn (ANN) at this corpus scale")
     val planes = Srp.hyperplanes(dim, bits, seed)
-    def cellOf(v: Column): Column = planes.zipWithIndex.map {
-      case (h, i) =>
-        F.when(dotF(v, F.typedlit(h)) > 0d, F.lit(1L << i))
-          .otherwise(F.lit(0L))
-    }.reduce(_ + _)
+    // r15: fused SRP kernel (sum of distinct powers of two == bitwise
+    // OR, so this is the exact cell id the when(dotF)-sum tree built;
+    // SrpBitsSpec pins equality) — one call per row, compact codegen.
+    def cellOf(v: Column): Column =
+      graft.plans.VectorExpressions.srpBitsF(v, planes)
     // zero-norm vectors have no direction, so the Cauchy-Schwarz cell
     // bound cannot cover them — quarantine them in sentinel cell -1,
     // which gets a manufactured always-visited stats row below (their

@@ -39,11 +39,14 @@ object Srp {
                  nbits: Int = 64, seed: Long = 7L): DataFrame = {
     require(nbits > 0 && nbits <= 64, s"nbits $nbits must be in 1..64")
     val planes = hyperplanes(dim, nbits, seed)
-    val bits = planes.zipWithIndex.map { case (h, i) =>
-      F.when(dotF(F.col(vecCol), F.typedlit(h)) > 0d, F.lit(1L << i))
-        .otherwise(F.lit(0L))
-    }
-    df.select(F.col(idCol), bits.reduce(_.bitwiseOR(_)).as("srp"))
+    // r15: one fused codegen'd kernel call instead of an nbits-deep
+    // when(dotF(...))-bitwiseOR expression tree — identical per-plane
+    // arithmetic and sign rule (SrpBitsSpec pins bit-equality), far
+    // smaller generated code (the tree dominated q101's first-run
+    // janino compile time).
+    df.select(F.col(idCol),
+      graft.plans.VectorExpressions.srpBitsF(F.col(vecCol), planes)
+        .as("srp"))
   }
 
   /** All pairs with cosine >= threshold, found via banded SRP buckets

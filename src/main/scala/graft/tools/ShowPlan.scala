@@ -12,7 +12,14 @@ object ShowPlan {
     df.collect() // finalize AQE
     // raw fd write: survives any sbt log level (see Bench.scala)
     val out = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-    out.write(df.queryExecution.executedPlan.toString().getBytes("UTF-8"))
+    // optional arg 2 = "formatted": emit explain("formatted") text (the
+    // plans/r15 deliverable) instead of the executed-plan tree
+    val txt =
+      if (args.drop(2).headOption.contains("formatted"))
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      else df.queryExecution.executedPlan.toString()
+    out.write(txt.getBytes("UTF-8"))
     out.flush()
     spark.stop()
   }

@@ -23,6 +23,26 @@ class EvalSpec extends SparkSpec {
     assert(m("A") == ((3L, 1.5)) && m("B") == ((1L, 0.5)))
   }
 
+  test("btFit driver path == plan-side loop, column for column") {
+    // r15: btFit collects the bounded pair aggregate and fits on the
+    // driver; pin bit-equality against the original plan-side loop on
+    // an uneven tournament (11 items, incomplete pairing, skewed wins
+    // — mean-normalization and 8-dp rounding both exercised).
+    val pairs = for {
+      i <- 1 to 11; j <- (i + 1) to 11
+      if (i + j) % 3 != 0
+    } yield (f"I$i%02d", f"I$j%02d", (i * j % 7 + 2).toLong,
+      (i % (j % 5 + 1)).toLong)
+    val pa = pairs.toDF("b1", "b2", "n", "w1")
+    val d = EvalQueries.btFitDriver(pa, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val p = EvalQueries.btFitPlan(pa.localCheckpoint(), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(d.toSeq == p.toSeq)
+  }
+
   test("btPairs counts strict per-order brand wins") {
     // order 1: brandX qty 5+1=6 vs brandY 4 -> X wins; order 2: tie
     // (3 vs 3) excluded; order 3: Y 9 beats X 2.
