@@ -28,6 +28,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Conf-experiment passthrough (r15 optimization work): semicolon-
+// separated spark confs, e.g. GRAFT_EXTRA_SQLCONF=
+// "spark.sql.join.preferSortMergeJoin=false" — SparkConf picks up any
+// -Dspark.* system property, so these reach every forked main's
+// session without editing each builder. Unset = exactly the old JVM.
+javaOptions ++= sys.env.get("GRAFT_EXTRA_SQLCONF").toSeq
+  .flatMap(_.split(";").filter(_.nonEmpty).map("-D" + _))
+// raw JVM flag passthrough for the same experiments (e.g. GC choice)
+javaOptions ++= sys.env.get("GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.split(" ").filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
