@@ -184,6 +184,32 @@ class OpsSpec extends SparkSpec {
     assert(descNulls.coalesce(1).issorted(Ordering("k", desc = true)))
   }
 
+  test("globalRowNumber equals a global row_number window under a total order") {
+    import spark.implicits._
+    // 2000 rows, key deliberately interleaved, >32 range partitions
+    // impossible locally but repartition(13) forces multi-partition
+    // input and a real range shuffle; (v, k) is a TOTAL ordering
+    val xs = Seq.tabulate(2000)(i => ((i * 2654435761L) % 997, i.toLong))
+    val df = xs.toDF("v", "k").repartition(13)
+    val got = graft.ops.RelOps.globalRowNumber(df, "rn",
+        Seq(Ordering("v", desc = true), Ordering("k")))
+      .select("k", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // semantics oracle: single-partition window row_number
+    val want = df.withColumn("rn", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(F.col("v").desc_nulls_last, F.col("k").asc_nulls_first))
+        .cast("long"))
+      .select("k", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // empty input: schema only, no rows, no crash
+    val empty = graft.ops.RelOps.globalRowNumber(
+      df.filter(F.lit(false)), "rn", Seq(Ordering("k")))
+    assert(empty.columns.toSeq == Seq("v", "k", "rn"))
+    assert(empty.count() == 0)
+  }
+
   test("globalPrefixSumD matches a driver-side serial scan (rounded)") {
     import spark.implicits._
     val xs = Seq.tabulate(500)(i => (i.toLong, math.log1p(i % 37) / 7))
