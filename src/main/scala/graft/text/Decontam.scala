@@ -102,13 +102,16 @@ object Decontam {
                    numHashes: Int = 5,
                    maxFpRate: Double = 0.01): DataFrame = {
     val bf = Bloom.build(docs.filter(benchPred), shCol, numBits, numHashes)
+    // native codegen'd probe kernel (r16): bit-identical to the HOF
+    // form `size(filter(transform(sh, s -> xxhash64(s)), h ->
+    // mightContainHashExpr(...)))` — BloomKernelSpec pins the equality;
+    // the HOF form stays in [[Bloom]] as the executable spec
     val probed = docs.filter(!benchPred)
       .crossJoin(F.broadcast(bf))
       .select(F.col(idCol),
-        F.expr(s"""cast(size(filter(
-            transform($shCol, s -> xxhash64(s)), h ->
-            ${Bloom.mightContainHashExpr("bf", "h", numBits, numHashes)}))
-          as bigint)""").as("n_bloom"))
+        graft.plans.BloomExpressions.bloomCountHits(
+          F.col(shCol), F.col("bf"), numBits.toLong, numHashes)
+          .as("n_bloom"))
     // both the output and the corpus-level fp gate consume this join;
     // without a cache the exact overlap + bloom probe execute twice
     // (measured ~2× wall). The block stays pinned for the plan's

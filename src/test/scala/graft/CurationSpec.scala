@@ -164,6 +164,38 @@ class CurationSpec extends SparkSpec {
     assert(tiny.filter(!F.col("bloom_no_fn")).count() === 0)
   }
 
+  test("bloom kernel == the HOF probe expression, bit for bit") {
+    // the q106 hot path rides the native BloomCountHits kernel; the
+    // HOF pipeline in [[Bloom]] is its executable spec — pin equality
+    // on the REAL corpus shingles plus adversarial rows (empty array,
+    // null element, empty-string shingle), at two filter geometries
+    // including the 64-bit one where false positives are guaranteed
+    val s = spark
+    import s.implicits._
+    val real = T.load(s, sf, "documents")
+      .select(F.col("doc_id"),
+        graft.plans.TextExpressions.wordShingles(F.col("text"), 5).as("sh"))
+    val weird = Seq(
+      (900001L, Seq.empty[String]),
+      (900002L, Seq("", "alpha beta gamma delta epsilon")),
+      (900003L, Seq("x y z w v"))).toDF("doc_id", "sh")
+    val docs = real.unionByName(weird)
+    for ((bits, k) <- Seq((1 << 20, 5), (64, 5))) {
+      val bf = graft.text.Bloom.build(
+        docs.filter(F.col("doc_id") % 7 === 0), "sh", bits, k)
+      val both = docs.crossJoin(F.broadcast(bf)).select(
+        F.col("doc_id"),
+        graft.plans.BloomExpressions.bloomCountHits(
+          F.col("sh"), F.col("bf"), bits.toLong, k).as("kern"),
+        F.expr(s"""cast(size(filter(
+            transform(sh, s -> xxhash64(s)), h ->
+            ${graft.text.Bloom.mightContainHashExpr("bf", "h", bits, k)}))
+          as bigint)""").as("hof"))
+      assert(both.filter(F.col("kern") =!= F.col("hof")).count() === 0,
+        s"kernel/HOF divergence at bits=$bits")
+    }
+  }
+
   test("count-min estimates dominate exact counts for EVERY token") {
     val s = spark
     import graft.sketch.CountMin
