@@ -39,6 +39,10 @@ class InvarianceSpec extends SparkSpec {
     "q183_last_touch", "q187_ewma", "q203_cusum", "q204_scd2",
     "q205_attribution_u", "q211_concurrency", "q214_interp_resample",
     "q225_cumulative_users", "q260_negative_sample", "q264_rfm",
+    // r16: q192's median now rides a rank window — tied slopes get
+    // arbitrary row_numbers across partitionings, but only slope
+    // VALUES are selected, so the result must be invariant; gate it
+    "q192_theilsen",
     "q323_scd2_dimension", "q333_gini_lorenz")
 
   /** Bit-faithful canonical form: every cell via String.valueOf
